@@ -1,0 +1,233 @@
+"""Validation orchestrator.
+
+Spark inversion of the reference's per-focus-node loop
+(/root/reference/src/validation/mod.rs:57-135): instead of rayon
+iteration over shapes × focus nodes, each (shape, constraint) compiles
+into one set-oriented DataFrame job over ALL focus nodes; per-shape
+violation frames union into a single lazy plan, so one Spark action
+evaluates the whole report and Catalyst parallelizes across partitions.
+
+Quirks preserved:
+- deactivated shapes are skipped only at the TOP level and for
+  sh:node/qualifiedValueShape nested reports (validate_node_report);
+  sh:and/or/xone/not ignore the flag (they call validate_focus_node);
+- nested property shapes are validated on the parent shape's VALUE
+  NODES, not its focus nodes (validation/mod.rs:256-270);
+- a property shape whose qualifiedValueShape is disjoint validates via
+  the sibling-exclusion walker (validation/mod.rs:226-352);
+- sh:closed only exists on node shapes (parser) and checks every triple
+  of each focus subject against the direct property-shape predicates ∪
+  ignoredProperties (validation/mod.rs:354-398).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..rdf.graph import Graph
+from ..schema import TERM_TYPE, VIOLATIONS_TYPE
+from ..shapes.ir import QualifiedValueShapeC, Shape
+from ..shapes.parser import parse_shapes
+from .. import vocab as V
+from .constraints import constraint_violations, qualified_count_violations
+from .dataset import Dataset
+from .paths import resolve_path
+from .targets import resolve_targets
+
+
+class Validator:
+    def __init__(self, ds: Dataset):
+        self.ds = ds
+        self.target_cache: dict = {}
+
+    # --- violation row construction ------------------------------------
+    def vio(
+        self,
+        df: DataFrame,
+        shape: Shape,
+        component: str,
+        message: str,
+        value: bool = False,
+    ) -> DataFrame:
+        """Project a frame containing `focus` (and optionally `v`) to the
+        standard violations schema."""
+        value_col = (
+            F.col("v") if value else F.lit(None).cast(TERM_TYPE)
+        )
+        return df.select(
+            F.col("focus"),
+            F.lit(shape.node.n3()).alias("source_shape"),
+            F.lit(component).alias("component"),
+            F.lit(shape.severity).alias("severity"),
+            F.lit(shape.path.display() if shape.path else None)
+            .cast("string")
+            .alias("path"),
+            value_col.alias("value"),
+            F.lit(message).alias("message"),
+        )
+
+    def empty_violations(self) -> DataFrame:
+        return self.ds.spark.createDataFrame([], VIOLATIONS_TYPE)
+
+    def _union(self, parts: list[DataFrame]) -> DataFrame:
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return self.empty_violations()
+        return reduce(DataFrame.unionByName, parts)
+
+    # --- top level -------------------------------------------------------
+    def validate(self, shapes: list[Shape]) -> DataFrame:
+        parts = []
+        for shape in shapes:
+            if shape.deactivated:
+                continue
+            focus = resolve_targets(self.ds, shape, self.target_cache)
+            parts.append(self.validate_focus_node(shape, focus))
+        return self._union(parts)
+
+    # --- core recursion ----------------------------------------------------
+    def get_value_nodes(self, shape: Shape, focus_df: DataFrame) -> DataFrame:
+        if shape.path is not None:
+            return resolve_path(self.ds, shape.path, focus_df)
+        return focus_df.select("focus", F.col("focus").alias("v"))
+
+    def validate_focus_node(self, shape: Shape, focus_df: DataFrame) -> DataFrame:
+        values = self.get_value_nodes(shape, focus_df)
+        parts: list[DataFrame] = []
+        for c in shape.constraints:
+            parts.extend(constraint_violations(self, shape, c, focus_df, values))
+        parts.append(self._nested_property_shapes(shape, values))
+        if shape.closed is not None:
+            parts.append(self._closed_check(shape, focus_df))
+        return self._union(parts)
+
+    def nonconforming(
+        self, shape: Shape, nodes_df: DataFrame, respect_deactivated: bool
+    ) -> DataFrame:
+        """Distinct focus terms that do NOT conform to the shape.
+
+        respect_deactivated=True mirrors validate_node_report
+        (deactivated nested shape ⇒ everything conforms); False mirrors
+        the direct validate_focus_node calls in sh_and/or/xone/not.
+        """
+        if respect_deactivated and shape.deactivated:
+            return nodes_df.limit(0)
+        return (
+            self.validate_focus_node(shape, nodes_df)
+            .select("focus")
+            .dropDuplicates(["focus"])
+        )
+
+    def _nested_property_shapes(self, shape: Shape, parent_values: DataFrame) -> DataFrame:
+        if not shape.property_shapes:
+            return self.empty_violations()
+
+        # Sibling map for disjoint qualified shapes (validation/mod.rs:227-254).
+        siblings_for: dict[int, list[Shape]] = {}
+        for idx, ps in enumerate(shape.property_shapes):
+            if any(
+                isinstance(c, QualifiedValueShapeC) and c.disjoint
+                for c in ps.constraints
+            ):
+                sibs: list[Shape] = []
+                for jdx, other in enumerate(shape.property_shapes):
+                    if jdx == idx:
+                        continue
+                    sibs.extend(
+                        c.shape
+                        for c in other.constraints
+                        if isinstance(c, QualifiedValueShapeC)
+                    )
+                siblings_for[idx] = sibs
+
+        new_focus = parent_values.select(F.col("v").alias("focus")).dropDuplicates(
+            ["focus"]
+        )
+        parts = []
+        for idx, ps in enumerate(shape.property_shapes):
+            if idx in siblings_for:
+                parts.append(
+                    self._validate_property_shape_with_disjoint(
+                        ps, new_focus, siblings_for[idx]
+                    )
+                )
+            else:
+                parts.append(self.validate_focus_node(ps, new_focus))
+        return self._union(parts)
+
+    def _validate_property_shape_with_disjoint(
+        self, ps: Shape, focus_df: DataFrame, siblings: list[Shape]
+    ) -> DataFrame:
+        values = self.get_value_nodes(ps, focus_df)
+        parts: list[DataFrame] = []
+        for c in ps.constraints:
+            if isinstance(c, QualifiedValueShapeC) and c.disjoint:
+                parts.extend(
+                    qualified_count_violations(self, ps, c, focus_df, values, siblings)
+                )
+            else:
+                parts.extend(constraint_violations(self, ps, c, focus_df, values))
+        parts.append(self._nested_property_shapes(ps, values))
+        if ps.closed is not None:
+            parts.append(self._closed_check(ps, focus_df))
+        return self._union(parts)
+
+    def _closed_check(self, shape: Shape, focus_df: DataFrame) -> DataFrame:
+        allowed = set(shape.closed.ignored_properties)
+        for ps in shape.property_shapes:
+            if ps.path is not None:
+                allowed.update(ps.path.direct_predicates())
+        node_focus = focus_df.where(F.col("focus.kind") != "lit")
+        t = self.ds.triples.select(
+            F.col("s").alias("_cs"), F.col("p").alias("_cp"), F.col("o").alias("_co")
+        )
+        joined = node_focus.join(t, node_focus["focus"] == F.col("_cs"))
+        bad = joined.where(~F.col("_cp").isin(list(allowed)) if allowed else F.lit(True))
+        bad = bad.select("focus", F.col("_co").alias("v"))
+        return self.vio(
+            bad, shape, V.SH_CLOSED_CC, "Property is not allowed (closed shape)",
+            value=True,
+        )
+
+
+class Report:
+    """Spark analog of ValidationReport (src/validation/report.rs:10-16)."""
+
+    def __init__(self, violations: DataFrame):
+        self.violations = violations
+        self._conforms: bool | None = None
+
+    @property
+    def conforms(self) -> bool:
+        if self._conforms is None:
+            self._conforms = self.violations.isEmpty()
+        return self._conforms
+
+    def results(self) -> list:
+        return self.violations.collect()
+
+    def to_json_rows(self) -> list[dict]:
+        return [r.asDict(recursive=True) for r in self.results()]
+
+
+def validate_dataset(ds: Dataset, shapes: list[Shape] | None = None) -> Report:
+    if shapes is None:
+        shapes = parse_shapes(ds.shapes_graph)
+    return Report(Validator(ds).validate(shapes))
+
+
+def validate_graphs(spark, data_graph: Graph, shapes_graph: Graph) -> Report:
+    """Small-graph entry point (fixtures / conformance corpus)."""
+    ds = Dataset.from_graphs(spark, data_graph, shapes_graph)
+    return validate_dataset(ds)
+
+
+def validate_strings(spark, data_text: str, shapes_text: str) -> Report:
+    """String-in entry point — the analog of the reference's WASM/MCP
+    validate_graphs (crates/shacl-wasm/src/lib.rs:13-55)."""
+    from ..rdf.turtle import parse_turtle
+
+    return validate_graphs(spark, parse_turtle(data_text), parse_turtle(shapes_text))

@@ -1,0 +1,83 @@
+"""Path resolution unit tests — mirrors /root/reference/tests/path.rs."""
+
+import pytest
+
+from shacl_rust_spark.engine.dataset import Dataset
+from shacl_rust_spark.engine.paths import resolve_path
+from shacl_rust_spark.rdf import parse_turtle
+from shacl_rust_spark.schema import terms_to_df
+from shacl_rust_spark.shapes.ir import (
+    Alternative, Hop, Inverse, OneOrMore, Path, ZeroOrMore, ZeroOrOne,
+)
+from shacl_rust_spark.term import Term, iri
+
+EX = "http://example.org/"
+KNOWS = EX + "knows"
+LIKES = EX + "likes"
+
+GRAPH = f"""
+@prefix ex: <{EX}> .
+ex:Alice ex:knows ex:Bob .
+ex:Bob ex:knows ex:Charlie .
+ex:Charlie ex:knows ex:Alice .
+ex:Alice ex:likes ex:Pizza .
+ex:Bob ex:likes "sushi" .
+"""
+
+
+@pytest.fixture(scope="module")
+def ds(spark):
+    return Dataset.from_graphs(spark, parse_turtle(GRAPH), parse_turtle(""))
+
+
+def _resolve(ds, path, start=EX + "Alice"):
+    focus = terms_to_df(ds.spark, [iri(start)])
+    rows = resolve_path(ds, path, focus).collect()
+    return {Term(*r.v).value for r in rows}
+
+
+def test_direct_hop(ds):
+    assert _resolve(ds, Path((Hop(KNOWS),))) == {EX + "Bob"}
+
+
+def test_inverse(ds):
+    assert _resolve(ds, Path((Inverse(KNOWS),))) == {EX + "Charlie"}
+
+
+def test_loopback_sequence(ds):
+    # knows / ^knows from Alice → Alice (path.rs doc test)
+    assert _resolve(ds, Path((Hop(KNOWS), Inverse(KNOWS)))) == {EX + "Alice"}
+
+
+def test_zero_or_more_cycle(ds):
+    got = _resolve(ds, Path((ZeroOrMore(Hop(KNOWS)),)))
+    assert got == {EX + "Alice", EX + "Bob", EX + "Charlie"}
+
+
+def test_one_or_more_excludes_start_even_on_cycle(ds):
+    # Reference quirk: visited is seeded with the start node, so the
+    # start is never re-emitted even though the cycle reaches it
+    # (path.rs:156-171).
+    got = _resolve(ds, Path((OneOrMore(Hop(KNOWS)),)))
+    assert got == {EX + "Bob", EX + "Charlie"}
+
+
+def test_zero_or_one(ds):
+    got = _resolve(ds, Path((ZeroOrOne(Hop(KNOWS)),)))
+    assert got == {EX + "Alice", EX + "Bob"}
+
+
+def test_alternative(ds):
+    got = _resolve(ds, Path((Alternative((Hop(KNOWS), Hop(LIKES))),)))
+    assert got == {EX + "Bob", EX + "Pizza"}
+
+
+def test_sequence_two_hops(ds):
+    got = _resolve(ds, Path((Hop(KNOWS), Hop(KNOWS))))
+    assert got == {EX + "Charlie"}
+
+
+def test_literal_values_do_not_traverse(ds):
+    # Bob likes "sushi" (literal); a further hop drops it silently.
+    got = _resolve(ds, Path((Hop(LIKES), Hop(KNOWS))), start=EX + "Bob")
+    assert got == set()
