@@ -32,6 +32,15 @@ class Dataset:
         self.triples = triples
         self.shapes_graph = shapes_graph
         self._closure_edges: dict[str, dict[Term, list[Term]]] = {}
+        self._shapes_df: DataFrame | None = None
+
+    def shapes_triples_df(self) -> DataFrame:
+        """The (tiny, broadcastable) shapes graph as a triples DataFrame —
+        the named-graph side of the reference's dual-graph store
+        (dataset.rs:40-47), used by GRAPH $shapesGraph blocks."""
+        if self._shapes_df is None:
+            self._shapes_df = graph_to_df(self.spark, self.shapes_graph)
+        return self._shapes_df
 
     @classmethod
     def from_graphs(cls, spark: SparkSession, data_graph: Graph, shapes_graph: Graph) -> "Dataset":

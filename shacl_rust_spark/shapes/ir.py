@@ -206,8 +206,10 @@ class NotC(Constraint):
 class SparqlC(Constraint):
     query: str
     is_select: bool
-    message: str | None
+    messages: tuple[str, ...]
     prefixes: tuple[tuple[str, str], ...]
+    component: str | None = None  # sh:ConstraintComponent IRI when validator-based
+    params: tuple[tuple[str, Term], ...] = ()  # pre-bound $parameters
 
 
 @dataclass(frozen=True)

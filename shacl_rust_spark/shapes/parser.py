@@ -402,25 +402,125 @@ def _parse_shacl_prefixes(graph: Graph, executable: Term) -> list[tuple[str, str
     return out
 
 
+def _parse_executable(graph: Graph, node: Term) -> tuple[str, bool] | None:
+    sel = graph.object(node, V.SH_SELECT)
+    if sel is not None and sel.is_literal:
+        return sel.value, True
+    ask = graph.object(node, V.SH_ASK)
+    if ask is not None and ask.is_literal:
+        return ask.value, False
+    return None
+
+
+def _local_name(iri_str: str) -> str | None:
+    """utils.rs:280-285."""
+    import re as _re
+
+    last = _re.split(r"[#/]", iri_str)[-1]
+    return last or None
+
+
+def _is_subclass_of(graph: Graph, node: Term, cls: Term) -> bool:
+    visited: set[Term] = set()
+    stack = [node]
+    while stack:
+        cur = stack.pop()
+        if cur == cls:
+            return True
+        if cur in visited:
+            continue
+        visited.add(cur)
+        stack.extend(
+            o for o in graph.objects(cur, V.RDFS_SUBCLASS_OF) if o.is_node
+        )
+    return False
+
+
 def _parse_sparql_constraints(
     graph: Graph, node: Term, is_property_shape: bool
 ) -> list[Constraint]:
-    """Subset of parser/constraints/sparql.rs — direct sh:sparql executables.
-
-    Component-based SPARQL constraints (sh:constraintComponent +
-    sh:validator) are handled in engine/sparql.py's component scanner.
-    """
+    """parser/constraints/sparql.rs:177-189 — direct sh:sparql executables
+    plus component-based validators (sh:ConstraintComponent + sh:parameter
+    + sh:validator / sh:nodeValidator / sh:propertyValidator)."""
     cs: list[Constraint] = []
+    seen: set[Term] = set()
     for exe in graph.objects(node, V.SH_SPARQL):
-        if not exe.is_node:
+        if not exe.is_node or exe in seen:
             continue
-        message = graph.get_string_value(exe, V.SH_MESSAGE)
-        prefixes = tuple(_parse_shacl_prefixes(graph, exe))
-        sel = graph.object(exe, V.SH_SELECT)
-        if sel is not None and sel.is_literal:
-            cs.append(SparqlC(sel.value, True, message, prefixes))
+        seen.add(exe)
+        parsed = _parse_executable(graph, exe)
+        if parsed is None:
             continue
-        ask = graph.object(exe, V.SH_ASK)
-        if ask is not None and ask.is_literal:
-            cs.append(SparqlC(ask.value, False, message, prefixes))
+        query, is_select = parsed
+        cs.append(SparqlC(
+            query, is_select,
+            tuple(graph.get_all_string_values(exe, V.SH_MESSAGE)),
+            tuple(_parse_shacl_prefixes(graph, exe)),
+        ))
+    if node not in seen:
+        parsed = _parse_executable(graph, node)
+        if parsed is not None:
+            query, is_select = parsed
+            cs.append(SparqlC(
+                query, is_select,
+                tuple(graph.get_all_string_values(node, V.SH_MESSAGE)),
+                tuple(_parse_shacl_prefixes(graph, node)),
+            ))
+
+    # --- component-based constraints --------------------------------
+    validator_preds = [V.SH + "validator"]
+    validator_preds.append(
+        V.SH + ("propertyValidator" if is_property_shape else "nodeValidator")
+    )
+    cc_term = Term("iri", V.SH + "ConstraintComponent")
+    components: list[Term] = []
+    comp_seen: set[Term] = set()
+    for t in graph.triples_for_predicate(V.SH + "parameter"):
+        if t.s not in comp_seen:
+            comp_seen.add(t.s)
+            components.append(t.s)
+    for component in components:
+        if not any(
+            o.is_node and (o == cc_term or _is_subclass_of(graph, o, cc_term))
+            for o in graph.objects(component, V.RDF_TYPE)
+        ):
+            continue
+        bindings: list[tuple[str, Term]] = []
+        ok = True
+        for param in graph.objects(component, V.SH + "parameter"):
+            if not param.is_node:
+                ok = False
+                break
+            ppath = graph.object(param, V.SH_PATH)
+            if ppath is None or not ppath.is_iri:
+                ok = False
+                break
+            var_name = _local_name(ppath.value)
+            if var_name is None:
+                ok = False
+                break
+            optional = graph.get_boolean_value(param, V.SH + "optional") or False
+            vals = graph.objects(node, ppath.value)
+            if vals:
+                bindings.append((var_name, vals[0]))
+            elif not optional:
+                ok = False
+                break
+        if not ok:
+            continue
+        for pred in validator_preds:
+            for vterm in graph.objects(component, pred):
+                if not vterm.is_node:
+                    continue
+                parsed = _parse_executable(graph, vterm)
+                if parsed is None:
+                    continue
+                query, is_select = parsed
+                cs.append(SparqlC(
+                    query, is_select,
+                    tuple(graph.get_all_string_values(vterm, V.SH_MESSAGE)),
+                    tuple(_parse_shacl_prefixes(graph, vterm)),
+                    component=component.value if component.is_iri else component.n3(),
+                    params=tuple(bindings),
+                ))
     return cs
