@@ -1,0 +1,109 @@
+"""Self-check mirroring the driver's CORRECTNESS gate: run every
+queries() entry on Spark and its oracle_sql() twin on DuckDB at the
+given sf dir, compare row count, column names, and an order-insensitive
+value hash (columns sorted by name, rows sorted, values stringified).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, float):
+        return repr(round(v, 6))
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as e
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: {len(srows)} rows (rows-only, no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            if not srows:
+                print(f"     WARNING {name}: empty result")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: oracle error: {exc}")
+            continue
+        ocols = list(odf.columns)
+        orows = [tuple(r) for r in odf.itertuples(index=False)]
+        sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
+        status = "PASS" if (len(srows) == len(orows)
+                            and sorted(scols) == sorted(ocols)
+                            and sh == oh) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(f"{status} {name}: spark {len(srows)} rows, oracle {len(orows)} "
+              f"rows, hash {'==' if sh == oh else sh + ' != ' + oh} "
+              f"[{time.time()-t0:.1f}s]")
+        if status == "FAIL" and srows and orows:
+            print(f"     spark sample: {srows[:2]}\n     oracle sample: {orows[:2]}")
+        if status == "PASS" and not srows:
+            print(f"     WARNING {name}: empty-vs-empty match (weak)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

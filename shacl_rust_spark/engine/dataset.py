@@ -27,12 +27,35 @@ _MAX_ONTOLOGY_EDGES = 2_000_000
 
 
 class Dataset:
-    def __init__(self, spark: SparkSession, triples: DataFrame, shapes_graph: Graph):
+    def __init__(
+        self,
+        spark: SparkSession,
+        triples: DataFrame,
+        shapes_graph: Graph,
+        small: bool = False,
+    ):
         self.spark = spark
         self.triples = triples
         self.shapes_graph = shapes_graph
+        # `small` marks a fixture-scale data graph (driver-parsed): enables
+        # whole-graph nested-shape memoization in the validator. Never set
+        # for table-backed datasets.
+        self.small = small
         self._closure_edges: dict[str, dict[Term, list[Term]]] = {}
         self._shapes_df: DataFrame | None = None
+        self._all_terms_df: DataFrame | None = None
+
+    def all_terms_df(self) -> DataFrame:
+        """Every distinct term appearing as subject or object — the focus
+        universe used for small-dataset nested-shape memoization."""
+        if self._all_terms_df is None:
+            self._all_terms_df = (
+                self.triples.select(F.col("s").alias("focus"))
+                .unionByName(self.triples.select(F.col("o").alias("focus")))
+                .dropDuplicates(["focus"])
+                .localCheckpoint(eager=True)
+            )
+        return self._all_terms_df
 
     def shapes_triples_df(self) -> DataFrame:
         """The (tiny, broadcastable) shapes graph as a triples DataFrame —
@@ -42,9 +65,17 @@ class Dataset:
             self._shapes_df = graph_to_df(self.spark, self.shapes_graph)
         return self._shapes_df
 
+    # Fixture graphs below this size get whole-graph nested-shape memoization.
+    _SMALL_GRAPH_TRIPLES = 100_000
+
     @classmethod
     def from_graphs(cls, spark: SparkSession, data_graph: Graph, shapes_graph: Graph) -> "Dataset":
-        return cls(spark, graph_to_df(spark, data_graph), shapes_graph)
+        return cls(
+            spark,
+            graph_to_df(spark, data_graph),
+            shapes_graph,
+            small=len(data_graph) < cls._SMALL_GRAPH_TRIPLES,
+        )
 
     def pred(self, iri: str) -> DataFrame:
         """Triples with a fixed predicate — filter pushes to the scan."""
@@ -96,3 +127,84 @@ class Dataset:
 
     def subproperties(self, root: Term) -> list[str]:
         return self.descendants(root, V.RDFS_SUBPROPERTY_OF)
+
+    # --- Kleene-closure pair cache ----------------------------------------
+    # sh:zeroOrMorePath / sh:oneOrMorePath over a single predicate is by far
+    # the common case (rdf:rest lists, skos:broader chains). Instead of an
+    # iterative frontier loop per call site — which the compile-time-unrolled
+    # nested shapes of shacl-shacl re-run dozens of times — compute the
+    # transitive-closure PAIRS (start, reached-in-≥1-step) once per
+    # (predicate, direction) and serve every call as one broadcast join.
+    # Driver-side only when the predicate's edge set is small (the same
+    # policy as the subclass closure above); large edge sets fall back to
+    # the distributed fixpoint in paths.py.
+    _MAX_KLEENE_EDGES = 100_000
+    _MAX_KLEENE_PAIRS = 2_000_000
+
+    def kleene_pairs(self, predicate: str, inverse: bool) -> DataFrame | None:
+        """(start TERM, reached TERM) pairs for p+ semantics, or None if the
+        edge set is too large for driver-side closure.
+
+        Semantics mirror the reference BFS (path.rs:141-171): `reached`
+        excludes the start node itself even when it is reachable through a
+        cycle (the visited set is seeded with the start)."""
+        key = ("kleene", predicate, inverse)
+        if key in self._closure_edges:
+            return self._closure_edges[key]  # type: ignore[return-value]
+        rows = (
+            self.pred(predicate)
+            .select("s", "o")
+            .limit(self._MAX_KLEENE_EDGES + 1)
+            .collect()
+        )
+        result: DataFrame | None
+        if len(rows) > self._MAX_KLEENE_EDGES:
+            result = None
+        else:
+            succ: dict[Term, list[Term]] = defaultdict(list)
+            for r in rows:
+                a, b = Term(*r.s), Term(*r.o)
+                if b.kind == "lit" and not inverse:
+                    # literals are valid targets but never traversed further
+                    succ[a].append(b)
+                elif inverse:
+                    succ[b].append(a)
+                else:
+                    succ[a].append(b)
+            pairs: list[tuple] = []
+            total = 0
+            overflow = False
+            for start in list(succ):
+                visited = {start}
+                frontier = [n for n in succ[start] if n not in visited]
+                reached: set[Term] = set()
+                while frontier:
+                    nxt: list[Term] = []
+                    for n in frontier:
+                        if n in reached:
+                            continue
+                        reached.add(n)
+                        if n.kind != "lit":
+                            nxt.extend(
+                                m for m in succ.get(n, ())
+                                if m not in reached and m != start
+                            )
+                    frontier = nxt
+                total += len(reached)
+                if total > self._MAX_KLEENE_PAIRS:
+                    overflow = True
+                    break
+                pairs.extend((start, n) for n in reached)
+            if overflow:
+                result = None
+            else:
+                from ..schema import TERM_TYPE
+                from pyspark.sql.types import StructField, StructType
+
+                schema = StructType([
+                    StructField("start", TERM_TYPE),
+                    StructField("reached", TERM_TYPE),
+                ])
+                result = self.spark.createDataFrame(pairs, schema)
+        self._closure_edges[key] = result  # type: ignore[assignment]
+        return result

@@ -42,6 +42,10 @@ class Validator:
     def __init__(self, ds: Dataset):
         self.ds = ds
         self.target_cache: dict = {}
+        # small-dataset memo: shape node → checkpointed DF of ALL graph
+        # terms that do not conform to that shape (see nonconforming()).
+        self._nc_cache: dict = {}
+        self._nc_in_progress: set = set()
 
     # --- violation row construction ------------------------------------
     def vio(
@@ -115,11 +119,48 @@ class Validator:
         """
         if respect_deactivated and shape.deactivated:
             return nodes_df.limit(0)
-        return (
+
+        # Small datasets: evaluate each distinct nested shape ONCE over the
+        # whole term universe (memoized by shape node), then serve every
+        # call site as a lazy semi-join — constraints are strictly
+        # per-focus, so superset evaluation + restriction is semantically
+        # identical, and the compile-time-unrolled plan stops re-running
+        # the same sub-shape per call site (shacl-shacl went from ~8 min to
+        # seconds). At table scale the focus-restricted path below is the
+        # right plan, so this is gated on ds.small.
+        key = shape.node
+        if self.ds.small and key not in self._nc_in_progress:
+            cached = self._nc_cache.get(key)
+            if cached is None:
+                self._nc_in_progress.add(key)
+                try:
+                    cached = (
+                        self.validate_focus_node(shape, self.ds.all_terms_df())
+                        .select("focus")
+                        .dropDuplicates(["focus"])
+                        .localCheckpoint(eager=True)
+                    )
+                finally:
+                    self._nc_in_progress.discard(key)
+                self._nc_cache[key] = cached
+            return (
+                nodes_df.select("focus")
+                .dropDuplicates(["focus"])
+                .join(cached, "focus", "left_semi")
+            )
+
+        out = (
             self.validate_focus_node(shape, nodes_df)
             .select("focus")
             .dropDuplicates(["focus"])
         )
+        # Materialize at the nested-shape recursion boundary: conformance
+        # sets are reused by every parent constraint referencing them, and
+        # without a cut the compile-time-unrolled plan grows exponentially
+        # with nesting depth (Catalyst analysis on shacl-shacl's meta-shapes
+        # took minutes). localCheckpoint truncates lineage the same way the
+        # Kleene-closure fixpoint does (paths.py).
+        return out.localCheckpoint(eager=True)
 
     def _nested_property_shapes(self, shape: Shape, parent_values: DataFrame) -> DataFrame:
         if not shape.property_shapes:

@@ -92,7 +92,21 @@ def resolve_element(ds: Dataset, elem: PathElem, frontier: DataFrame) -> DataFra
 
 def _kleene_closure(ds: Dataset, inner: PathElem, start: DataFrame) -> DataFrame:
     """Per-focus BFS: nodes reachable in ≥1 step, excluding each focus's
-    own start node (reference visited-set seeding, path.rs:141-171)."""
+    own start node (reference visited-set seeding, path.rs:141-171).
+
+    Fast path: for single-predicate inner elements with a small edge set,
+    the Dataset serves memoized transitive-closure pairs and the whole
+    closure is ONE broadcast join — reused across every shape/constraint
+    that traverses the same predicate. Large edge sets (the 100 TB case)
+    use the iterative checkpointed frontier loop below."""
+    if isinstance(inner, (Hop, Inverse)):
+        pairs = ds.kleene_pairs(inner.iri, isinstance(inner, Inverse))
+        if pairs is not None:
+            return _dedup(
+                start.join(
+                    F.broadcast(pairs), start["v"] == pairs["start"]
+                ).select("focus", F.col("reached").alias("v"))
+            )
     visited = _dedup(start.select("focus", "v")).localCheckpoint(eager=True)
     frontier = visited
     acc: DataFrame | None = None

@@ -1,0 +1,192 @@
+"""Relational → RDF triple builders over the driver's star-schema tables.
+
+These unpivot the synthetic TPC-H-ish parquet tables into the engine's
+(s, p, o) TERM schema (SURVEY.md §1.1) so that every SHACL operator has
+a SQL-checkable DuckDB twin (`__spark_entry__.py` contract): the same
+facts are reachable both as triples (for the validator) and as relational
+rows (for the oracle).
+
+All construction is pure Column expressions — one narrow projection +
+union per predicate; Catalyst prunes the source scan to the referenced
+columns, and the unions are map-side only (no shuffle).
+
+Violation seeds are planted deterministically (key-modulo rules, noted
+per builder) so constraint queries return non-empty, oracle-computable
+results at every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import vocab as V
+
+EX = "http://example.org/"
+XSD_STRING = V.XSD_STRING
+XSD_DOUBLE = V.XSD + "double"
+XSD_INTEGER = V.XSD + "integer"
+
+
+def _iri(col) -> F.Column:
+    return F.struct(
+        F.lit("iri").alias("kind"),
+        col.cast("string").alias("value"),
+        F.lit("").alias("datatype"),
+        F.lit("").alias("lang"),
+    )
+
+
+def _lit(col, datatype: str = XSD_STRING, lang_col=None) -> F.Column:
+    if lang_col is not None:
+        return F.struct(
+            F.lit("lit").alias("kind"),
+            col.cast("string").alias("value"),
+            F.lit(V.RDF_LANG_STRING).alias("datatype"),
+            lang_col.cast("string").alias("lang"),
+        )
+    return F.struct(
+        F.lit("lit").alias("kind"),
+        col.cast("string").alias("value"),
+        F.lit(datatype).alias("datatype"),
+        F.lit("").alias("lang"),
+    )
+
+
+def _t(df: DataFrame, s, p: str, o) -> DataFrame:
+    return df.select(s.alias("s"), F.lit(p).alias("p"), o.alias("o"))
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cust_iri(key_col) -> F.Column:
+    return _iri(F.concat(F.lit(EX + "cust/"), key_col.cast("string")))
+
+
+def nation_iri(key_col) -> F.Column:
+    return _iri(F.concat(F.lit(EX + "nation/"), key_col.cast("string")))
+
+
+def region_iri(key_col) -> F.Column:
+    return _iri(F.concat(F.lit(EX + "region/"), key_col.cast("string")))
+
+
+def order_iri(key_col) -> F.Column:
+    return _iri(F.concat(F.lit(EX + "order/"), key_col.cast("string")))
+
+
+def customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer facts as triples.
+
+    Planted seeds: none here — violations come from data properties
+    (negative acctbal) and from the nation-side type gaps (see
+    nation_triples).
+    """
+    c = load(spark, sf_dir, "customer")
+    s = cust_iri(F.col("c_custkey"))
+    parts = [
+        _t(c, s, V.RDF_TYPE, _iri(F.lit(EX + "Customer"))),
+        _t(c, s, EX + "name", _lit(F.col("c_name"))),
+        _t(c, s, EX + "mktsegment", _lit(F.col("c_mktsegment"))),
+        _t(c, s, EX + "acctbal", _lit(F.col("c_acctbal"), XSD_DOUBLE)),
+        _t(c, s, EX + "nation", nation_iri(F.col("c_nationkey"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def nation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation/region facts.
+
+    Planted seeds:
+    - nations in region 0 get NO rdf:type triple → sh:class violations
+      for customers pointing at them;
+    - only odd-keyed regions are ex:partOf ex:world → nations whose
+      region lacks the edge fail `partOf* hasValue ex:world`.
+    """
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    sn = nation_iri(F.col("n_nationkey"))
+    sr = region_iri(F.col("r_regionkey"))
+    typed = n.where(F.col("n_regionkey") != 0)
+    parts = [
+        _t(typed, nation_iri(F.col("n_nationkey")), V.RDF_TYPE, _iri(F.lit(EX + "Nation"))),
+        _t(n, sn, EX + "name", _lit(F.col("n_name"))),
+        _t(n, sn, EX + "partOf", region_iri(F.col("n_regionkey"))),
+        _t(r, sr, EX + "name", _lit(F.col("r_name"))),
+        _t(
+            r.where(F.col("r_regionkey") % 2 == 1),
+            region_iri(F.col("r_regionkey")),
+            EX + "partOf",
+            _iri(F.lit(EX + "world")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def order_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order facts.
+
+    Planted seeds: every 10th order carries an undeclared ex:clerk
+    predicate → sh:closed violations.
+    """
+    o = load(spark, sf_dir, "orders")
+    s = order_iri(F.col("o_orderkey"))
+    parts = [
+        _t(o, s, V.RDF_TYPE, _iri(F.lit(EX + "Order"))),
+        _t(o, s, EX + "customer", cust_iri(F.col("o_custkey"))),
+        _t(o, s, EX + "status", _lit(F.col("o_orderstatus"))),
+        _t(o, s, EX + "totalprice", _lit(F.col("o_totalprice"), XSD_DOUBLE)),
+        _t(
+            o.where(F.col("o_orderkey") % 10 == 0),
+            order_iri(F.col("o_orderkey")),
+            EX + "clerk",
+            _lit(F.concat(F.lit("clerk#"), (F.col("o_orderkey") % 1000).cast("string"))),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lineitem_pair_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lineitem discount/tax pairs for sh:lessThan."""
+    li = load(spark, sf_dir, "lineitem")
+    s = _iri(
+        F.concat(
+            F.lit(EX + "line/"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    a = _t(li, s, V.RDF_TYPE, _iri(F.lit(EX + "Line")))
+    b = _t(li, s, EX + "discount", _lit(F.col("l_discount"), XSD_DOUBLE))
+    c = _t(li, s, EX + "tax", _lit(F.col("l_tax"), XSD_DOUBLE))
+    return a.unionByName(b).unionByName(c)
+
+
+def document_lang_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-tagged text literals for sh:uniqueLang
+    (25 docs/source share few langs ⇒ duplicates are guaranteed)."""
+    d = load(spark, sf_dir, "documents")
+    s = _iri(F.concat(F.lit(EX + "src/"), F.col("source")))
+    a = _t(d, s, V.RDF_TYPE, _iri(F.lit(EX + "Source")))
+    b = _t(d, s, EX + "text", _lit(F.col("text"), lang_col=F.col("lang")))
+    return a.unionByName(b)
+
+
+def full_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole star schema as one triples DataFrame."""
+    out = customer_triples(spark, sf_dir)
+    for f in (nation_triples, order_triples, lineitem_pair_triples, document_lang_triples):
+        out = out.unionByName(f(spark, sf_dir))
+    return out
