@@ -25,9 +25,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from shacl_rust_spark import queries_kg as K
     from shacl_rust_spark import queries_shacl as Q
 
     return {
+        "kg_pages": K.kg_pages,
+        "kg_extract_text": K.kg_extract_text,
+        "kg_mentions": K.kg_mentions,
+        "kg_entity_link": K.kg_entity_link,
+        "kg_link_stats": K.kg_link_stats,
+        "kg_connected_components": K.kg_connected_components,
+        "kg_validated_triples": K.kg_validated_triples,
+        "kg_triple_counts": K.kg_triple_counts,
         "shacl_min_count": Q.shacl_min_count,
         "shacl_max_count": Q.shacl_max_count,
         "shacl_class": Q.shacl_class,
@@ -46,8 +55,126 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Shared closed-form derivations of the pages.py sentence grammar —
+# every pipeline-stage oracle builds on these (key-modulo seeds).
+_KG_CTE = f"""
+WITH osurf AS (
+  SELECT o_orderkey AS o, o_custkey AS k,
+         CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE o_orderkey % 25 END AS nk,
+         (o_orderkey % 5 = 0) AS is_alias,
+         o_totalprice,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'XYZZY_' || (o_orderkey % 3)
+              WHEN o_orderkey % 7 = 0
+                THEN 'NATION_' || (CASE WHEN o_orderkey % 2 = 0 THEN 1
+                                        ELSE o_orderkey % 25 END) || 'X'
+              ELSE 'NATION_' || (CASE WHEN o_orderkey % 2 = 0 THEN 1
+                                      ELSE o_orderkey % 25 END) END AS nation_surface,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'Client-' || o_custkey
+              ELSE 'Customer#' || o_custkey END AS subj_surface
+  FROM orders
+),
+opage AS (
+  SELECT *,
+         'http://ex' || (k % 100) || '.test/o' || o AS url,
+         'Order ' || o || ' was placed by ' || subj_surface || '. '
+           || subj_surface || ' lives in ' || nation_surface
+           || '. Total value ' || CAST(floor(o_totalprice) AS BIGINT) || ' USD.'
+           || CASE WHEN o % 25 = 0
+                THEN ' Client-' || k || ' is also known as Customer#' || k
+                  || '. Client2-' || k || ' is also known as Client-' || k || '.'
+              WHEN o % 5 = 0
+                THEN ' Client-' || k || ' is also known as Customer#' || k || '.'
+              ELSE '' END AS text
+  FROM osurf
+),
+dpage AS (
+  SELECT 'http://docs.test/d' || doc_id AS url, lang, text,
+         'Doc ' || doc_id AS title
+  FROM documents
+),
+canon AS (
+  SELECT c_custkey AS k,
+         CASE WHEN EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c_custkey
+                             AND o2.o_orderkey % 5 = 0)
+              THEN '{EX}alt/' || c_custkey
+              ELSE '{EX}cust/' || c_custkey END AS subj
+  FROM customer
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "kg_pages": _KG_CTE + """
+            SELECT url, 'en' AS lang, text,
+                   octet_length(encode('<html><head><title>Order ' || o
+                     || '</title></head><body><p>' || text
+                     || '</p></body></html>')) AS html_bytes
+            FROM opage
+            UNION ALL
+            SELECT url, lang, text,
+                   octet_length(encode('<html><head><title>' || title
+                     || '</title></head><body><p>' || text
+                     || '</p></body></html>')) AS html_bytes
+            FROM dpage
+        """,
+        "kg_extract_text": _KG_CTE + """
+            SELECT url, text FROM opage
+            UNION ALL SELECT url, text FROM dpage
+        """,
+        "kg_mentions": _KG_CTE + """
+            SELECT url, 'placed_by' AS kind, 'Order-' || o AS subj_surface,
+                   subj_surface AS obj_surface FROM opage
+            UNION ALL
+            SELECT url, 'lives_in', subj_surface, nation_surface FROM opage
+            UNION ALL
+            SELECT url, 'same_as', 'Client-' || k, 'Customer#' || k
+            FROM opage WHERE o % 5 = 0
+            UNION ALL
+            SELECT url, 'same_as', 'Client2-' || k, 'Client-' || k
+            FROM opage WHERE o % 25 = 0
+        """,
+        "kg_entity_link": f"""{_KG_CTE}
+            SELECT url, nation_surface AS obj_surface,
+                   CASE WHEN o % 11 = 0 THEN NULL
+                        ELSE '{EX}nation/' || nk END AS entity_id,
+                   CASE WHEN o % 11 = 0 THEN 'unlinked'
+                        WHEN o % 7 = 0 THEN 'fuzzy'
+                        ELSE 'exact' END AS link_method
+            FROM opage
+        """,
+        "kg_link_stats": f"""{_KG_CTE}
+            SELECT '{EX}nation/' || nk AS entity_id,
+                   count(*) AS n_mentions
+            FROM osurf WHERE o % 11 <> 0 GROUP BY nk
+        """,
+        "kg_connected_components": f"""{_KG_CTE},
+            ks AS (SELECT o_custkey AS k,
+                          bool_or(o_orderkey % 25 = 0) AS has25
+                   FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1)
+            SELECT '{EX}alt/' || k AS node, '{EX}alt/' || k AS component FROM ks
+            UNION ALL
+            SELECT '{EX}cust/' || k, '{EX}alt/' || k FROM ks
+            UNION ALL
+            SELECT '{EX}alt2/' || k, '{EX}alt/' || k FROM ks WHERE has25
+        """,
+        "kg_validated_triples": f"""{_KG_CTE}
+            SELECT DISTINCT canon.subj AS s, '{EX}locatedIn' AS p,
+                   '{EX}nation/' || nk AS o
+            FROM osurf JOIN canon ON canon.k = osurf.k
+            WHERE o % 11 <> 0
+            UNION ALL
+            SELECT '{EX}order/' || o, '{EX}placedBy', canon.subj
+            FROM osurf JOIN canon ON canon.k = osurf.k
+        """,
+        "kg_triple_counts": f"""{_KG_CTE}
+            SELECT '{EX}locatedIn' AS p,
+                   count(DISTINCT (canon.subj, nk)) AS n_triples
+            FROM osurf JOIN canon ON canon.k = osurf.k WHERE o % 11 <> 0
+            UNION ALL
+            SELECT '{EX}placedBy', count(*) FROM osurf
+        """,
         "shacl_min_count": f"""
             SELECT '{EX}cust/' || c_custkey AS focus
             FROM customer LEFT JOIN orders ON o_custkey = c_custkey

@@ -47,35 +47,23 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         _ = n
 
-    # headline: validated-emission throughput — total triples of the full
-    # graph pushed through validation + violation anti-join, per second.
-    from pyspark.sql import functions as F
-    from shacl_rust_spark import tabular as T
-    from shacl_rust_spark import queries_shacl as Q
+    # headline: the full KG pipeline (pages → extract → link → CC →
+    # SHACL-validate → partitioned emit), triples emitted per second —
+    # the BASELINE.json metric.
+    import shutil
+    import tempfile
 
-    t0 = time.time()
-    triples = T.full_graph(spark, sf_dir)
-    shapes = """
-    ex:CustShape a sh:NodeShape ;
-      sh:targetClass ex:Customer ;
-      sh:property [ sh:path ex:acctbal ; sh:minInclusive 0 ] ;
-      sh:property [ sh:path ex:mktsegment ; sh:maxLength 8 ] ;
-      sh:property [ sh:path ex:nation ; sh:class ex:Nation ] .
-    ex:OrderShape a sh:NodeShape ;
-      sh:targetClass ex:Order ;
-      sh:property [ sh:path ex:status ; sh:hasValue "O" ] .
-    ex:LineShape a sh:NodeShape ;
-      sh:targetClass ex:Line ;
-      sh:property [ sh:path ex:discount ; sh:lessThan ex:tax ] .
-    """
-    violations = Q._validate(spark, triples, shapes)
-    bad_focus = violations.select("focus").dropDuplicates(["focus"])
-    emitted = triples.join(
-        bad_focus, triples["s"] == bad_focus["focus"], "left_anti"
-    )
-    n_emitted = emitted.count()
-    emit_secs = time.time() - t0
-    timings["validated_emission"] = round(emit_secs, 3)
+    from shacl_rust_spark.pipeline.run import run_pipeline
+
+    out_dir = tempfile.mkdtemp(prefix="kg_bench_")
+    try:
+        t0 = time.time()
+        commit = run_pipeline(spark, sf_dir, out_dir)
+        emit_secs = time.time() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    n_emitted = commit["metrics"]["emitted_triples"]
+    timings["kg_pipeline"] = round(emit_secs, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -84,6 +72,7 @@ def main() -> None:
         "unit": "triples/sec",
         "total_sec": total,
         "emitted_triples": n_emitted,
+        "pipeline_metrics": commit["metrics"],
         "queries": timings,
         "sf": sf,
         "cpus": cpus,

@@ -1,0 +1,81 @@
+"""Stage 3: canonicalization — connected components over sameAs edges.
+
+Iterative min-label propagation (the standard large-graph CC on
+DataFrames): every node starts as its own label; each round joins
+current labels across the (undirected) edge set, takes the per-node min
+of neighbor labels, and stops at fixpoint. ``localCheckpoint`` per
+round cuts the lineage chain (SURVEY.md §4: Catalyst has no recursive
+queries — this loop is the custom iteration driver, same machinery as
+the Kleene-path fixpoint in engine/paths.py).
+
+Rounds needed = graph diameter (≤ log n with doubling variants; the
+sameAs chains here are short, and real sameAs components are small).
+Each round is one shuffle on the node key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MAX_ITERS = 50
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """edges(src string, dst string) → (node string, component string)
+    with component = lexicographic min node id of the component."""
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .dropDuplicates(["node"])
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_MAX_ITERS):
+        nbr = (
+            und.join(labels, und["b"] == labels["node"])
+            .select(F.col("a").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("node", "component").unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "_old"), "node")
+            .where(F.col("component") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError("connected components did not converge")
+
+
+def canonicalize(triples: DataFrame, labels: DataFrame) -> DataFrame:
+    """Rewrite subject/object IRIs to their component representative.
+
+    labels is small relative to triples (only aliased nodes) →
+    broadcast left joins, no shuffle of the big side.
+    """
+    ls = F.broadcast(labels.select(F.col("node").alias("_sn"),
+                                   F.col("component").alias("_sc")))
+    lo = F.broadcast(labels.select(F.col("node").alias("_on"),
+                                   F.col("component").alias("_oc")))
+    passthrough = [c for c in triples.columns if c not in ("s", "o")]
+    return (
+        triples.join(ls, triples["s"] == F.col("_sn"), "left")
+        .join(lo, triples["o"] == F.col("_on"), "left")
+        .select(
+            F.coalesce(F.col("_sc"), F.col("s")).alias("s"),
+            F.coalesce(F.col("_oc"), F.col("o")).alias("o"),
+            *passthrough,
+        )
+    )

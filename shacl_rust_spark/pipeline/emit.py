@@ -1,0 +1,167 @@
+"""Stage 5: SHACL-validated triple emission + partitioned materialize
+with manifest-based resume and per-partition lineage.
+
+Validation: the canonicalized candidate triples (plus the entity
+dictionary's rdf:type triples) become a TERM-struct data graph; the
+pipeline shape set (sh:nodeKind IRI + sh:class ex:Nation on
+ex:locatedIn) runs through the REAL validator engine; violating
+(focus, value) pairs anti-join the candidate set — the
+`triples LEFT ANTI JOIN violations` emission from SURVEY.md §1.4.
+
+Materialize: parquet partitioned by predicate (`p`) — the same layout
+an Iceberg `writeTo(...).partitionedBy("p").append()` would produce;
+predicate-partitioned scans give partition pruning for triple-pattern
+joins (SURVEY.md §4). Alongside the data:
+  _manifest/commit.json   — input fingerprint + stage metrics
+                            (the Iceberg snapshot-id stand-in)
+  _manifest/partitions.json — per-predicate row counts + content
+                            fingerprints (lineage)
+Resume: if commit.json exists with the same input fingerprint the run
+short-circuits (the "resume from last committed snapshot" contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine.dataset import Dataset
+from ..engine.engine import validate_dataset
+from ..rdf.turtle import parse_turtle
+from .assemble import EX, P_LOCATED_IN
+
+PIPELINE_SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+
+ex:LocatedInShape a sh:NodeShape ;
+  sh:targetSubjectsOf ex:locatedIn ;
+  sh:property [ sh:path ex:locatedIn ;
+                sh:nodeKind sh:IRI ;
+                sh:class ex:Nation ] .
+ex:PlacedByShape a sh:NodeShape ;
+  sh:targetSubjectsOf ex:placedBy ;
+  sh:property [ sh:path ex:placedBy ; sh:nodeKind sh:IRI ; sh:minCount 1 ] .
+"""
+
+
+def to_term_triples(striples: DataFrame) -> DataFrame:
+    """(s, p, o, o_is_iri) strings → engine TERM-struct triples."""
+    mk_iri = lambda c: F.struct(  # noqa: E731
+        F.lit("iri").alias("kind"), c.alias("value"),
+        F.lit("").alias("datatype"), F.lit("").alias("lang"),
+    )
+    mk_lit = lambda c: F.struct(  # noqa: E731
+        F.lit("lit").alias("kind"), c.alias("value"),
+        F.lit("http://www.w3.org/2001/XMLSchema#string").alias("datatype"),
+        F.lit("").alias("lang"),
+    )
+    return striples.select(
+        mk_iri(F.col("s")).alias("s"),
+        F.col("p"),
+        F.when(F.col("o_is_iri"), mk_iri(F.col("o")))
+        .otherwise(mk_lit(F.col("o"))).alias("o"),
+    )
+
+
+def entity_type_triples(entity_dict: DataFrame) -> DataFrame:
+    return entity_dict.select(
+        F.col("entity_id").alias("s"),
+        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("p"),
+        F.col("entity_class").alias("o"),
+        F.lit(True).alias("o_is_iri"),
+    ).dropDuplicates(["s", "o"])
+
+
+def validate_candidates(
+    spark: SparkSession, candidates: DataFrame, entity_dict: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """→ (valid candidate triples, violations). Violating (focus, value)
+    pairs remove exactly the offending triples; whole-focus violations
+    (no value) remove every triple of that subject."""
+    graph = candidates.select("s", "p", "o", "o_is_iri").unionByName(
+        entity_type_triples(entity_dict)
+    )
+    ds = Dataset(spark, to_term_triples(graph), parse_turtle(PIPELINE_SHAPES))
+    violations = validate_dataset(ds).violations
+
+    pair_bad = (
+        violations.where(F.col("value").isNotNull())
+        .select(F.col("focus.value").alias("_bs"), F.col("value.value").alias("_bo"))
+        .dropDuplicates(["_bs", "_bo"])
+    )
+    focus_bad = (
+        violations.where(F.col("value").isNull())
+        .select(F.col("focus.value").alias("_bs"))
+        .dropDuplicates(["_bs"])
+    )
+    valid = (
+        candidates.join(
+            F.broadcast(pair_bad),
+            (candidates["s"] == F.col("_bs")) & (candidates["o"] == F.col("_bo")),
+            "left_anti",
+        ).join(F.broadcast(focus_bad), F.col("s") == F.col("_bs"), "left_anti")
+    )
+    return valid, violations
+
+
+def _fingerprint(sf_dir: str, n_pages: int) -> str:
+    return f"{os.path.abspath(sf_dir)}:{n_pages}"
+
+
+def write_triples(
+    triples: DataFrame,
+    nodes: DataFrame,
+    out_dir: str,
+    fingerprint: str,
+    metrics: dict,
+) -> dict:
+    """Partitioned materialize + manifest commit. Returns the manifest."""
+    t0 = time.time()
+    (
+        triples.write.mode("overwrite")
+        .partitionBy("p")
+        .parquet(f"{out_dir}/triples")
+    )
+    nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
+
+    spark = triples.sparkSession
+    part_stats = [
+        r.asDict()
+        for r in spark.read.parquet(f"{out_dir}/triples")
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.crc32(F.concat_ws("\x01", "s", "o").cast("binary")))
+            .alias("content_fingerprint"),
+        )
+        .collect()
+    ]
+    manifest_dir = f"{out_dir}/_manifest"
+    os.makedirs(manifest_dir, exist_ok=True)
+    with open(f"{manifest_dir}/partitions.json", "w") as f:
+        json.dump(part_stats, f, indent=1)
+    commit = {
+        "fingerprint": fingerprint,
+        "committed_at": time.time(),
+        "write_secs": round(time.time() - t0, 3),
+        "metrics": metrics,
+        "partitions": len(part_stats),
+    }
+    with open(f"{manifest_dir}/commit.json", "w") as f:
+        json.dump(commit, f, indent=1)
+    return commit
+
+
+def read_committed(out_dir: str, fingerprint: str) -> dict | None:
+    """Resume check: manifest with a matching input fingerprint."""
+    path = f"{out_dir}/_manifest/commit.json"
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        commit = json.load(f)
+    return commit if commit.get("fingerprint") == fingerprint else None

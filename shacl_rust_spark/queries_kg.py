@@ -1,0 +1,86 @@
+"""Driver-gate queries for the KG-construction pipeline stages.
+
+Each runs the REAL pipeline code (pages → mapInPandas extraction →
+mention detection → LSH linking → connected components → SHACL-validated
+emission) and pairs with a closed-form DuckDB oracle in
+__spark_entry__.py — the seeds are key-modulo formulas (pages.py), so
+every stage output is SQL-derivable. The kg_validated_triples pair is
+the triple-emission parity check (P/R vs the oracle's golden set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import assemble, cc, extract, link, pages
+
+
+def kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized pages table (text + html length, hash-safe)."""
+    return pages.pages(spark, sf_dir).select(
+        "url", "lang", "text", F.octet_length("html").alias("html_bytes")
+    )
+
+
+def kg_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas html→text roundtrip — byte-identical per url."""
+    return extract.extract_text(pages.pages(spark, sf_dir)).select("url", "text")
+
+
+def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = extract.extract_text(pages.pages(spark, sf_dir))
+    return extract.detect_mentions(ext)
+
+
+def _linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = kg_mentions(spark, sf_dir)
+    return link.link_mentions(m, pages.entity_dict(spark, sf_dir))
+
+
+def kg_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lives_in links with method (exact / fuzzy via minhash-LSH /
+    unlinked)."""
+    return _linked(spark, sf_dir).where(F.col("kind") == "lives_in").select(
+        "url", "obj_surface", "entity_id", "link_method"
+    )
+
+
+def kg_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mentions per linked entity through the salted two-stage
+    aggregate (head-entity skew path)."""
+    linked = _linked(spark, sf_dir).where(F.col("entity_id").isNotNull())
+    return link.salted_count(linked, "entity_id")
+
+
+def kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    linked = _linked(spark, sf_dir)
+    edges = assemble.sameas_edges(assemble.assemble_triples(linked))
+    return cc.connected_components(edges)
+
+
+def kg_validated_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full emission: canonicalized, SHACL-validated (s, p, o) strings —
+    the triple-emission parity surface."""
+    from .pipeline import emit
+
+    linked = _linked(spark, sf_dir)
+    cand = assemble.assemble_triples(linked)
+    labels = cc.connected_components(assemble.sameas_edges(cand))
+    canon = cc.canonicalize(
+        cand.where(F.col("p") != assemble.P_SAME_AS).select("s", "p", "o", "o_is_iri"),
+        labels,
+    ).dropDuplicates(["s", "p", "o"])
+    valid, _ = emit.validate_candidates(
+        spark, canon, pages.entity_dict(spark, sf_dir)
+    )
+    return valid.select("s", "p", "o")
+
+
+def kg_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate lineage counts over the validated emission."""
+    return (
+        kg_validated_triples(spark, sf_dir)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+    )

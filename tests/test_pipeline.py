@@ -1,0 +1,86 @@
+"""KG pipeline unit tests: extraction invariant, LSH linking,
+connected components, validated emission, manifest resume."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from shacl_rust_spark.pipeline import (
+    assemble, cc, emit, extract, link, pages,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_extract_byte_identical(spark):
+    """The per-row invariant (BASELINE.json input_hint): extracted text
+    is byte-identical to the page's source text per url."""
+    pg = pages.pages(spark, SF)
+    ext = extract.extract_text(pg)
+    orig = pg.select("url", F.col("text").alias("orig"))
+    bad = ext.join(orig, "url").where(
+        F.encode("text", "UTF-8") != F.encode("orig", "UTF-8")
+    )
+    assert bad.isEmpty()
+
+
+def test_fuzzy_link_typos(spark):
+    m = spark.createDataFrame(
+        [("u1", "lives_in", "Customer#1", "NATION_3X"),
+         ("u2", "lives_in", "Customer#2", "NATION_14X"),
+         ("u3", "lives_in", "Customer#3", "XYZZY_0"),
+         ("u4", "lives_in", "Customer#4", "NATION_2")],
+        ["url", "kind", "subj_surface", "obj_surface"],
+    )
+    out = {
+        r.url: (r.entity_id, r.link_method)
+        for r in link.link_mentions(m, pages.entity_dict(spark, SF)).collect()
+    }
+    assert out["u1"] == ("http://example.org/nation/3", "fuzzy")
+    assert out["u2"] == ("http://example.org/nation/14", "fuzzy")
+    assert out["u3"] == (None, "unlinked")
+    assert out["u4"] == ("http://example.org/nation/2", "exact")
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"),   # chain a-b-c-d
+         ("x", "y"),                             # pair
+         ("m", "m")],                            # self loop
+        ["src", "dst"],
+    )
+    labels = {r.node: r.component for r in cc.connected_components(edges).collect()}
+    assert labels == {"a": "a", "b": "a", "c": "a", "d": "a",
+                      "x": "x", "y": "x", "m": "m"}
+
+
+def test_validated_emission_drops_unlinked(spark):
+    cand = spark.createDataFrame(
+        [("http://example.org/cust/1", assemble.P_LOCATED_IN,
+          "http://example.org/nation/1", True),
+         ("http://example.org/cust/2", assemble.P_LOCATED_IN,
+          "XYZZY_0", False)],
+        ["s", "p", "o", "o_is_iri"],
+    )
+    valid, violations = emit.validate_candidates(
+        spark, cand, pages.entity_dict(spark, SF)
+    )
+    rows = valid.collect()
+    assert len(rows) == 1 and rows[0].o == "http://example.org/nation/1"
+    assert violations.count() >= 1
+
+
+def test_manifest_resume(spark, tmp_path):
+    out = str(tmp_path / "kg")
+    t = spark.createDataFrame(
+        [("s1", "p1", "o1", True)], ["s", "p", "o", "o_is_iri"]
+    )
+    n = spark.createDataFrame([("s1",)], ["node"])
+    emit.write_triples(t, n, out, "fp:42", {"emitted_triples": 1})
+    assert emit.read_committed(out, "fp:42") is not None
+    assert emit.read_committed(out, "fp:other") is None
+    with open(f"{out}/_manifest/partitions.json") as f:
+        parts = json.load(f)
+    assert parts and parts[0]["rows"] == 1
