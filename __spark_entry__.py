@@ -26,9 +26,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from shacl_rust_spark import queries_kg as K
+    from shacl_rust_spark import queries_ops as O
     from shacl_rust_spark import queries_shacl as Q
 
     return {
+        "dedup_exact": O.dedup_exact,
+        "dedup_jaccard": O.dedup_jaccard,
+        "dedup_minhash_lsh": O.dedup_minhash_lsh,
+        "dedup_simhash": O.dedup_simhash,
+        "dedup_embedding": O.dedup_embedding,
+        "ann_cosine_topk": O.ann_cosine_topk,
+        "ann_ivf_topk": O.ann_ivf_topk,
+        "text_tokens": O.text_tokens,
+        "text_quality": O.text_quality,
+        "text_langid": O.text_langid,
+        "text_fingerprint": O.text_fingerprint,
+        "multimodal_sniff": O.multimodal_sniff,
+        "events_windowed": O.events_windowed,
+        "events_sessionize": O.events_sessionize,
         "kg_pages": K.kg_pages,
         "kg_extract_text": K.kg_extract_text,
         "kg_mentions": K.kg_mentions,
@@ -104,8 +119,232 @@ canon AS (
 """
 
 
+# word-set CTE shared by the dedup oracles
+_WORDS_CTE = r"""
+WITH w AS (
+  SELECT doc_id, source, word FROM (
+    SELECT doc_id, source,
+           unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS word
+    FROM documents) u
+  WHERE word <> ''
+),
+sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_exact": """
+            WITH k AS (SELECT doc_id, substr(text, 1, 40) AS kk FROM documents),
+                 c AS (SELECT kk, min(doc_id) AS canonical_id FROM k GROUP BY 1)
+            SELECT doc_id, canonical_id FROM k JOIN c USING (kk)
+            WHERE doc_id <> canonical_id
+        """,
+        "dedup_jaccard": _WORDS_CTE + """
+            , i AS (
+              SELECT wa.doc_id AS a, wb.doc_id AS b, count(*) AS ni
+              FROM w wa JOIN w wb
+                ON wa.word = wb.word AND wa.source = wb.source
+               AND wa.doc_id < wb.doc_id
+              GROUP BY 1, 2)
+            SELECT a, b, ni AS n_common, (sa.n + sb.n - ni) AS n_union
+            FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+            WHERE ni * 10000 >= (sa.n + sb.n - ni) * 8000
+        """,
+        "dedup_minhash_lsh": _WORDS_CTE + """
+            , h AS (
+              SELECT doc_id, gs.s AS s,
+                     min(md5('s' || gs.s || ':' || word)) AS m
+              FROM w CROSS JOIN generate_series(0, 7) gs(s) GROUP BY 1, 2),
+            bk AS (
+              SELECT doc_id,
+                     (s // 2) || '|' || string_agg(m, '|' ORDER BY s) AS band_key
+              FROM h GROUP BY doc_id, s // 2),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bk x JOIN bk y
+                ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+            i AS (
+              SELECT c.a, c.b, count(*) AS ni
+              FROM cand c
+              JOIN w wa ON wa.doc_id = c.a
+              JOIN w wb ON wb.doc_id = c.b AND wa.word = wb.word
+              GROUP BY 1, 2)
+            SELECT a, b
+            FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+            WHERE ni * 10000 >= (sa.n + sb.n - ni) * 8000
+        """,
+        "dedup_simhash": _WORDS_CTE + """
+            , h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(word), 1, 15)) AS UBIGINT)::BIGINT AS hv
+              FROM w),
+            bits AS (
+              SELECT doc_id, gs.b AS b,
+                     SUM(CASE WHEN (hv >> gs.b) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+              FROM h CROSS JOIN generate_series(0, 59) gs(b) GROUP BY 1, 2)
+            SELECT doc_id,
+                   SUM(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << b)
+                            ELSE 0 END)::BIGINT AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 10),
+                 s AS (SELECT qid, vec_id AS nid,
+                              round(list_cosine_similarity(
+                                qv, embedding::DOUBLE[]), 6) AS c
+                       FROM q JOIN embeddings ON vec_id <> qid),
+                 r AS (SELECT qid AS query_id, nid AS neighbor_id,
+                              row_number() OVER (PARTITION BY qid
+                                ORDER BY c DESC, nid ASC) AS rank
+                       FROM s)
+            SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+        """,
+        "ann_ivf_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 10),
+                 cent AS (SELECT label, gs.p AS p,
+                                 avg(embedding[gs.p]::DOUBLE) AS a
+                          FROM embeddings CROSS JOIN generate_series(1, 64) gs(p)
+                          GROUP BY 1, 2),
+                 centl AS (SELECT label, list(a ORDER BY p) AS cvec
+                           FROM cent GROUP BY label),
+                 qr AS (SELECT qid, qv, label,
+                               round(list_cosine_similarity(qv, cvec), 6) AS cc
+                        FROM q CROSS JOIN centl),
+                 probe AS (SELECT qid, qv, label FROM (
+                             SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cc DESC, label ASC) AS rn FROM qr) x
+                           WHERE rn = 1),
+                 s AS (SELECT p.qid, e.vec_id AS nid,
+                              round(list_cosine_similarity(
+                                p.qv, e.embedding::DOUBLE[]), 6) AS c
+                       FROM probe p JOIN embeddings e
+                         ON e.label = p.label AND e.vec_id <> p.qid),
+                 r AS (SELECT qid AS query_id, nid AS neighbor_id,
+                              row_number() OVER (PARTITION BY qid
+                                ORDER BY c DESC, nid ASC) AS rank
+                       FROM s)
+            SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+        """,
+        "text_tokens": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) AS n_ws_tokens,
+                   len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_ish
+            FROM documents
+        """,
+        "text_quality": r"""
+            WITH c AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     len(list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '')) AS n_words,
+                     len(regexp_extract_all(text, '\bthe\b'))
+                     + len(regexp_extract_all(text, '\ba\b'))
+                     + len(regexp_extract_all(text, '\bof\b'))
+                     + len(regexp_extract_all(text, '\band\b'))
+                     + len(regexp_extract_all(text, '\bto\b'))
+                     + len(regexp_extract_all(text, '\bin\b')) AS n_stopwords,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+              FROM documents)
+            SELECT doc_id, n_chars, n_words, n_stopwords, n_punct,
+                   (n_words >= 20 AND n_stopwords * 100 >= n_words * 5)
+                   AS is_quality
+            FROM c
+        """,
+        "text_langid": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\bthe\b'))
+                     + len(regexp_extract_all(text, '\ba\b'))
+                     + len(regexp_extract_all(text, '\bof\b')) AS c_en,
+                     len(regexp_extract_all(text, '\bel\b'))
+                     + len(regexp_extract_all(text, '\bla\b'))
+                     + len(regexp_extract_all(text, '\bde\b')) AS c_es,
+                     len(regexp_extract_all(text, '\bder\b'))
+                     + len(regexp_extract_all(text, '\bdie\b'))
+                     + len(regexp_extract_all(text, '\bdas\b')) AS c_de,
+                     len(regexp_extract_all(text, '\ble\b'))
+                     + len(regexp_extract_all(text, '\bla\b'))
+                     + len(regexp_extract_all(text, '\bet\b')) AS c_fr,
+                     len(regexp_extract_all(text, '\b的\b'))
+                     + len(regexp_extract_all(text, '\b是\b'))
+                     + len(regexp_extract_all(text, '\b了\b')) AS c_zh
+              FROM documents),
+            g AS (SELECT *, greatest(c_en, c_es, c_de, c_fr, c_zh) AS best,
+                         (c_en = greatest(c_en, c_es, c_de, c_fr, c_zh))::INT
+                       + (c_es = greatest(c_en, c_es, c_de, c_fr, c_zh))::INT
+                       + (c_de = greatest(c_en, c_es, c_de, c_fr, c_zh))::INT
+                       + (c_fr = greatest(c_en, c_es, c_de, c_fr, c_zh))::INT
+                       + (c_zh = greatest(c_en, c_es, c_de, c_fr, c_zh))::INT
+                         AS nbest
+                  FROM c)
+            SELECT doc_id,
+                   CASE WHEN best = 0 OR nbest > 1 THEN 'und'
+                        WHEN c_en = best THEN 'en'
+                        WHEN c_es = best THEN 'es'
+                        WHEN c_de = best THEN 'de'
+                        WHEN c_fr = best THEN 'fr'
+                        ELSE 'zh' END AS predicted_lang
+            FROM g
+        """,
+        "text_fingerprint": r"""
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> ''))), ' ')) AS fp
+            FROM documents
+        """,
+        "multimodal_sniff": _KG_CTE + """
+            SELECT url,
+                   octet_length(encode('<html><head><title>Order ' || o
+                     || '</title></head><body><p>' || text
+                     || '</p></body></html>')) AS n_bytes,
+                   'text/html' AS sniffed_type
+            FROM opage
+            UNION ALL
+            SELECT url,
+                   octet_length(encode('<html><head><title>' || title
+                     || '</title></head><body><p>' || text
+                     || '</p></body></html>')) AS n_bytes,
+                   'text/html' AS sniffed_type
+            FROM dpage
+        """,
+        "events_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                          WHEN floor(epoch(ts))::BIGINT
+                             - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                          THEN 1 ELSE 0 END AS newf
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         CAST(SUM(newf) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                  FROM g)
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY 1, 2
+        """,
         "kg_pages": _KG_CTE + """
             SELECT url, 'en' AS lang, text,
                    octet_length(encode('<html><head><title>Order ' || o

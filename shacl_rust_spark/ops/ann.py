@@ -1,0 +1,122 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- cosine_topk: brute-force baseline — query×corpus cross join, cosine
+  via F.aggregate/F.zip_with (JVM-side, sequential fold → deterministic
+  double arithmetic), window top-k. At scale the query side is small
+  and broadcast; the corpus scan is embarrassingly parallel.
+- ivf_topk: scale path — per-label mean centroids (an IVF coarse
+  quantizer with labels as the train assignment), probe the nearest
+  centroid's cluster only. Corpus scan drops to ~1/n_labels.
+
+Ranking stability: cosines are rounded to 6 decimals before ordering
+(ties → smaller vec_id) so rank order is reproducible bit-for-bit in
+any engine computing in double precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str) -> DataFrame:
+    # one lambda-bearing expression per projection (PySpark 4.1 lambda
+    # collision — see pipeline/link.py)
+    df = df.withColumn("_dot", _dot(F.col(a), F.col(b)))
+    df = df.withColumn("_na", _norm(F.col(a)))
+    df = df.withColumn("_nb", _norm(F.col(b)))
+    return df.withColumn(
+        out, F.col("_dot") / (F.col("_na") * F.col("_nb"))
+    ).drop("_dot", "_na", "_nb")
+
+
+def cosine_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """queries (query_id, qvec) × embeddings (vec_id, embedding) →
+    (query_id, rank, neighbor_id) top-k by cosine, self excluded."""
+    joined = F.broadcast(queries).crossJoin(
+        embeddings.select("vec_id", "embedding")
+    ).where(F.col("query_id") != F.col("vec_id"))
+    scored = with_cosine(joined, "qvec", "embedding", "_cos").withColumn(
+        "_r", F.round("_cos", 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_r").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """(label, centroid array<double>): positional mean per label —
+    explode with position, avg per (label, pos), re-assemble. No
+    lambda-combination pitfalls, scales to any dimension."""
+    ex = embeddings.select(
+        "label", F.posexplode("embedding").alias("_pos", "_v")
+    )
+    avg = ex.groupBy("label", "_pos").agg(
+        F.avg(F.col("_v").cast("double")).alias("_a")
+    )
+    return (
+        avg.groupBy("label")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("_pos", "_a"))
+        ).alias("_pairs"))
+        .select(
+            "label",
+            F.transform("_pairs", lambda p: p.getField("_a")).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """IVF: route each query to its nearest label-centroid, then
+    brute-force only within that cluster."""
+    cents = F.broadcast(label_centroids(embeddings))
+    qc = F.broadcast(queries).crossJoin(cents)
+    qc = with_cosine(qc, "qvec", "centroid", "_cc").withColumn(
+        "_rc", F.round("_cc", 6)
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_rc").desc(), F.col("label").asc()
+    )
+    routed = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") == 1)
+        .select("query_id", "qvec", F.col("label").alias("_probe"))
+    )
+    joined = F.broadcast(routed).join(
+        embeddings.select("vec_id", "embedding", "label"),
+        F.col("label") == F.col("_probe"),
+    ).where(F.col("query_id") != F.col("vec_id"))
+    scored = with_cosine(joined, "qvec", "embedding", "_cos").withColumn(
+        "_r", F.round("_cos", 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_r").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+    )

@@ -1,0 +1,148 @@
+"""Deduplication operators over the documents table.
+
+- exact_duplicates: hash-groupBy on a normalization key; survivors =
+  min doc_id. One shuffle on the key; at 100 TB the key is a 128-bit
+  digest so the shuffle payload stays narrow.
+- jaccard_pairs: exact word-set Jaccard over co-blocked pairs (the
+  verify stage of dedup). Blocking bounds the quadratic term; at scale
+  the blocks come from LSH, here also from `source` (≤25 docs/block).
+- minhash_lsh_pairs: scale path — minhash band blocking first, exact
+  rescoring second. Minhash values are lexicographic minima of md5 hex
+  digests (deterministic, reproducible in any engine; no RNG).
+- simhash64: 64-bit simhash from word md5 bits via bit aggregation —
+  pure Column ops; near-dup = small Hamming distance.
+- embedding_near_dups: cosine over the embeddings table (see ann.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = r"[^\s]+"
+N_HASHES = 8
+N_BANDS = 4
+
+
+def words_col(text: F.Column) -> F.Column:
+    """Distinct word set of a document (order-independent)."""
+    return F.array_distinct(
+        F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    )
+
+
+def exact_duplicates(docs: DataFrame, key: F.Column) -> DataFrame:
+    """(doc_id, canonical_id) for every doc whose normalization key is
+    shared with an earlier doc; survivors (min doc_id per key) are not
+    returned."""
+    keyed = docs.select(F.col("doc_id"), key.alias("_k"))
+    canon = keyed.groupBy("_k").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        keyed.join(canon, "_k")
+        .where(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "canonical_id")
+    )
+
+
+def _word_sets(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", "source", words_col(F.col("text")).alias("_w")
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Within-source exact word-set Jaccard pairs ≥ threshold.
+
+    Jaccard expressed in INTEGER arithmetic (|∩| and |∪| counts with
+    cross-multiplied threshold) so the cut is engine-exact."""
+    ws = _word_sets(docs)
+    a = ws.select(F.col("doc_id").alias("a"), F.col("source"),
+                  F.col("_w").alias("_wa"))
+    b = ws.select(F.col("doc_id").alias("b"), F.col("source"),
+                  F.col("_w").alias("_wb"))
+    num, den = int(threshold * 10000), 10000
+    return (
+        a.join(b, "source")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("_i", F.size(F.array_intersect("_wa", "_wb")))
+        .withColumn("_u", F.size(F.array_union("_wa", "_wb")))
+        .where(F.col("_i") * den >= F.col("_u") * num)
+        .select("a", "b", "_i", "_u")
+        .withColumnRenamed("_i", "n_common")
+        .withColumnRenamed("_u", "n_union")
+    )
+
+
+def _word_minhash(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig array<string>) — per seed, the lexicographic min of
+    md5('s<seed>:' || word) hex digests over the doc's word set."""
+    ex = _word_sets(docs).select("doc_id", F.explode("_w").alias("_word"))
+    hashed = ex.select(
+        "doc_id",
+        *[F.md5(F.concat(F.lit(f"s{s}:"), F.col("_word"))).alias(f"_h{s}")
+          for s in range(n_hashes)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"_h{s}").alias(f"_m{s}") for s in range(n_hashes)]
+    ).select(
+        "doc_id",
+        F.array(*[F.col(f"_m{s}") for s in range(n_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Minhash-LSH near-dup pairs: band-bucket join (the only shuffle
+    over candidate space) then EXACT word-set Jaccard rescoring."""
+    r = N_HASHES // N_BANDS
+    sig = _word_minhash(docs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.concat_ws("|", F.lit(str(bi)),
+                        *[F.col("sig").getItem(bi * r + i) for i in range(r)])
+            for bi in range(N_BANDS)
+        ])).alias("_band"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), "_band")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    ws = _word_sets(docs)
+    num, den = int(threshold * 10000), 10000
+    return (
+        cand.join(ws.select(F.col("doc_id").alias("a"),
+                            F.col("_w").alias("_wa")), "a")
+        .join(ws.select(F.col("doc_id").alias("b"),
+                        F.col("_w").alias("_wb")), "b")
+        .withColumn("_i", F.size(F.array_intersect("_wa", "_wb")))
+        .withColumn("_u", F.size(F.array_union("_wa", "_wb")))
+        .where(F.col("_i") * den >= F.col("_u") * num)
+        .select("a", "b")
+    )
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash long): per word take 64 bits of md5, sum ±1 per
+    bit over the word set, sign → bit. Pure Column ops (explode +
+    conditional sums), no UDFs."""
+    ex = _word_sets(docs).select("doc_id", F.explode("_w").alias("_word"))
+    h = ex.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("_word")), 1, 15), 16, 10)
+        .cast("long").alias("_h"),
+    )
+    bit_sums = h.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"_b{b}")
+        for b in range(60)
+    ])
+    sim = F.lit(0).cast("long")
+    for b in range(60):
+        sim = sim + F.when(F.col(f"_b{b}") > 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return bit_sums.select("doc_id", sim.alias("simhash"))

@@ -1,0 +1,100 @@
+"""Text-analysis operators over the documents table.
+
+All pure Column expressions (regexp/array functions — JVM-side,
+whole-stage codegen). Ratios are expressed in integer cross-multiplied
+form wherever a threshold is applied, so results are engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker lists for the n-gram heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "das"],
+    "fr": ["le", "la", "et"],
+    "zh": ["的", "是", "了"],
+}
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def _count_word(text: F.Column, word: str) -> F.Column:
+    return F.size(F.regexp_extract_all(text, F.lit(rf"\b{word}\b"), 0))
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_ish): whitespace tokens and a
+    BPE-ish segmentation (letter runs / digit runs / single punct)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda w: w != ""))
+        .alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+        )).alias("n_bpe_ish"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_words, n_stopwords, n_punct, is_quality):
+    is_quality = words ≥ 20 AND stopword share ≥ 5% (integer math)."""
+    n_stop = None
+    for wrd in STOPWORDS:
+        c = _count_word(F.col("text"), wrd)
+        n_stop = c if n_stop is None else n_stop + c
+    out = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.filter(F.split("text", r"\s+"), lambda w: w != ""))
+        .alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(r"[^\w\s]"), 0
+        )).alias("n_punct"),
+    )
+    return out.withColumn(
+        "is_quality",
+        (F.col("n_words") >= 20)
+        & (F.col("n_stopwords") * 100 >= F.col("n_words") * 5),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, predicted_lang): argmax of per-language marker counts,
+    ties and all-zero → 'und'. Deterministic tie-break: language list
+    order en,es,de,fr,zh (first maximal wins only if strictly greater
+    than every later one → expressed as strict argmax, else 'und')."""
+    out = docs.select("doc_id", "text")
+    for lang, markers in LANG_MARKERS.items():
+        c = None
+        for m in markers:
+            cc = _count_word(F.col("text"), m)
+            c = cc if c is None else c + cc
+        out = out.withColumn(f"_c_{lang}", c)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"_c_{lang}") for lang in langs])
+    n_best = None
+    for lang in langs:
+        hit = (F.col(f"_c_{lang}") == best).cast("int")
+        n_best = hit if n_best is None else n_best + hit
+    pred = F.when((best == 0) | (n_best > 1), F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"_c_{lang}") == best, F.lit(lang))
+    return out.select("doc_id", pred.alias("predicted_lang"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): md5 of the sorted distinct word bag — an
+    order-insensitive document fingerprint."""
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(
+            " ",
+            F.array_sort(F.array_distinct(
+                F.filter(F.split("text", r"\s+"), lambda w: w != "")
+            )),
+        )).alias("fp"),
+    )

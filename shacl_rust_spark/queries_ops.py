@@ -1,0 +1,110 @@
+"""Driver-gate queries for the training-data operators (ops/)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ops import ann, dedup, events, multimodal, text
+from .pipeline import pages as kg_pages_mod
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- dedup ---------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a 40-char-prefix normalization key."""
+    return dedup.exact_duplicates(
+        _docs(spark, sf_dir), F.substring("text", 1, 40)
+    )
+
+
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source word-set Jaccard ≥ 0.8 pairs (exact verify path)."""
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash-LSH blocked near-dup pairs at Jaccard ≥ 0.8 (scale path;
+    banding is a recall filter, rescoring is exact)."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash per document (near-dup = small Hamming distance)."""
+    return dedup.simhash64(_docs(spark, sf_dir))
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: same-label cosine ≥ 0.35 (demo-scale
+    threshold — the synthetic vectors have no near-1 pairs)."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("a"), F.col("label"),
+                 F.col("embedding").alias("_ea"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("label"),
+                 F.col("embedding").alias("_eb"))
+    joined = a.join(b, "label").where(F.col("a") < F.col("b"))
+    scored = ann.with_cosine(joined, "_ea", "_eb", "_cos")
+    return (
+        scored.where(F.round("_cos", 6) >= 0.35)
+        .select("a", "b")
+    )
+
+
+# --- similarity search ---------------------------------------------------
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann.cosine_topk(e, q, k=5)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann.ivf_topk(e, q, k=5)
+
+
+# --- text analysis -------------------------------------------------------
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(_docs(spark, sf_dir))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(_docs(spark, sf_dir))
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(_docs(spark, sf_dir))
+
+
+# --- multimodal / events -------------------------------------------------
+
+def multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sniff_binary(kg_pages_mod.pages(spark, sf_dir))
+
+
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.windowed_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))

@@ -1,0 +1,102 @@
+"""Training-data op unit tests (planted cases; the sf-scale outputs are
+oracle-checked via scripts/check_oracle.py / the driver gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shacl_rust_spark.ops import ann, dedup, multimodal, text
+from shacl_rust_spark.streaming import run_streaming_once
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def test_exact_duplicates(spark):
+    d = _docs(spark, [(1, "s", "aaa"), (2, "s", "aaa"), (3, "s", "bbb")])
+    out = {(r.doc_id, r.canonical_id)
+           for r in dedup.exact_duplicates(d, F.col("text")).collect()}
+    assert out == {(2, 1)}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    d = _docs(spark, [
+        (1, "s", base),
+        (2, "s", base + " tail"),          # jaccard 11/12 ≈ 0.92
+        (3, "s", "completely different words entirely unrelated content"),
+    ])
+    pairs = {(r.a, r.b) for r in dedup.minhash_lsh_pairs(d, 0.8).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_similar_docs_close(spark):
+    d = _docs(spark, [
+        (1, "s", "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "s", "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "s", "one two three four five six seven eight"),
+    ])
+    h = {r.doc_id: r.simhash for r in dedup.simhash64(d).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(h[1], h[2]) < ham(h[1], h[3])
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0),
+         (2, [0.0, 1.0], 0), (3, [0.7, 0.3], 0)],
+        ["vec_id", "embedding", "label"],
+    )
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    rows = ann.cosine_topk(e, q, k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in rows] == [1, 3, 2]
+
+
+def test_langid_markers(spark):
+    d = spark.createDataFrame(
+        [(1, "the cat sat of the mat a lot"),
+         (2, "el gato la casa de madrid"),
+         (3, "xyzzy qwerty plugh")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.predicted_lang for r in text.lang_id(d).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_multimodal_sniff_magic(spark):
+    pg = spark.createDataFrame(
+        [("u1", bytearray(b"<html><body>x</body></html>")),
+         ("u2", bytearray(b"\x89PNG\r\n_restofpng")),
+         ("u3", bytearray(b"\xff\xd8\xff\xe0jpegdata")),
+         ("u4", bytearray(b"garbage"))],
+        ["url", "html"],
+    )
+    out = {r.url: (r.sniffed_type, r.n_bytes)
+           for r in multimodal.sniff_binary(pg).collect()}
+    assert out["u1"][0] == "text/html"
+    assert out["u2"][0] == "image/png"
+    assert out["u3"][0] == "image/jpeg"
+    assert out["u4"] == ("application/octet-stream", 7)
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """Structured Streaming replay produces the same windowed counts as
+    the batch op (agg parity across the planners)."""
+    from shacl_rust_spark.ops import events as ev
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "events_stream")
+    src.repartition(3).write.parquet(d)
+    stream_out = run_streaming_once(spark, d, "stream_counts_test")
+    batch_out = ev.windowed_counts(
+        spark.read.parquet(d).withColumn("ts", F.col("ts").cast("timestamp"))
+    ).withColumnRenamed("window_start", "window_start")
+    a = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+         for r in stream_out.collect()}
+    b = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+         for r in batch_out.collect()}
+    assert a == b
