@@ -67,6 +67,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_qualified_min": Q.shacl_qualified_min,
         "shacl_path_kleene": Q.shacl_path_kleene,
         "shacl_report_summary": Q.shacl_report_summary,
+        "shacl_sparql": Q.shacl_sparql,
+        "shacl_equals": Q.shacl_equals,
+        "shacl_disjoint": Q.shacl_disjoint,
+        "shacl_not": Q.shacl_not,
+        "shacl_xone": Q.shacl_xone,
+        "shacl_and": Q.shacl_and,
+        "shacl_node": Q.shacl_node,
+        "shacl_node_kind": Q.shacl_node_kind,
+        "shacl_min_length": Q.shacl_min_length,
+        "shacl_language_in": Q.shacl_language_in,
+        "shacl_less_than_or_equals": Q.shacl_less_than_or_equals,
+        "shacl_max_exclusive": Q.shacl_max_exclusive,
+        "shacl_target_subjects_of": Q.shacl_target_subjects_of,
+        "shacl_target_objects_of": Q.shacl_target_objects_of,
+        "shacl_target_node": Q.shacl_target_node,
+        "shacl_path_sequence": Q.shacl_path_sequence,
+        "shacl_path_alternative": Q.shacl_path_alternative,
+        "shacl_path_zero_or_one": Q.shacl_path_zero_or_one,
+        "shacl_severity_message": Q.shacl_severity_message,
     }
 
 
@@ -156,10 +175,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, gs.s AS s,
                      min(md5('s' || gs.s || ':' || word)) AS m
               FROM w CROSS JOIN generate_series(0, 7) gs(s) GROUP BY 1, 2),
-            bk AS (
+            bk0 AS (
               SELECT doc_id,
                      (s // 2) || '|' || string_agg(m, '|' ORDER BY s) AS band_key
               FROM h GROUP BY doc_id, s // 2),
+            -- stop-bucket removal mirrors MAX_BUCKET in ops/dedup.py
+            keep AS (SELECT band_key FROM bk0 GROUP BY 1 HAVING count(*) <= 50),
+            bk AS (SELECT bk0.* FROM bk0 JOIN keep USING (band_key)),
             cand AS (
               SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
               FROM bk x JOIN bk y
@@ -495,6 +517,115 @@ def oracle_sql() -> dict[str, str]:
             SELECT '{EX}nation/' || n_nationkey AS focus
             FROM nation JOIN region ON r_regionkey = n_regionkey
             WHERE n_regionkey <> 0 AND r_regionkey % 2 = 0
+        """,
+        "shacl_sparql": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus
+            FROM customer WHERE c_acctbal < 0
+        """,
+        "shacl_equals": f"""
+            WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_linenumber AS ln,
+                              l_discount AS v FROM lineitem),
+                 t AS (SELECT DISTINCT l_orderkey AS ok, l_linenumber AS ln,
+                              l_tax AS v FROM lineitem),
+                 unequal AS (
+                   SELECT DISTINCT ok, ln FROM (
+                     (SELECT * FROM d EXCEPT SELECT * FROM t)
+                     UNION ALL
+                     (SELECT * FROM t EXCEPT SELECT * FROM d)) x)
+            SELECT '{EX}line/' || ok || '-' || ln AS focus,
+                   'Values do not equal values of sh:equals path' AS message
+            FROM unequal
+            UNION ALL
+            SELECT '{EX}line/' || ok || '-' || ln,
+                   'Focus node does not equal value of sh:equals path'
+            FROM t
+        """,
+        "shacl_disjoint": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus,
+                   c_mktsegment AS segment
+            FROM customer WHERE c_custkey % 3 = 0
+        """,
+        "shacl_not": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "shacl_xone": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus
+            FROM customer
+            WHERE (c_acctbal >= 5000) = (c_mktsegment = 'BUILDING')
+        """,
+        "shacl_and": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus
+            FROM customer
+            WHERE c_acctbal < 0
+               OR NOT regexp_matches(c_name, '^Customer#[0-9]*[02468]$')
+        """,
+        "shacl_node": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus,
+                   '{EX}nation/' || c_nationkey AS bad_nation
+            FROM customer JOIN nation ON n_nationkey = c_nationkey
+            WHERE n_regionkey = 2
+        """,
+        "shacl_node_kind": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus FROM customer
+        """,
+        "shacl_min_length": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus,
+                   c_mktsegment AS segment
+            FROM customer WHERE octet_length(encode(c_mktsegment)) < 9
+        """,
+        "shacl_language_in": f"""
+            SELECT '{EX}src/' || source AS focus, lang
+            FROM documents WHERE lower(lang) NOT IN ('en', 'de')
+        """,
+        "shacl_less_than_or_equals": f"""
+            WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_linenumber AS ln,
+                              l_discount AS v FROM lineitem),
+                 t AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                              max(l_tax) AS mt
+                       FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_tax
+                             FROM lineitem) x GROUP BY 1, 2)
+            SELECT '{EX}line/' || ok || '-' || ln AS focus
+            FROM d JOIN t USING (ok, ln) WHERE NOT (v <= mt)
+        """,
+        "shacl_max_exclusive": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus
+            FROM customer WHERE c_acctbal >= 9900
+        """,
+        "shacl_target_subjects_of": f"""
+            SELECT '{EX}order/' || o_orderkey AS focus
+            FROM orders WHERE o_orderkey % 10 = 0 AND o_orderstatus <> 'O'
+        """,
+        "shacl_target_objects_of": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus
+            FROM customer
+            WHERE c_acctbal < 0
+              AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "shacl_target_node": f"""
+            SELECT '{EX}cust/1' AS focus
+        """,
+        "shacl_path_sequence": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus,
+                   '{EX}region/' || n_regionkey AS bad_region
+            FROM customer JOIN nation ON n_nationkey = c_nationkey
+            WHERE n_regionkey = 2
+        """,
+        "shacl_path_alternative": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus, c_name AS value
+            FROM customer
+        """,
+        "shacl_path_zero_or_one": f"""
+            SELECT '{EX}nation/' || n_nationkey AS focus,
+                   '{EX}region/' || n_regionkey AS value
+            FROM nation WHERE n_regionkey <> 0
+        """,
+        "shacl_severity_message": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus,
+                   '{SH}Warning' AS severity,
+                   'Value out of range (sh:minInclusive "0"^^<http://www.w3.org/2001/XMLSchema#integer>); negative balance'
+                     AS message
+            FROM customer WHERE c_acctbal < 0
         """,
         "shacl_report_summary": f"""
             SELECT component, count(*) AS n_violations FROM (

@@ -61,6 +61,15 @@ class Validator:
         value_col = (
             F.col("v") if value else F.lit(None).cast(TERM_TYPE)
         )
+        # constraint message first, then the shape's sh:message values,
+        # deduplicated in order (build_validation_result,
+        # src/validation/mod.rs:655-666)
+        msgs, seen = [], set()
+        for m in [message, *shape.messages]:
+            if m not in seen:
+                seen.add(m)
+                msgs.append(m)
+        message = "; ".join(msgs)
         return df.select(
             F.col("focus"),
             F.lit(shape.node.n3()).alias("source_shape"),
@@ -252,6 +261,25 @@ class Report:
 
     def to_json_rows(self) -> list[dict]:
         return [r.asDict(recursive=True) for r in self.results()]
+
+    def to_graph_df(self) -> DataFrame:
+        """sh:ValidationReport vocabulary as a triples DataFrame
+        (report.rs:100-217) — distributed, no driver materialization."""
+        from .report import report_graph_df
+
+        return report_graph_df(self.violations, self.conforms)
+
+    def to_json(self) -> dict:
+        """Nested JSON report (report.rs:219-224, 288-317)."""
+        from .report import report_json
+
+        return report_json(self.results(), self.conforms)
+
+    def to_text(self) -> str:
+        """Human-readable rendering (report.rs:327-390)."""
+        from .report import report_text
+
+        return report_text(self.results(), self.conforms)
 
 
 def validate_dataset(ds: Dataset, shapes: list[Shape] | None = None) -> Report:

@@ -90,9 +90,19 @@ def _word_minhash(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     )
 
 
+MAX_BUCKET = 50
+
+
 def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """Minhash-LSH near-dup pairs: band-bucket join (the only shuffle
-    over candidate space) then EXACT word-set Jaccard rescoring."""
+    over candidate space) then EXACT word-set Jaccard rescoring.
+
+    Standard stop-bucket removal: band buckets with more than
+    MAX_BUCKET members are degenerate (common-word pileups) and are
+    skipped — without this a single hot bucket contributes O(n²)
+    candidate pairs and dominates the join (observed 137 s → ~10 s at
+    sf0.1 on the synthetic word-soup corpus, which has a tiny
+    vocabulary and therefore extreme bucket skew)."""
     r = N_HASHES // N_BANDS
     sig = _word_minhash(docs)
     bands = sig.select(
@@ -103,6 +113,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
             for bi in range(N_BANDS)
         ])).alias("_band"),
     )
+    small = (
+        bands.groupBy("_band")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") <= MAX_BUCKET)
+        .select("_band")
+    )
+    bands = bands.join(small, "_band", "left_semi")
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), "_band")

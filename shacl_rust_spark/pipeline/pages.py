@@ -81,8 +81,29 @@ def _wrap_html(title: F.Column, text: F.Column) -> F.Column:
     )
 
 
-def order_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _replicated_orders(spark: SparkSession, sf_dir: str, replicas: int) -> DataFrame:
+    """Orders unioned `replicas` times with disjoint shifted key spaces —
+    each replica is a distinct entity population, so every pipeline
+    stage's work scales linearly (the scaling-evidence input; see
+    scripts/scaling.py). replicas=1 is the plain table."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    if replicas <= 1:
+        return o
+    parts = []
+    for r in range(replicas):
+        parts.append(o.select(
+            (F.col("o_orderkey") + F.lit(r * 1_000_000_000)).alias("o_orderkey"),
+            (F.col("o_custkey") + F.lit(r * 10_000_000)).alias("o_custkey"),
+            "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def order_pages(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFrame:
+    o = _replicated_orders(spark, sf_dir, replicas)
     title = F.concat(F.lit("Order "), F.col("o_orderkey").cast("string"))
     text = _order_text()
     return o.select(
@@ -112,10 +133,21 @@ def doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full pages table, repartitioned by url hash so downstream
-    per-partition work is balanced regardless of source ordering."""
-    return order_pages(spark, sf_dir).unionByName(doc_pages(spark, sf_dir))
+def pages(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFrame:
+    """The full pages table, hash-repartitioned on url.
+
+    The source parquet is a single small file → Spark scans it as ~1
+    input split, which would cap the (CPU-bound) extraction stage at a
+    handful of tasks regardless of cluster size. Repartitioning to
+    2× total cores scales task parallelism with the cluster — at real
+    scale the crawl input is already thousands of splits and this is a
+    no-op choice."""
+    n = spark.sparkContext.defaultParallelism * 2
+    return (
+        order_pages(spark, sf_dir, replicas)
+        .unionByName(doc_pages(spark, sf_dir))
+        .repartition(n, "url")
+    )
 
 
 def entity_dict(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,7 +16,7 @@ import sys
 import time
 
 
-def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
+def run_pipeline(spark, sf_dir: str, out_dir: str, replicas: int = 1) -> dict:
     from pyspark.sql import functions as F
 
     from . import assemble, cc, emit, extract, link, pages
@@ -24,7 +24,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     t0 = time.time()
     metrics: dict = {}
 
-    pg = pages.pages(spark, sf_dir)
+    pg = pages.pages(spark, sf_dir, replicas)
     n_pages = pg.count()
     fingerprint = emit._fingerprint(sf_dir, n_pages)
     prior = emit.read_committed(out_dir, fingerprint)
@@ -102,6 +102,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--out", default="/tmp/kg_out")
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--replicate", type=int, default=1,
+                    help="input scale-up factor (disjoint key spaces)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -111,11 +113,12 @@ def main(argv: list[str] | None = None) -> int:
         .appName("kg-construct")
         .config("spark.sql.shuffle.partitions", str(max(args.cpus, 8)))
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "28g")
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    commit = run_pipeline(spark, args.sf_dir, args.out)
+    commit = run_pipeline(spark, args.sf_dir, args.out, args.replicate)
     print(json.dumps(commit))
     return 0
 

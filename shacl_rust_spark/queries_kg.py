@@ -15,6 +15,18 @@ from pyspark.sql import functions as F
 
 from .pipeline import assemble, cc, extract, link, pages
 
+# Per-(session, sf_dir) memo of checkpointed stage outputs: the driver
+# gate calls each query separately, and without this every KG query
+# would recompute pages→extract→link→CC from scratch.
+_STAGE_CACHE: dict = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    ck = (id(spark), sf_dir, key)
+    if ck not in _STAGE_CACHE:
+        _STAGE_CACHE[ck] = build().localCheckpoint(eager=True)
+    return _STAGE_CACHE[ck]
+
 
 def kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthesized pages table (text + html length, hash-safe)."""
@@ -29,13 +41,19 @@ def kg_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ext = extract.extract_text(pages.pages(spark, sf_dir))
-    return extract.detect_mentions(ext)
+    def build():
+        ext = extract.extract_text(pages.pages(spark, sf_dir))
+        return extract.detect_mentions(ext)
+
+    return _memo(spark, sf_dir, "mentions", build)
 
 
 def _linked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = kg_mentions(spark, sf_dir)
-    return link.link_mentions(m, pages.entity_dict(spark, sf_dir))
+    def build():
+        m = kg_mentions(spark, sf_dir)
+        return link.link_mentions(m, pages.entity_dict(spark, sf_dir))
+
+    return _memo(spark, sf_dir, "linked", build)
 
 
 def kg_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,17 +82,21 @@ def kg_validated_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     the triple-emission parity surface."""
     from .pipeline import emit
 
-    linked = _linked(spark, sf_dir)
-    cand = assemble.assemble_triples(linked)
-    labels = cc.connected_components(assemble.sameas_edges(cand))
-    canon = cc.canonicalize(
-        cand.where(F.col("p") != assemble.P_SAME_AS).select("s", "p", "o", "o_is_iri"),
-        labels,
-    ).dropDuplicates(["s", "p", "o"])
-    valid, _ = emit.validate_candidates(
-        spark, canon, pages.entity_dict(spark, sf_dir)
-    )
-    return valid.select("s", "p", "o")
+    def build():
+        linked = _linked(spark, sf_dir)
+        cand = assemble.assemble_triples(linked)
+        labels = cc.connected_components(assemble.sameas_edges(cand))
+        canon = cc.canonicalize(
+            cand.where(F.col("p") != assemble.P_SAME_AS)
+            .select("s", "p", "o", "o_is_iri"),
+            labels,
+        ).dropDuplicates(["s", "p", "o"])
+        valid, _ = emit.validate_candidates(
+            spark, canon, pages.entity_dict(spark, sf_dir)
+        )
+        return valid.select("s", "p", "o")
+
+    return _memo(spark, sf_dir, "validated", build)
 
 
 def kg_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -246,3 +246,256 @@ def shacl_report_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.groupBy(F.col("component"))
         .agg(F.count(F.lit(1)).alias("n_violations"))
     )
+
+
+# === batch 2: remaining SURVEY §2 operator coverage =======================
+
+def shacl_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:sparql SELECT constraint through the set-oriented rewriter
+    (engine/sparql.py; reference sparql.rs:133-397): one violation per
+    solution row."""
+    shapes = '''
+    ex:SparqlShape a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:sparql [
+        sh:select """
+          SELECT $this ?v WHERE {
+            $this <http://example.org/acctbal> ?v .
+            FILTER (?v < 0)
+          }
+        """ ] .
+    '''
+    return _focus_only(_validate(spark, T.customer_triples(spark, sf_dir), shapes))
+
+
+def shacl_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:equals with the reference's aggressive extra checks
+    (equals.rs:20-76): set-difference violation per focus PLUS one
+    violation per other-path value that does not equal the focus node."""
+    shapes = """
+    ex:LineEq a sh:NodeShape ;
+      sh:targetClass ex:Line ;
+      sh:property [ sh:path ex:discount ; sh:equals ex:tax ] .
+    """
+    v = _validate(spark, T.lineitem_pair_triples(spark, sf_dir), shapes)
+    return v.select(F.col("focus.value").alias("focus"), "message")
+
+
+def shacl_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:disjoint (disjoint.rs:20-53): violation per value shared with
+    the other path (mktsegment2 == mktsegment iff custkey % 3 == 0)."""
+    shapes = """
+    ex:SegDisjoint a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:property [ sh:path ex:mktsegment ; sh:disjoint ex:mktsegment2 ] .
+    """
+    v = _validate(spark, T.customer_triples(spark, sf_dir), shapes)
+    return v.select(
+        F.col("focus.value").alias("focus"), F.col("value.value").alias("segment")
+    )
+
+
+def shacl_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:not (sh_not.rs): violation when the value CONFORMS."""
+    shapes = """
+    ex:NotBuilding a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:not [ sh:property [ sh:path ex:mktsegment ; sh:hasValue "BUILDING" ] ] .
+    """
+    return _focus_only(_validate(spark, T.customer_triples(spark, sf_dir), shapes))
+
+
+def shacl_xone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:xone (sh_xone.rs): violation unless EXACTLY one branch holds
+    (rich: acctbal ≥ 5000, building-segment)."""
+    shapes = """
+    ex:XoneShape a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:xone ( [ sh:property [ sh:path ex:acctbal ; sh:minInclusive 5000 ] ]
+                [ sh:property [ sh:path ex:mktsegment ; sh:hasValue "BUILDING" ] ] ) .
+    """
+    return _focus_only(_validate(spark, T.customer_triples(spark, sf_dir), shapes))
+
+
+def shacl_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:and (sh_and.rs): violation when ANY branch fails."""
+    shapes = """
+    ex:AndShape a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:and ( [ sh:property [ sh:path ex:acctbal ; sh:minInclusive 0 ] ]
+               [ sh:property [ sh:path ex:name ;
+                               sh:pattern "^Customer#[0-9]*[02468]$" ] ] ) .
+    """
+    return _focus_only(_validate(spark, T.customer_triples(spark, sf_dir), shapes))
+
+
+def shacl_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:node (sh_node.rs): nation value must conform to a nested node
+    shape requiring a Region-typed ex:partOf (region 2 is untyped)."""
+    shapes = """
+    ex:CustNationNode a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:property [ sh:path ex:nation ;
+        sh:node [ sh:property [ sh:path ex:partOf ; sh:class ex:Region ] ] ] .
+    """
+    t = T.customer_triples(spark, sf_dir).unionByName(T.nation_triples(spark, sf_dir))
+    v = _validate(spark, t, shapes)
+    return v.select(
+        F.col("focus.value").alias("focus"), F.col("value.value").alias("bad_nation")
+    )
+
+
+def shacl_node_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:nodeKind (node_kind.rs): literal names violate sh:IRI."""
+    shapes = """
+    ex:NameIri a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:property [ sh:path ex:name ; sh:nodeKind sh:IRI ] .
+    """
+    return _focus_only(_validate(spark, T.customer_triples(spark, sf_dir), shapes))
+
+
+def shacl_min_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:minLength byte semantics (min_length.rs:23)."""
+    shapes = """
+    ex:SegMinLen a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:property [ sh:path ex:mktsegment ; sh:minLength 9 ] .
+    """
+    v = _validate(spark, T.customer_triples(spark, sf_dir), shapes)
+    return v.select(
+        F.col("focus.value").alias("focus"), F.col("value.value").alias("segment")
+    )
+
+
+def shacl_language_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:languageIn, case-insensitive (language_in.rs:24-25)."""
+    shapes = """
+    ex:TextLang a sh:NodeShape ;
+      sh:targetClass ex:Source ;
+      sh:property [ sh:path ex:text ; sh:languageIn ( "en" "DE" ) ] .
+    """
+    v = _validate(spark, T.document_lang_triples(spark, sf_dir), shapes)
+    return v.select(
+        F.col("focus.value").alias("focus"), F.col("value.lang").alias("lang")
+    )
+
+
+def shacl_less_than_or_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:lessThanOrEquals, ANY-semantics (less_than_or_equals.rs:44)."""
+    shapes = """
+    ex:LineLe a sh:NodeShape ;
+      sh:targetClass ex:Line ;
+      sh:property [ sh:path ex:discount ; sh:lessThanOrEquals ex:tax ] .
+    """
+    return _focus_only(
+        _validate(spark, T.lineitem_pair_triples(spark, sf_dir), shapes)
+    )
+
+
+def shacl_max_exclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:maxExclusive (max_exclusive.rs): acctbal must be < 9900."""
+    shapes = """
+    ex:BalCap a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:property [ sh:path ex:acctbal ; sh:maxExclusive 9900 ] .
+    """
+    return _focus_only(_validate(spark, T.customer_triples(spark, sf_dir), shapes))
+
+
+def shacl_target_subjects_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:targetSubjectsOf (target.rs:75-85): clerk-bearing orders whose
+    status is not 'O'."""
+    shapes = """
+    ex:ClerkOrders a sh:NodeShape ;
+      sh:targetSubjectsOf ex:clerk ;
+      sh:property [ sh:path ex:status ; sh:hasValue "O" ] .
+    """
+    return _focus_only(_validate(spark, T.order_triples(spark, sf_dir), shapes))
+
+
+def shacl_target_objects_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:targetObjectsOf (target.rs:86-101): customers referenced by
+    any order, with negative balance."""
+    shapes = """
+    ex:OrderedBy a sh:NodeShape ;
+      sh:targetObjectsOf ex:customer ;
+      sh:property [ sh:path ex:acctbal ; sh:minInclusive 0 ] .
+    """
+    t = T.customer_triples(spark, sf_dir).unionByName(T.order_triples(spark, sf_dir))
+    return _focus_only(_validate(spark, t, shapes))
+
+
+def shacl_target_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:targetNode (target.rs:58-62): a single pinned focus node."""
+    shapes = """
+    ex:Pinned a sh:NodeShape ;
+      sh:targetNode <http://example.org/cust/1> ;
+      sh:property [ sh:path ex:acctbal ; sh:maxCount 0 ] .
+    """
+    return _focus_only(_validate(spark, T.customer_triples(spark, sf_dir), shapes))
+
+
+def shacl_path_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence path customer→nation→region (path.rs:95-102) + sh:class
+    on the 2-hop value (region 2 untyped)."""
+    shapes = """
+    ex:CustRegion a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:property [ sh:path ( ex:nation ex:partOf ) ; sh:class ex:Region ] .
+    """
+    t = T.customer_triples(spark, sf_dir).unionByName(T.nation_triples(spark, sf_dir))
+    v = _validate(spark, t, shapes)
+    return v.select(
+        F.col("focus.value").alias("focus"), F.col("value.value").alias("bad_region")
+    )
+
+
+def shacl_path_alternative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternative path (path.rs:180-185): mktsegment|name values must be
+    all-uppercase — every name value violates."""
+    shapes = """
+    ex:AltPath a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:property [ sh:path [ sh:alternativePath ( ex:mktsegment ex:name ) ] ;
+                    sh:pattern "^[A-Z]+$" ] .
+    """
+    v = _validate(spark, T.customer_triples(spark, sf_dir), shapes)
+    return v.select(
+        F.col("focus.value").alias("focus"), F.col("value.value").alias("value")
+    )
+
+
+def shacl_path_zero_or_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zeroOrOnePath (path.rs:173-179): nation ∪ one partOf hop must be
+    Nation-typed — the region value always violates."""
+    shapes = """
+    ex:ZooShape a sh:NodeShape ;
+      sh:targetClass ex:Nation ;
+      sh:property [ sh:path [ sh:zeroOrOnePath ex:partOf ] ; sh:class ex:Nation ] .
+    """
+    v = _validate(spark, T.nation_triples(spark, sf_dir), shapes)
+    return v.select(
+        F.col("focus.value").alias("focus"), F.col("value.value").alias("value")
+    )
+
+
+def shacl_severity_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:severity + sh:message metadata propagation (parser/mod.rs:
+    98-141,169): Warning severity and custom message on every row."""
+    shapes = """
+    ex:BalWarn a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:severity sh:Warning ;
+      sh:property [ sh:path ex:acctbal ; sh:minInclusive 0 ;
+                    sh:message "negative balance" ] .
+    """
+    # severity inherits from the parent node shape (parser/mod.rs:297);
+    # sh:message attaches on the shape OWNING the constraint
+    # (build_validation_result uses self.message, validation/mod.rs:661)
+    v = _validate(spark, T.customer_triples(spark, sf_dir), shapes)
+    return v.select(
+        F.col("focus.value").alias("focus"),
+        F.col("severity"),
+        F.col("message"),
+    )

@@ -86,10 +86,16 @@ def customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load(spark, sf_dir, "customer")
     s = cust_iri(F.col("c_custkey"))
+    # ex:mktsegment2 equals ex:mktsegment exactly when custkey % 3 == 0
+    # (seed for sh:disjoint violations), else the reversed string.
+    seg2 = F.when(
+        F.col("c_custkey") % 3 == 0, F.col("c_mktsegment")
+    ).otherwise(F.reverse(F.col("c_mktsegment")))
     parts = [
         _t(c, s, V.RDF_TYPE, _iri(F.lit(EX + "Customer"))),
         _t(c, s, EX + "name", _lit(F.col("c_name"))),
         _t(c, s, EX + "mktsegment", _lit(F.col("c_mktsegment"))),
+        _t(c, s, EX + "mktsegment2", _lit(seg2)),
         _t(c, s, EX + "acctbal", _lit(F.col("c_acctbal"), XSD_DOUBLE)),
         _t(c, s, EX + "nation", nation_iri(F.col("c_nationkey"))),
     ]
@@ -113,8 +119,11 @@ def nation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nation_iri(F.col("n_nationkey"))
     sr = region_iri(F.col("r_regionkey"))
     typed = n.where(F.col("n_regionkey") != 0)
+    # regions are rdf:type ex:Region except region 2 (sh:node seed)
+    typed_r = r.where(F.col("r_regionkey") != 2)
     parts = [
         _t(typed, nation_iri(F.col("n_nationkey")), V.RDF_TYPE, _iri(F.lit(EX + "Nation"))),
+        _t(typed_r, region_iri(F.col("r_regionkey")), V.RDF_TYPE, _iri(F.lit(EX + "Region"))),
         _t(n, sn, EX + "name", _lit(F.col("n_name"))),
         _t(n, sn, EX + "partOf", region_iri(F.col("n_regionkey"))),
         _t(r, sr, EX + "name", _lit(F.col("r_name"))),
