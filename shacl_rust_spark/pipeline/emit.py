@@ -83,6 +83,12 @@ def validate_candidates(
     """→ (valid candidate triples, violations). Violating (focus, value)
     pairs remove exactly the offending triples; whole-focus violations
     (no value) remove every triple of that subject."""
+    # Materialize the candidates once: the validator issues many actions
+    # (target resolution, per-constraint plans, conforms/count), AQE
+    # re-plans per action, and the final anti-joins read them again —
+    # without a cut every action re-executes the whole upstream
+    # canonicalize/dedup shuffle.
+    candidates = candidates.localCheckpoint(eager=True)
     graph = candidates.select("s", "p", "o", "o_is_iri").unionByName(
         entity_type_triples(entity_dict)
     )

@@ -85,14 +85,31 @@ def band_keys(sig: F.Column, n_bands: int = N_BANDS) -> F.Column:
     ])
 
 
-def link_mentions(mentions: DataFrame, entity_dict: DataFrame) -> DataFrame:
+def link_mentions(
+    mentions: DataFrame,
+    entity_dict: DataFrame,
+    kinds: tuple = ("lives_in",),
+) -> DataFrame:
     """(… obj_surface) → + (entity_id nullable, link_method).
 
     entity_dict: (surface, entity_id, entity_class) — small, broadcast.
+
+    Only mention kinds that semantically target the dictionary go
+    through linking; the rest (node references like placed_by/same_as,
+    resolved by IRI-minting instead) pass through untouched. Without
+    this split, every distinct node surface (~100k at sf0.1×4) flows
+    into the fuzzy minhash pass and dominates the stage (52 s → <5 s).
     """
+    linkable = mentions.where(F.col("kind").isin(list(kinds)))
+    passthrough = mentions.where(~F.col("kind").isin(list(kinds))).select(
+        *mentions.columns,
+        F.lit(None).cast("string").alias("entity_id"),
+        F.lit("n/a").alias("link_method"),
+    )
+
     d = F.broadcast(entity_dict.select("surface", "entity_id"))
 
-    exact = mentions.join(d, mentions["obj_surface"] == d["surface"], "left")
+    exact = linkable.join(d, linkable["obj_surface"] == d["surface"], "left")
     hit = exact.where(F.col("entity_id").isNotNull()).select(
         *mentions.columns, "entity_id", F.lit("exact").alias("link_method")
     )
@@ -142,7 +159,7 @@ def link_mentions(mentions: DataFrame, entity_dict: DataFrame) -> DataFrame:
         F.when(F.col("entity_id").isNotNull(), F.lit("fuzzy"))
         .otherwise(F.lit("unlinked")).alias("link_method"),
     )
-    return hit.unionByName(fuzzy)
+    return hit.unionByName(fuzzy).unionByName(passthrough)
 
 
 def salted_count(df: DataFrame, key: str, n_salts: int = 32) -> DataFrame:

@@ -142,7 +142,8 @@ def pages(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFrame:
     2× total cores scales task parallelism with the cluster — at real
     scale the crawl input is already thousands of splits and this is a
     no-op choice."""
-    n = spark.sparkContext.defaultParallelism * 2
+    import os as _os
+    n = int(_os.environ.get("KG_PAGE_PARTS", "0")) or spark.sparkContext.defaultParallelism * 2
     return (
         order_pages(spark, sf_dir, replicas)
         .unionByName(doc_pages(spark, sf_dir))

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -25,7 +26,12 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicas: int = 1) -> dict:
     metrics: dict = {}
 
     pg = pages.pages(spark, sf_dir, replicas)
-    n_pages = pg.count()
+    # page count from parquet metadata (footer row counts) — an exact
+    # count without materializing the synthesized pages
+    n_pages = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet").count() * replicas
+        + spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
     fingerprint = emit._fingerprint(sf_dir, n_pages)
     prior = emit.read_committed(out_dir, fingerprint)
     if prior is not None:
@@ -104,20 +110,45 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--replicate", type=int, default=1,
                     help="input scale-up factor (disjoint key spaces)")
+    ap.add_argument("--master", default=None,
+                    help="Spark master (default local[--cpus]); e.g. "
+                         "local-cluster[4,2,6144] for multi-executor runs")
+    ap.add_argument("--shuffle-partitions", type=int, default=0,
+                    help="fixed shuffle partitions (0 = max(cpus, 8)); the "
+                         "scaling harness pins this so the job is identical "
+                         "at both cluster sizes")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master(f"local[{args.cpus}]")
+    master = args.master or f"local[{args.cpus}]"
+    shuffle = args.shuffle_partitions or max(args.cpus, 8)
+    builder = (
+        SparkSession.builder.master(master)
         .appName("kg-construct")
-        .config("spark.sql.shuffle.partitions", str(max(args.cpus, 8)))
+        .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "28g")
+        .config("spark.driver.memory", "8g" if "cluster" in master else "28g")
         .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate()
     )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "cluster" in master:
+        # multi-executor run: ship the package to executors the same way
+        # spark-submit --py-files would
+        import shutil
+        import tempfile
+
+        import shacl_rust_spark
+
+        pkg_dir = os.path.dirname(os.path.dirname(
+            os.path.abspath(shacl_rust_spark.__file__)))
+        zip_base = os.path.join(tempfile.gettempdir(), "shacl_rust_spark_pkg")
+        zip_path = shutil.make_archive(
+            zip_base, "zip", root_dir=pkg_dir, base_dir="shacl_rust_spark")
+        spark.sparkContext.addPyFile(zip_path)
+
     commit = run_pipeline(spark, args.sf_dir, args.out, args.replicate)
     print(json.dumps(commit))
     return 0
