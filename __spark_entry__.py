@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_path_alternative": Q.shacl_path_alternative,
         "shacl_path_zero_or_one": Q.shacl_path_zero_or_one,
         "shacl_severity_message": Q.shacl_severity_message,
+        "shacl_datatype": Q.shacl_datatype,
     }
 
 
@@ -626,6 +627,10 @@ def oracle_sql() -> dict[str, str]:
                    'Value out of range (sh:minInclusive "0"^^<http://www.w3.org/2001/XMLSchema#integer>); negative balance'
                      AS message
             FROM customer WHERE c_acctbal < 0
+        """,
+        "shacl_datatype": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus
+            FROM customer WHERE c_custkey % 7 = 0
         """,
         "shacl_report_summary": f"""
             SELECT component, count(*) AS n_violations FROM (

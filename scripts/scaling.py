@@ -1,8 +1,8 @@
 """Scaling-evidence harness (BASELINE.json north_rule).
 
 Runs the IDENTICAL end-to-end KG pipeline job on the same input at two
-CLUSTER sizes — N = 1 executor and 4N = 4 executors (2 cores, 6 GiB
-each), via Spark's local-cluster master, which launches real separate
+CLUSTER sizes — N = 1 executor and 4N = 4 executors (EXEC_CORES cores,
+EXEC_MEM_MB each), via Spark's local-cluster master, which launches real separate
 executor JVMs and ships the package with the addPyFile equivalent of
 `spark-submit --py-files`. Every job parameter (input, replicas,
 shuffle partitions, page partitioning) is pinned so ONLY the executor
@@ -31,7 +31,7 @@ import sys
 import time
 
 EXEC_CORES = 2
-EXEC_MEM_MB = 6144
+EXEC_MEM_MB = 14336
 SHUFFLE_PARTITIONS = 32
 PAGE_PARTITIONS = 32
 
@@ -45,6 +45,7 @@ def run_once(sf_dir: str, n_exec: int, replicas: int) -> dict:
         [sys.executable, "-m", "shacl_rust_spark.pipeline.run",
          "--sf-dir", sf_dir, "--out", out,
          "--master", f"local-cluster[{n_exec},{EXEC_CORES},{EXEC_MEM_MB}]",
+         "--executor-mem", f"{EXEC_MEM_MB - 2048}m",
          "--shuffle-partitions", str(SHUFFLE_PARTITIONS),
          "--replicate", str(replicas)],
         capture_output=True, text=True, cwd="/root/repo", timeout=3600,

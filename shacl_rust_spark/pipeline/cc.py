@@ -37,23 +37,29 @@ def connected_components(edges: DataFrame) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(_MAX_ITERS):
+        # one shuffle per round: the old label rides along (tagged) so
+        # change detection is a cheap scan of the checkpointed result
+        # instead of a second join
         nbr = (
             und.join(labels, und["b"] == labels["node"])
-            .select(F.col("a").alias("node"), F.col("component"))
+            .select(F.col("a").alias("node"), F.col("component"),
+                    F.lit(0).alias("_own"))
         )
-        new_labels = (
-            labels.select("node", "component").unionByName(nbr)
+        own = labels.select("node", "component", F.lit(1).alias("_own"))
+        merged = (
+            own.unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max(F.when(F.col("_own") == 1, F.col("component")))
+                .alias("_old"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.join(labels.withColumnRenamed("component", "_old"), "node")
-            .where(F.col("component") != F.col("_old"))
-            .limit(1)
-            .count()
+            merged.where(F.col("component") != F.col("_old")).limit(1).count()
         )
-        labels = new_labels
+        labels = merged.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError("connected components did not converge")

@@ -93,7 +93,9 @@ def validate_candidates(
         entity_type_triples(entity_dict)
     )
     ds = Dataset(spark, to_term_triples(graph), parse_turtle(PIPELINE_SHAPES))
-    violations = validate_dataset(ds).violations
+    # one execution of the validator plan; the two anti-join derivations
+    # and the caller's metrics count all read the materialized result
+    violations = validate_dataset(ds).violations.localCheckpoint(eager=True)
 
     pair_bad = (
         violations.where(F.col("value").isNotNull())

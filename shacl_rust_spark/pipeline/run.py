@@ -113,6 +113,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None,
                     help="Spark master (default local[--cpus]); e.g. "
                          "local-cluster[4,2,6144] for multi-executor runs")
+    ap.add_argument("--executor-mem", default=None,
+                    help="spark.executor.memory for cluster masters (the "
+                         "local-cluster[] mem field only sizes the WORKER; "
+                         "executors default to 1g without this)")
     ap.add_argument("--shuffle-partitions", type=int, default=0,
                     help="fixed shuffle partitions (0 = max(cpus, 8)); the "
                          "scaling harness pins this so the job is identical "
@@ -130,7 +134,14 @@ def main(argv: list[str] | None = None) -> int:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g" if "cluster" in master else "28g")
         .config("spark.sql.adaptive.enabled", "true")
+        # checkpointed blocks pin to the executor that wrote them; the
+        # default 3 s locality wait then stalls EVERY stage wave that
+        # reads them from another executor — on a multi-executor run
+        # this serializes tens of seconds of pure waiting
+        .config("spark.locality.wait", "0s")
     )
+    if args.executor_mem:
+        builder = builder.config("spark.executor.memory", args.executor_mem)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

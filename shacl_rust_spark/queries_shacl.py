@@ -499,3 +499,14 @@ def shacl_severity_message(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("severity"),
         F.col("message"),
     )
+
+
+def shacl_datatype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:datatype (datatype.rs:20-45): exact datatype IRI match — every
+    7th customer's balance is typed xsd:string instead of xsd:double."""
+    shapes = """
+    ex:BalType a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:property [ sh:path ex:acctbal ; sh:datatype xsd:double ] .
+    """
+    return _focus_only(_validate(spark, T.customer_triples(spark, sf_dir), shapes))

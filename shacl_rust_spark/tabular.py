@@ -96,7 +96,12 @@ def customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(c, s, EX + "name", _lit(F.col("c_name"))),
         _t(c, s, EX + "mktsegment", _lit(F.col("c_mktsegment"))),
         _t(c, s, EX + "mktsegment2", _lit(seg2)),
-        _t(c, s, EX + "acctbal", _lit(F.col("c_acctbal"), XSD_DOUBLE)),
+        # every 7th customer's balance is typed xsd:string (sh:datatype
+        # seed) — numeric constraints are unaffected: the reference
+        # compares the LEXICAL form f64-else-string (utils.rs:396-433)
+        _t(c, s, EX + "acctbal",
+           F.when(F.col("c_custkey") % 7 == 0, _lit(F.col("c_acctbal")))
+           .otherwise(_lit(F.col("c_acctbal"), XSD_DOUBLE))),
         _t(c, s, EX + "nation", nation_iri(F.col("c_nationkey"))),
     ]
     out = parts[0]
