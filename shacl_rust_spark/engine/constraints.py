@@ -79,9 +79,25 @@ def constraint_violations(
             .select(F.col("s").alias("_inst"))
         )
         node_vals = values.where(v["kind"] != "lit")
-        not_instance = node_vals.join(
-            typed, node_vals["v"] == F.col("_inst"), "left_anti"
-        )
+        if vd.ds.small:
+            not_instance = node_vals.join(
+                typed, node_vals["v"] == F.col("_inst"), "left_anti"
+            )
+        else:
+            # Table scale: anti-join on the DISTINCT value nodes first —
+            # class-constrained object properties repeat the same few
+            # targets enormously (head-entity skew), so the anti-join
+            # probes thousands of rows instead of hundreds of millions,
+            # and the join back onto the values frame is broadcastable
+            # (AQE picks it up from the post-distinct size).
+            bad_v = (
+                node_vals.select("v").dropDuplicates(["v"])
+                .join(typed, F.col("v") == F.col("_inst"), "left_anti")
+                .select(F.col("v").alias("_bv"))
+            )
+            not_instance = node_vals.join(
+                bad_v, node_vals["v"] == F.col("_bv"), "left_semi"
+            )
         lit_vals = values.where(v["kind"] == "lit")
         return [
             vd.vio(not_instance, shape, V.SH_CLASS_CC, f"Value is not an instance of class <{c.cls}>", value=True),

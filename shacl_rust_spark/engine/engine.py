@@ -92,27 +92,74 @@ class Validator:
         return reduce(DataFrame.unionByName, parts)
 
     # --- top level -------------------------------------------------------
+    def _fusion_hint(self, shape: Shape) -> dict | None:
+        """Target-path fusion (table-scale only): when a shape's single
+        target is sh:targetSubjectsOf(P) with no subproperty expansion,
+        the (focus, value) pairs of any property shape whose path is the
+        direct hop P are exactly the P-triples — one predicate-filtered
+        scan, no target-distinct-then-join round trip. The pairs frame
+        is checkpointed once; the focus set and every constraint branch
+        then read the narrow materialized pairs instead of re-scanning
+        the whole graph (the scan-per-union-branch trap)."""
+        if self.ds.small or len(shape.targets) != 1:
+            return None
+        t = shape.targets[0]
+        if t.kind != "subjectsOf":
+            return None
+        if self.ds.subproperties(t.term) != [t.term.value]:
+            return None
+        p_iri = t.term.value
+        pairs = (
+            self.ds.pred(p_iri)
+            .select(F.col("s").alias("focus"), F.col("o").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        return {p_iri: pairs}
+
     def validate(self, shapes: list[Shape]) -> DataFrame:
         parts = []
         for shape in shapes:
             if shape.deactivated:
                 continue
-            focus = resolve_targets(self.ds, shape, self.target_cache)
-            parts.append(self.validate_focus_node(shape, focus))
+            hint = self._fusion_hint(shape)
+            if hint:
+                pairs = next(iter(hint.values()))
+                focus = pairs.select("focus").dropDuplicates(["focus"])
+            else:
+                focus = resolve_targets(self.ds, shape, self.target_cache)
+            parts.append(self.validate_focus_node(shape, focus, hint))
         return self._union(parts)
 
     # --- core recursion ----------------------------------------------------
-    def get_value_nodes(self, shape: Shape, focus_df: DataFrame) -> DataFrame:
+    def get_value_nodes(
+        self, shape: Shape, focus_df: DataFrame, hint: dict | None = None
+    ) -> DataFrame:
         if shape.path is not None:
-            return resolve_path(self.ds, shape.path, focus_df)
+            if hint is not None:
+                elems = shape.path.elements
+                from ..shapes.ir import Hop
+
+                if (len(elems) == 1 and isinstance(elems[0], Hop)
+                        and elems[0].iri in hint):
+                    return hint[elems[0].iri]
+            values = resolve_path(self.ds, shape.path, focus_df)
+            if not self.ds.small:
+                # Table scale: materialize the path-resolution result so
+                # the per-constraint union branches read the narrow
+                # (focus, v) pairs instead of each re-running the scan +
+                # join (each branch re-reads the full graph otherwise).
+                values = values.localCheckpoint(eager=True)
+            return values
         return focus_df.select("focus", F.col("focus").alias("v"))
 
-    def validate_focus_node(self, shape: Shape, focus_df: DataFrame) -> DataFrame:
-        values = self.get_value_nodes(shape, focus_df)
+    def validate_focus_node(
+        self, shape: Shape, focus_df: DataFrame, hint: dict | None = None
+    ) -> DataFrame:
+        values = self.get_value_nodes(shape, focus_df, hint)
         parts: list[DataFrame] = []
         for c in shape.constraints:
             parts.extend(constraint_violations(self, shape, c, focus_df, values))
-        parts.append(self._nested_property_shapes(shape, values))
+        parts.append(self._nested_property_shapes(shape, values, hint))
         if shape.closed is not None:
             parts.append(self._closed_check(shape, focus_df))
         return self._union(parts)
@@ -171,9 +218,16 @@ class Validator:
         # Kleene-closure fixpoint does (paths.py).
         return out.localCheckpoint(eager=True)
 
-    def _nested_property_shapes(self, shape: Shape, parent_values: DataFrame) -> DataFrame:
+    def _nested_property_shapes(
+        self, shape: Shape, parent_values: DataFrame, hint: dict | None = None
+    ) -> DataFrame:
         if not shape.property_shapes:
             return self.empty_violations()
+        # The fusion hint maps predicate → (focus, v) pairs valid only
+        # when the focus set is exactly the target's subjects — true for
+        # the node shape's identity values (path None), not for deeper
+        # nesting where focus becomes the parent path's objects.
+        child_hint = hint if shape.path is None else None
 
         # Sibling map for disjoint qualified shapes (validation/mod.rs:227-254).
         siblings_for: dict[int, list[Shape]] = {}
@@ -193,9 +247,11 @@ class Validator:
                     )
                 siblings_for[idx] = sibs
 
-        new_focus = parent_values.select(F.col("v").alias("focus")).dropDuplicates(
-            ["focus"]
-        )
+        new_focus = parent_values.select(F.col("v").alias("focus"))
+        if shape.path is not None:
+            # identity values of a node shape are already a distinct
+            # focus set; only real path results need the dedup
+            new_focus = new_focus.dropDuplicates(["focus"])
         parts = []
         for idx, ps in enumerate(shape.property_shapes):
             if idx in siblings_for:
@@ -205,7 +261,7 @@ class Validator:
                     )
                 )
             else:
-                parts.append(self.validate_focus_node(ps, new_focus))
+                parts.append(self.validate_focus_node(ps, new_focus, child_hint))
         return self._union(parts)
 
     def _validate_property_shape_with_disjoint(

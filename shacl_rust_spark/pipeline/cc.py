@@ -24,44 +24,65 @@ _MAX_ITERS = 50
 def connected_components(edges: DataFrame) -> DataFrame:
     """edges(src string, dst string) → (node string, component string)
     with component = lexicographic min node id of the component."""
-    und = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .dropDuplicates(["a", "b"])
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        und.select(F.col("a").alias("node"))
-        .dropDuplicates(["node"])
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(_MAX_ITERS):
-        # one shuffle per round: the old label rides along (tagged) so
-        # change detection is a cheap scan of the checkpointed result
-        # instead of a second join
-        nbr = (
-            und.join(labels, und["b"] == labels["node"])
-            .select(F.col("a").alias("node"), F.col("component"),
-                    F.lit(0).alias("_own"))
-        )
-        own = labels.select("node", "component", F.lit(1).alias("_own"))
-        merged = (
-            own.unionByName(nbr)
-            .groupBy("node")
-            .agg(
-                F.min("component").alias("component"),
-                F.max(F.when(F.col("_own") == 1, F.col("component")))
-                .alias("_old"),
+    spark = edges.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # The edge set is static across iterations: hash-partition it by the
+    # join key ONCE (checkpoint preserves the partitioning, SPARK-22905)
+    # so each round's join re-shuffles only the (smaller) labels side.
+    # AQE is off inside the loop — its per-stage re-planning barriers
+    # add fixed latency to every tiny iterative job and can re-coalesce
+    # away the co-partitioning.
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # Materialize the (small) edge list first with ONE scan of its
+        # (large) upstream, then build the undirected set from the
+        # materialized frame — a union of two selects over the lazy
+        # edges would re-run the whole upstream scan per branch.
+        edges = edges.select("src", "dst").localCheckpoint(eager=True)
+        und = (
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .unionByName(
+                edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
             )
+            .dropDuplicates(["a", "b"])
+            .repartition(n_parts, "b")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            merged.where(F.col("component") != F.col("_old")).limit(1).count()
+        labels = (
+            und.select(F.col("a").alias("node"))
+            .dropDuplicates(["node"])
+            .withColumn("component", F.col("node"))
+            .localCheckpoint(eager=True)
         )
-        labels = merged.select("node", "component")
-        if changed == 0:
-            return labels
+        for _ in range(_MAX_ITERS):
+            # one shuffle per round: the old label rides along (tagged)
+            # so change detection is a cheap scan of the checkpointed
+            # result instead of a second join
+            nbr = (
+                und.join(labels, und["b"] == labels["node"])
+                .select(F.col("a").alias("node"), F.col("component"),
+                        F.lit(0).alias("_own"))
+            )
+            own = labels.select("node", "component", F.lit(1).alias("_own"))
+            merged = (
+                own.unionByName(nbr)
+                .groupBy("node")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.max(F.when(F.col("_own") == 1, F.col("component")))
+                    .alias("_old"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                merged.where(F.col("component") != F.col("_old")).limit(1).count()
+            )
+            labels = merged.select("node", "component")
+            if changed == 0:
+                return labels
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     raise RuntimeError("connected components did not converge")
 
 
@@ -69,12 +90,16 @@ def canonicalize(triples: DataFrame, labels: DataFrame) -> DataFrame:
     """Rewrite subject/object IRIs to their component representative.
 
     labels is small relative to triples (only aliased nodes) →
-    broadcast left joins, no shuffle of the big side.
+    broadcast left joins, no shuffle of the big side. Identity labels
+    (node == component, i.e. the component representative itself) are
+    no-op rewrites — filtering them out shrinks the broadcast hash map
+    and leaves the coalesce fallback to do the right thing.
     """
-    ls = F.broadcast(labels.select(F.col("node").alias("_sn"),
-                                   F.col("component").alias("_sc")))
-    lo = F.broadcast(labels.select(F.col("node").alias("_on"),
-                                   F.col("component").alias("_oc")))
+    rewrites = labels.where(F.col("node") != F.col("component"))
+    ls = F.broadcast(rewrites.select(F.col("node").alias("_sn"),
+                                     F.col("component").alias("_sc")))
+    lo = F.broadcast(rewrites.select(F.col("node").alias("_on"),
+                                     F.col("component").alias("_oc")))
     passthrough = [c for c in triples.columns if c not in ("s", "o")]
     return (
         triples.join(ls, triples["s"] == F.col("_sn"), "left")

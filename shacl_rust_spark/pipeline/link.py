@@ -100,23 +100,24 @@ def link_mentions(
     this split, every distinct node surface (~100k at sf0.1×4) flows
     into the fuzzy minhash pass and dominates the stage (52 s → <5 s).
     """
-    linkable = mentions.where(F.col("kind").isin(list(kinds)))
-    passthrough = mentions.where(~F.col("kind").isin(list(kinds))).select(
-        *mentions.columns,
-        F.lit(None).cast("string").alias("entity_id"),
-        F.lit("n/a").alias("link_method"),
-    )
+    linkable = F.col("kind").isin(list(kinds))
 
     d = F.broadcast(entity_dict.select("surface", "entity_id"))
 
-    exact = linkable.join(d, linkable["obj_surface"] == d["surface"], "left")
-    hit = exact.where(F.col("entity_id").isNotNull()).select(
-        *mentions.columns, "entity_id", F.lit("exact").alias("link_method")
-    )
-    miss = exact.where(F.col("entity_id").isNull()).select(*mentions.columns)
+    # ONE pass over the mentions frame: exact broadcast join, then a
+    # second broadcast join against the (tiny) fuzzy-resolution map,
+    # then a single CASE projection — no union of per-method branches,
+    # which would re-read the (checkpointed) mentions once per branch.
+    exact = mentions.join(
+        d, linkable & (mentions["obj_surface"] == d["surface"]), "left"
+    ).drop("surface")
 
-    # fuzzy pass on the distinct unmatched surfaces only
-    surfaces = miss.select("obj_surface").dropDuplicates(["obj_surface"])
+    # fuzzy pass on the distinct unmatched linkable surfaces only
+    surfaces = (
+        exact.where(linkable & F.col("entity_id").isNull())
+        .select("obj_surface")
+        .dropDuplicates(["obj_surface"])
+    )
     s_grams = with_minhash_sig(
         surfaces.select("obj_surface", char_grams(F.col("obj_surface")).alias("_g")),
         "obj_surface", "_g", "_sig",
@@ -151,15 +152,29 @@ def link_mentions(
     best = (
         cand.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .select("obj_surface", "entity_id")
+        .select(F.col("obj_surface").alias("_fsurf"),
+                F.col("entity_id").alias("_fid"))
     )
 
-    fuzzy = miss.join(best, "obj_surface", "left").select(
-        *mentions.columns, "entity_id",
-        F.when(F.col("entity_id").isNotNull(), F.lit("fuzzy"))
-        .otherwise(F.lit("unlinked")).alias("link_method"),
+    return (
+        exact.join(
+            F.broadcast(best),
+            linkable & F.col("entity_id").isNull()
+            & (exact["obj_surface"] == F.col("_fsurf")),
+            "left",
+        )
+        .select(
+            *mentions.columns,
+            F.when(~linkable, F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("entity_id"), F.col("_fid")))
+            .alias("entity_id"),
+            F.when(~linkable, F.lit("n/a"))
+            .when(F.col("entity_id").isNotNull(), F.lit("exact"))
+            .when(F.col("_fid").isNotNull(), F.lit("fuzzy"))
+            .otherwise(F.lit("unlinked"))
+            .alias("link_method"),
+        )
     )
-    return hit.unionByName(fuzzy).unionByName(passthrough)
 
 
 def salted_count(df: DataFrame, key: str, n_salts: int = 32) -> DataFrame:

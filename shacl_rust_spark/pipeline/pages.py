@@ -82,27 +82,52 @@ def _wrap_html(title: F.Column, text: F.Column) -> F.Column:
 
 
 def _replicated_orders(spark: SparkSession, sf_dir: str, replicas: int) -> DataFrame:
-    """Orders unioned `replicas` times with disjoint shifted key spaces —
+    """Orders replicated `replicas`× with disjoint shifted key spaces —
     each replica is a distinct entity population, so every pipeline
     stage's work scales linearly (the scaling-evidence input; see
-    scripts/scaling.py). replicas=1 is the plain table."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    scripts/scaling.py). replicas=1 is the plain table.
+
+    One scan + explode(sequence) instead of an N-way self-union: the
+    base rows are repartitioned FIRST (a ~6 MB exchange of narrow
+    columns), then the replica fan-out runs JVM-side inside whole-stage
+    codegen in parallel across the cluster; the driver plan stays O(1)
+    in `replicas`."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
+        _page_parts(spark), "o_orderkey"
+    )
     if replicas <= 1:
         return o
-    parts = []
-    for r in range(replicas):
-        parts.append(o.select(
-            (F.col("o_orderkey") + F.lit(r * 1_000_000_000)).alias("o_orderkey"),
-            (F.col("o_custkey") + F.lit(r * 10_000_000)).alias("o_custkey"),
+    return (
+        o.withColumn(
+            "_r",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"),
+                           F.lit(replicas - 1).cast("long"))
+            ),
+        )
+        .select(
+            (F.col("o_orderkey") + F.col("_r") * F.lit(1_000_000_000)
+             ).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("_r") * F.lit(10_000_000)
+             ).alias("o_custkey"),
             "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
-        ))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        )
+    )
+
+
+def _page_parts(spark: SparkSession) -> int:
+    import os as _os
+    return (int(_os.environ.get("KG_PAGE_PARTS", "0"))
+            or spark.sparkContext.defaultParallelism * 2)
 
 
 def order_pages(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFrame:
+    # The narrow key columns (~40 B/row) are repartitioned inside
+    # _replicated_orders BEFORE the page body is synthesized: the
+    # exchange that fans the single-file scan out to cluster-wide
+    # parallelism moves 15× fewer bytes than shuffling finished
+    # (html, text) pages would. At real scale the crawl input is
+    # already thousands of splits and this exchange disappears entirely.
     o = _replicated_orders(spark, sf_dir, replicas)
     title = F.concat(F.lit("Order "), F.col("o_orderkey").cast("string"))
     text = _order_text()
@@ -134,20 +159,17 @@ def doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pages(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFrame:
-    """The full pages table, hash-repartitioned on url.
+    """The full pages table.
 
-    The source parquet is a single small file → Spark scans it as ~1
-    input split, which would cap the (CPU-bound) extraction stage at a
-    handful of tasks regardless of cluster size. Repartitioning to
-    2× total cores scales task parallelism with the cluster — at real
-    scale the crawl input is already thousands of splits and this is a
-    no-op choice."""
-    import os as _os
-    n = int(_os.environ.get("KG_PAGE_PARTS", "0")) or spark.sparkContext.defaultParallelism * 2
-    return (
-        order_pages(spark, sf_dir, replicas)
-        .unionByName(doc_pages(spark, sf_dir))
-        .repartition(n, "url")
+    The source parquet is a single small file (one row group → one scan
+    split), which would cap the CPU-bound extraction stage at a handful
+    of tasks regardless of cluster size; order_pages repartitions its
+    narrow key columns to 2× total cores before synthesizing the page
+    body, so task parallelism scales with the cluster while the exchange
+    stays cheap. doc pages are a tiny fraction (documents table) and
+    keep their scan partitioning."""
+    return order_pages(spark, sf_dir, replicas).unionByName(
+        doc_pages(spark, sf_dir)
     )
 
 

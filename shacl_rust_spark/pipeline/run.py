@@ -24,13 +24,22 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicas: int = 1) -> dict:
 
     t0 = time.time()
     metrics: dict = {}
+    phases: dict = {}
+    _last = [t0]
+
+    def mark(name: str) -> None:
+        now = time.time()
+        phases[name] = round(now - _last[0], 2)
+        _last[0] = now
 
     pg = pages.pages(spark, sf_dir, replicas)
-    # page count from parquet metadata (footer row counts) — an exact
-    # count without materializing the synthesized pages
+    # page count from parquet footer metadata (driver-side, no Spark
+    # job) — an exact count without materializing the synthesized pages
+    import pyarrow.parquet as pq
+
     n_pages = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet").count() * replicas
-        + spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows * replicas
+        + pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     )
     fingerprint = emit._fingerprint(sf_dir, n_pages)
     prior = emit.read_committed(out_dir, fingerprint)
@@ -39,10 +48,12 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicas: int = 1) -> dict:
         return prior
 
     metrics["pages"] = n_pages
+    mark("setup")
 
     extracted = extract.extract_text(pg)
     mentions = extract.detect_mentions(extracted).localCheckpoint(eager=True)
     metrics["mentions"] = mentions.count()
+    mark("extract_mentions")
 
     edict = pages.entity_dict(spark, sf_dir)
     linked = link.link_mentions(mentions, edict).localCheckpoint(eager=True)
@@ -52,6 +63,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicas: int = 1) -> dict:
         .groupBy("link_method").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     metrics["links"] = by_method
+    mark("link")
 
     # head-entity mention histogram via the salted two-stage aggregate
     top = (
@@ -66,12 +78,14 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicas: int = 1) -> dict:
         metrics["head_entity"] = {
             "entity": top[0]["entity_id"], "mentions": top[0]["n_mentions"]
         }
+    mark("head_entity")
 
     cand = assemble.assemble_triples(linked)
     edges = assemble.sameas_edges(cand)
     labels = cc.connected_components(edges)
     metrics["cc_nodes"] = labels.count()
     metrics["cc_components"] = labels.select("component").distinct().count()
+    mark("cc")
 
     canon = cc.canonicalize(
         cand.where(F.col("p") != assemble.P_SAME_AS).select(
@@ -83,14 +97,25 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicas: int = 1) -> dict:
     valid, violations = emit.validate_candidates(spark, canon, edict)
     valid = valid.localCheckpoint(eager=True)
     metrics["violations"] = violations.count()
+    mark("validate")
     metrics["emitted_triples"] = valid.count()
 
+    # single scan of `valid`: explode (s, o-if-iri) instead of a two-
+    # branch union that would read the checkpointed frame twice
     nodes = (
-        valid.select(F.col("s").alias("node"))
-        .unionByName(valid.where(F.col("o_is_iri")).select(F.col("o").alias("node")))
+        valid.select(
+            F.explode(
+                F.array_compact(
+                    F.array(F.col("s"),
+                            F.when(F.col("o_is_iri"), F.col("o")))
+                )
+            ).alias("node")
+        )
         .dropDuplicates(["node"])
     )
     metrics["nodes"] = nodes.count()
+    mark("emit_counts")
+    metrics["phases"] = phases
     metrics["wall_secs"] = round(time.time() - t0, 3)
     metrics["triples_per_sec"] = round(
         metrics["emitted_triples"] / max(metrics["wall_secs"], 1e-9), 1
@@ -99,6 +124,8 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicas: int = 1) -> dict:
     commit = emit.write_triples(
         valid.select("s", "p", "o", "o_is_iri"), nodes, out_dir, fingerprint, metrics
     )
+    mark("write")
+    metrics["phases"] = phases
     commit["resumed"] = False
     return commit
 
@@ -142,6 +169,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.executor_mem:
         builder = builder.config("spark.executor.memory", args.executor_mem)
+    evdir = os.environ.get("KG_EVENTLOG_DIR")
+    if evdir:
+        os.makedirs(evdir, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", evdir)
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -26,6 +26,45 @@ def test_extract_byte_identical(spark):
     assert bad.isEmpty()
 
 
+def test_detect_mentions_grammar(spark):
+    ext = spark.createDataFrame(
+        [("u1", "Order 7 was placed by Customer#3. "
+                "Customer#3 lives in NATION_7X. Total value 5 USD."),
+         ("u2", "Order 25 was placed by Client-9. "
+                "Client-9 lives in NATION_1. Total value 9 USD. "
+                "Client-9 is also known as Customer#9. "
+                "Client2-9 is also known as Client-9.")],
+        ["url", "text"],
+    )
+    rows = {
+        (r.url, r.kind, r.subj_surface, r.obj_surface)
+        for r in extract.detect_mentions(ext).collect()
+    }
+    assert rows == {
+        ("u1", "placed_by", "Order-7", "Customer#3"),
+        ("u1", "lives_in", "Customer#3", "NATION_7X"),
+        ("u2", "placed_by", "Order-25", "Client-9"),
+        ("u2", "lives_in", "Client-9", "NATION_1"),
+        ("u2", "same_as", "Client-9", "Customer#9"),
+        ("u2", "same_as", "Client2-9", "Client-9"),
+    }
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    from shacl_rust_spark.pipeline.run import run_pipeline
+
+    out = str(tmp_path / "kg")
+    commit = run_pipeline(spark, SF, out)
+    m = commit["metrics"]
+    assert m["pages"] > 0 and m["emitted_triples"] > 0
+    assert m["links"]["exact"] > 0 and m["links"]["fuzzy"] > 0
+    assert m["cc_components"] > 0 and m["violations"] > 0
+    assert not commit["resumed"]
+    # a second run with the same input fingerprint resumes from the
+    # committed manifest without recomputing
+    assert run_pipeline(spark, SF, out)["resumed"]
+
+
 def test_fuzzy_link_typos(spark):
     m = spark.createDataFrame(
         [("u1", "lives_in", "Customer#1", "NATION_3X"),

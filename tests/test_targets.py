@@ -55,3 +55,40 @@ def test_target_objects_of_excludes_literals(ds):
 def test_advanced_target_resolves_empty(ds):
     got = _vals(resolve_target(ds, Target("advanced", iri(EX + "t"))))
     assert got == set()
+
+
+def test_fused_table_scale_plan_matches_small_plan(spark):
+    """Target-path fusion + distinct-value class check (ds.small=False)
+    must produce exactly the violations of the reference-shaped small
+    plan (engine/engine.py::_fusion_hint)."""
+    from shacl_rust_spark.engine.dataset import Dataset
+    from shacl_rust_spark.engine.engine import validate_dataset
+    from shacl_rust_spark.rdf.turtle import parse_turtle
+    from shacl_rust_spark.schema import graph_to_df
+
+    shapes = parse_turtle("""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:p ;
+      sh:property [ sh:path ex:p ; sh:nodeKind sh:IRI ;
+                    sh:class ex:T ; sh:maxCount 1 ; sh:minCount 1 ] .
+    """)
+    data = parse_turtle("""
+    @prefix ex: <http://example.org/> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    ex:a ex:p ex:b . ex:a ex:p ex:d .
+    ex:b rdf:type ex:T .
+    ex:c ex:p "lit" .
+    ex:c ex:p ex:b .
+    """)
+
+    def run(small):
+        ds = Dataset(spark, graph_to_df(spark, data), shapes, small=small)
+        return sorted(
+            (r.focus.value, r.component, r.value.value if r.value else None)
+            for r in validate_dataset(ds).violations.collect()
+        )
+
+    small_plan, fused_plan = run(True), run(False)
+    assert small_plan == fused_plan
+    assert len(fused_plan) == 5
