@@ -39,7 +39,13 @@ PAGE_PARTITIONS = 32
 def run_once(sf_dir: str, n_exec: int, replicas: int) -> dict:
     out = f"/tmp/kg_scaling_{n_exec}"
     shutil.rmtree(out, ignore_errors=True)
-    env = dict(os.environ, KG_PAGE_PARTS=str(PAGE_PARTITIONS))
+    # shuffle/checkpoint blocks go to tmpfs — the sandbox stand-in for a
+    # real cluster's per-node local disks (one shared VM disk would
+    # otherwise be a resource that does NOT scale with executor count)
+    local_dirs = "/dev/shm/spark-local"
+    os.makedirs(local_dirs, exist_ok=True)
+    env = dict(os.environ, KG_PAGE_PARTS=str(PAGE_PARTITIONS),
+               SPARK_LOCAL_DIRS=local_dirs)
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, "-m", "shacl_rust_spark.pipeline.run",
