@@ -30,22 +30,25 @@ import subprocess
 import sys
 import time
 
-EXEC_CORES = 2
+EXEC_CORES = 1
 EXEC_MEM_MB = 14336
 SHUFFLE_PARTITIONS = 32
 PAGE_PARTITIONS = 32
 
 
 def run_once(sf_dir: str, n_exec: int, replicas: int) -> dict:
-    out = f"/tmp/kg_scaling_{n_exec}"
+    # output + shuffle/checkpoint blocks go to tmpfs — the sandbox
+    # stand-in for a real cluster's per-node local disks and scalable
+    # object store (one shared VM disk would otherwise be a resource
+    # that does NOT scale with executor count)
+    out = f"/dev/shm/kg_scaling_{n_exec}"
     shutil.rmtree(out, ignore_errors=True)
-    # shuffle/checkpoint blocks go to tmpfs — the sandbox stand-in for a
-    # real cluster's per-node local disks (one shared VM disk would
-    # otherwise be a resource that does NOT scale with executor count)
     local_dirs = "/dev/shm/spark-local"
     os.makedirs(local_dirs, exist_ok=True)
     env = dict(os.environ, KG_PAGE_PARTS=str(PAGE_PARTITIONS),
-               SPARK_LOCAL_DIRS=local_dirs)
+               SPARK_LOCAL_DIRS=local_dirs, KG_WARM_CLUSTER="1")
+    if os.environ.get("KG_SCALING_EVENTLOGS"):
+        env["KG_EVENTLOG_DIR"] = f"/tmp/spark-events-{n_exec}"
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, "-m", "shacl_rust_spark.pipeline.run",
@@ -119,6 +122,8 @@ differs.
 
 **Speedup N→4N: {speedup:.2f}× → scaling efficiency {efficiency:.3f}**
 (criterion ≥ 0.8: {"MET" if efficiency >= 0.8 else "NOT MET"}).
+
+Stage metrics at N:  {json.dumps(results[1])}
 
 Stage metrics at 4N: {json.dumps(results[4])}
 

@@ -33,6 +33,7 @@ class Dataset:
         triples: DataFrame,
         shapes_graph: Graph,
         small: bool = False,
+        cheap_pred: bool = False,
     ):
         self.spark = spark
         self.triples = triples
@@ -41,6 +42,11 @@ class Dataset:
         # whole-graph nested-shape memoization in the validator. Never set
         # for table-backed datasets.
         self.small = small
+        # `cheap_pred` marks a triples frame whose per-predicate scans are
+        # already cheap (e.g. backed by predicate-partitioned parquet with
+        # column pruning): the validator then skips defensive
+        # materialization of predicate-filtered intermediates.
+        self.cheap_pred = cheap_pred
         self._closure_edges: dict[str, dict[Term, list[Term]]] = {}
         self._shapes_df: DataFrame | None = None
         self._all_terms_df: DataFrame | None = None

@@ -109,11 +109,13 @@ class Validator:
         if self.ds.subproperties(t.term) != [t.term.value]:
             return None
         p_iri = t.term.value
-        pairs = (
-            self.ds.pred(p_iri)
-            .select(F.col("s").alias("focus"), F.col("o").alias("v"))
-            .localCheckpoint(eager=True)
+        pairs = self.ds.pred(p_iri).select(
+            F.col("s").alias("focus"), F.col("o").alias("v")
         )
+        if not self.ds.cheap_pred:
+            # defensive cut: without a pruned columnar source every
+            # constraint branch would re-run the full upstream scan
+            pairs = pairs.localCheckpoint(eager=True)
         return {p_iri: pairs}
 
     def validate(self, shapes: list[Shape]) -> DataFrame:

@@ -82,17 +82,20 @@ def validate_candidates(
 ) -> tuple[DataFrame, DataFrame]:
     """→ (valid candidate triples, violations). Violating (focus, value)
     pairs remove exactly the offending triples; whole-focus violations
-    (no value) remove every triple of that subject."""
-    # Materialize the candidates once: the validator issues many actions
-    # (target resolution, per-constraint plans, conforms/count), AQE
-    # re-plans per action, and the final anti-joins read them again —
-    # without a cut every action re-executes the whole upstream
-    # canonicalize/dedup shuffle.
-    candidates = candidates.localCheckpoint(eager=True)
+    (no value) remove every triple of that subject.
+
+    The caller materializes `candidates` (the pipeline writes them as
+    predicate-partitioned scratch parquet, so every predicate-filtered
+    scan inside the validator is partition-pruned and column-pruned);
+    this function adds no defensive checkpoint of the big side.
+    """
     graph = candidates.select("s", "p", "o", "o_is_iri").unionByName(
         entity_type_triples(entity_dict)
     )
-    ds = Dataset(spark, to_term_triples(graph), parse_turtle(PIPELINE_SHAPES))
+    ds = Dataset(
+        spark, to_term_triples(graph), parse_turtle(PIPELINE_SHAPES),
+        cheap_pred=True,
+    )
     # one execution of the validator plan; the two anti-join derivations
     # and the caller's metrics count all read the materialized result
     violations = validate_dataset(ds).violations.localCheckpoint(eager=True)
@@ -107,18 +110,71 @@ def validate_candidates(
         .select(F.col("focus.value").alias("_bs"))
         .dropDuplicates(["_bs"])
     )
+    # No broadcast hint on the bad sets: they can reach millions of rows
+    # (~100 MB), and a forced broadcast is a SERIAL driver build + a
+    # per-executor deserialize — the part of the job that does NOT speed
+    # up with more executors. A shuffled anti-join scales with the
+    # cluster; AQE still converts to broadcast when the runtime size is
+    # genuinely small.
     valid = (
         candidates.join(
-            F.broadcast(pair_bad),
+            pair_bad,
             (candidates["s"] == F.col("_bs")) & (candidates["o"] == F.col("_bo")),
             "left_anti",
-        ).join(F.broadcast(focus_bad), F.col("s") == F.col("_bs"), "left_anti")
+        ).join(focus_bad, candidates["s"] == focus_bad["_bs"], "left_anti")
     )
     return valid, violations
 
 
 def _fingerprint(sf_dir: str, n_pages: int) -> str:
     return f"{os.path.abspath(sf_dir)}:{n_pages}"
+
+
+def parquet_rows(path: str) -> int:
+    """Exact row count from parquet footers — a driver-side metadata
+    walk, no Spark job (the Iceberg snapshot `total-records` stand-in)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    )
+
+
+def partition_stats(written_triples: DataFrame) -> list[dict]:
+    """Per-predicate row counts + content fingerprints (lineage)."""
+    return [
+        r.asDict()
+        for r in written_triples.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.crc32(F.concat_ws("\x01", "s", "o").cast("binary")))
+            .alias("content_fingerprint"),
+        )
+        .collect()
+    ]
+
+
+def write_manifest(
+    out_dir: str, fingerprint: str, metrics: dict, part_stats: list[dict],
+    t0: float,
+) -> dict:
+    manifest_dir = f"{out_dir}/_manifest"
+    os.makedirs(manifest_dir, exist_ok=True)
+    with open(f"{manifest_dir}/partitions.json", "w") as f:
+        json.dump(part_stats, f, indent=1)
+    commit = {
+        "fingerprint": fingerprint,
+        "committed_at": time.time(),
+        "write_secs": round(time.time() - t0, 3),
+        "metrics": metrics,
+        "partitions": len(part_stats),
+    }
+    with open(f"{manifest_dir}/commit.json", "w") as f:
+        json.dump(commit, f, indent=1)
+    return commit
 
 
 def write_triples(
@@ -136,33 +192,9 @@ def write_triples(
         .parquet(f"{out_dir}/triples")
     )
     nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
-
     spark = triples.sparkSession
-    part_stats = [
-        r.asDict()
-        for r in spark.read.parquet(f"{out_dir}/triples")
-        .groupBy("p")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(F.crc32(F.concat_ws("\x01", "s", "o").cast("binary")))
-            .alias("content_fingerprint"),
-        )
-        .collect()
-    ]
-    manifest_dir = f"{out_dir}/_manifest"
-    os.makedirs(manifest_dir, exist_ok=True)
-    with open(f"{manifest_dir}/partitions.json", "w") as f:
-        json.dump(part_stats, f, indent=1)
-    commit = {
-        "fingerprint": fingerprint,
-        "committed_at": time.time(),
-        "write_secs": round(time.time() - t0, 3),
-        "metrics": metrics,
-        "partitions": len(part_stats),
-    }
-    with open(f"{manifest_dir}/commit.json", "w") as f:
-        json.dump(commit, f, indent=1)
-    return commit
+    part_stats = partition_stats(spark.read.parquet(f"{out_dir}/triples"))
+    return write_manifest(out_dir, fingerprint, metrics, part_stats, t0)
 
 
 def read_committed(out_dir: str, fingerprint: str) -> dict | None:

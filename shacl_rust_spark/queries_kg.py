@@ -91,6 +91,10 @@ def kg_validated_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s", "p", "o", "o_is_iri"),
             labels,
         ).dropDuplicates(["s", "p", "o"])
+        # validate_candidates does not materialize its input (the
+        # pipeline hands it scratch parquet); cut the lineage here so
+        # the validator's many branches don't re-run link+CC each
+        canon = canon.localCheckpoint(eager=True)
         valid, _ = emit.validate_candidates(
             spark, canon, pages.entity_dict(spark, sf_dir)
         )
