@@ -50,13 +50,27 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicas: int = 1) -> dict:
     metrics["pages"] = n_pages
     mark("setup")
 
+    def scratch(df, name: str, partition_by: str | None = None):
+        """Materialize an intermediate as compressed columnar scratch
+        parquet (the Iceberg intermediate-table stand-in) instead of a
+        row-format localCheckpoint: ~10× fewer bytes to re-read, column
+        pruning for downstream passes that touch a subset of columns,
+        block-location-free scans (no cross-executor cache fetches),
+        and a free exact row count from the footers."""
+        path = f"{out_dir}/_scratch/{name}"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
+        return spark.read.parquet(path)
+
     extracted = extract.extract_text(pg)
-    mentions = extract.detect_mentions(extracted).localCheckpoint(eager=True)
-    metrics["mentions"] = mentions.count()
+    mentions = scratch(extract.detect_mentions(extracted), "mentions")
+    metrics["mentions"] = emit.parquet_rows(f"{out_dir}/_scratch/mentions")
     mark("extract_mentions")
 
     edict = pages.entity_dict(spark, sf_dir)
-    linked = link.link_mentions(mentions, edict).localCheckpoint(eager=True)
+    linked = scratch(link.link_mentions(mentions, edict), "linked")
 
     # two independent metric collects over the checkpointed frame —
     # submitted from driver threads so their stages interleave and the
@@ -117,9 +131,9 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicas: int = 1) -> dict:
         ),
         labels,
     ).dropDuplicates(["s", "p", "o"])
-    scratch = f"{out_dir}/_scratch/candidates"
-    canon.write.mode("overwrite").partitionBy("p").parquet(scratch)
-    candidates = spark.read.parquet(scratch).select("s", "p", "o", "o_is_iri")
+    candidates = scratch(canon, "candidates", partition_by="p").select(
+        "s", "p", "o", "o_is_iri"
+    )
     mark("canonicalize")
 
     valid, violations = emit.validate_candidates(spark, candidates, edict)
@@ -212,6 +226,10 @@ def main(argv: list[str] | None = None) -> int:
         # 128 MB split granularity would read it with 2-3 tasks
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+        # the remaining (small) localCheckpoints — CC labels, violation
+        # sets — store lz4-compressed: cross-executor block fetches move
+        # ~5× fewer bytes for a negligible CPU cost
+        .config("spark.rdd.compress", "true")
         # checkpointed blocks pin to the executor that wrote them; the
         # default 3 s locality wait then stalls EVERY stage wave that
         # reads them from another executor — on a multi-executor run
