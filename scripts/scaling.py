@@ -62,7 +62,13 @@ def run_once(sf_dir: str, n_exec: int, replicas: int) -> dict:
     )
     wall_incl_jvm = time.time() - t0
     if proc.returncode != 0:
-        raise RuntimeError(f"n_exec={n_exec} failed:\n{proc.stderr[-3000:]}")
+        log = f"/tmp/kg_scaling_fail_{n_exec}.log"
+        with open(log, "w") as f:
+            f.write(proc.stderr)
+        raise RuntimeError(
+            f"n_exec={n_exec} failed (full stderr: {log}):\n"
+            f"{proc.stderr[-3000:]}"
+        )
     commit = json.loads(proc.stdout.strip().splitlines()[-1])
     m = commit["metrics"]
     m["wall_incl_jvm"] = round(wall_incl_jvm, 1)

@@ -255,8 +255,27 @@ def main(argv: list[str] | None = None) -> int:
         # long-running production job amortizes to zero; paying them
         # inside a short benchmark window would measure cluster spin-up,
         # not pipeline throughput. Identical at every cluster size.
-        warm = spark.range(0, 4096, 1, 64).selectExpr("id")
+        # exercise every expensive engine path once per executor:
+        # Python-worker fork + Arrow (mapInPandas), shuffle write/read
+        # (groupBy), and parquet encode/decode — so their JVM/JIT and
+        # worker setup costs land in the warm window on every executor.
+        import tempfile as _tf
+
+        from pyspark.sql import functions as _F
+        warm = spark.range(0, 1 << 18, 1, 64)
         warm.mapInPandas(lambda it: it, "id: long").count()
+        wdir = _tf.mkdtemp(prefix="kg_warm_")
+        (
+            warm.select((_F.col("id") % 997).alias("k"),
+                        _F.col("id").cast("string").alias("v"))
+            .groupBy("k")
+            .agg(_F.count(_F.lit(1)).alias("n"),
+                 _F.sum(_F.crc32(_F.col("v").cast("binary"))).alias("f"))
+            .write.mode("overwrite").parquet(f"{wdir}/warm")
+        )
+        spark.read.parquet(f"{wdir}/warm").count()
+        import shutil as _sh
+        _sh.rmtree(wdir, ignore_errors=True)
 
     if "cluster" in master:
         # multi-executor run: ship the package to executors the same way
