@@ -44,7 +44,7 @@ MENTION_SCHEMA = StructType([
 # html wrapper contract (pages.py) — a real deployment swaps this for a
 # trafilatura-style extractor; the Spark plumbing is identical.
 _HTML_RE = re.compile(
-    r"<html><head><title>.*?</title></head><body><p>(.*)</p></body></html>",
+    r"^<html><head><title>.*?</title></head><body><p>(.*)</p></body></html>",
     re.DOTALL,
 )
 
