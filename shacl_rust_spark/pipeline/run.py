@@ -50,18 +50,48 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicas: int = 1) -> dict:
     metrics["pages"] = n_pages
     mark("setup")
 
+    resumed_stages: list[str] = []
+
+    def scratch_committed(name: str) -> bool:
+        """True when the named scratch snapshot committed for THIS input
+        fingerprint — the stage (and everything upstream of it) can be
+        skipped on a restarted run."""
+        try:
+            with open(f"{out_dir}/_scratch/{name}._commit.json") as f:
+                return json.load(f).get("fingerprint") == fingerprint
+        except (OSError, ValueError):
+            return False
+
     def scratch(df, name: str, partition_by: str | None = None):
         """Materialize an intermediate as compressed columnar scratch
         parquet (the Iceberg intermediate-table stand-in) instead of a
         row-format localCheckpoint: ~10× fewer bytes to re-read, column
         pruning for downstream passes that touch a subset of columns,
         block-location-free scans (no cross-executor cache fetches),
-        and a free exact row count from the footers."""
+        and a free exact row count from the footers.
+
+        Each scratch table is a committed stage snapshot: a fingerprint
+        marker written AFTER the parquet commit makes the stage
+        resumable — a restarted run with the same input skips every
+        stage whose snapshot already committed (the Iceberg
+        "resume from last committed snapshot" contract at stage
+        granularity; partial writes have no marker and recompute)."""
         path = f"{out_dir}/_scratch/{name}"
+        if scratch_committed(name):
+            resumed_stages.append(name)
+            with open(f"{path}._commit.json") as f:
+                # stage metrics captured at original commit time —
+                # restores counters for the skipped upstream stages
+                metrics.update(json.load(f).get("metrics", {}))
+            return spark.read.parquet(path)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(partition_by)
         w.parquet(path)
+        with open(f"{path}._commit.json", "w") as f:
+            json.dump({"fingerprint": fingerprint,
+                       "committed_at": time.time(),
+                       "metrics": dict(metrics)}, f)
         return spark.read.parquet(path)
 
     extracted = extract.extract_text(pg)
@@ -70,71 +100,86 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicas: int = 1) -> dict:
     mark("extract_mentions")
 
     edict = pages.entity_dict(spark, sf_dir)
-    linked = scratch(link.link_mentions(mentions, edict), "linked")
-
-    # two independent metric collects over the checkpointed frame —
-    # submitted from driver threads so their stages interleave and the
-    # per-action driver latency is paid once, not twice
     from concurrent.futures import ThreadPoolExecutor
 
-    def _by_method():
-        return {
-            r["link_method"]: r["n"]
-            for r in linked.where(F.col("kind") == "lives_in")
-            .groupBy("link_method").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-
-    def _head_entity():
-        # head-entity mention histogram via the salted two-stage aggregate
-        top = (
-            link.salted_count(
-                linked.where(F.col("entity_id").isNotNull()), "entity_id"
-            )
-            .orderBy(F.col("n_mentions").desc())
-            .limit(1)
-            .collect()
-        )
-        return (
-            {"entity": top[0]["entity_id"], "mentions": top[0]["n_mentions"]}
-            if top else None
-        )
-
-    with ThreadPoolExecutor(2) as pool:
-        f_links = pool.submit(_by_method)
-        f_head = pool.submit(_head_entity)
-        metrics["links"] = f_links.result()
-        head = f_head.result()
-    if head:
-        metrics["head_entity"] = head
-    mark("link")
-
-    cand = assemble.assemble_triples(linked)
-    edges = assemble.sameas_edges(cand)
-    labels = cc.connected_components(edges)
-    cc_row = labels.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("component").alias("c"),
-    ).collect()[0]
-    metrics["cc_nodes"] = cc_row["n"]
-    metrics["cc_components"] = cc_row["c"]
-    mark("cc")
-
-    # Canonicalized candidates materialize ONCE as predicate-partitioned
-    # scratch parquet (the Iceberg intermediate-table stand-in): every
-    # downstream pass — the validator's per-predicate scans and the
-    # final anti-join — reads a partition-pruned, column-pruned,
-    # compressed columnar source instead of re-deserializing a fat
-    # row-format checkpoint from whichever executor happened to write it.
-    canon = cc.canonicalize(
-        cand.where(F.col("p") != assemble.P_SAME_AS).select(
+    if scratch_committed("candidates"):
+        # restarted run: the canonicalized-candidates snapshot covers
+        # every upstream stage (extract → link → CC → canonicalize);
+        # skip their recomputation entirely — counters come from the
+        # snapshot's stored metrics
+        candidates = scratch(None, "candidates", partition_by="p").select(
             "s", "p", "o", "o_is_iri"
-        ),
-        labels,
-    ).dropDuplicates(["s", "p", "o"])
-    candidates = scratch(canon, "candidates", partition_by="p").select(
-        "s", "p", "o", "o_is_iri"
-    )
-    mark("canonicalize")
+        )
+        mark("link")
+        mark("cc")
+        mark("canonicalize")
+    else:
+        linked = scratch(link.link_mentions(mentions, edict), "linked")
+
+        # two independent metric collects over the scratch table —
+        # submitted from driver threads so their stages interleave and
+        # the per-action driver latency is paid once, not twice
+        def _by_method():
+            return {
+                r["link_method"]: r["n"]
+                for r in linked.where(F.col("kind") == "lives_in")
+                .groupBy("link_method")
+                .agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+
+        def _head_entity():
+            # head-entity histogram via the salted two-stage aggregate
+            top = (
+                link.salted_count(
+                    linked.where(F.col("entity_id").isNotNull()), "entity_id"
+                )
+                .orderBy(F.col("n_mentions").desc())
+                .limit(1)
+                .collect()
+            )
+            return (
+                {"entity": top[0]["entity_id"],
+                 "mentions": top[0]["n_mentions"]}
+                if top else None
+            )
+
+        with ThreadPoolExecutor(2) as pool:
+            f_links = pool.submit(_by_method)
+            f_head = pool.submit(_head_entity)
+            metrics["links"] = f_links.result()
+            head = f_head.result()
+        if head:
+            metrics["head_entity"] = head
+        mark("link")
+
+        cand = assemble.assemble_triples(linked)
+        edges = assemble.sameas_edges(cand)
+        labels = cc.connected_components(edges)
+        cc_row = labels.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("component").alias("c"),
+        ).collect()[0]
+        metrics["cc_nodes"] = cc_row["n"]
+        metrics["cc_components"] = cc_row["c"]
+        mark("cc")
+
+        # Canonicalized candidates materialize ONCE as predicate-
+        # partitioned scratch parquet (the Iceberg intermediate-table
+        # stand-in): every downstream pass — the validator's
+        # per-predicate scans and the final anti-join — reads a
+        # partition-pruned, column-pruned, compressed columnar source
+        # instead of re-deserializing a fat row-format checkpoint from
+        # whichever executor happened to write it.
+        canon = cc.canonicalize(
+            cand.where(F.col("p") != assemble.P_SAME_AS).select(
+                "s", "p", "o", "o_is_iri"
+            ),
+            labels,
+        ).dropDuplicates(["s", "p", "o"])
+        candidates = scratch(canon, "candidates", partition_by="p").select(
+            "s", "p", "o", "o_is_iri"
+        )
+        mark("canonicalize")
 
     valid, violations = emit.validate_candidates(spark, candidates, edict)
     metrics["violations"] = violations.count()
@@ -175,6 +220,8 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, replicas: int = 1) -> dict:
     metrics["nodes"] = emit.parquet_rows(f"{out_dir}/nodes")
     mark("finalize")
 
+    if resumed_stages:
+        metrics["resumed_stages"] = resumed_stages
     metrics["phases"] = phases
     metrics["wall_secs"] = round(time.time() - t0, 3)
     metrics["triples_per_sec"] = round(

@@ -111,6 +111,33 @@ def test_validated_emission_drops_unlinked(spark):
     assert violations.count() >= 1
 
 
+def test_stage_level_resume(spark, tmp_path):
+    """A run that dies AFTER intermediate snapshots committed but BEFORE
+    the final manifest resumes from the last committed stage snapshot:
+    extract/link/CC/canonicalize are skipped, counters restored from the
+    snapshot, and the emitted output is identical."""
+    import os
+
+    from shacl_rust_spark.pipeline.run import run_pipeline
+
+    out = str(tmp_path / "kg")
+    first = run_pipeline(spark, SF, out)
+    m1 = first["metrics"]
+    assert "resumed_stages" not in m1
+    # simulate a crash after the scratch snapshots committed but before
+    # the final manifest write
+    os.remove(f"{out}/_manifest/commit.json")
+    second = run_pipeline(spark, SF, out)
+    m2 = second["metrics"]
+    assert not second["resumed"]  # full-manifest resume did NOT trigger
+    assert "candidates" in m2.get("resumed_stages", [])
+    # skipped-stage counters restored from the snapshot metrics
+    for k in ("links", "head_entity", "cc_nodes", "cc_components"):
+        assert m2[k] == m1[k]
+    assert m2["emitted_triples"] == m1["emitted_triples"]
+    assert m2["nodes"] == m1["nodes"]
+
+
 def test_manifest_resume(spark, tmp_path):
     out = str(tmp_path / "kg")
     t = spark.createDataFrame(
