@@ -90,9 +90,17 @@ def test_connected_components_chain(spark):
          ("m", "m")],                            # self loop
         ["src", "dst"],
     )
+    expected = {"a": "a", "b": "a", "c": "a", "d": "a",
+                "x": "x", "y": "x", "m": "m"}
+    # driver-side union-find fast path (small edge set)
     labels = {r.node: r.component for r in cc.connected_components(edges).collect()}
-    assert labels == {"a": "a", "b": "a", "c": "a", "d": "a",
-                      "x": "x", "y": "x", "m": "m"}
+    assert labels == expected
+    # distributed min-label fixpoint (the at-scale path) — identical result
+    dist = {
+        r.node: r.component
+        for r in cc.connected_components(edges, max_driver_edges=0).collect()
+    }
+    assert dist == expected
 
 
 def test_validated_emission_drops_unlinked(spark):
