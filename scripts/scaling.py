@@ -104,6 +104,20 @@ def main() -> int:
     }
     print(json.dumps(summary))
 
+    # append to the committed run history; recent runs render into
+    # BENCH.md as reproducibility evidence
+    summary["ts"] = time.time()
+    with open("/root/repo/BENCH_HISTORY.jsonl", "a") as f:
+        f.write(json.dumps(summary) + "\n")
+    with open("/root/repo/BENCH_HISTORY.jsonl") as f:
+        history = [json.loads(ln) for ln in f if ln.strip()]
+    hist_rows = "\n".join(
+        f"| {h['N']['wall_secs']} | {h['4N']['wall_secs']} "
+        f"| {h['speedup']:.2f}× | {h['scaling_efficiency']:.3f} |"
+        for h in history[-6:]
+        if h["replicas"] == replicas and h["sf_dir"] == sf_dir
+    )
+
     md = f"""# BENCH — throughput & scaling evidence
 
 ## Scaling (north_rule: efficiency ≥ 0.8 from N → 4N executors)
@@ -128,6 +142,13 @@ differs.
 
 **Speedup N→4N: {speedup:.2f}× → scaling efficiency {efficiency:.3f}**
 (criterion ≥ 0.8: {"MET" if efficiency >= 0.8 else "NOT MET"}).
+
+Run history at this input (BENCH_HISTORY.jsonl; the sandbox host has
+±5-7 % run-to-run wall-clock noise, so repeated runs are the evidence):
+
+| N wall (s) | 4N wall (s) | speedup | efficiency |
+|---|---|---|---|
+{hist_rows}
 
 Stage metrics at N:  {json.dumps(results[1])}
 
