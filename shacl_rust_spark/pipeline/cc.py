@@ -134,17 +134,22 @@ def connected_components(
 def canonicalize(triples: DataFrame, labels: DataFrame) -> DataFrame:
     """Rewrite subject/object IRIs to their component representative.
 
-    labels is small relative to triples (only aliased nodes) →
-    broadcast left joins, no shuffle of the big side. Identity labels
-    (node == component, i.e. the component representative itself) are
-    no-op rewrites — filtering them out shrinks the broadcast hash map
-    and leaves the coalesce fallback to do the right thing.
+    labels is small relative to triples (only aliased nodes), and
+    identity labels (node == component, the representative itself) are
+    no-op rewrites — filtering them out shrinks the join's build side
+    and leaves the coalesce fallback to do the right thing. No FORCED
+    broadcast hint: the rewrite map scales with the alias population
+    (millions of rows at web scale — a forced broadcast is a driver
+    OOM risk and a serial build). AQE picks broadcast when the runtime
+    size is under spark.sql.autoBroadcastJoinThreshold and a shuffled
+    join when it is not, which is exactly the right behavior at every
+    scale.
     """
     rewrites = labels.where(F.col("node") != F.col("component"))
-    ls = F.broadcast(rewrites.select(F.col("node").alias("_sn"),
-                                     F.col("component").alias("_sc")))
-    lo = F.broadcast(rewrites.select(F.col("node").alias("_on"),
-                                     F.col("component").alias("_oc")))
+    ls = rewrites.select(F.col("node").alias("_sn"),
+                         F.col("component").alias("_sc"))
+    lo = rewrites.select(F.col("node").alias("_on"),
+                         F.col("component").alias("_oc"))
     passthrough = [c for c in triples.columns if c not in ("s", "o")]
     return (
         triples.join(ls, triples["s"] == F.col("_sn"), "left")
