@@ -272,7 +272,13 @@ def main(argv: list[str] | None = None) -> int:
         # scratch/output parquet is small after compression; default
         # 128 MB split granularity would read it with 2-3 tasks
         .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+        # 128 MB broadcast budget (~1% of executor memory): lets AQE
+        # convert the CC rewrite-map and violation-set joins to
+        # broadcast from their RUNTIME size at bench scale while still
+        # shuffling genuinely huge build sides — no forced broadcast
+        # hints anywhere in the pipeline (a forced hint on a
+        # data-proportional relation is a driver OOM at 100 TB)
+        .config("spark.sql.autoBroadcastJoinThreshold", "128m")
         # the remaining (small) localCheckpoints — CC labels, violation
         # sets — store lz4-compressed: cross-executor block fetches move
         # ~5× fewer bytes for a negligible CPU cost
