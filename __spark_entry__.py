@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": O.dedup_exact,
         "dedup_jaccard": O.dedup_jaccard,
         "dedup_minhash_lsh": O.dedup_minhash_lsh,
+        "dedup_components": O.dedup_components,
         "dedup_simhash": O.dedup_simhash,
         "dedup_embedding": O.dedup_embedding,
         "ann_cosine_topk": O.ann_cosine_topk,
@@ -196,6 +197,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b
             FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
             WHERE ni * 10000 >= (sa.n + sb.n - ni) * 8000
+        """,
+        # connected components over the LSH pair set via recursive CTE
+        # (semi-naive reachability; clusters are tiny so the walk is
+        # bounded by sum of squared component sizes)
+        "dedup_components": _WORDS_CTE.replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        ) + """
+            , h AS (
+              SELECT doc_id, gs.s AS s,
+                     min(md5('s' || gs.s || ':' || word)) AS m
+              FROM w CROSS JOIN generate_series(0, 7) gs(s) GROUP BY 1, 2),
+            bk0 AS (
+              SELECT doc_id,
+                     (s // 2) || '|' || string_agg(m, '|' ORDER BY s) AS band_key
+              FROM h GROUP BY doc_id, s // 2),
+            keep AS (SELECT band_key FROM bk0 GROUP BY 1 HAVING count(*) <= 50),
+            bk AS (SELECT bk0.* FROM bk0 JOIN keep USING (band_key)),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bk x JOIN bk y
+                ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+            i AS (
+              SELECT c.a, c.b, count(*) AS ni
+              FROM cand c
+              JOIN w wa ON wa.doc_id = c.a
+              JOIN w wb ON wb.doc_id = c.b AND wa.word = wb.word
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT a, b
+              FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+              WHERE ni * 10000 >= (sa.n + sb.n - ni) * 8000),
+            und AS (
+              SELECT a AS x, b AS y FROM pairs
+              UNION SELECT b, a FROM pairs),
+            walk AS (
+              SELECT x AS node, x AS reach FROM und
+              UNION
+              SELECT wk.node, u.y FROM walk wk JOIN und u ON u.x = wk.reach)
+            SELECT node AS doc_id, MIN(reach) AS component
+            FROM walk GROUP BY 1
         """,
         "dedup_simhash": _WORDS_CTE + """
             , h AS (

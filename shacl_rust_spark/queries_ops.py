@@ -37,6 +37,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8)
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate document CLUSTERS: the minhash-LSH pair set as an
+    undirected edge set → connected components (the same CC operator the
+    KG pipeline uses for sameAs canonicalization), component = min
+    doc_id of the cluster. Gives the canonical-representative mapping a
+    dedup pass applies with one anti-join; only documents with at least
+    one near-dup partner appear. doc_ids ride zero-padded through the
+    string-keyed CC so lexicographic min == numeric min."""
+    from .pipeline import cc
+
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8)
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    labels = cc.connected_components(
+        pairs.select(pad(F.col("a")).alias("src"),
+                     pad(F.col("b")).alias("dst"))
+    )
+    return labels.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit simhash per document (near-dup = small Hamming distance)."""
     return dedup.simhash64(_docs(spark, sf_dir))
