@@ -24,6 +24,8 @@ _RUST_F64_RE = (
     r"|[iI][nN][fF]([iI][nN][iI][tT][yY])?"
     r"|[nN][aA][nN])$"
 )
+_NAN_RE = r"^[+-]?[nN][aA][nN]$"
+_INF_RE = r"^[+-]?[iI][nN][fF]([iI][nN][iI][tT][yY])?$"
 
 _OPS = {
     "lt": lambda a, b: a < b,
@@ -47,8 +49,31 @@ def rust_f64_parse(value: str) -> float | None:
 
 
 def num_col(lex: Column) -> Column:
-    """f64-or-null for a lexical-form column, Rust-grammar gated."""
-    return F.when(lex.rlike(_RUST_F64_RE), lex.cast("double"))
+    """f64-or-null for a lexical-form column, Rust-grammar gated.
+
+    The special forms Rust parses but Spark's double cast does not
+    ("inf"/"infinity", "nan", signed variants) are mapped explicitly;
+    everything else Rust-grammar-gated goes through the cast."""
+    neg = lex.startswith("-")
+    return (
+        F.when(lex.rlike(_NAN_RE), F.lit(float("nan")))
+        .when(lex.rlike(_INF_RE),
+              F.when(neg, F.lit(float("-inf"))).otherwise(F.lit(float("inf"))))
+        .when(lex.rlike(_RUST_F64_RE), lex.cast("double"))
+    )
+
+
+def _num_cmp(an: Column, bn: Column, op: str) -> Column:
+    """Numeric branch with the reference's NaN quirk: Rust maps the
+    comparison through `na < nb` / `na > nb` / else cmp=0, so any NaN
+    operand falls through to cmp=0 — i.e. le/ge/eq are TRUE, lt/gt
+    FALSE (utils.rs:407-415). Spark's NaN ordering (NaN greater than
+    everything, NaN==NaN) would disagree, so the NaN case is explicit."""
+    f = _OPS[op]
+    either_nan = F.isnan(an) | F.isnan(bn)
+    return F.when(either_nan, F.lit(op in ("le", "ge", "eq"))).otherwise(
+        f(an, bn)
+    )
 
 
 def compare_terms(a: Column, b: Column, op: str) -> Column:
@@ -56,7 +81,7 @@ def compare_terms(a: Column, b: Column, op: str) -> Column:
     f = _OPS[op]
     both_lit = (a["kind"] == "lit") & (b["kind"] == "lit")
     an, bn = num_col(a["value"]), num_col(b["value"])
-    numeric = an.isNotNull() & bn.isNotNull() & f(an, bn)
+    numeric = an.isNotNull() & bn.isNotNull() & _num_cmp(an, bn, op)
     stringy = an.isNull() & bn.isNull() & f(a["value"], b["value"])
     return both_lit & (numeric | stringy)
 
@@ -74,5 +99,5 @@ def compare_term_to_const(a: Column, bound, op: str) -> Column:
     is_lit = a["kind"] == "lit"
     an = num_col(a["value"])
     if bound_num is not None:
-        return is_lit & an.isNotNull() & f(an, F.lit(bound_num))
+        return is_lit & an.isNotNull() & _num_cmp(an, F.lit(bound_num), op)
     return is_lit & an.isNull() & f(a["value"], F.lit(bound.value))

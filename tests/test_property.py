@@ -1,0 +1,209 @@
+"""Property-based tests (hypothesis) for the semantics the conformance
+corpus cannot exhaustively cover.
+
+The reference has no property-based testing (SURVEY.md §5); these tests
+pin the two places where subtle semantics live:
+
+1. `compare_values` (f64-else-string, /root/reference/src/utils.rs:
+   396-433) — the Spark Column expression must agree with a direct
+   Python model of the Rust code on arbitrary lexical forms, including
+   the quirky corners: Rust-grammar-gated parses ("inf"/"infinity"/
+   "nan", "5.", ".5", no whitespace, no "1_0"), NaN falling through to
+   cmp=0 (le/ge/eq true), mixed numeric/non-numeric ⇒ false.
+2. Connected components — the driver union-find fast path and a plain
+   BFS model must agree on arbitrary small graphs (the distributed
+   fixpoint is separately pinned to the same output in
+   test_pipeline.py::test_connected_components_chain).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from shacl_rust_spark.engine.compare import _OPS, rust_f64_parse
+from shacl_rust_spark.pipeline.cc import _driver_cc
+
+# --- 1. compare_values ---------------------------------------------------
+
+_RUST_RE = re.compile(
+    r"^[+-]?([0-9]+\.?[0-9]*([eE][+-]?[0-9]+)?"
+    r"|\.[0-9]+([eE][+-]?[0-9]+)?"
+    r"|[iI][nN][fF]([iI][nN][iI][tT][yY])?"
+    r"|[nN][aA][nN])$"
+)
+
+
+def _model_parse(v: str) -> float | None:
+    """Direct model of Rust str::parse::<f64> (grammar-gated float)."""
+    return float(v) if _RUST_RE.match(v) else None
+
+
+def _model_compare(a: str, b: str, op: str) -> bool:
+    """Line-for-line model of compare_values (utils.rs:396-433) for two
+    literal terms."""
+    na, nb = _model_parse(a), _model_parse(b)
+    if na is not None and nb is not None:
+        if na < nb:
+            cmp = -1
+        elif na > nb:
+            cmp = 1
+        else:
+            cmp = 0  # includes every NaN case: both < and > are false
+    elif na is None and nb is None:
+        # Rust str cmp is byte-wise over UTF-8 == code-point order
+        cmp = -1 if a < b else (1 if a > b else 0)
+    else:
+        return False
+    return {"lt": cmp < 0, "le": cmp <= 0, "gt": cmp > 0,
+            "ge": cmp >= 0, "eq": cmp == 0}[op]
+
+
+_lexical = st.one_of(
+    st.sampled_from([
+        "inf", "Infinity", "-inf", "+INFINITY", "nan", "NaN", "-NaN",
+        "5.", ".5", "1e3", "1E-2", "+3", "-0", "0", "1_0", " 5", "5 ",
+        "0x10", "1d", "abc", "", "10", "9", "á", "Z",
+    ]),
+    st.floats(allow_nan=True, allow_infinity=True).map(repr),
+    st.integers(-1000, 1000).map(str),
+    st.text(alphabet="0123456789.eE+-abz ", max_size=8),
+)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(_lexical, _lexical), min_size=1, max_size=60))
+def test_compare_terms_matches_rust_model(spark, pairs):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from shacl_rust_spark.engine.compare import compare_terms
+    from shacl_rust_spark.schema import TERM_TYPE
+
+    def term(v):
+        return ("lit", v, "http://www.w3.org/2001/XMLSchema#string", "")
+
+    schema = StructType([
+        StructField("i", LongType()),
+        StructField("a", TERM_TYPE), StructField("b", TERM_TYPE),
+    ])
+    df = spark.createDataFrame(
+        [(i, term(a), term(b)) for i, (a, b) in enumerate(pairs)], schema
+    )
+    flags = df.select(
+        "i", *[
+            F.coalesce(compare_terms(F.col("a"), F.col("b"), op),
+                       F.lit(False)).alias(op)
+            for op in _OPS
+        ]
+    ).collect()
+    for r in flags:
+        a, b = pairs[r["i"]]
+        for op in _OPS:
+            expected = _model_compare(a, b, op)
+            assert r[op] == expected, (
+                f"compare_terms({a!r}, {b!r}, {op}) = {r[op]}, "
+                f"model says {expected}"
+            )
+
+
+@given(_lexical)
+@settings(max_examples=300, deadline=None)
+def test_rust_f64_parse_matches_model(v):
+    got = rust_f64_parse(v)
+    want = _model_parse(v)
+    if want is not None and want != want:  # NaN
+        assert got is not None and got != got
+    else:
+        assert got == want
+
+
+def test_compare_quirk_corners(spark):
+    """Deterministic pins for the corners the reference's grammar and
+    NaN flow create (would regress silently without these)."""
+    cases = [
+        # Rust parses inf/infinity (Spark's double cast does not)
+        ("inf", "5", "gt", True),
+        ("-infinity", "5", "lt", True),
+        # NaN falls through to cmp=0: le/ge/eq true, lt/gt false
+        ("NaN", "5", "ge", True),
+        ("5", "nan", "le", True),
+        ("NaN", "NaN", "eq", True),
+        ("NaN", "5", "gt", False),
+        # Rust grammar rejects what Python/Spark would accept
+        ("1_0", "2", "lt", False),    # mixed: "1_0" is non-numeric
+        (" 5", "5", "eq", False),     # whitespace ⇒ non-numeric ⇒ mixed
+        ("5.", "5", "eq", True),      # trailing dot parses
+        (".5", "0.5", "eq", True),
+        # both non-numeric ⇒ byte-wise string compare
+        ("abc", "abd", "lt", True),
+        ("0x10", "0x9", "lt", True),  # string compare, not hex numeric
+    ]
+    from pyspark.sql import functions as F
+
+    from shacl_rust_spark.engine.compare import compare_terms
+    from shacl_rust_spark.schema import TERM_TYPE
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def term(v):
+        return ("lit", v, "http://www.w3.org/2001/XMLSchema#string", "")
+
+    schema = StructType([
+        StructField("i", LongType()),
+        StructField("a", TERM_TYPE), StructField("b", TERM_TYPE),
+    ])
+    df = spark.createDataFrame(
+        [(i, term(a), term(b)) for i, (a, b, _, _) in enumerate(cases)], schema
+    )
+    rows = {r["i"]: r for r in df.select(
+        "i", *[
+            F.coalesce(compare_terms(F.col("a"), F.col("b"), op),
+                       F.lit(False)).alias(op)
+            for op in _OPS
+        ]
+    ).collect()}
+    for i, (a, b, op, want) in enumerate(cases):
+        got = rows[i][op]
+        assert got == want, f"({a!r} {op} {b!r}) = {got}, want {want}"
+        assert _model_compare(a, b, op) == want  # model agrees
+
+
+# --- 2. connected components --------------------------------------------
+
+def _model_cc(edges: list[tuple[str, str]]) -> dict[str, str]:
+    """BFS reference model: component = min node id reachable."""
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out: dict[str, str] = {}
+    for start in adj:
+        if start in out:
+            continue
+        seen = {start}
+        frontier = [start]
+        while frontier:
+            nxt = []
+            for n in frontier:
+                for m in adj[n]:
+                    if m not in seen:
+                        seen.add(m)
+                        nxt.append(m)
+            frontier = nxt
+        rep = min(seen)
+        for n in seen:
+            out[n] = rep
+    return out
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 30).map(str), st.integers(0, 30).map(str)),
+    max_size=60,
+))
+@settings(max_examples=300, deadline=None)
+def test_driver_cc_matches_bfs_model(edges):
+    got = dict(_driver_cc(edges))
+    assert got == _model_cc(edges)
