@@ -207,3 +207,104 @@ def _model_cc(edges: list[tuple[str, str]]) -> dict[str, str]:
 def test_driver_cc_matches_bfs_model(edges):
     got = dict(_driver_cc(edges))
     assert got == _model_cc(edges)
+
+
+# --- 3. Kleene property paths -------------------------------------------
+
+_P = "http://example.org/p"
+# node universe: a few IRIs + literal-valued objects (never traversed)
+_IRIS = [f"n{i}" for i in range(8)]
+_LITS = ["lit0", "lit1"]
+
+
+def _model_kleene(edges, starts, inverse, include_start):
+    """Reference BFS (path.rs:138-171): reachable in ≥1 step, start
+    seeded into visited (never re-emitted); literals are valid targets
+    but never expanded; zeroOrMore adds the start itself."""
+    adj: dict[str, list[str]] = {}
+    for s, o in edges:
+        a, b = (o, s) if inverse else (s, o)
+        if inverse and a in _LITS:
+            # literal "subject" of the inverse hop: the reference matches
+            # triple.object == node, node here is the literal — fine; but
+            # edges never have literal subjects, so b is always an IRI
+            pass
+        adj.setdefault(a, []).append(b)
+    out = set()
+    for f in starts:
+        reach = set()
+        frontier = [f] if f not in _LITS else []
+        visited = {f}
+        while frontier:
+            nxt = []
+            for n in frontier:
+                for m in adj.get(n, ()):
+                    if m not in visited:
+                        visited.add(m)
+                        reach.add(m)
+                        if m not in _LITS:
+                            nxt.append(m)
+            frontier = nxt
+        if include_start:
+            reach.add(f)
+        out |= {(f, v) for v in reach}
+    return out
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.sampled_from(_IRIS),
+                       st.sampled_from(_IRIS + _LITS)), max_size=20),
+    st.sets(st.sampled_from(_IRIS), min_size=1, max_size=4),
+    st.booleans(),   # inverse hop
+    st.booleans(),   # force the distributed fixpoint loop
+)
+def test_kleene_paths_match_reference_bfs(spark, edges, starts, inverse,
+                                          force_loop):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from shacl_rust_spark.engine.dataset import Dataset
+    from shacl_rust_spark.engine.paths import resolve_path
+    from shacl_rust_spark.rdf.turtle import parse_turtle
+    from shacl_rust_spark.schema import TERM_TYPE
+    from shacl_rust_spark.shapes.ir import (
+        Hop, Inverse, OneOrMore, Path, ZeroOrMore,
+    )
+
+    def term(v):
+        if v in _LITS:
+            return ("lit", v, "http://www.w3.org/2001/XMLSchema#string", "")
+        return ("iri", f"http://example.org/{v}", "", "")
+
+    tri_schema = StructType([
+        StructField("s", TERM_TYPE), StructField("p", StringType()),
+        StructField("o", TERM_TYPE),
+    ])
+    triples = spark.createDataFrame(
+        [(term(s), _P, term(o)) for s, o in set(edges)], tri_schema
+    )
+    ds = Dataset(spark, triples, parse_turtle(""))
+    if force_loop:
+        ds._MAX_KLEENE_EDGES = 0  # disable the memoized-pairs fast path
+
+    focus = spark.createDataFrame(
+        [(term(f),) for f in sorted(starts)],
+        StructType([StructField("focus", TERM_TYPE)]),
+    )
+    inner = Inverse(_P) if inverse else Hop(_P)
+    for elem_cls, include_start in ((OneOrMore, False), (ZeroOrMore, True)):
+        got = {
+            (r["focus"]["value"].rsplit("/", 1)[-1],
+             r["v"]["value"].rsplit("/", 1)[-1])
+            for r in resolve_path(
+                ds, Path((elem_cls(inner),)), focus
+            ).collect()
+        }
+        # model works on short names; literal values have no IRI prefix
+        want = _model_kleene(set(edges), sorted(starts), inverse,
+                             include_start)
+        assert got == want, (
+            f"{elem_cls.__name__} inverse={inverse} loop={force_loop}: "
+            f"got {sorted(got)}, want {sorted(want)}"
+        )
