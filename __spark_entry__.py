@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_language_in": Q.shacl_language_in,
         "shacl_less_than_or_equals": Q.shacl_less_than_or_equals,
         "shacl_max_exclusive": Q.shacl_max_exclusive,
+        "shacl_min_exclusive": Q.shacl_min_exclusive,
+        "shacl_max_inclusive": Q.shacl_max_inclusive,
         "shacl_target_subjects_of": Q.shacl_target_subjects_of,
         "shacl_target_objects_of": Q.shacl_target_objects_of,
         "shacl_target_node": Q.shacl_target_node,
@@ -241,15 +243,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _WORDS_CTE + """
             , h AS (
               SELECT doc_id,
-                     CAST(('0x' || substr(md5(word), 1, 15)) AS UBIGINT)::BIGINT AS hv
+                     CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS hi,
+                     CAST(('0x' || substr(md5(word), 9, 8)) AS BIGINT) AS lo
               FROM w),
             bits AS (
               SELECT doc_id, gs.b AS b,
-                     SUM(CASE WHEN (hv >> gs.b) & 1 = 1 THEN 1 ELSE -1 END) AS sb
-              FROM h CROSS JOIN generate_series(0, 59) gs(b) GROUP BY 1, 2)
+                     SUM(CASE WHEN (CASE WHEN gs.b < 32
+                                         THEN (lo >> gs.b) & 1
+                                         ELSE (hi >> (gs.b - 32)) & 1 END) = 1
+                              THEN 1 ELSE -1 END) AS sb
+              FROM h CROSS JOIN generate_series(0, 63) gs(b) GROUP BY 1, 2)
             SELECT doc_id,
-                   SUM(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << b)
-                            ELSE 0 END)::BIGINT AS simhash
+                   SUM(CASE WHEN sb <= 0 THEN 0
+                            WHEN b = 63 THEN -9223372036854775808
+                            ELSE (CAST(1 AS BIGINT) << b)
+                            END)::BIGINT AS simhash
             FROM bits GROUP BY doc_id
         """,
         "dedup_embedding": """
@@ -633,6 +641,14 @@ def oracle_sql() -> dict[str, str]:
         "shacl_max_exclusive": f"""
             SELECT '{EX}cust/' || c_custkey AS focus
             FROM customer WHERE c_acctbal >= 9900
+        """,
+        "shacl_min_exclusive": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus
+            FROM customer WHERE c_acctbal <= 0
+        """,
+        "shacl_max_inclusive": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus
+            FROM customer WHERE c_acctbal > 5000
         """,
         "shacl_target_subjects_of": f"""
             SELECT '{EX}order/' || o_orderkey AS focus

@@ -111,11 +111,17 @@ def main() -> int:
         f.write(json.dumps(summary) + "\n")
     with open("/root/repo/BENCH_HISTORY.jsonl") as f:
         history = [json.loads(ln) for ln in f if ln.strip()]
+    # filter to this configuration FIRST, then take the most recent 6 —
+    # slicing before filtering would hide matching runs once the history
+    # contains other (replicas, sf_dir) configurations
+    matching = [
+        h for h in history
+        if h["replicas"] == replicas and h["sf_dir"] == sf_dir
+    ]
     hist_rows = "\n".join(
         f"| {h['N']['wall_secs']} | {h['4N']['wall_secs']} "
         f"| {h['speedup']:.2f}× | {h['scaling_efficiency']:.3f} |"
-        for h in history[-6:]
-        if h["replicas"] == replicas and h["sf_dir"] == sf_dir
+        for h in matching[-6:]
     )
 
     md = f"""# BENCH — throughput & scaling evidence

@@ -109,8 +109,13 @@ class Validator:
         if self.ds.subproperties(t.term) != [t.term.value]:
             return None
         p_iri = t.term.value
-        pairs = self.ds.pred(p_iri).select(
-            F.col("s").alias("focus"), F.col("o").alias("v")
+        # graph = SET of triples: dedup (focus, v) exactly as resolve_path
+        # does for a single Hop, so a table-backed source with duplicate
+        # (s,P,o) rows can't inflate count/qualified semantics
+        pairs = (
+            self.ds.pred(p_iri)
+            .select(F.col("s").alias("focus"), F.col("o").alias("v"))
+            .dropDuplicates(["focus", "v"])
         )
         if not self.ds.cheap_pred:
             # defensive cut: without a pruned columnar source every

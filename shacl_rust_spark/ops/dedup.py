@@ -142,24 +142,35 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float) -> DataFrame:
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash long): per word take 64 bits of md5, sum ±1 per
-    bit over the word set, sign → bit. Pure Column ops (explode +
-    conditional sums), no UDFs."""
+    """(doc_id, simhash long): per word take the full 64 bits of md5
+    (first 16 hex chars), sum ±1 per bit over the word set, sign → bit.
+    Pure Column ops (explode + conditional sums), no UDFs.
+
+    The 64-bit word hash is carried as two 32-bit halves (hi = hex
+    chars 1-8, lo = chars 9-16) so every intermediate fits a signed
+    long; the assembled simhash is the standard two's-complement long
+    (bit 63 contributes -2^63)."""
     ex = _word_sets(docs).select("doc_id", F.explode("_w").alias("_word"))
+    md5 = F.md5(F.col("_word"))
     h = ex.select(
         "doc_id",
-        F.conv(F.substring(F.md5(F.col("_word")), 1, 15), 16, 10)
-        .cast("long").alias("_h"),
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("_hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("_lo"),
     )
+
+    def _bit(b: int):
+        if b < 32:
+            return F.shiftright(F.col("_lo"), b).bitwiseAND(F.lit(1))
+        return F.shiftright(F.col("_hi"), b - 32).bitwiseAND(F.lit(1))
+
     bit_sums = h.groupBy("doc_id").agg(*[
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"_b{b}")
-        for b in range(60)
+        F.sum(F.when(_bit(b) == 1, F.lit(1)).otherwise(F.lit(-1)))
+        .alias(f"_b{b}")
+        for b in range(64)
     ])
     sim = F.lit(0).cast("long")
-    for b in range(60):
+    for b in range(64):
+        weight = -(1 << 63) if b == 63 else (1 << b)
         sim = sim + F.when(F.col(f"_b{b}") > 0,
-                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+                           F.lit(weight).cast("long")).otherwise(F.lit(0))
     return bit_sums.select("doc_id", sim.alias("simhash"))

@@ -59,9 +59,30 @@ def connected_components(
     edges: DataFrame, max_driver_edges: int = _MAX_DRIVER_EDGES
 ) -> DataFrame:
     """edges(src string, dst string) → (node string, component string)
-    with component = lexicographic min node id of the component."""
+    with component = lexicographic min node id of the component.
+
+    Null endpoints are dropped (an edge with no src or dst carries no
+    connectivity information) — uniformly on both the driver fast path
+    and the distributed fixpoint.
+
+    NOTE: the distributed fixpoint disables AQE on the session conf for
+    the duration of the loop (per-stage re-planning barriers add fixed
+    latency per tiny iterative job and can re-coalesce away the
+    co-partitioning). The override is session-global: do not run
+    connected_components concurrently with other jobs that rely on AQE
+    in the same SparkSession; run.py schedules it as a sequential stage.
+    """
     spark = edges.sparkSession
-    probe = edges.select("src", "dst").limit(max_driver_edges + 1).collect()
+    # Materialize the (narrow) edge list ONCE before the size probe so
+    # the probe and whichever path follows share a single upstream scan
+    # — otherwise the distributed path would recompute the full
+    # extraction/linking upstream a second time.
+    edges = (
+        edges.select("src", "dst")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    probe = edges.limit(max_driver_edges + 1).collect()
     if len(probe) <= max_driver_edges:
         from pyspark.sql.types import StringType, StructField, StructType
 
@@ -80,11 +101,10 @@ def connected_components(
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        # Materialize the (small) edge list first with ONE scan of its
-        # (large) upstream, then build the undirected set from the
-        # materialized frame — a union of two selects over the lazy
-        # edges would re-run the whole upstream scan per branch.
-        edges = edges.select("src", "dst").localCheckpoint(eager=True)
+        # edges is already checkpointed above (shared with the probe);
+        # build the undirected set from the materialized frame — a union
+        # of two selects over a lazy frame would re-run the upstream
+        # scan per branch.
         und = (
             edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
             .unionByName(

@@ -403,6 +403,28 @@ def shacl_max_exclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _focus_only(_validate(spark, T.customer_triples(spark, sf_dir), shapes))
 
 
+def shacl_min_exclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:minExclusive (min_exclusive.rs): acctbal must be > 0, so a
+    zero balance violates (the strict bound distinguishes this from
+    shacl_min_inclusive)."""
+    shapes = """
+    ex:BalPositive a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:property [ sh:path ex:acctbal ; sh:minExclusive 0 ] .
+    """
+    return _focus_only(_validate(spark, T.customer_triples(spark, sf_dir), shapes))
+
+
+def shacl_max_inclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:maxInclusive (max_inclusive.rs): acctbal must be <= 5000."""
+    shapes = """
+    ex:BalCeiling a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:property [ sh:path ex:acctbal ; sh:maxInclusive 5000 ] .
+    """
+    return _focus_only(_validate(spark, T.customer_triples(spark, sf_dir), shapes))
+
+
 def shacl_target_subjects_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sh:targetSubjectsOf (target.rs:75-85): clerk-bearing orders whose
     status is not 'O'."""

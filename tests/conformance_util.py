@@ -29,7 +29,11 @@ SHT_FAILURE = V.SHT + "Failure"
 SHT_DATA_GRAPH = V.SHT + "dataGraph"
 SHT_SHAPES_GRAPH = V.SHT + "shapesGraph"
 
-ROOT_MANIFEST = "/root/reference/tests/resources/manifest.ttl"
+# Vendored copy of the reference's conformance corpus (test fixtures from
+# /root/reference/tests/resources) so the suite is self-contained.
+ROOT_MANIFEST = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "resources", "manifest.ttl"
+)
 
 
 @dataclass
