@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_path_kleene": Q.shacl_path_kleene,
         "shacl_report_summary": Q.shacl_report_summary,
         "shacl_sparql": Q.shacl_sparql,
+        "shacl_sparql_optional": Q.shacl_sparql_optional,
+        "shacl_sparql_path": Q.shacl_sparql_path,
         "shacl_equals": Q.shacl_equals,
         "shacl_disjoint": Q.shacl_disjoint,
         "shacl_not": Q.shacl_not,
@@ -571,6 +573,17 @@ def oracle_sql() -> dict[str, str]:
         "shacl_sparql": f"""
             SELECT '{EX}cust/' || c_custkey AS focus
             FROM customer WHERE c_acctbal < 0
+        """,
+        "shacl_sparql_optional": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderkey % 10 = 0)
+        """,
+        "shacl_sparql_path": f"""
+            SELECT '{EX}nation/' || n_nationkey AS focus
+            FROM nation WHERE n_regionkey % 2 = 1
         """,
         "shacl_equals": f"""
             WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_linenumber AS ln,

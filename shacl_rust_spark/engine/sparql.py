@@ -13,7 +13,17 @@ Supported: SELECT/ASK, BGP triple patterns (vars in any slot), FILTER
 (=, !=, <, >, <=, >=, &&, ||, !, bound, isLiteral/isIRI/isBlank, lang,
 langMatches, CONCAT, COALESCE, datatype, str), BIND, GRAPH
 $shapesGraph {}, UNION (flattened-scope approximation), FILTER (NOT)
-EXISTS via shared-column (anti-)joins, DISTINCT.
+EXISTS via shared-column (anti-)joins, DISTINCT, OPTIONAL (left join on
+the shared solution variables), VALUES (inline solution join), typed
+and language-tagged literals, and property paths in the predicate
+position (^ / | * + ? with grouping) evaluated spec-compliantly —
+seeded from whichever endpoint is bound, sequence/alternative as
+join/union combinators, Kleene closure as an iterative checkpointed
+frontier fixpoint (NOTE: unlike the SHACL path resolver in paths.py,
+``+`` here DOES re-emit the start node when a cycle reaches it — the
+reference evaluates sh:sparql with a spec-compliant SPARQL engine, not
+its SHACL path walker). Paths with both endpoints unbound and paths
+inside GRAPH $shapesGraph blocks are not supported.
 
 Parity behaviors preserved from the reference:
 - MINUS / SERVICE / nested SELECT ⇒ one "pre-binding" violation per
@@ -95,6 +105,81 @@ class NotExists:
 
 
 @dataclass(frozen=True)
+class OptionalBlock:
+    elems: tuple
+
+
+@dataclass(frozen=True)
+class ValuesBlock:
+    vars: tuple  # of Var
+    rows: tuple  # of tuples of Term
+
+
+# --- property-path AST (predicate position in query patterns) -------------
+# Distinct from shapes.ir: query paths nest freely ((a/b)+ , ^(a|b)), and
+# their Kleene semantics are the SPARQL spec's, not the reference's SHACL
+# path-walker quirks.
+@dataclass(frozen=True)
+class PHop:
+    iri: str
+
+
+@dataclass(frozen=True)
+class PInvH:
+    iri: str
+
+
+@dataclass(frozen=True)
+class PSeq:
+    elems: tuple
+
+
+@dataclass(frozen=True)
+class PAlt:
+    alts: tuple
+
+
+@dataclass(frozen=True)
+class PStar:
+    inner: object
+
+
+@dataclass(frozen=True)
+class PPlus:
+    inner: object
+
+
+@dataclass(frozen=True)
+class POpt:
+    inner: object
+
+
+@dataclass(frozen=True)
+class PathTP:
+    s: object
+    path: object
+    o: object
+
+
+def _invert_path(n):
+    if isinstance(n, PHop):
+        return PInvH(n.iri)
+    if isinstance(n, PInvH):
+        return PHop(n.iri)
+    if isinstance(n, PSeq):
+        return PSeq(tuple(_invert_path(e) for e in reversed(n.elems)))
+    if isinstance(n, PAlt):
+        return PAlt(tuple(_invert_path(a) for a in n.alts))
+    if isinstance(n, PStar):
+        return PStar(_invert_path(n.inner))
+    if isinstance(n, PPlus):
+        return PPlus(_invert_path(n.inner))
+    if isinstance(n, POpt):
+        return POpt(_invert_path(n.inner))
+    raise SparqlParseError(f"cannot invert path node {n!r}")
+
+
+@dataclass(frozen=True)
 class ECall:
     fn: str
     args: tuple
@@ -128,7 +213,8 @@ _TOKEN_RE = re.compile(
   | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.]*|:[A-Za-z0-9_\-.]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[(){}.;,=<>!*])
+  | (?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
+  | (?P<op>&&|\|\||!=|<=|>=|\^\^|[(){}.;,=<>!*/|^+?])
 )""",
     re.VERBOSE,
 )
@@ -269,23 +355,125 @@ class _Parser:
                 raise SparqlUnsupported("SERVICE is not supported for SHACL pre-binding")
             elif up == "SELECT":
                 raise SparqlUnsupported("Nested SELECT is not supported for SHACL pre-binding")
-            elif up in ("VALUES", "OPTIONAL"):
-                raise SparqlParseError(f"{up} not handled by the subset rewriter")
+            elif up == "OPTIONAL":
+                self.next()
+                elems.append(OptionalBlock(self.parse_group()))
+            elif up == "VALUES":
+                self.next()
+                elems.append(self.parse_values())
             else:
                 elems.append(self.parse_triple_pattern())
         return tuple(elems)
 
-    def parse_triple_pattern(self) -> TP:
+    def parse_triple_pattern(self):
         s = self.parse_term()
         p = self.parse_predicate()
         o = self.parse_term()
-        return TP(s, p, o)
+        if isinstance(p, (Var, Term)):
+            return TP(s, p, o)
+        return PathTP(s, p, o)
 
     def parse_predicate(self):
+        """Predicate position: a variable, a plain IRI (compiled as an
+        equi-join TP), or a property-path expression."""
+        if self.peek().startswith(("?", "$")):
+            return Var(self.next()[1:])
+        node = self._path_alt()
+        if isinstance(node, PHop):
+            return iri(node.iri)  # plain predicate: existing TP fast path
+        return node
+
+    # path := alt ('|' alt)* ; seq := elt ('/' elt)* ;
+    # elt := '^'? primary ('*'|'+'|'?')? ; primary := iri | 'a' | '(' path ')'
+    def _path_alt(self):
+        parts = [self._path_seq()]
+        while self.peek() == "|":
+            self.next()
+            parts.append(self._path_seq())
+        return parts[0] if len(parts) == 1 else PAlt(tuple(parts))
+
+    def _path_seq(self):
+        parts = [self._path_elt()]
+        while self.peek() == "/":
+            self.next()
+            parts.append(self._path_elt())
+        return parts[0] if len(parts) == 1 else PSeq(tuple(parts))
+
+    def _path_elt(self):
+        inv = False
+        if self.peek() == "^":
+            self.next()
+            inv = True
+        prim = self._path_primary()
+        if inv:
+            prim = _invert_path(prim)
+        while self.peek() in ("*", "+", "?"):
+            prim = {"*": PStar, "+": PPlus, "?": POpt}[self.next()](prim)
+        return prim
+
+    def _path_primary(self):
+        if self.peek() == "(":
+            self.next()
+            node = self._path_alt()
+            self.expect(")")
+            return node
         if self.peek() == "a":
             self.next()
-            return iri(V.RDF_TYPE)
-        return self.parse_term()
+            return PHop(V.RDF_TYPE)
+        if self.peek() == "!":
+            raise SparqlUnsupported(
+                "negated property sets are not supported for SHACL pre-binding"
+            )
+        t = self.parse_term()
+        if isinstance(t, Term) and t.is_iri:
+            return PHop(t.value)
+        raise SparqlParseError(f"bad path primary {t!r}")
+
+    def parse_values(self) -> ValuesBlock:
+        def one_term():
+            if self.peek().upper() == "UNDEF":
+                raise SparqlUnsupported(
+                    "UNDEF in VALUES is not supported for SHACL pre-binding"
+                )
+            t = self.parse_term()
+            if isinstance(t, Var):
+                raise SparqlParseError("variable in VALUES data row")
+            return t
+
+        if self.peek() == "(":
+            self.next()
+            vars_: list[Var] = []
+            while self.peek() != ")":
+                v = self.next()
+                if not v.startswith(("?", "$")):
+                    raise SparqlParseError("VALUES variable expected")
+                vars_.append(Var(v[1:]))
+            self.next()
+            self.expect("{")
+            rows: list[tuple] = []
+            while self.peek() == "(":
+                self.next()
+                row = []
+                while self.peek() != ")":
+                    row.append(one_term())
+                self.next()
+                if len(row) != len(vars_):
+                    raise SparqlParseError("VALUES row arity mismatch")
+                rows.append(tuple(row))
+            self.expect("}")
+        else:
+            v = self.next()
+            if not v.startswith(("?", "$")):
+                raise SparqlParseError("VALUES variable expected")
+            vars_ = [Var(v[1:])]
+            self.expect("{")
+            rows = []
+            while self.peek() != "}":
+                rows.append((one_term(),))
+            self.next()
+        if not rows:
+            raise SparqlParseError("empty VALUES block")
+        return ValuesBlock(tuple(vars_), tuple(rows))
 
     def parse_term(self):
         t = self.next()
@@ -295,8 +483,14 @@ class _Parser:
             return iri(t[1:-1])
         if t.startswith(('"', "'")):
             value = _unescape(t[1:-1])
-            if self.peek() == "^^" or (self.peek() == "^" and self.peek(1) == "^"):
-                raise SparqlParseError("typed literals in queries not supported")
+            if self.peek() == "^^":
+                self.next()
+                dt = self.parse_term()
+                if not (isinstance(dt, Term) and dt.is_iri):
+                    raise SparqlParseError("datatype of a typed literal must be an IRI")
+                return literal(value, dt.value)
+            if self.peek().startswith("@"):
+                return literal(value, lang=self.next()[1:])
             return literal(value)
         if re.match(r"^[+-]?\d", t):
             if "." in t or "e" in t.lower():
@@ -394,6 +588,11 @@ class _Compiler:
     def __init__(self, vd, hop_counter: list[int]):
         self.vd = vd
         self._n = hop_counter
+        # identity of the data-graph frame: property paths seed from the
+        # Dataset's predicate-filtered accessors, which only cover the
+        # data graph — a PathTP evaluated against any other source
+        # (GRAPH $shapesGraph) is rejected.
+        self.data_source = vd.ds.triples
 
     def _fresh(self) -> str:
         self._n[0] += 1
@@ -563,7 +762,169 @@ class _Compiler:
                 [F.col(k).eqNullSafe(F.col(f"{pre}_{k}")) for k in keys],
             )
             return sol.join(matches, cond, how)
+        if isinstance(el, OptionalBlock):
+            # SPARQL LeftJoin: evaluate the inner pattern from the
+            # distinct projection of the shared solution variables (the
+            # pre-bound scope), then left-join back — unmatched rows
+            # keep their bindings with the OPTIONAL's new vars null.
+            inner_vars = _pattern_vars(el.elems)
+            shared = [c for c in sol.columns if c.startswith("v_") and c in inner_vars]
+            base_cols = ["focus", *shared]
+            base = sol.select(*base_cols).distinct()
+            inner_sol = self.eval_elems(el.elems, base, source)
+            new_vars = [c for c in inner_sol.columns if c not in base_cols]
+            if not new_vars:
+                return sol  # OPTIONAL never removes rows
+            pre = self._fresh()
+            right = inner_sol.select(
+                *[F.col(k).alias(f"{pre}_{k}") for k in base_cols],
+                *[F.col(v) for v in new_vars],
+            )
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(k).eqNullSafe(F.col(f"{pre}_{k}")) for k in base_cols],
+            )
+            return sol.join(right, cond, "left").select(
+                *[F.col(c) for c in sol.columns], *new_vars
+            )
+        if isinstance(el, ValuesBlock):
+            spark = sol.sparkSession
+            branches = [
+                spark.range(1).select(*[
+                    term_lit(t).alias(_vcol(v.name))
+                    for v, t in zip(el.vars, row)
+                ])
+                for row in el.rows
+            ]
+            vals = reduce(DataFrame.unionByName, branches).distinct()
+            shared = [c for c in vals.columns if c in cols]
+            if shared:
+                return sol.join(vals, shared)
+            return sol.crossJoin(vals)
+        if isinstance(el, PathTP):
+            return self.eval_path_tp(el, sol, source)
         raise SparqlParseError(f"unsupported element {el!r}")
+
+    # --- property-path patterns ------------------------------------------
+    def eval_path_tp(self, el: PathTP, sol: DataFrame, source: DataFrame) -> DataFrame:
+        if source is not self.data_source:
+            raise SparqlUnsupported(
+                "property paths are only supported over the data graph"
+            )
+        cols = set(sol.columns)
+        s, o, node = el.s, el.o, el.path
+
+        def bound(slot) -> bool:
+            return isinstance(slot, Term) or (
+                isinstance(slot, Var) and _vcol(slot.name) in cols
+            )
+
+        if not bound(s):
+            if not bound(o):
+                raise SparqlUnsupported(
+                    "property path with both endpoints unbound is not supported"
+                )
+            s, o, node = o, s, _invert_path(node)
+        spark = sol.sparkSession
+        if isinstance(s, Term):
+            seed = spark.range(1).select(
+                term_lit(s).alias("k"), term_lit(s).alias("v")
+            )
+        else:
+            seed = (
+                sol.select(F.col(_vcol(s.name)).alias("k"))
+                .where(F.col("k").isNotNull())
+                .distinct()
+                .select("k", F.col("k").alias("v"))
+            )
+        pairs = self._apply_path(node, seed)
+        pre = self._fresh()
+        right = pairs.select(
+            F.col("k").alias(f"{pre}_k"), F.col("v").alias(f"{pre}_v")
+        )
+        conds: list[Column] = []
+        if isinstance(s, Var):
+            conds.append(F.col(_vcol(s.name)) == F.col(f"{pre}_k"))
+        if isinstance(o, Term):
+            conds.append(F.col(f"{pre}_v") == term_lit(o))
+        elif _vcol(o.name) in cols:
+            conds.append(F.col(_vcol(o.name)) == F.col(f"{pre}_v"))
+        joined = (
+            sol.join(right, reduce(lambda a, b: a & b, conds))
+            if conds else sol.crossJoin(right)
+        )
+        extra = []
+        if isinstance(o, Var) and _vcol(o.name) not in cols:
+            extra = [F.col(f"{pre}_v").alias(_vcol(o.name))]
+        return joined.select(*[F.col(c) for c in sol.columns], *extra)
+
+    def _apply_path(self, node, frontier: DataFrame) -> DataFrame:
+        """(k, v) frontier → (k, v') pairs after one full application of
+        the path node; always deduplicated on (k, v)."""
+        ds = self.vd.ds
+        if isinstance(node, (PHop, PInvH)):
+            inv = isinstance(node, PInvH)
+            t = ds.pred(node.iri).select(
+                F.col("s").alias("_ps"), F.col("o").alias("_po")
+            )
+            src, dst = ("_po", "_ps") if inv else ("_ps", "_po")
+            return (
+                frontier.join(t, frontier["v"] == F.col(src))
+                .select("k", F.col(dst).alias("v"))
+                .dropDuplicates(["k", "v"])
+            )
+        if isinstance(node, PSeq):
+            cur = frontier
+            for e in node.elems:
+                cur = self._apply_path(e, cur)
+            return cur
+        if isinstance(node, PAlt):
+            parts = [self._apply_path(a, frontier) for a in node.alts]
+            return reduce(DataFrame.unionByName, parts).dropDuplicates(["k", "v"])
+        if isinstance(node, POpt):
+            return (
+                frontier.select("k", "v")
+                .unionByName(self._apply_path(node.inner, frontier))
+                .dropDuplicates(["k", "v"])
+            )
+        if isinstance(node, PStar):
+            return (
+                frontier.select("k", "v")
+                .unionByName(self._path_closure(node.inner, frontier))
+                .dropDuplicates(["k", "v"])
+            )
+        if isinstance(node, PPlus):
+            return self._path_closure(node.inner, frontier)
+        raise SparqlParseError(f"unknown path node {node!r}")
+
+    def _path_closure(self, inner, start: DataFrame) -> DataFrame:
+        """Spec-compliant transitive closure seeded per k: every node
+        reachable in ≥ 1 step — INCLUDING the start node when a cycle
+        returns to it (paths.py's SHACL walker deliberately excludes
+        it; sh:sparql follows the SPARQL spec). Iterative frontier
+        fixpoint with localCheckpoint to cut lineage per round."""
+        from .paths import _MAX_KLEENE_ITERS
+
+        expanded = (
+            start.select("k", "v").dropDuplicates(["k", "v"])
+            .localCheckpoint(eager=True)
+        )
+        frontier = expanded
+        acc: DataFrame | None = None
+        for _ in range(_MAX_KLEENE_ITERS):
+            step = self._apply_path(inner, frontier)
+            acc = (
+                step if acc is None
+                else acc.unionByName(step).dropDuplicates(["k", "v"])
+            ).localCheckpoint(eager=True)
+            fresh = step.join(expanded, ["k", "v"], "left_anti").localCheckpoint(
+                eager=True
+            )
+            if fresh.isEmpty():
+                return acc
+            expanded = expanded.unionByName(fresh).localCheckpoint(eager=True)
+            frontier = fresh
+        raise RuntimeError("property-path closure did not terminate")
 
 
 def _pattern_vars(elems) -> set[str]:
@@ -573,7 +934,7 @@ def _pattern_vars(elems) -> set[str]:
             for slot in (el.s, el.p, el.o):
                 if isinstance(slot, Var):
                     out.add(_vcol(slot.name))
-        elif isinstance(el, (GraphBlock, NotExists)):
+        elif isinstance(el, (GraphBlock, NotExists, OptionalBlock)):
             out |= _pattern_vars(el.elems)
         elif isinstance(el, UnionBlock):
             for b in el.branches:
@@ -583,6 +944,12 @@ def _pattern_vars(elems) -> set[str]:
         elif isinstance(el, Bind):
             out |= _expr_vars(el.expr)
             out.add(_vcol(el.var.name))
+        elif isinstance(el, PathTP):
+            for slot in (el.s, el.o):
+                if isinstance(slot, Var):
+                    out.add(_vcol(slot.name))
+        elif isinstance(el, ValuesBlock):
+            out |= {_vcol(v.name) for v in el.vars}
     return out
 
 

@@ -268,6 +268,46 @@ def shacl_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _focus_only(_validate(spark, T.customer_triples(spark, sf_dir), shapes))
 
 
+def shacl_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:sparql with OPTIONAL + !bound (engine/sparql.py LeftJoin
+    rewrite): customers with no clerk-bearing order — the OPTIONAL
+    block's vars stay null for them, so the filter keeps the row."""
+    shapes = '''
+    ex:OptShape a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:sparql [
+        sh:select """
+          SELECT $this WHERE {
+            $this <http://example.org/name> ?nm .
+            OPTIONAL {
+              ?o <http://example.org/customer> $this .
+              ?o <http://example.org/clerk> ?c .
+            }
+            FILTER(!bound(?c))
+          }
+        """ ] .
+    '''
+    t = T.customer_triples(spark, sf_dir).unionByName(T.order_triples(spark, sf_dir))
+    return _focus_only(_validate(spark, t, shapes))
+
+
+def shacl_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:sparql with a oneOrMore property path in the query (spec
+    Kleene semantics, engine/sparql.py _path_closure): nations whose
+    region carries the planted partOf edge reach ex:world."""
+    shapes = '''
+    ex:PathShape a sh:NodeShape ;
+      sh:targetClass ex:Nation ;
+      sh:sparql [
+        sh:select """
+          SELECT $this WHERE {
+            $this (<http://example.org/partOf>)+ <http://example.org/world> .
+          }
+        """ ] .
+    '''
+    return _focus_only(_validate(spark, T.nation_triples(spark, sf_dir), shapes))
+
+
 def shacl_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sh:equals with the reference's aggressive extra checks
     (equals.rs:20-76): set-difference violation per focus PLUS one

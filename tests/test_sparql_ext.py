@@ -1,0 +1,160 @@
+"""sh:sparql rewriter extensions: OPTIONAL, VALUES, property paths,
+typed/lang literals.
+
+The reference evaluates sh:sparql with a full spec-compliant SPARQL
+engine (/root/reference/src/validation/constraints/sparql.rs:217-232);
+these pin the subset rewriter's newer constructs to the same semantics,
+including the spot where the spec diverges from the reference's SHACL
+path walker: a ``+`` path DOES re-emit its start node through a cycle.
+"""
+
+from shacl_rust_spark.engine import validate_strings
+
+DATA = """
+@prefix ex: <http://example.org/> .
+ex:a a ex:T ; ex:p ex:v1 .
+ex:b a ex:T ; ex:p ex:v2 .
+ex:v1 ex:q "present" .
+ex:n1 a ex:N ; ex:next ex:n2 .
+ex:n2 ex:next ex:n1 .
+ex:n3 a ex:N ; ex:next ex:n4 .
+ex:c a ex:C ; ex:val 3 ; ex:tag "x"@en .
+ex:d a ex:C ; ex:val 9 ; ex:tag "x"@de .
+"""
+
+PRE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+"""
+
+
+def _run(spark, shapes):
+    rep = validate_strings(spark, DATA, shapes)
+    return sorted(r.asDict()["focus"]["value"] for r in rep.results())
+
+
+def test_optional_unbound_filter(spark):
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/p> ?v .
+          OPTIONAL { ?v <http://example.org/q> ?w }
+          FILTER(!bound(?w))
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/b"]
+
+
+def test_optional_never_removes_rows(spark):
+    # OPTIONAL whose inner pattern matches nothing keeps every solution
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/p> ?v .
+          OPTIONAL { ?v <http://example.org/nope> ?w }
+        }''' ] .
+    """
+    assert _run(spark, shapes) == [
+        "http://example.org/a", "http://example.org/b",
+    ]
+
+
+def test_sequence_path(spark):
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/p>/<http://example.org/q> ?w .
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/a"]
+
+
+def test_kleene_path_reemits_start_on_cycle(spark):
+    # SPARQL-spec semantics: n1 ->next n2 ->next n1 means n1 next+ n1
+    # holds. (The SHACL path walker in paths.py deliberately never
+    # re-emits the start node — that quirk must NOT leak in here.)
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:N ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/next>+ $this .
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/n1"]
+
+
+def test_inverse_path_unbound_subject(spark):
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          ?x (^<http://example.org/p>) $this .
+          FILTER NOT EXISTS { ?x <http://example.org/q> ?y }
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/b"]
+
+
+def test_alternative_and_zero_or_one_path(spark):
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this (<http://example.org/p>|<http://example.org/missing>)?
+                <http://example.org/v1> .
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/a"]
+
+
+def test_values_inline(spark):
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/val> ?v .
+          VALUES ?v { 3 }
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/c"]
+
+
+def test_typed_literal_filter(spark):
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/val> ?v .
+          FILTER(?v > "5"^^<http://www.w3.org/2001/XMLSchema#integer>)
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/d"]
+
+
+def test_lang_tagged_literal_equality(spark):
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/tag> "x"@en .
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/c"]
+
+
+def test_path_both_endpoints_unbound_is_violation_per_focus(spark):
+    # unsupported construct ⇒ the reference-parity fallback: one
+    # violation per focus node (sparql.rs:30-96 pre-binding behavior)
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          ?x <http://example.org/next>+ ?y .
+        }''' ] .
+    """
+    assert _run(spark, shapes) == [
+        "http://example.org/c", "http://example.org/d",
+    ]
