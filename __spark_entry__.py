@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": O.dedup_components,
         "dedup_simhash": O.dedup_simhash,
         "dedup_embedding": O.dedup_embedding,
+        "dedup_embedding_lsh": O.dedup_embedding_lsh,
         "ann_cosine_topk": O.ann_cosine_topk,
         "ann_ivf_topk": O.ann_ivf_topk,
         "text_tokens": O.text_tokens,
@@ -263,6 +264,15 @@ def oracle_sql() -> dict[str, str]:
             FROM bits GROUP BY doc_id
         """,
         "dedup_embedding": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+        """,
+        # the banded variant has identical semantics (LSH banding is a
+        # recall filter, rescoring is exact) — same all-pairs oracle
+        "dedup_embedding_lsh": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id

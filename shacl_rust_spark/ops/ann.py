@@ -41,8 +41,12 @@ def with_cosine(df: DataFrame, a: str, b: str, out: str) -> DataFrame:
     df = df.withColumn("_dot", _dot(F.col(a), F.col(b)))
     df = df.withColumn("_na", _norm(F.col(a)))
     df = df.withColumn("_nb", _norm(F.col(b)))
+    # zero-norm vectors have no direction: cosine is NULL (ANSI mode
+    # would otherwise hard-fail the whole job on a single zero vector)
     return df.withColumn(
-        out, F.col("_dot") / (F.col("_na") * F.col("_nb"))
+        out,
+        F.when((F.col("_na") > 0) & (F.col("_nb") > 0),
+               F.col("_dot") / (F.col("_na") * F.col("_nb"))),
     ).drop("_dot", "_na", "_nb")
 
 

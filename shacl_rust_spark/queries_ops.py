@@ -80,6 +80,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sibling of dedup_embedding: random-hyperplane LSH buckets
+    + exact rescore (ops/dedup.embedding_lsh_pairs). Same semantics —
+    same-label cosine ≥ 0.35 — so the all-pairs SQL is its oracle; at
+    scale the bucketed join replaces the quadratic within-label join."""
+    return dedup.embedding_lsh_pairs(_emb(spark, sf_dir), 0.35)
+
+
 # --- similarity search ---------------------------------------------------
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

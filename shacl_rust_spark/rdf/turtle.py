@@ -72,10 +72,24 @@ def _decode_escapes(s: str, allow_string_escapes: bool = True) -> str:
 
 
 class TurtleParser:
-    def __init__(self, text: str, base_iri: str = "http://example.org"):
+    """Recursive-descent Turtle parser; `quads=True` additionally
+    accepts an optional graph term before the statement dot (N-Quads),
+    `trig=True` additionally accepts `[GRAPH] <g> { ... }` blocks
+    (TriG). Graph labels are DISCARDED — the reference collapses quads
+    into a single Graph (src/rdf.rs:55 Triple::from)."""
+
+    def __init__(
+        self,
+        text: str,
+        base_iri: str = "http://example.org",
+        quads: bool = False,
+        trig: bool = False,
+    ):
         self.text = text
         self.pos = 0
         self.base = base_iri
+        self.quads = quads
+        self.trig = trig
         self.prefixes: dict[str, str] = {}
         self.graph = Graph()
         self._bnode_ids = itertools.count()
@@ -134,12 +148,63 @@ class TurtleParser:
                 self._directive(at_style=True)
             elif self._peek_keyword("prefix") or self._peek_keyword("base"):
                 self._directive(at_style=False)
+            elif self.trig and (
+                self._peek("{") or self._peek_keyword("graph")
+            ):
+                self._trig_block()
+            elif self.trig and self._trig_labeled_block():
+                pass
             else:
                 self._triples()
                 self._ws()
+                if self.quads and not self._peek("."):
+                    self._graph_label_term()  # N-Quads: discard graph term
+                    self._ws()
                 self._expect(".")
             self._ws()
         return self.graph
+
+    def _graph_label_term(self) -> None:
+        m = self._match(_BLANK)
+        if m is None:
+            self._iri_term()
+
+    def _trig_labeled_block(self) -> bool:
+        """`<g> { ... }` TriG block without the GRAPH keyword. Returns
+        False (without consuming) when the statement is plain triples."""
+        saved = self.pos
+        try:
+            self._graph_label_term()
+            self._ws()
+        except TurtleParseError:
+            self.pos = saved
+            return False
+        if not self._peek("{"):
+            self.pos = saved
+            return False
+        self._graph_body()
+        return True
+
+    def _trig_block(self) -> None:
+        if self._peek_keyword("graph"):
+            self.pos += 5
+            self._ws()
+            self._graph_label_term()
+            self._ws()
+        self._graph_body()
+
+    def _graph_body(self) -> None:
+        self._expect("{")
+        self._ws()
+        while not self._peek("}"):
+            if self.pos >= len(self.text):
+                raise TurtleParseError("unterminated TriG graph block")
+            self._triples()
+            self._ws()
+            if self._peek("."):
+                self.pos += 1
+            self._ws()
+        self.pos += 1
 
     def _directive(self, at_style: bool) -> None:
         is_prefix = self._peek("@prefix") or self._peek_keyword("prefix")

@@ -100,3 +100,42 @@ def test_streaming_matches_batch(spark, tmp_path):
     b = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
          for r in batch_out.collect()}
     assert a == b
+
+
+def test_embedding_lsh_matches_allpairs_and_is_blocked(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    import math
+    # 20 vectors in 2 labels: near-dup pairs are planted by construction
+    rows = []
+    for i in range(20):
+        base = [math.sin(0.5 + 0.1 * (i % 4) * (d + 1)) for d in range(8)]
+        if i >= 4:
+            base = [v + 0.01 * ((i * 7 + d) % 5) for d, v in enumerate(base)]
+        rows.append((i, f"l{i % 2}", base))
+    e = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+
+    lsh = dedup.embedding_lsh_pairs(e, 0.9, n_planes=64, band_size=2)
+    got = {(r.a, r.b) for r in lsh.collect()}
+
+    # exact all-pairs reference
+    a = e.select(F.col("vec_id").alias("a"), "label",
+                 F.col("embedding").alias("_ea"))
+    b = e.select(F.col("vec_id").alias("b"), "label",
+                 F.col("embedding").alias("_eb"))
+    allp = ann.with_cosine(
+        a.join(b, "label").where(F.col("a") < F.col("b")), "_ea", "_eb", "_c"
+    ).where(F.round("_c", 6) >= 0.9)
+    want = {(r.a, r.b) for r in allp.collect()}
+    assert got == want and len(want) > 0
+
+    # plan assertion: candidate generation joins on the band signature,
+    # and nothing in the plan degenerates to an unblocked product
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lsh.explain("formatted")
+    plan = buf.getvalue()
+    assert "_sig" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
