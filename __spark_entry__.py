@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": O.text_langid,
         "text_fingerprint": O.text_fingerprint,
         "multimodal_sniff": O.multimodal_sniff,
+        "multimodal_decode": O.multimodal_decode,
         "events_windowed": O.events_windowed,
         "events_sessionize": O.events_sessionize,
         "kg_pages": K.kg_pages,
@@ -402,6 +403,40 @@ def oracle_sql() -> dict[str, str]:
                      || '</p></body></html>')) AS n_bytes,
                    'text/html' AS sniffed_type
             FROM dpage
+        """,
+        "multimodal_decode": """
+            WITH b AS (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+                       FROM documents),
+            px AS (
+              SELECT b.doc_id,
+                     3 * SUM((b.doc_id + gx.x + 2 * gy.y) % 251) AS pixel_sum
+              FROM b
+              CROSS JOIN generate_series(0, 6) gx(x)
+              CROSS JOIN generate_series(0, 4) gy(y)
+              WHERE gx.x < b.w AND gy.y < b.h
+              GROUP BY 1),
+            wv AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
+            ws AS (
+              SELECT w.doc_id,
+                     SUM(((w.doc_id * 7 + gi.i) % 65536) - 32768) AS sample_sum
+              FROM wv w CROSS JOIN generate_series(0, 95) gi(i)
+              WHERE gi.i < w.n
+              GROUP BY 1)
+            SELECT b.doc_id, 'bmp' AS kind,
+                   CAST(b.w AS BIGINT) AS width, CAST(b.h AS BIGINT) AS height,
+                   CAST(px.pixel_sum AS BIGINT) AS pixel_sum,
+                   CAST(b.doc_id % 251 AS BIGINT) AS first_px,
+                   CAST(-1 AS BIGINT) AS sample_rate,
+                   CAST(-1 AS BIGINT) AS n_samples,
+                   CAST(-1 AS BIGINT) AS sample_sum,
+                   CAST(-1 AS BIGINT) AS first_sample,
+                   CAST(-1 AS BIGINT) AS duration_us
+            FROM b JOIN px USING (doc_id)
+            UNION ALL
+            SELECT w.doc_id, 'wav', -1, -1, -1, -1,
+                   8000, w.n, CAST(ws.sample_sum AS BIGINT),
+                   ((w.doc_id * 7) % 65536) - 32768, w.n * 125
+            FROM wv w JOIN ws USING (doc_id)
         """,
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

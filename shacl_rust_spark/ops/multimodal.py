@@ -3,20 +3,24 @@
 The pattern for image/audio/video at 100 TB: keep the payload as a
 `binary` column, carry typed metadata beside it, and run decode /
 feature-extract / resize / frame-sample as Arrow-batched pandas UDFs
-over mapInPandas — the Spark-side schema, batching, and partitioning
-are real and tested here; the actual codecs are STUBBED (this container
-has no image/audio libraries) behind NotImplementedError with a
-deterministic metadata-sniff fallback.
+over mapInPandas. The Spark-side schema, batching, and partitioning are
+real and tested here, and so is one decode path per modality:
+uncompressed 24-bit BMP (header + bottom-up padded pixel rows) and
+16-bit PCM WAV (RIFF chunk walk) are decoded in pure Python — no codec
+libraries exist in this container, so compressed formats (PNG/JPEG/
+MP3/...) raise NotImplementedError where a real deployment plugs
+Pillow/libvips/ffmpeg into the SAME mapInPandas slots.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    LongType, StringType, StructField, StructType,
+    BinaryType, LongType, StringType, StructField, StructType,
 )
 
 SNIFF_SCHEMA = StructType([
@@ -28,19 +32,203 @@ SNIFF_SCHEMA = StructType([
 _MAGIC = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
+    (b"BM", "image/bmp"),
     (b"RIFF", "audio/wav"),
     (b"<html", "text/html"),
 ]
 
 
-def decode_image(payload: bytes) -> object:
-    """Stub: decode an image payload to HWC array. A real deployment
-    plugs Pillow/libvips here; the container ships neither."""
-    raise NotImplementedError("image codecs not available in this container")
+# --- BMP (uncompressed 24-bit BI_RGB) --------------------------------------
+def encode_bmp(width: int, height: int, pixel_rows: list[list[int]]) -> bytes:
+    """Minimal BMP writer for fixtures: pixel_rows[y][x] is a single
+    0-255 value replicated across B,G,R; rows are stored bottom-up with
+    4-byte padding per the format."""
+    stride = (width * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            v = pixel_rows[y][x] & 0xFF
+            row += bytes((v, v, v))
+        row += b"\x00" * (stride - len(row))
+        body += row
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(body)
 
 
-def decode_audio(payload: bytes) -> object:
-    raise NotImplementedError("audio codecs not available in this container")
+def decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """(width, height, rows) with rows[0] = TOP row, pixels as (r, g, b).
+    Handles the bottom-up storage order and row padding; only
+    uncompressed 24-bit BI_RGB is supported."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    rows: list[list[tuple[int, int, int]]] = []
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        off = data_offset + src_y * stride
+        row = []
+        for x in range(width):
+            b, g, r = payload[off + 3 * x: off + 3 * x + 3]
+            row.append((r, g, b))
+        rows.append(row)
+    return width, height, rows
+
+
+# --- WAV (16-bit PCM) ------------------------------------------------------
+def encode_wav_pcm16(rate: int, samples: list[int]) -> bytes:
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """(sample_rate, samples) via a proper RIFF chunk walk; only
+    mono 16-bit PCM is supported."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only mono 16-bit PCM WAV supported "
+                    f"(fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            samples = list(struct.unpack(f"<{len(body) // 2}h", body))
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, samples
+
+
+def decode_image(payload: bytes):
+    """Decode an image payload to (width, height, rows). BMP decodes in
+    pure Python; compressed formats need Pillow/libvips, which this
+    container does not ship."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "only BMP decodes without image codec libraries"
+    )
+
+
+def decode_audio(payload: bytes):
+    """Decode an audio payload to (sample_rate, samples)."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "only PCM WAV decodes without audio codec libraries"
+    )
+
+
+DECODE_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("kind", StringType(), False),
+    StructField("width", LongType(), True),
+    StructField("height", LongType(), True),
+    StructField("pixel_sum", LongType(), True),
+    StructField("first_px", LongType(), True),
+    StructField("sample_rate", LongType(), True),
+    StructField("n_samples", LongType(), True),
+    StructField("sample_sum", LongType(), True),
+    StructField("first_sample", LongType(), True),
+    StructField("duration_us", LongType(), True),
+])
+
+
+def decode_assets(
+    assets: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode binary image/audio payloads to typed metadata via
+    Arrow-batched mapInPandas: one output row per asset with the
+    modality-specific fields filled and the rest null. Routing is by
+    magic bytes; unsupported codecs raise (fail-fast — a quarantine
+    variant would F.when them into an error column)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in DECODE_SCHEMA.fields}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                row = dict.fromkeys(out)
+                row["doc_id"] = int(rid)
+                if raw[:2] == b"BM":
+                    width, height, rows = decode_image(raw)
+                    row["kind"] = "bmp"
+                    row["width"] = width
+                    row["height"] = height
+                    row["pixel_sum"] = sum(
+                        r + g + b for rw in rows for (r, g, b) in rw
+                    )
+                    row["first_px"] = rows[0][0][0]
+                else:
+                    rate, samples = decode_audio(raw)
+                    row["kind"] = "wav"
+                    row["sample_rate"] = rate
+                    row["n_samples"] = len(samples)
+                    row["sample_sum"] = sum(samples)
+                    row["first_sample"] = samples[0] if samples else None
+                    row["duration_us"] = len(samples) * 1_000_000 // rate
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return assets.select(id_col, payload_col).mapInPandas(run, DECODE_SCHEMA)
+
+
+def synth_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic BMP + WAV fixture payloads per doc_id (two rows per
+    document, (doc_id, payload)): real encoded bytes so the decode path
+    runs end-to-end without codec libraries or external data."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for rid in pdf[id_col]:
+                d = int(rid)
+                w, h = 1 + d % 7, 1 + d % 5
+                pix = [[(d + x + 2 * y) % 251 for x in range(w)]
+                       for y in range(h)]
+                ids.append(d)
+                payloads.append(encode_bmp(w, h, pix))
+                n = 64 + d % 32
+                samples = [((d * 7 + i) % 65536) - 32768 for i in range(n)]
+                ids.append(d)
+                payloads.append(encode_wav_pcm16(8000, samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+    return docs.select(id_col).mapInPandas(run, schema)
 
 
 def sniff_binary(pages: DataFrame, payload_col: str = "html") -> DataFrame:

@@ -130,6 +130,20 @@ def multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sniff_binary(kg_pages_mod.pages(spark, sf_dir))
 
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end binary decode: deterministic BMP + WAV payloads are
+    synthesized per document (ops/multimodal.synth_assets), then decoded
+    by the REAL pure-Python codecs (bottom-up BMP rows, RIFF chunk walk)
+    inside Arrow mapInPandas. The oracle recomputes every metadata field
+    (including the position-sensitive first_px / first_sample) in closed
+    form, so a row-order or padding bug in the decoder hash-mismatches."""
+    assets = multimodal.synth_assets(_docs(spark, sf_dir))
+    # Null numeric columns become float+NaN through pandas-based oracle
+    # fetches, so the gate projection uses -1 sentinels for the fields
+    # that do not apply to a modality; the library API keeps real nulls.
+    return multimodal.decode_assets(assets).na.fill(-1)
+
+
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.windowed_counts(
         spark.read.parquet(f"{sf_dir}/events.parquet")
