@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_logical_or": Q.shacl_logical_or,
         "shacl_qualified_min": Q.shacl_qualified_min,
         "shacl_path_kleene": Q.shacl_path_kleene,
+        "shacl_path_kleene_dist": Q.shacl_path_kleene_dist,
         "shacl_report_summary": Q.shacl_report_summary,
         "shacl_sparql": Q.shacl_sparql,
         "shacl_sparql_optional": Q.shacl_sparql_optional,
@@ -614,6 +615,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT '{EX}nation/' || n_nationkey AS focus
             FROM nation JOIN region ON r_regionkey = n_regionkey
             WHERE n_regionkey <> 0 AND r_regionkey % 2 = 0
+        """,
+        "shacl_path_kleene_dist": f"""
+            WITH edges AS (
+              SELECT '{EX}chain/L' || l_orderkey || ':' || l_linenumber AS src,
+                     '{EX}chain/L' || l_orderkey || ':' || (l_linenumber + 1) AS dst
+              FROM lineitem
+            ),
+            heads AS (
+              SELECT DISTINCT '{EX}chain/L' || l_orderkey || ':1' AS node
+              FROM lineitem WHERE l_linenumber = 1
+            ),
+            reach AS (
+              WITH RECURSIVE r AS (
+                SELECT e.src AS start, e.dst AS node
+                FROM edges e JOIN heads h ON e.src = h.node
+                UNION
+                SELECT r.start, e.dst FROM r JOIN edges e ON e.src = r.node
+              ) SELECT * FROM r
+            )
+            SELECT start AS focus FROM reach
+            GROUP BY start HAVING count(DISTINCT node) > 4
         """,
         "shacl_sparql": f"""
             SELECT '{EX}cust/' || c_custkey AS focus

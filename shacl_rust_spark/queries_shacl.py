@@ -225,6 +225,23 @@ def shacl_path_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _focus_only(_validate(spark, T.nation_triples(spark, sf_dir), shapes))
 
 
+def shacl_path_kleene_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleene closure through the DISTRIBUTED checkpointed-frontier
+    fixpoint (paths.py:_kleene_closure loop): the ex:next edge set
+    (tabular.chain_triples) exceeds Dataset._MAX_KLEENE_EDGES at
+    sf ≥ 0.01, so kleene_pairs returns None and the scale path runs —
+    the memoized broadcast fast path (shacl_path_kleene) never fires.
+    Violations: chain heads reaching more than 4 nodes via ex:next+
+    (per-order lineitem chains longer than 4; path.rs:141-171 BFS
+    semantics, start node excluded)."""
+    shapes = """
+    ex:ChainShape a sh:NodeShape ;
+      sh:targetClass ex:Head ;
+      sh:property [ sh:path [ sh:oneOrMorePath ex:next ] ; sh:maxCount 4 ] .
+    """
+    return _focus_only(_validate(spark, T.chain_triples(spark, sf_dir), shapes))
+
+
 def shacl_report_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Report assembly over the full graph + a combined shape set:
     violation counts per constraint component (report.rs:80-97)."""

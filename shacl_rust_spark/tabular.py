@@ -198,6 +198,43 @@ def document_lang_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def chain_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ex:next chain edges big enough to overflow the driver-side Kleene
+    memo (Dataset._MAX_KLEENE_EDGES = 100k) at sf ≥ 0.01, forcing the
+    distributed checkpointed-frontier fixpoint in paths.py.
+
+    Two disjoint node spaces under one predicate:
+      L-space: ex:chain/L{orderkey}:{ln} → …:{ln+1} per lineitem row —
+        per-order chains whose length = the order's lineitem count;
+      O-space: ex:chain/O{orderkey}:{j} → …:{j+1}, j ∈ 0..3 per order —
+        pure edge-count filler (4×|orders|), never targeted.
+    Chain heads (ln = 1) are typed ex:Head for targeting. At sf0.01 the
+    predicate has 60k + 60k = 120k edges > the 100k cap."""
+    li = load(spark, sf_dir, "lineitem")
+    lnode = lambda off: _iri(  # noqa: E731
+        F.concat(
+            F.lit(EX + "chain/L"), F.col("l_orderkey").cast("string"),
+            F.lit(":"), (F.col("l_linenumber") + off).cast("string"),
+        )
+    )
+    l_edges = _t(li, lnode(0), EX + "next", lnode(1))
+    heads = _t(
+        li.where(F.col("l_linenumber") == 1),
+        lnode(0), V.RDF_TYPE, _iri(F.lit(EX + "Head")),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+    )
+    onode = lambda off: _iri(  # noqa: E731
+        F.concat(
+            F.lit(EX + "chain/O"), F.col("o_orderkey").cast("string"),
+            F.lit(":"), (F.col("j") + off).cast("string"),
+        )
+    )
+    o_edges = _t(o, onode(0), EX + "next", onode(1))
+    return l_edges.unionByName(o_edges).unionByName(heads)
+
+
 def full_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole star schema as one triples DataFrame."""
     out = customer_triples(spark, sf_dir)
