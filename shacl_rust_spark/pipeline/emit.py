@@ -177,14 +177,125 @@ def write_manifest(
     return commit
 
 
+ICEBERG_CATALOG_ENV = "SPARK_GRAFT_ICEBERG_CATALOG"
+
+
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Feature flag + runtime detection for a REAL Iceberg sink: returns
+    the catalog name when (a) `SPARK_GRAFT_ICEBERG_CATALOG` (or conf
+    `spark.shacl.iceberg.catalog`) names a catalog, (b) that catalog is
+    configured with an Iceberg implementation, and (c) the Iceberg
+    SparkCatalog class is on the JVM classpath. Any miss → None and the
+    caller takes the parquet+manifest fallback, so the same pipeline
+    binary runs in this jar-less container and on a real deployment."""
+    name = os.environ.get(ICEBERG_CATALOG_ENV) or spark.conf.get(
+        "spark.shacl.iceberg.catalog", None
+    )
+    if not name:
+        return None
+    impl = spark.conf.get(f"spark.sql.catalog.{name}", "") or ""
+    if "iceberg" not in impl.lower():
+        return None
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+    except Exception:  # noqa: BLE001 — Py4J wraps ClassNotFoundException
+        return None
+    return name
+
+
+def write_triples_iceberg(
+    triples: DataFrame,
+    nodes: DataFrame,
+    catalog: str,
+    fingerprint: str,
+    metrics: dict,
+    namespace: str = "kg",
+) -> dict:
+    """Iceberg-proper materialize: `writeTo(...).partitionedBy("p")`
+    atomic replace + the table's own snapshot id as the resume token
+    (the manifest stand-in's `commit.json` role is played by Iceberg
+    snapshot summary properties here)."""
+    spark = triples.sparkSession
+    t0 = time.time()
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+    tbl = f"{catalog}.{namespace}.triples"
+    (
+        triples.writeTo(tbl)
+        .partitionedBy("p")
+        .tableProperty("shacl.fingerprint", fingerprint)
+        .createOrReplace()
+    )
+    (
+        nodes.writeTo(f"{catalog}.{namespace}.nodes")
+        .tableProperty("shacl.fingerprint", fingerprint)
+        .createOrReplace()
+    )
+    snap = spark.sql(
+        f"SELECT snapshot_id FROM {tbl}.snapshots "
+        "ORDER BY committed_at DESC LIMIT 1"
+    ).collect()[0][0]
+    part_stats = partition_stats(spark.table(tbl))
+    return {
+        "backend": "iceberg",
+        "table": tbl,
+        "snapshot_id": snap,
+        "fingerprint": fingerprint,
+        "committed_at": time.time(),
+        "write_secs": round(time.time() - t0, 3),
+        "metrics": metrics,
+        "partitions": len(part_stats),
+        "partition_stats": part_stats,
+    }
+
+
+def read_committed_iceberg(
+    spark: SparkSession, catalog: str, fingerprint: str, namespace: str = "kg"
+) -> dict | None:
+    """Resume check against the live Iceberg table: fingerprint property
+    must match AND the current snapshot must still exist."""
+    tbl = f"{catalog}.{namespace}.triples"
+    try:
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()
+        }
+    except Exception:  # noqa: BLE001 — table absent
+        return None
+    if props.get("shacl.fingerprint") != fingerprint:
+        return None
+    snaps = spark.sql(f"SELECT snapshot_id FROM {tbl}.snapshots").collect()
+    if not snaps:
+        return None
+    return {"backend": "iceberg", "table": tbl, "fingerprint": fingerprint}
+
+
 def write_triples(
     triples: DataFrame,
     nodes: DataFrame,
     out_dir: str,
     fingerprint: str,
     metrics: dict,
+    backend: str = "auto",
 ) -> dict:
-    """Partitioned materialize + manifest commit. Returns the manifest."""
+    """Partitioned materialize + manifest commit. Returns the manifest.
+
+    backend: "auto" uses Iceberg when `iceberg_catalog()` resolves,
+    else the parquet+manifest stand-in; "parquet"/"iceberg" force."""
+    spark = triples.sparkSession
+    if backend in ("auto", "iceberg"):
+        cat = iceberg_catalog(spark)
+        if cat is not None:
+            return write_triples_iceberg(
+                triples, nodes, cat, fingerprint, metrics
+            )
+        if backend == "iceberg":
+            raise RuntimeError(
+                "iceberg backend requested but no Iceberg catalog is "
+                f"configured (set ${ICEBERG_CATALOG_ENV} and add the "
+                "iceberg-spark-runtime jar)"
+            )
     t0 = time.time()
     (
         triples.write.mode("overwrite")
@@ -192,7 +303,6 @@ def write_triples(
         .parquet(f"{out_dir}/triples")
     )
     nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
-    spark = triples.sparkSession
     part_stats = partition_stats(spark.read.parquet(f"{out_dir}/triples"))
     return write_manifest(out_dir, fingerprint, metrics, part_stats, t0)
 

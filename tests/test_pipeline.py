@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from shacl_rust_spark.pipeline import (
@@ -158,3 +159,40 @@ def test_manifest_resume(spark, tmp_path):
     with open(f"{out}/_manifest/partitions.json") as f:
         parts = json.load(f)
     assert parts and parts[0]["rows"] == 1
+
+
+def test_iceberg_flag_detection_and_fallback(spark, tmp_path, monkeypatch):
+    """In this jar-less container iceberg_catalog() must resolve to None
+    at every gate (unset flag / flag without catalog conf), and the
+    auto backend must take the parquet+manifest fallback."""
+    monkeypatch.delenv(emit.ICEBERG_CATALOG_ENV, raising=False)
+    assert emit.iceberg_catalog(spark) is None
+    monkeypatch.setenv(emit.ICEBERG_CATALOG_ENV, "icy")
+    assert emit.iceberg_catalog(spark) is None  # no spark.sql.catalog.icy
+    out = str(tmp_path / "kg")
+    t = spark.createDataFrame(
+        [("s1", "p1", "o1", True)], ["s", "p", "o", "o_is_iri"]
+    )
+    n = spark.createDataFrame([("s1",)], ["node"])
+    commit = emit.write_triples(t, n, out, "fp:ice", {}, backend="auto")
+    assert "backend" not in commit  # parquet manifest shape
+    assert emit.read_committed(out, "fp:ice") is not None
+    with pytest.raises(RuntimeError, match="iceberg backend requested"):
+        emit.write_triples(t, n, out, "fp:ice", {}, backend="iceberg")
+
+
+def test_iceberg_backend_roundtrip(spark, tmp_path):
+    """Real-deployment path: writeTo().partitionedBy + snapshot resume.
+    Runs only where an Iceberg catalog is actually configured."""
+    cat = emit.iceberg_catalog(spark)
+    if cat is None:
+        pytest.skip("no Iceberg catalog configured in this runtime")
+    t = spark.createDataFrame(
+        [("s1", "p1", "o1", True)], ["s", "p", "o", "o_is_iri"]
+    )
+    n = spark.createDataFrame([("s1",)], ["node"])
+    commit = emit.write_triples(t, n, str(tmp_path), "fp:ice", {},
+                                backend="iceberg")
+    assert commit["backend"] == "iceberg" and commit["snapshot_id"]
+    assert emit.read_committed_iceberg(spark, cat, "fp:ice") is not None
+    assert emit.read_committed_iceberg(spark, cat, "fp:other") is None
