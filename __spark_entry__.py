@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_report_summary": Q.shacl_report_summary,
         "shacl_sparql": Q.shacl_sparql,
         "shacl_sparql_optional": Q.shacl_sparql_optional,
+        "shacl_sparql_agg": Q.shacl_sparql_agg,
         "shacl_sparql_path": Q.shacl_sparql_path,
         "shacl_equals": Q.shacl_equals,
         "shacl_disjoint": Q.shacl_disjoint,
@@ -640,6 +641,12 @@ def oracle_sql() -> dict[str, str]:
         "shacl_sparql": f"""
             SELECT '{EX}cust/' || c_custkey AS focus
             FROM customer WHERE c_acctbal < 0
+        """,
+        "shacl_sparql_agg": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            WHERE o_orderstatus = 'O'
+            GROUP BY c_custkey HAVING count(*) >= 5
         """,
         "shacl_sparql_optional": f"""
             SELECT '{EX}cust/' || c_custkey AS focus

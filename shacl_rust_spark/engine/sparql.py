@@ -10,11 +10,17 @@ FILTER/BIND as Column expressions — one Spark plan for ALL focus nodes,
 no per-node loop.
 
 Supported: SELECT/ASK, BGP triple patterns (vars in any slot), FILTER
-(=, !=, <, >, <=, >=, &&, ||, !, bound, isLiteral/isIRI/isBlank, lang,
-langMatches, CONCAT, COALESCE, datatype, str), BIND, GRAPH
-$shapesGraph {}, UNION (flattened-scope approximation), FILTER (NOT)
-EXISTS via shared-column (anti-)joins, DISTINCT, OPTIONAL (left join on
-the shared solution variables), VALUES (inline solution join), typed
+(=, !=, <, >, <=, >=, &&, ||, !, arithmetic + - * /, bound,
+isLiteral/isIRI/isBlank, lang, langMatches, CONCAT, COALESCE, datatype,
+str, STRLEN, UCASE, LCASE, SUBSTR, REPLACE, REGEX, STRSTARTS, STRENDS,
+CONTAINS, STRBEFORE, STRAFTER, ABS, ROUND, CEIL, FLOOR, IF), BIND,
+GRAPH $shapesGraph {}, UNION (flattened-scope approximation), FILTER
+(NOT) EXISTS via shared-column (anti-)joins, DISTINCT, OPTIONAL (left
+join on the shared solution variables), VALUES (inline solution join),
+aggregates (COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT with DISTINCT)
+with GROUP BY (plain vars) + HAVING — grouped per pre-binding run, the
+reference's per-focus evaluation (see _apply_modifiers) — plus
+ORDER BY / LIMIT / OFFSET sliced per run, typed
 and language-tagged literals, and property paths in the predicate
 position (^ / | * + ? with grouping) evaluated spec-compliantly —
 seeded from whichever endpoint is bound, sequence/alternative as
@@ -198,9 +204,31 @@ class ENot:
 
 
 @dataclass(frozen=True)
+class EAgg:
+    """Aggregate call in a projection or HAVING expression. arg is None
+    for COUNT(*); sep only applies to GROUP_CONCAT."""
+    fn: str
+    arg: object
+    distinct: bool = False
+    sep: str = " "
+
+
+@dataclass(frozen=True)
+class OrderKey:
+    expr: object
+    desc: bool
+
+
+@dataclass(frozen=True)
 class SparqlQuery:
     is_select: bool
     elems: tuple
+    projection: tuple = ()   # Var | (expr, Var) entries; () = SELECT *
+    group_by: tuple = ()     # of Var
+    having: tuple = ()       # of boolean exprs
+    order_by: tuple = ()     # of OrderKey
+    limit: int | None = None
+    offset: int | None = None
 
 
 # --- tokenizer / parser -----------------------------------------------------
@@ -214,7 +242,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.]*|:[A-Za-z0-9_\-.]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
-  | (?P<op>&&|\|\||!=|<=|>=|\^\^|[(){}.;,=<>!*/|^+?])
+  | (?P<op>&&|\|\||!=|<=|>=|\^\^|[(){}.;,=<>!*/|^+?-])
 )""",
     re.VERBOSE,
 )
@@ -267,6 +295,7 @@ class _Parser:
             if not (pname.endswith(":") and iri_tok.startswith("<")):
                 raise SparqlParseError("bad PREFIX")
             self.prefixes[pname[:-1]] = iri_tok[1:-1]
+        projection: list = []
         if self.kw("SELECT"):
             self.next()
             is_select = True
@@ -276,19 +305,19 @@ class _Parser:
             while not self.kw("WHERE") and self.peek() != "{":
                 t = self.peek()
                 if t == "(":
-                    depth = 0
-                    while True:
-                        tok = self.next()
-                        if tok == "(":
-                            depth += 1
-                        elif tok == ")":
-                            depth -= 1
-                            if depth == 0:
-                                break
-                        if self.peek() == "":
-                            raise SparqlParseError("unterminated projection")
-                elif t.startswith(("?", "$")) or t == "*":
                     self.next()
+                    expr = self.parse_expr()
+                    self.expect("AS")
+                    v = self.next()
+                    if not v.startswith(("?", "$")):
+                        raise SparqlParseError("projection AS target must be a variable")
+                    self.expect(")")
+                    projection.append((expr, Var(v[1:])))
+                elif t.startswith(("?", "$")):
+                    projection.append(Var(self.next()[1:]))
+                elif t == "*":
+                    self.next()
+                    projection = []  # SELECT * — no explicit projection
                 else:
                     raise SparqlParseError(f"bad projection token {t!r}")
         elif self.kw("ASK"):
@@ -299,7 +328,62 @@ class _Parser:
         if self.kw("WHERE"):
             self.next()
         elems = self.parse_group()
-        return SparqlQuery(is_select, elems)
+        group_by, having, order_by = self.parse_modifiers()
+        limit = offset = None
+        while self.kw("LIMIT") or self.kw("OFFSET"):
+            which = self.next().upper()
+            n = self.next()
+            if not re.fullmatch(r"\d+", n):
+                raise SparqlParseError(f"{which} expects an integer, got {n!r}")
+            if which == "LIMIT":
+                limit = int(n)
+            else:
+                offset = int(n)
+        if self.peek() != "":
+            raise SparqlUnsupported(
+                f"trailing token {self.peek()!r} after query body"
+            )
+        return SparqlQuery(
+            is_select, elems, tuple(projection), group_by, having, order_by,
+            limit, offset,
+        )
+
+    def parse_modifiers(self) -> tuple[tuple, tuple, tuple]:
+        group_by: list[Var] = []
+        having: list = []
+        order_by: list[OrderKey] = []
+        while True:
+            if self.kw("GROUP") and self.peek(1).upper() == "BY":
+                self.next(), self.next()
+                while self.peek().startswith(("?", "$")):
+                    group_by.append(Var(self.next()[1:]))
+                if not group_by:
+                    raise SparqlUnsupported(
+                        "GROUP BY supports plain variables only"
+                    )
+            elif self.kw("HAVING"):
+                self.next()
+                having.append(self.parse_bracketed_expr())
+            elif self.kw("ORDER") and self.peek(1).upper() == "BY":
+                self.next(), self.next()
+                saw = False
+                while True:
+                    t = self.peek().upper()
+                    if t in ("", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET"):
+                        break
+                    if t in ("ASC", "DESC"):
+                        self.next()
+                        order_by.append(
+                            OrderKey(self.parse_bracketed_expr(), t == "DESC")
+                        )
+                    else:
+                        order_by.append(OrderKey(self.parse_unary(), False))
+                    saw = True
+                if not saw:
+                    raise SparqlParseError("empty ORDER BY")
+            else:
+                break
+        return tuple(group_by), tuple(having), tuple(order_by)
 
     def parse_group(self) -> tuple:
         self.expect("{")
@@ -530,11 +614,32 @@ class _Parser:
         return e
 
     def parse_cmp(self):
-        e = self.parse_unary()
+        e = self.parse_add()
         if self.peek() in ("=", "!=", "<", ">", "<=", ">="):
             op = self.next()
-            e = EBin(op, e, self.parse_unary())
+            e = EBin(op, e, self.parse_add())
         return e
+
+    def parse_add(self):
+        e = self.parse_mul()
+        while self.peek() in ("+", "-"):
+            e = EBin(self.next(), e, self.parse_mul())
+        return e
+
+    def parse_mul(self):
+        e = self.parse_unary()
+        while self.peek() in ("*", "/"):
+            e = EBin(self.next(), e, self.parse_unary())
+        return e
+
+    _FNS = (
+        "BOUND", "ISLITERAL", "ISIRI", "ISURI", "ISBLANK", "LANG",
+        "LANGMATCHES", "CONCAT", "COALESCE", "DATATYPE", "STR",
+        "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE", "REGEX",
+        "STRSTARTS", "STRENDS", "CONTAINS", "STRBEFORE", "STRAFTER",
+        "ABS", "ROUND", "CEIL", "FLOOR", "IF",
+    )
+    _AGGS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT")
 
     def parse_unary(self):
         if self.peek() == "!":
@@ -544,10 +649,9 @@ class _Parser:
             return self.parse_bracketed_expr()
         t = self.peek()
         up = t.upper()
-        if up in (
-            "BOUND", "ISLITERAL", "ISIRI", "ISURI", "ISBLANK", "LANG",
-            "LANGMATCHES", "CONCAT", "COALESCE", "DATATYPE", "STR",
-        ) and self.peek(1) == "(":
+        if up in self._AGGS and self.peek(1) == "(":
+            return self.parse_aggregate()
+        if up in self._FNS and self.peek(1) == "(":
             self.next()
             self.expect("(")
             args = []
@@ -559,6 +663,34 @@ class _Parser:
             self.expect(")")
             return ECall(up, tuple(args))
         return self.parse_term()
+
+    def parse_aggregate(self) -> EAgg:
+        fn = self.next().upper()
+        self.expect("(")
+        distinct = False
+        if self.kw("DISTINCT"):
+            self.next()
+            distinct = True
+        if self.peek() == "*":
+            if fn != "COUNT":
+                raise SparqlParseError(f"{fn}(*) is not valid")
+            self.next()
+            arg = None
+        else:
+            arg = self.parse_expr()
+        sep = " "
+        if self.peek() == ";":
+            self.next()
+            if not self.kw("SEPARATOR"):
+                raise SparqlParseError("expected SEPARATOR in GROUP_CONCAT")
+            self.next()
+            self.expect("=")
+            s = self.next()
+            if not s.startswith(('"', "'")):
+                raise SparqlParseError("SEPARATOR must be a string literal")
+            sep = _unescape(s[1:-1])
+        self.expect(")")
+        return EAgg(fn, arg, distinct, sep)
 
 
 def _unescape(s: str) -> str:
@@ -606,11 +738,101 @@ class _Compiler:
             return term_lit(node)
         raise SparqlParseError(f"not a term: {node!r}")
 
+    def _num(self, e, sol_cols: set[str]) -> Column:
+        """Expression → double column (non-numeric ⇒ null ⇒ SPARQL
+        error semantics: comparisons/filters drop the row)."""
+        return self.expr_term(e, sol_cols)["value"].try_cast("double")
+
+    @staticmethod
+    def _num_term(col: Column) -> Column:
+        """double column → numeric literal TERM; integral values print
+        without a decimal point and type as xsd:integer so they
+        struct-compare equal to integer literals."""
+        integral = (col == F.floor(col)) & (F.abs(col) < F.lit(1e15))
+        return F.struct(
+            F.lit("lit").alias("kind"),
+            F.when(integral, col.cast("long").cast("string"))
+            .otherwise(col.cast("string")).alias("value"),
+            F.when(integral, V.XSD_INTEGER).otherwise(V.XSD_DOUBLE)
+            .alias("datatype"),
+            F.lit("").alias("lang"),
+        )
+
+    @staticmethod
+    def _str_term(col: Column) -> Column:
+        return F.struct(
+            F.lit("lit").alias("kind"), col.alias("value"),
+            F.lit(V.XSD_STRING).alias("datatype"), F.lit("").alias("lang"),
+        )
+
+    @staticmethod
+    def _regex_pat(pat: Column, flags: Column | None) -> Column:
+        if flags is None:
+            return pat
+        return F.when(
+            flags.contains("i"), F.concat(F.lit("(?i)"), pat)
+        ).otherwise(pat)
+
     # expression → TERM struct column
     def expr_term(self, e, sol_cols: set[str]) -> Column:
         if isinstance(e, (Var, Term)):
             return self.term_col(e, sol_cols)
+        if isinstance(e, EBin) and e.op in ("+", "-", "*", "/"):
+            a, b = self._num(e.a, sol_cols), self._num(e.b, sol_cols)
+            out = {"+": a + b, "-": a - b, "*": a * b,
+                   "/": a / F.when(b != 0, b)}[e.op]
+            return self._num_term(out)
         if isinstance(e, ECall):
+            if e.fn == "STRLEN":
+                v = self.expr_term(e.args[0], sol_cols)
+                return self._num_term(F.length(v["value"]).cast("double"))
+            if e.fn in ("UCASE", "LCASE"):
+                v = self.expr_term(e.args[0], sol_cols)
+                fn = F.upper if e.fn == "UCASE" else F.lower
+                return self._str_term(fn(v["value"]))
+            if e.fn == "SUBSTR":
+                v = self.expr_term(e.args[0], sol_cols)["value"]
+                start = self._num(e.args[1], sol_cols).cast("int")
+                if len(e.args) > 2:
+                    ln = self._num(e.args[2], sol_cols).cast("int")
+                    return self._str_term(F.substring(v, start, ln))
+                return self._str_term(F.substring(v, start, F.lit(1 << 30)))
+            if e.fn == "REPLACE":
+                v = self.expr_term(e.args[0], sol_cols)["value"]
+                pat = self.expr_term(e.args[1], sol_cols)["value"]
+                rep = self.expr_term(e.args[2], sol_cols)["value"]
+                flags = (
+                    self.expr_term(e.args[3], sol_cols)["value"]
+                    if len(e.args) > 3 else None
+                )
+                return self._str_term(
+                    F.regexp_replace(v, self._regex_pat(pat, flags), rep)
+                )
+            if e.fn == "STRBEFORE":
+                v = self.expr_term(e.args[0], sol_cols)["value"]
+                sep = self.expr_term(e.args[1], sol_cols)["value"]
+                found = F.instr(v, sep) > 0
+                return self._str_term(
+                    F.when(found, F.substring_index(v, sep, 1)).otherwise(F.lit(""))
+                )
+            if e.fn == "STRAFTER":
+                v = self.expr_term(e.args[0], sol_cols)["value"]
+                sep = self.expr_term(e.args[1], sol_cols)["value"]
+                found = F.instr(v, sep) > 0
+                after = F.substring(
+                    v, F.instr(v, sep) + F.length(sep), F.lit(1 << 30)
+                )
+                return self._str_term(F.when(found, after).otherwise(F.lit("")))
+            if e.fn in ("ABS", "ROUND", "CEIL", "FLOOR"):
+                n = self._num(e.args[0], sol_cols)
+                fn = {"ABS": F.abs, "ROUND": F.round, "CEIL": F.ceil,
+                      "FLOOR": F.floor}[e.fn]
+                return self._num_term(fn(n).cast("double"))
+            if e.fn == "IF":
+                return F.when(
+                    self.expr_bool(e.args[0], sol_cols),
+                    self.expr_term(e.args[1], sol_cols),
+                ).otherwise(self.expr_term(e.args[2], sol_cols))
             if e.fn == "LANG":
                 v = self.expr_term(e.args[0], sol_cols)
                 return F.struct(
@@ -681,6 +903,22 @@ class _Compiler:
                     | (F.lower(langc) == F.lower(rng))
                     | F.lower(langc).startswith(F.concat(F.lower(rng), F.lit("-")))
                 )
+            if e.fn in ("STRSTARTS", "STRENDS", "CONTAINS"):
+                v = self.expr_term(e.args[0], sol_cols)["value"]
+                arg = self.expr_term(e.args[1], sol_cols)["value"]
+                return {
+                    "STRSTARTS": v.startswith(arg),
+                    "STRENDS": v.endswith(arg),
+                    "CONTAINS": v.contains(arg),
+                }[e.fn]
+            if e.fn == "REGEX":
+                v = self.expr_term(e.args[0], sol_cols)["value"]
+                pat = self.expr_term(e.args[1], sol_cols)["value"]
+                flags = (
+                    self.expr_term(e.args[2], sol_cols)["value"]
+                    if len(e.args) > 2 else None
+                )
+                return F.regexp_like(v, self._regex_pat(pat, flags))
         if isinstance(e, Term) and e.is_literal and e.datatype == V.XSD_BOOLEAN:
             return F.lit(e.value == "true")
         # effective boolean value of a term expression
@@ -926,6 +1164,179 @@ class _Compiler:
             frontier = fresh
         raise RuntimeError("property-path closure did not terminate")
 
+    # --- aggregates / solution modifiers ---------------------------------
+    def agg_column(self, agg: EAgg, sol_cols: set[str]) -> Column:
+        """EAgg → one aggregate expression producing a TERM struct.
+        COUNT/STRLEN-style integers type as xsd:integer; SUM/AVG keep
+        integral formatting (``_num_term``) so struct-equality against
+        integer literals behaves; MIN/MAX pick the spec's numeric-first
+        ordering via min_by/max_by on a (non-numeric, num, lex) key;
+        SAMPLE is pinned to the lexicographic minimum and GROUP_CONCAT
+        to sorted order — the spec leaves both undefined, a
+        deterministic pick keeps oracle/stream/batch twins hash-equal."""
+        if agg.fn == "COUNT":
+            if agg.arg is None:
+                cnt = F.count(F.lit(1))
+            else:
+                t = self.expr_term(agg.arg, sol_cols)
+                cnt = F.count_distinct(t) if agg.distinct else F.count(t)
+            return F.struct(
+                F.lit("lit").alias("kind"), cnt.cast("string").alias("value"),
+                F.lit(V.XSD_INTEGER).alias("datatype"), F.lit("").alias("lang"),
+            )
+        t = self.expr_term(agg.arg, sol_cols)
+        if agg.fn in ("SUM", "AVG"):
+            n = t["value"].try_cast("double")
+            out = (
+                (F.sum_distinct(n) if agg.distinct else F.sum(n))
+                if agg.fn == "SUM" else F.avg(n)
+            )
+            return self._num_term(out)
+        if agg.fn in ("MIN", "MAX"):
+            n = t["value"].try_cast("double")
+            key = F.struct(
+                n.isNull().cast("int"), F.coalesce(n, F.lit(0.0)), t["value"]
+            )
+            return F.min_by(t, key) if agg.fn == "MIN" else F.max_by(t, key)
+        if agg.fn == "SAMPLE":
+            return F.min_by(t, t["value"])
+        if agg.fn == "GROUP_CONCAT":
+            vals = (
+                F.collect_set(t["value"]) if agg.distinct
+                else F.collect_list(t["value"])
+            )
+            return self._str_term(F.array_join(F.array_sort(vals), agg.sep))
+        raise SparqlUnsupported(f"aggregate {agg.fn} is not supported")
+
+    def order_key(self, expr, sol_cols: set[str]) -> Column:
+        """ORDER BY key: numbers before strings, numeric order within."""
+        t = self.expr_term(expr, sol_cols)
+        n = t["value"].try_cast("double")
+        return F.struct(
+            n.isNull().cast("int"), F.coalesce(n, F.lit(0.0)), t["value"]
+        )
+
+
+def _collect_aggs(e, out: dict) -> None:
+    if isinstance(e, EAgg):
+        out.setdefault(e, f"__agg{len(out)}")
+        return
+    if isinstance(e, EBin):
+        _collect_aggs(e.a, out)
+        _collect_aggs(e.b, out)
+    elif isinstance(e, ENot):
+        _collect_aggs(e.a, out)
+    elif isinstance(e, ECall):
+        for a in e.args:
+            _collect_aggs(a, out)
+
+
+def _subst_aggs(e, mapping: dict):
+    if isinstance(e, EAgg):
+        return Var(mapping[e])
+    if isinstance(e, EBin):
+        return EBin(e.op, _subst_aggs(e.a, mapping), _subst_aggs(e.b, mapping))
+    if isinstance(e, ENot):
+        return ENot(_subst_aggs(e.a, mapping))
+    if isinstance(e, ECall):
+        return ECall(e.fn, tuple(_subst_aggs(a, mapping) for a in e.args))
+    return e
+
+
+def _apply_modifiers(
+    compiler: _Compiler, query: SparqlQuery, sol: DataFrame, ctx: DataFrame
+) -> DataFrame:
+    """GROUP BY / aggregates / HAVING / projection binds / OFFSET+LIMIT.
+
+    The reference evaluates sh:sparql once per pre-binding ($this, and
+    $value for property shapes — sparql.rs:156-169), so aggregation
+    groups BY THE PRE-BINDING: the implicit group keys are every ctx
+    column, with explicit GROUP BY vars subdividing within a run, and
+    LIMIT/OFFSET slice per run (row_number windowed by the ctx keys).
+    With no explicit GROUP BY, a run whose WHERE matched nothing still
+    yields one aggregate row (COUNT = 0, SUM/AVG = 0, GROUP_CONCAT =
+    "", MIN/MAX/SAMPLE unbound), restored by a left join from ctx."""
+    aggs: dict[EAgg, str] = {}
+    for item in query.projection:
+        if isinstance(item, tuple):
+            _collect_aggs(item[0], aggs)
+    for h in query.having:
+        _collect_aggs(h, aggs)
+    if (aggs or query.group_by) and not query.is_select:
+        raise SparqlUnsupported("aggregates are not supported in ASK constraints")
+    mapping = dict(aggs)
+
+    if aggs or query.group_by:
+        keys = [c for c in ctx.columns if c in sol.columns]
+        for v in query.group_by:
+            vc = _vcol(v.name)
+            if vc not in keys:
+                if vc not in sol.columns:
+                    raise SparqlParseError(f"GROUP BY of unbound variable ?{v.name}")
+                keys.append(vc)
+        cols = set(sol.columns)
+        agg_exprs = [
+            compiler.agg_column(a, cols).alias(_vcol(name))
+            for a, name in aggs.items()
+        ]
+        grouped = (
+            sol.groupBy(*keys).agg(*agg_exprs)
+            if agg_exprs else sol.select(*keys).dropDuplicates(keys)
+        )
+        if not query.group_by:
+            base = ctx.select(*[k for k in keys if k in ctx.columns]).distinct()
+            grouped = base.join(grouped, keys, "left")
+            for a, name in aggs.items():
+                empty = None
+                if a.fn == "COUNT":
+                    empty = term_lit(literal("0", V.XSD_INTEGER))
+                elif a.fn in ("SUM", "AVG"):
+                    empty = term_lit(literal("0", V.XSD_INTEGER))
+                elif a.fn == "GROUP_CONCAT":
+                    empty = term_lit(literal(""))
+                if empty is not None:
+                    vc = _vcol(name)
+                    grouped = grouped.withColumn(vc, F.coalesce(F.col(vc), empty))
+        sol = grouped
+
+    for h in query.having:
+        sol = sol.where(
+            compiler.expr_bool(_subst_aggs(h, mapping), set(sol.columns))
+        )
+    for item in query.projection:
+        if isinstance(item, tuple):
+            expr, var = item
+            sol = sol.withColumn(
+                _vcol(var.name),
+                compiler.expr_term(_subst_aggs(expr, mapping), set(sol.columns)),
+            )
+
+    if query.limit is not None or query.offset is not None:
+        from pyspark.sql import Window
+
+        part = [c for c in ctx.columns if c in sol.columns]
+        order_cols = [
+            (compiler.order_key(_subst_aggs(ok.expr, mapping), set(sol.columns))
+             .desc() if ok.desc else
+             compiler.order_key(_subst_aggs(ok.expr, mapping), set(sol.columns)))
+            for ok in query.order_by
+        ]
+        tie = [F.col(c) for c in sol.columns]
+        w = (
+            Window.partitionBy(*part) if part else Window.partitionBy(F.lit(1))
+        ).orderBy(*order_cols, *tie)
+        lo = query.offset or 0
+        cond = F.col("_rn") > lo
+        if query.limit is not None:
+            cond = cond & (F.col("_rn") <= lo + query.limit)
+        sol = (
+            sol.withColumn("_rn", F.row_number().over(w))
+            .where(cond)
+            .drop("_rn")
+        )
+    # bare ORDER BY (no slice) cannot change a violation SET — dropped.
+    return sol
+
 
 def _pattern_vars(elems) -> set[str]:
     out: set[str] = set()
@@ -965,6 +1376,8 @@ def _expr_vars(e) -> set[str]:
         for a in e.args:
             out |= _expr_vars(a)
         return out
+    if isinstance(e, EAgg):
+        return _expr_vars(e.arg) if e.arg is not None else set()
     return set()
 
 
@@ -1008,6 +1421,7 @@ def sparql_violations(
     compiler = _Compiler(vd, [0])
     try:
         sol = compiler.eval_elems(query.elems, ctx, vd.ds.triples)
+        sol = _apply_modifiers(compiler, query, sol, ctx)
     except (SparqlParseError, SparqlUnsupported) as exc:
         return [_vio(focus_df, f"SPARQL rewrite error: {exc}")]
 

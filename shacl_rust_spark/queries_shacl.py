@@ -325,6 +325,31 @@ def shacl_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _focus_only(_validate(spark, T.nation_triples(spark, sf_dir), shapes))
 
 
+def shacl_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:sparql with aggregation + HAVING through the set-oriented
+    rewriter: customers whose open-order ("O") count is at least 5,
+    plus the COUNT itself projected out. Exercises the per-pre-binding
+    GROUP BY semantics (reference evaluates once per focus,
+    sparql.rs:156-169) and the COUNT path of _apply_modifiers."""
+    shapes = '''
+    ex:AggShape a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:sparql [
+        sh:select """
+          SELECT $this (COUNT(?o) AS ?n) WHERE {
+            ?o <http://example.org/customer> $this .
+            ?o <http://example.org/status> "O" .
+          }
+          HAVING (COUNT(?o) >= 5)
+        """ ;
+      ] .
+    '''
+    t = T.customer_triples(spark, sf_dir).unionByName(
+        T.order_triples(spark, sf_dir)
+    )
+    return _focus_only(_validate(spark, t, shapes))
+
+
 def shacl_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sh:equals with the reference's aggressive extra checks
     (equals.rs:20-76): set-difference violation per focus PLUS one

@@ -158,3 +158,102 @@ def test_path_both_endpoints_unbound_is_violation_per_focus(spark):
     assert _run(spark, shapes) == [
         "http://example.org/c", "http://example.org/d",
     ]
+
+
+# --- aggregates / solution modifiers (round 2) ----------------------------
+AGG_DATA = """
+@prefix ex: <http://example.org/> .
+ex:a a ex:T ; ex:score 5, 10, 20 ; ex:name "apple" .
+ex:b a ex:T ; ex:score 1, 2 ; ex:name "Banana" .
+ex:c a ex:T ; ex:score 100 ; ex:name "cherry" .
+ex:e a ex:T ; ex:name "empty" .
+"""
+
+
+def _run_agg(spark, select):
+    shapes = PRE + f"""
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''{select}''' ] .
+    """
+    rep = validate_strings(spark, AGG_DATA, shapes)
+    return sorted(
+        r.asDict()["focus"]["value"].rsplit("/", 1)[1] for r in rep.results()
+    )
+
+
+def test_agg_count_having_includes_empty_run(spark):
+    # reference runs the query once per focus: a focus with NO matches
+    # still aggregates (COUNT = 0) — e violates alongside b and c
+    got = _run_agg(spark, """
+      SELECT $this (COUNT(?s) AS ?n)
+      WHERE { $this <http://example.org/score> ?s }
+      HAVING (COUNT(?s) < 3)""")
+    assert got == ["b", "c", "e"]
+
+
+def test_agg_sum_avg(spark):
+    assert _run_agg(spark, """
+      SELECT $this WHERE { $this <http://example.org/score> ?s }
+      HAVING (SUM(?s) > 30)""") == ["a", "c"]
+    assert _run_agg(spark, """
+      SELECT $this WHERE { $this <http://example.org/score> ?s }
+      HAVING (AVG(?s) < 5 && COUNT(?s) > 0)""") == ["b"]
+
+
+def test_agg_min_max_integer_formatting(spark):
+    # MIN result struct-compares equal to an integer literal (no "1.0")
+    assert _run_agg(spark, """
+      SELECT $this WHERE { $this <http://example.org/score> ?s }
+      HAVING (MIN(?s) = 1)""") == ["b"]
+    assert _run_agg(spark, """
+      SELECT $this WHERE { $this <http://example.org/score> ?s }
+      HAVING (MAX(?s) >= 20)""") == ["a", "c"]
+
+
+def test_agg_group_concat_sorted(spark):
+    got = _run_agg(spark, """
+      SELECT $this WHERE { $this <http://example.org/score> ?s }
+      HAVING (GROUP_CONCAT(?s; SEPARATOR=",") = "10,20,5")""")
+    assert got == ["a"]
+
+
+def test_limit_slices_per_focus_run(spark):
+    # LIMIT 1 keeps ONE solution per pre-binding run (per focus), not
+    # one global row — every focus with scores still violates once
+    got = _run_agg(spark, """
+      SELECT $this ?s WHERE { $this <http://example.org/score> ?s }
+      ORDER BY DESC(?s) LIMIT 1""")
+    assert got == ["a", "b", "c"]
+
+
+def test_arithmetic_and_builtins(spark):
+    assert _run_agg(spark, """
+      SELECT $this ?s WHERE { $this <http://example.org/score> ?s .
+        FILTER(?s * 2 - 1 >= 199) }""") == ["c"]
+    assert _run_agg(spark, """
+      SELECT $this WHERE { $this <http://example.org/name> ?n .
+        FILTER(CONTAINS(LCASE(?n), "an")) }""") == ["b"]
+    assert _run_agg(spark, """
+      SELECT $this WHERE { $this <http://example.org/name> ?n .
+        FILTER(REGEX(?n, "^ba", "i") || STRSTARTS(?n, "che")) }
+      """) == ["b", "c"]
+    assert _run_agg(spark, """
+      SELECT $this WHERE { $this <http://example.org/name> ?n .
+        FILTER(STRAFTER(?n, "an") = "ana" && STRLEN(?n) = 6) }""") == ["b"]
+
+
+def test_group_by_explicit_var(spark):
+    # GROUP BY subdivides within the pre-binding run; empty runs vanish
+    # (spec: zero groups for an empty solution set with GROUP BY)
+    got = _run_agg(spark, """
+      SELECT $this ?s WHERE { $this <http://example.org/score> ?s }
+      GROUP BY ?s HAVING (COUNT(?s) = 1)""")
+    assert got == ["a", "a", "a", "b", "b", "c"]
+
+
+def test_trailing_garbage_is_violation_not_silent(spark):
+    # un-parsed trailing tokens must NOT be silently dropped
+    got = _run_agg(spark, """
+      SELECT $this WHERE { $this <http://example.org/score> ?s }
+      BINDINGS ?x { }""")
+    assert got == ["a", "b", "c", "e"]  # one rewrite-error violation per focus
