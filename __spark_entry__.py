@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": O.multimodal_decode,
         "events_windowed": O.events_windowed,
         "events_sessionize": O.events_sessionize,
+        "events_sessionize_stream": O.events_sessionize_stream,
         "kg_pages": K.kg_pages,
         "kg_extract_text": K.kg_extract_text,
         "kg_mentions": K.kg_mentions,
@@ -465,6 +466,34 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY 1, 2
+        """,
+        # streaming twin: batch sessions restricted to the set the
+        # stream's final real watermark (max ts - 30 min delay) proves
+        # closed (session_end + 30 min gap <= watermark, ms floor)
+        "events_sessionize_stream": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                          WHEN floor(epoch(ts))::BIGINT
+                             - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                          THEN 1 ELSE 0 END AS newf
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         CAST(SUM(newf) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                  FROM g),
+            sess AS (SELECT user_id, session_seq,
+                            min(ts) AS session_start,
+                            max(ts) AS session_end,
+                            count(*) AS n_events
+                     FROM s GROUP BY 1, 2),
+            m AS (SELECT epoch_ms(max(ts)) AS mx FROM events)
+            SELECT sess.user_id, sess.session_seq, sess.session_start,
+                   sess.session_end, sess.n_events
+            FROM sess, m
+            WHERE epoch_ms(session_end) + 1800000 <= mx - 1800000
         """,
         "kg_pages": _KG_CTE + """
             SELECT url, 'en' AS lang, text,

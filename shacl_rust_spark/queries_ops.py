@@ -152,3 +152,13 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_sessionize: the
+    applyInPandasWithState sessionizer over an in-order replay of the
+    events table, restricted to the watermark-closed session set (which
+    equals the batch output under the same filter — the oracle)."""
+    from .streaming.stateful import sessionize_replay_closed
+
+    return sessionize_replay_closed(spark, f"{sf_dir}/events.parquet")

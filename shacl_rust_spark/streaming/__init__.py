@@ -9,5 +9,16 @@ job, not ours.
 """
 
 from .stream import streaming_windowed_counts, run_streaming_once
+from .stateful import (
+    streaming_sessionize,
+    streaming_dedup_events,
+    run_events_stream_once,
+)
 
-__all__ = ["streaming_windowed_counts", "run_streaming_once"]
+__all__ = [
+    "streaming_windowed_counts",
+    "run_streaming_once",
+    "streaming_sessionize",
+    "streaming_dedup_events",
+    "run_events_stream_once",
+]

@@ -1,0 +1,277 @@
+"""Custom stateful streaming operators over the events stream.
+
+Streaming twins of the batch ops in ops/events.py (the reference has
+no streaming surface — SURVEY.md §2 — these are pipeline-side
+additions for a long-running ingest):
+
+- streaming_sessionize: gap-based sessionization as a CUSTOM STATEFUL
+  operator via applyInPandasWithState (Arrow-batched, no per-row
+  Python). Spark has session windows, but the batch twin assigns a
+  per-user ordinal session_seq — reproducing that exactly needs
+  explicit state, which is precisely what the GroupState API is for.
+- streaming_dedup_events: exactly-once event dedup with
+  dropDuplicatesWithinWatermark — dedup state is EVICTED once the
+  watermark passes, so state stays bounded at any scale (a plain
+  streaming dropDuplicates keys state forever).
+
+Scale design: state per user is only the timestamps of the user's
+still-open sessions — everything older than (watermark - gap) has been
+emitted and removed, so state size is bounded by the event rate within
+one watermark horizon, independent of total stream length. Groups are
+hash-partitioned by user_id by the streaming planner; no skew beyond
+the per-user event rate itself.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..ops.events import SESSION_GAP_MIN
+
+SESSION_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_seq", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+])
+
+# (pending open-session event timestamps in epoch ms, ascending;
+#  number of sessions already emitted for this user)
+_STATE_SCHEMA = StructType([
+    StructField("pending_ms", ArrayType(LongType())),
+    StructField("emitted_seq", LongType()),
+])
+
+_GAP_MS = SESSION_GAP_MIN * 60 * 1000
+
+
+_GAP_S = SESSION_GAP_MIN * 60
+
+
+def _split_sessions(ts_us: list) -> list:
+    """Ascending epoch-microsecond timestamps → list of sessions (lists
+    of timestamps), new session when the gap to the previous event
+    exceeds the gap. The gap is compared on SECONDS-FLOORED values —
+    exactly the batch twin's unix_seconds(lag()) predicate — so a
+    boundary gap (e.g. 1800.4s between .9 and .3 sub-second parts)
+    splits identically in both engines."""
+    sessions: list = []
+    cur: list = []
+    for t in ts_us:
+        if cur and t // 1_000_000 - cur[-1] // 1_000_000 > _GAP_S:
+            sessions.append(cur)
+            cur = []
+        cur.append(t)
+    if cur:
+        sessions.append(cur)
+    return sessions
+
+
+def _sessionize_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    pending: list = []
+    seq = 0
+    if state.exists:
+        pending, seq = state.get
+        pending = list(pending)
+    for pdf in pdfs:
+        if len(pdf):
+            # tz-naive datetime64[ns] → epoch us, preserving the full
+            # microsecond precision of the source for the emitted
+            # session bounds (gap logic floors to seconds separately)
+            pending.extend((pdf["ts"].astype("int64") // 1_000).tolist())
+    pending.sort()
+    wm = state.getCurrentWatermarkMs()
+
+    sessions = _split_sessions(pending)
+    # Sessions are in ts order; a session is CLOSED once the watermark
+    # proves no future event can extend it (any such event would carry
+    # ts <= session_end + gap <= wm and be dropped as late before this
+    # operator). Closure is therefore a prefix of the session list, so
+    # the ordinal seq matches the batch twin's ts-ordered running sum.
+    rows = []
+    still: list = []
+    first_open_end = None
+    for s in sessions:
+        # closure check in watermark milliseconds (floor of the us value
+        # — conservative: never closes earlier than the true event time)
+        if not still and s[-1] // 1_000 + _GAP_MS <= wm:
+            seq += 1
+            rows.append((
+                key[0], seq,
+                pd.Timestamp(s[0], unit="us"),
+                pd.Timestamp(s[-1], unit="us"),
+                len(s),
+            ))
+        else:
+            if first_open_end is None:
+                first_open_end = s[-1]
+            still.extend(s)
+
+    # State always keeps the emitted-session counter: the ordinal
+    # session_seq is a forever-per-user running count (same as the
+    # batch twin), so removing state on an empty tail would restart the
+    # numbering when the user reappears. Keys are bounded by user
+    # cardinality, values by the open-session horizon.
+    state.update((still, seq))
+    if still:
+        # wake as soon as the FIRST open session becomes provably
+        # closed (not the last — a closable prefix must not wait for
+        # the whole tail's horizon), even if the user never sends
+        # another event
+        timeout = first_open_end // 1_000 + _GAP_MS + 1
+        state.setTimeoutTimestamp(max(timeout, wm + 1))
+
+    if rows:
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "session_seq", "session_start",
+                "session_end", "n_events",
+            ],
+        )
+
+
+def streaming_sessionize(
+    stream: DataFrame, delay: str = "30 minutes"
+) -> DataFrame:
+    """Gap-based sessions per user over an event stream; emits each
+    session exactly once, when the event-time watermark passes
+    session_end + gap. Output matches the batch sessionize() rows for
+    every session the watermark has closed."""
+    return (
+        stream
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            SESSION_OUT_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_events_stream_once(spark, events_dir: str, transform, out_table: str):
+    """Replay a parquet events dir file-by-file (1 file = 1 micro-batch,
+    files in path order — write them in ascending-ts chunks so the
+    watermark advances monotonically like a live source) through
+    `transform` into an in-memory append sink; returns the sink table."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = (
+        transform(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(out_table)
+
+
+_DELAY_MS = 30 * 60 * 1000
+
+
+def sessionize_replay_closed(
+    spark, events_path: str, n_chunks: int = 4
+) -> DataFrame:
+    """Gate harness for the stateful streaming sessionizer: replay the
+    events table as an in-order stream (ascending-ts chunk files, one
+    per micro-batch) through streaming_sessionize and return the
+    DETERMINISTICALLY CLOSED session set — sessions with
+    floor_ms(session_end) + gap <= floor_ms(max ts) - delay — which is
+    exactly the batch sessionize() output under the same filter.
+
+    Two far-future sentinel events (user -1) are appended as their own
+    trailing chunks: timeouts fire at the START of a micro-batch
+    against the PREVIOUS batch's watermark, so the first sentinel
+    flushes everything closed by the final real watermark and the
+    second flushes any 1-ms boundary straggler — all inside data
+    batches, independent of whether the engine runs a shutdown batch.
+    Sentinel sessions and later-than-watermark extras are filtered out.
+
+    The driver-side toPandas/chunk-write here is the REPLAY FIXTURE,
+    not the operator: in production the source is Kafka/files arriving
+    in event order and streaming_sessionize runs unchanged.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = spark.read.parquet(events_path).toPandas()
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    max_ms = pd.Timestamp(pdf["ts"].max()).value // 1_000_000
+    d = tempfile.mkdtemp(prefix="sess_replay_")
+    try:
+        step = (len(pdf) + n_chunks - 1) // n_chunks
+        k = 0
+        for i in range(0, len(pdf), step):
+            pq.write_table(
+                pa.Table.from_pandas(pdf.iloc[i:i + step],
+                                     preserve_index=False),
+                f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
+            k += 1
+        for days in (1, 2):
+            tail = pdf.iloc[[-1]].copy()
+            tail["ts"] = tail["ts"] + pd.Timedelta(days=days)
+            tail["user_id"] = -1
+            tail["event_id"] = -days
+            pq.write_table(
+                pa.Table.from_pandas(tail, preserve_index=False),
+                f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
+            k += 1
+        name = "sess_replay_" + uuid.uuid4().hex[:8]
+        out = run_events_stream_once(spark, d, streaming_sessionize, name)
+        # memory-sink rows live in driver memory; safe to drop the files
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    wm = max_ms - _DELAY_MS
+    return out.where(
+        (F.col("user_id") >= 0)
+        & (F.unix_millis(F.col("session_end")) + F.lit(_GAP_MS) <= F.lit(wm))
+    )
+
+
+def streaming_dedup_events(
+    stream: DataFrame, delay: str = "30 minutes"
+) -> DataFrame:
+    """Exactly-once events by event_id. dropDuplicatesWithinWatermark
+    keeps a key's dedup state only until the watermark passes, so the
+    state store is bounded by the duplicate-arrival horizon instead of
+    the full key cardinality — the only viable streaming dedup at
+    10^12-event scale."""
+    return (
+        stream
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )

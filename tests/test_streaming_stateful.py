@@ -1,0 +1,121 @@
+"""Stateful-streaming parity tests: the applyInPandasWithState
+sessionizer and the watermarked dedup must agree with their batch twins
+(ops/events.py) on every session/row the watermark has closed."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from shacl_rust_spark.ops import events as ev
+from shacl_rust_spark.streaming import (
+    run_events_stream_once,
+    streaming_dedup_events,
+    streaming_sessionize,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+GAP_MS = ev.SESSION_GAP_MIN * 60 * 1000
+DELAY_MS = 30 * 60 * 1000
+
+
+def _write_ts_ordered_chunks(src_pdf: pd.DataFrame, out_dir, n_chunks=6,
+                             dup_each=False, sentinel=False):
+    """Write ascending-ts chunk files chunk-00.parquet… so the file
+    source replays them like a live in-order stream. dup_each writes
+    every chunk twice (adjacent) to plant within-watermark duplicates.
+    sentinel appends a last chunk holding one far-future event (user
+    -1): timeouts are evaluated at the START of a micro-batch against
+    the watermark of the previous one, so without a batch after the
+    last real chunk the tail closures never flush (a live pipeline gets
+    this for free from the next arriving event — the sentinel is that
+    event)."""
+    out_dir.mkdir()
+    pdf = src_pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    step = (len(pdf) + n_chunks - 1) // n_chunks
+    k = 0
+    for i in range(0, len(pdf), step):
+        chunk = pa.Table.from_pandas(pdf.iloc[i:i + step],
+                                     preserve_index=False)
+        # Spark's parquet reader rejects TIMESTAMP(NANOS)
+        pq.write_table(chunk, out_dir / f"chunk-{k:03d}.parquet",
+                       coerce_timestamps="us")
+        k += 1
+        if dup_each:
+            pq.write_table(chunk, out_dir / f"chunk-{k:03d}.parquet",
+                           coerce_timestamps="us")
+            k += 1
+    if sentinel:
+        tail = pdf.iloc[[-1]].copy()
+        tail["ts"] = tail["ts"] + pd.Timedelta(days=2)
+        tail["user_id"] = -1
+        tail["event_id"] = -1
+        pq.write_table(pa.Table.from_pandas(tail, preserve_index=False),
+                       out_dir / f"chunk-{k:03d}.parquet",
+                       coerce_timestamps="us")
+    return str(out_dir)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    src = spark.read.parquet(EVENTS).toPandas()
+    d = _write_ts_ordered_chunks(src, tmp_path / "sess_stream",
+                                 sentinel=True)
+
+    out = run_events_stream_once(
+        spark, d, streaming_sessionize, "sess_stream_test")
+    # exact-datetime comparison (timestamps carry microseconds; going
+    # through float epoch seconds would round)
+    got = {(r.user_id, r.session_seq):
+           (r.session_start, r.session_end, r.n_events)
+           for r in out.collect() if r.user_id != -1}
+
+    # batch truth over the REAL events, restricted to sessions the last
+    # pre-sentinel watermark closed: wm = floor_ms(max(ts)) - delay;
+    # closed iff floor_ms(session_end) + gap <= wm
+    batch = ev.sessionize(
+        spark.read.parquet(d)
+        .where(F.col("user_id") != -1)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    ).collect()
+
+    def _ms(dt):
+        return pd.Timestamp(dt).value // 1_000_000
+
+    wm = max(_ms(r.session_end) for r in batch) - DELAY_MS
+    want_all = {(r.user_id, r.session_seq):
+                (r.session_start, r.session_end, r.n_events)
+                for r in batch}
+    closed = {k for k, v in want_all.items() if _ms(v[1]) + GAP_MS <= wm}
+
+    assert closed, "fixture must close at least one session"
+    # sound: every emitted session is byte-identical to its batch twin
+    assert all(want_all.get(k) == v for k, v in got.items())
+    # complete: every session the final real watermark provably closed
+    # was emitted (the engine may additionally flush boundary sessions
+    # in its shutdown timeout batch — those are checked by soundness)
+    assert closed <= set(got)
+
+
+def test_streaming_sessionize_emits_exactly_once(spark, tmp_path):
+    src = spark.read.parquet(EVENTS).toPandas()
+    d = _write_ts_ordered_chunks(src, tmp_path / "sess_once")
+    out = run_events_stream_once(
+        spark, d, streaming_sessionize, "sess_once_test").collect()
+    keys = [(r.user_id, r.session_seq) for r in out]
+    assert len(keys) == len(set(keys))
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Each chunk written twice: the duplicate copy arrives within the
+    watermark and must be dropped; output = the distinct event set."""
+    src = spark.read.parquet(EVENTS).toPandas()
+    d = _write_ts_ordered_chunks(src, tmp_path / "dedup_stream",
+                                 dup_each=True)
+    out = run_events_stream_once(
+        spark, d, streaming_dedup_events, "dedup_stream_test")
+    got = sorted(r.event_id for r in out.collect())
+    want = sorted(src["event_id"].tolist())
+    assert got == want
