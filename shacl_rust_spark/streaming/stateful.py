@@ -226,6 +226,16 @@ def sessionize_replay_closed(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # Stateful micro-batch cost is dominated by per-partition state
+    # store instances (tasks × batches), not data volume: run the
+    # replay in a child session with a narrower shuffle width instead
+    # of the session-global one. (At real scale a long-running
+    # streaming job sizes this to its state volume, not to the batch
+    # analytics width.)
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = child
+
     pdf = spark.read.parquet(events_path).toPandas()
     pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
     max_ms = pd.Timestamp(pdf["ts"].max()).value // 1_000_000
