@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": O.text_fingerprint,
         "multimodal_sniff": O.multimodal_sniff,
         "multimodal_decode": O.multimodal_decode,
+        "multimodal_resize": O.multimodal_resize,
+        "multimodal_frames": O.multimodal_frames,
         "events_windowed": O.events_windowed,
         "events_sessionize": O.events_sessionize,
         "events_sessionize_stream": O.events_sessionize_stream,
@@ -440,6 +442,59 @@ def oracle_sql() -> dict[str, str]:
                    8000, w.n, CAST(ws.sample_sum AS BIGINT),
                    ((w.doc_id * 7) % 65536) - 32768, w.n * 125
             FROM wv w JOIN ws USING (doc_id)
+        """,
+        # resize: nearest-neighbor 2x downsample of the synthetic BMPs —
+        # sampled pixel (x', y') carries (d + 2x' + 4y') % 251; out_bytes
+        # = BMP header + 4-byte-padded stride x rows of the re-encode
+        "multimodal_resize": """
+            WITH b AS (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+                       FROM documents),
+            d AS (SELECT doc_id, w, h,
+                         (w + 1) // 2 AS nw, (h + 1) // 2 AS nh
+                  FROM b),
+            px AS (
+              SELECT d.doc_id,
+                     3 * SUM((d.doc_id + 2 * gx.x + 4 * gy.y) % 251)
+                       AS pixel_sum
+              FROM d
+              CROSS JOIN generate_series(0, 3) gx(x)
+              CROSS JOIN generate_series(0, 2) gy(y)
+              WHERE gx.x < d.nw AND gy.y < d.nh
+              GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(d.w AS BIGINT) AS width,
+                   CAST(d.h AS BIGINT) AS height,
+                   CAST(d.nw AS BIGINT) AS new_width,
+                   CAST(d.nh AS BIGINT) AS new_height,
+                   CAST(px.pixel_sum AS BIGINT) AS pixel_sum,
+                   CAST(54 + ((d.nw * 3 + 3) - ((d.nw * 3 + 3) % 4)) * d.nh
+                        AS BIGINT) AS out_bytes
+            FROM d JOIN px USING (doc_id)
+        """,
+        # frame-sample: every 2nd frame of the 4 + d%5 FVID frames;
+        # frame f pixel (x, y) carries (d + 3f + x + 2y) % 251
+        "multimodal_frames": """
+            WITH b AS (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,
+                              4 + doc_id % 5 AS nf
+                       FROM documents),
+            fr AS (SELECT b.doc_id, b.w, b.h, gf.f
+                   FROM b CROSS JOIN generate_series(0, 7) gf(f)
+                   WHERE gf.f < b.nf AND gf.f % 2 = 0),
+            px AS (
+              SELECT fr.doc_id, fr.f,
+                     3 * SUM((fr.doc_id + 3 * fr.f + gx.x + 2 * gy.y) % 251)
+                       AS pixel_sum
+              FROM fr
+              CROSS JOIN generate_series(0, 6) gx(x)
+              CROSS JOIN generate_series(0, 4) gy(y)
+              WHERE gx.x < fr.w AND gy.y < fr.h
+              GROUP BY 1, 2)
+            SELECT fr.doc_id,
+                   CAST(fr.f AS BIGINT) AS frame_idx,
+                   CAST(fr.w AS BIGINT) AS width,
+                   CAST(fr.h AS BIGINT) AS height,
+                   CAST(px.pixel_sum AS BIGINT) AS pixel_sum
+            FROM fr JOIN px ON px.doc_id = fr.doc_id AND px.f = fr.f
         """,
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -231,6 +231,155 @@ def synth_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col).mapInPandas(run, schema)
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("width", LongType(), False),
+    StructField("height", LongType(), False),
+    StructField("new_width", LongType(), False),
+    StructField("new_height", LongType(), False),
+    StructField("pixel_sum", LongType(), False),
+    StructField("out_bytes", LongType(), False),
+    StructField("payload", BinaryType(), False),
+])
+
+
+def resize_images(
+    assets: DataFrame, factor: int = 2,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Nearest-neighbor downsample by an integer factor over Arrow
+    mapInPandas: decode BMP → sample every factor-th pixel → re-encode.
+    Non-BMP payloads are passed over (the asset stream mixes
+    modalities). Output carries both the resized payload and its
+    metadata (dims, r+g+b pixel sum, encoded size) so the re-encode is
+    verifiable without re-decoding. The grayscale encode_bmp fixture
+    writer replicates the sampled R channel — fine for the synthetic
+    fixtures whose channels are equal; a production resize plugs a real
+    codec into the SAME mapInPandas slot."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in RESIZE_SCHEMA.fields}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if raw[:2] != b"BM":
+                    continue
+                w, h, rows = decode_bmp(raw)
+                nw = (w + factor - 1) // factor
+                nh = (h + factor - 1) // factor
+                sampled = [
+                    [rows[y * factor][x * factor] for x in range(nw)]
+                    for y in range(nh)
+                ]
+                resized = encode_bmp(
+                    nw, nh,
+                    [[px[0] for px in row] for row in sampled],
+                )
+                out["doc_id"].append(int(rid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["new_width"].append(nw)
+                out["new_height"].append(nh)
+                out["pixel_sum"].append(
+                    sum(r + g + b for row in sampled for (r, g, b) in row)
+                )
+                out["out_bytes"].append(len(resized))
+                out["payload"].append(resized)
+            yield pd.DataFrame(out)
+
+    return assets.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+# --- deterministic fake video container ------------------------------------
+# "FVID" + u32 frame count, then per frame u32 size + BMP bytes. A real
+# deployment swaps ffmpeg/pyav into the same decode slot; the container
+# exists so the frame-sampling PLUMBING (explode inside mapInPandas,
+# per-frame rows, batch shapes) is real and testable without codecs.
+
+def encode_fvid(frames: list[bytes]) -> bytes:
+    out = bytearray(b"FVID")
+    out += struct.pack("<I", len(frames))
+    for f in frames:
+        out += struct.pack("<I", len(f)) + f
+    return bytes(out)
+
+
+def decode_fvid(payload: bytes) -> list[bytes]:
+    if payload[:4] != b"FVID":
+        raise ValueError("not an FVID payload")
+    n = struct.unpack_from("<I", payload, 4)[0]
+    frames, pos = [], 8
+    for _ in range(n):
+        size = struct.unpack_from("<I", payload, pos)[0]
+        frames.append(payload[pos + 4: pos + 4 + size])
+        pos += 4 + size
+    return frames
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("frame_idx", LongType(), False),
+    StructField("width", LongType(), False),
+    StructField("height", LongType(), False),
+    StructField("pixel_sum", LongType(), False),
+])
+
+
+def sample_frames(
+    videos: DataFrame, every: int = 2,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Sample every `every`-th frame from FVID containers and decode the
+    sampled frames: one output row per kept frame (mapInPandas explode —
+    input rows fan out to variable-count output rows inside one Arrow
+    batch, the shape a real video pipeline needs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in FRAME_SCHEMA.fields}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = decode_fvid(bytes(payload))
+                for i in range(0, len(frames), every):
+                    w, h, rows = decode_bmp(frames[i])
+                    out["doc_id"].append(int(rid))
+                    out["frame_idx"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["pixel_sum"].append(
+                        sum(r + g + b for row in rows for (r, g, b) in row)
+                    )
+            yield pd.DataFrame(out)
+
+    return videos.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+def synth_videos(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic FVID fixture per doc_id: 4 + d%5 frames of the
+    BMP fixture pattern shifted by 3×frame index."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for rid in pdf[id_col]:
+                d = int(rid)
+                w, h = 1 + d % 7, 1 + d % 5
+                frames = []
+                for f in range(4 + d % 5):
+                    pix = [[(d + 3 * f + x + 2 * y) % 251 for x in range(w)]
+                           for y in range(h)]
+                    frames.append(encode_bmp(w, h, pix))
+                ids.append(d)
+                payloads.append(encode_fvid(frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+    return docs.select(id_col).mapInPandas(run, schema)
+
+
 def sniff_binary(pages: DataFrame, payload_col: str = "html") -> DataFrame:
     """(url, n_bytes, sniffed_type) via Arrow-batched mapInPandas —
     the same plumbing a decode/feature-extract stage uses."""

@@ -144,6 +144,24 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_assets(assets).na.fill(-1)
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing: synth BMPs → decode → nearest-neighbor
+    2× downsample → re-encode, all inside Arrow mapInPandas. The oracle
+    recomputes dims, the sampled-pixel sum, and the re-encoded BMP byte
+    size (header + padded stride × rows) in closed form, so sampling
+    offsets, rounding, and padding are all pinned."""
+    assets = multimodal.synth_assets(_docs(spark, sf_dir))
+    return multimodal.resize_images(assets).drop("payload")
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: deterministic FVID containers →
+    every-2nd-frame decode, exploding each video row to per-frame rows
+    inside one Arrow batch."""
+    videos = multimodal.synth_videos(_docs(spark, sf_dir))
+    return multimodal.sample_frames(videos)
+
+
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.windowed_counts(
         spark.read.parquet(f"{sf_dir}/events.parquet")

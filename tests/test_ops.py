@@ -139,3 +139,34 @@ def test_embedding_lsh_matches_allpairs_and_is_blocked(spark):
     assert "_sig" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resize_roundtrip(spark):
+    """Resized payload re-decodes to exactly the nearest-neighbor
+    sampled pixels of the source BMP."""
+    src = multimodal.encode_bmp(
+        5, 4, [[(10 * y + x) % 251 for x in range(5)] for y in range(4)])
+    assets = spark.createDataFrame([(1, bytearray(src))],
+                                   "doc_id long, payload binary")
+    row = multimodal.resize_images(assets, factor=2).collect()[0]
+    assert (row.width, row.height) == (5, 4)
+    assert (row.new_width, row.new_height) == (3, 2)
+    w2, h2, rows = multimodal.decode_bmp(bytes(row.payload))
+    assert (w2, h2) == (3, 2)
+    # sampled positions (x*2, y*2) of the source pattern
+    assert [[px[0] for px in r] for r in rows] == [
+        [0, 2, 4], [20, 22, 24]]
+    assert row.out_bytes == len(bytes(row.payload))
+    assert row.pixel_sum == 3 * (0 + 2 + 4 + 20 + 22 + 24)
+
+
+def test_fvid_roundtrip_and_frame_sample(spark):
+    frames = [multimodal.encode_bmp(2, 1, [[f, f + 1]]) for f in range(5)]
+    vid = multimodal.encode_fvid(frames)
+    assert multimodal.decode_fvid(vid) == frames
+    videos = spark.createDataFrame([(9, bytearray(vid))],
+                                   "doc_id long, payload binary")
+    out = {r.frame_idx: (r.width, r.height, r.pixel_sum)
+           for r in multimodal.sample_frames(videos, every=2).collect()}
+    assert set(out) == {0, 2, 4}
+    assert out[2] == (2, 1, 3 * (2 + 3))
