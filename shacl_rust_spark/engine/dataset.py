@@ -34,6 +34,7 @@ class Dataset:
         shapes_graph: Graph,
         small: bool = False,
         cheap_pred: bool = False,
+        distinct_triples: bool = False,
     ):
         self.spark = spark
         self.triples = triples
@@ -47,6 +48,14 @@ class Dataset:
         # column pruning): the validator then skips defensive
         # materialization of predicate-filtered intermediates.
         self.cheap_pred = cheap_pred
+        # `distinct_triples` asserts the caller guarantees the triples
+        # frame is a SET (no duplicate (s,p,o) rows) — e.g. the pipeline
+        # dropDuplicates(["s","p","o"])-es candidates before validation.
+        # The validator then skips defensive per-path dedup shuffles on
+        # fused target-path pairs. With the default False, any
+        # table-backed source with duplicate rows still gets exact set
+        # semantics at the cost of one extra exchange per fused shape.
+        self.distinct_triples = distinct_triples
         self._closure_edges: dict[str, dict[Term, list[Term]]] = {}
         self._shapes_df: DataFrame | None = None
         self._all_terms_df: DataFrame | None = None

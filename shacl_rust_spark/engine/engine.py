@@ -111,12 +111,15 @@ class Validator:
         p_iri = t.term.value
         # graph = SET of triples: dedup (focus, v) exactly as resolve_path
         # does for a single Hop, so a table-backed source with duplicate
-        # (s,P,o) rows can't inflate count/qualified semantics
-        pairs = (
-            self.ds.pred(p_iri)
-            .select(F.col("s").alias("focus"), F.col("o").alias("v"))
-            .dropDuplicates(["focus", "v"])
+        # (s,P,o) rows can't inflate count/qualified semantics. Skipped
+        # when the Dataset asserts distinct_triples (the pipeline dedups
+        # candidates on (s,p,o) upstream) — the extra exchange costs ~50%
+        # of the validate stage at 9.6M pages for nothing.
+        pairs = self.ds.pred(p_iri).select(
+            F.col("s").alias("focus"), F.col("o").alias("v")
         )
+        if not self.ds.distinct_triples:
+            pairs = pairs.dropDuplicates(["focus", "v"])
         if not self.ds.cheap_pred:
             # defensive cut: without a pruned columnar source every
             # constraint branch would re-run the full upstream scan

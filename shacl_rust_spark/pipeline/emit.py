@@ -95,6 +95,10 @@ def validate_candidates(
     ds = Dataset(
         spark, to_term_triples(graph), parse_turtle(PIPELINE_SHAPES),
         cheap_pred=True,
+        # candidates are dropDuplicates(["s","p","o"])-ed in run.py and
+        # entity_type_triples dedups (s, o) under a constant predicate
+        # disjoint from the extraction predicates — the union is a set
+        distinct_triples=True,
     )
     # one execution of the validator plan; the two anti-join derivations
     # and the caller's metrics count all read the materialized result

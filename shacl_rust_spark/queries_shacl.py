@@ -28,7 +28,13 @@ PREFIXES = """
 
 
 def _validate(spark: SparkSession, triples: DataFrame, shapes_ttl: str) -> DataFrame:
-    ds = Dataset(spark, triples, parse_turtle(PREFIXES + shapes_ttl))
+    # tabular.py builders derive each (s, p, o) from one source row of a
+    # primary-key table (no joins that could fan out), so the triples
+    # frame is a set — assert it and skip the defensive fused-pair dedup
+    ds = Dataset(
+        spark, triples, parse_turtle(PREFIXES + shapes_ttl),
+        distinct_triples=True,
+    )
     return validate_dataset(ds).violations
 
 

@@ -92,3 +92,42 @@ def test_fused_table_scale_plan_matches_small_plan(spark):
     small_plan, fused_plan = run(True), run(False)
     assert small_plan == fused_plan
     assert len(fused_plan) == 5
+
+
+def test_fused_plan_duplicate_triples_set_semantics(spark):
+    """A table-backed triples frame with duplicate (s,p,o) rows must not
+    inflate fused min/max counts: with the default
+    distinct_triples=False the validator dedups the fused pairs; the
+    dup'd frame yields exactly the violations of the clean frame."""
+    from shacl_rust_spark.engine.dataset import Dataset
+    from shacl_rust_spark.engine.engine import validate_dataset
+    from shacl_rust_spark.rdf.turtle import parse_turtle
+    from shacl_rust_spark.schema import graph_to_df
+
+    shapes = parse_turtle("""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:p ;
+      sh:property [ sh:path ex:p ; sh:maxCount 1 ] .
+    """)
+    data = parse_turtle("""
+    @prefix ex: <http://example.org/> .
+    ex:a ex:p ex:b .
+    ex:c ex:p ex:d . ex:c ex:p ex:e .
+    """)
+
+    def run(df):
+        ds = Dataset(spark, df, shapes)  # distinct_triples defaults False
+        return sorted(
+            (r.focus.value, r.component)
+            for r in validate_dataset(ds).violations.collect()
+        )
+
+    clean = graph_to_df(spark, data)
+    duped = clean.unionByName(clean)  # every triple twice
+    assert run(duped) == run(clean)
+    # ex:a has ONE distinct value — duplicated rows must not trip maxCount
+    assert run(duped) == [(
+        "http://example.org/c",
+        "http://www.w3.org/ns/shacl#MaxCountConstraintComponent",
+    )]
