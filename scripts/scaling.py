@@ -123,6 +123,12 @@ def main() -> int:
         f"| {h['speedup']:.2f}× | {h['scaling_efficiency']:.3f} |"
         for h in matching[-6:]
     )
+    # BENCH_NOTES.md (optional, committed) carries per-run analysis —
+    # e.g. a diagnosed outlier — verbatim across regenerations
+    run_notes = ""
+    if os.path.exists("/root/repo/BENCH_NOTES.md"):
+        with open("/root/repo/BENCH_NOTES.md") as f:
+            run_notes = f.read().strip()
 
     md = f"""# BENCH — throughput & scaling evidence
 
@@ -155,6 +161,8 @@ Run history at this input (BENCH_HISTORY.jsonl; the sandbox host has
 | N wall (s) | 4N wall (s) | speedup | efficiency |
 |---|---|---|---|
 {hist_rows}
+
+{run_notes}
 
 Stage metrics at N:  {json.dumps(results[1])}
 
