@@ -157,6 +157,36 @@ def _hyperplanes(n_planes: int, dim: int) -> list[tuple[int, int, float]]:
     return out
 
 
+def _band_sig_udf(n_planes: int, band_size: int, dim: int):
+    """Arrow-batched signature kernel: embedding → array of per-band
+    LSH signatures. Plane p contributes 2^(p mod band_size) to band
+    floor(p / band_size) when the hyperplane projection is positive —
+    bit-for-bit the banding layout of the Column formulation it
+    replaced. The (n_planes × dim) weight matrix is a deterministic
+    closure constant (a few KB), shipped once per executor with the
+    UDF."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w = np.zeros((n_planes, dim))
+    for plane, pos, weight in _hyperplanes(n_planes, dim):
+        w[plane, pos] = weight
+    n_bands = -(-n_planes // band_size)
+    band_idx = np.arange(n_planes) // band_size
+    bit_weight = 1 << (np.arange(n_planes) % band_size)
+
+    def sig(emb):  # pd.Series[array] -> pd.Series[array<long>]
+        mat = np.vstack(emb.map(np.asarray).to_numpy()).astype(np.float64)
+        vals = ((mat @ w.T) > 0) * bit_weight  # (batch, n_planes)
+        sigs = np.zeros((vals.shape[0], n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            sigs[:, b] = vals[:, band_idx == b].sum(axis=1)
+        return pd.Series(list(sigs))
+
+    return pandas_udf(sig, "array<long>")
+
+
 def embedding_lsh_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -178,33 +208,23 @@ def embedding_lsh_pairs(
     a per-pair miss rate of (1 - 0.615²)^32 ≈ 2e-7; higher thresholds
     allow wider bands and fewer planes.
 
-    Projection layout: explode vectors to (vec_id, pos, v), broadcast-
-    join the (plane, pos, weight) constants, partial-agg the per-plane
-    dot products — one shuffle on (vec_id, plane), no UDFs, linear in
-    corpus size and embarrassingly parallel at 100 TB.
+    Projection layout: per-vector band signatures are computed MAP-SIDE
+    by an Arrow-batched pandas UDF (one numpy matmul against the
+    broadcast (n_planes × dim) hyperplane matrix per batch) — ZERO
+    shuffle for candidate signatures, linear in corpus size and
+    embarrassingly parallel at 100 TB. (An earlier layout exploded
+    vectors to (vec_id, pos, v) and partial-aggregated dot products —
+    correct, but it shuffled dim × n_planes rows per vector; the matmul
+    does the same arithmetic inside one Arrow batch.) Sign ties at
+    exactly 0.0 could order-differently than a sequential sum, but
+    banding only gates candidate RECALL — the exact cosine rescore
+    keeps precision identical.
     """
-    spark = embeddings.sparkSession
     dim = len(embeddings.select("embedding").first()[0])
-    w = spark.createDataFrame(
-        _hyperplanes(n_planes, dim), "_plane int, _pos int, _w double"
-    )
-    ex = embeddings.select(
-        "vec_id", "label", F.posexplode("embedding").alias("_pos", "_v")
-    )
-    proj = (
-        ex.join(F.broadcast(w), "_pos")
-        .groupBy("vec_id", "label", "_plane")
-        .agg(F.sum(F.col("_v").cast("double") * F.col("_w")).alias("_s"))
-    )
-    sigs = (
-        proj.withColumn("_band", F.floor(F.col("_plane") / band_size))
-        .withColumn(
-            "_bitval",
-            (F.col("_s") > 0).cast("long")
-            * F.pow(F.lit(2.0), F.col("_plane") % band_size).cast("long"),
-        )
-        .groupBy("vec_id", "label", "_band")
-        .agg(F.sum("_bitval").alias("_sig"))
+    sig_udf = _band_sig_udf(n_planes, band_size, dim)
+    sigs = embeddings.select(
+        "vec_id", "label",
+        F.posexplode(sig_udf(F.col("embedding"))).alias("_band", "_sig"),
     )
     counts = (
         sigs.groupBy("label", "_band", "_sig")
