@@ -6,6 +6,16 @@ The headline figure is validated-triples-emitted/sec through the full
 SHACL validation spine (unpivot → targets → paths → constraints →
 violations → anti-join emission), the BASELINE.json metric. Individual
 query timings are reported per query.
+
+Measurement protocol (same as scripts/scaling.py): shuffle/blockmgr
+local dirs and the output table live on tmpfs (/dev/shm) so the
+benchmark measures the engine, not the sandbox's root disk; a warm
+pre-pass (Python-worker fork + Arrow, shuffle write/read, parquet
+encode/decode) runs before the measured window so one-time provisioning
+costs don't land in it; and the headline pipeline is measured FIRST,
+on a fresh block manager — the 70 gate queries that follow accumulate
+localCheckpoint blocks and would otherwise inflate the headline by
+~20% of GC/memory pressure.
 """
 
 from __future__ import annotations
@@ -20,42 +30,50 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    from pyspark.sql import SparkSession
+    import shutil
+    import tempfile
 
-    spark = (
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    local_dir = tempfile.mkdtemp(prefix="bench_local_", dir=shm)
+
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("shacl-rust-spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate()
     )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    import __spark_entry__ as e
-
-    qs = e.queries()
-    timings: dict[str, float] = {}
-
-    # warm the JVM + parquet footers so per-query numbers are comparable
+    # warm pass: JVM codegen/classloading, Python daemon fork + Arrow,
+    # shuffle + parquet round trip, and the input's parquet footers
+    warm = spark.range(0, 1 << 18, 1, cpus)
+    warm.mapInPandas(lambda it: it, "id: long").count()
+    wdir = tempfile.mkdtemp(prefix="bench_warm_", dir=shm)
+    (
+        warm.select((F.col("id") % 997).alias("k"),
+                    F.col("id").cast("string").alias("v"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.crc32(F.col("v").cast("binary"))).alias("f"))
+        .write.mode("overwrite").parquet(f"{wdir}/warm")
+    )
+    spark.read.parquet(f"{wdir}/warm").count()
+    shutil.rmtree(wdir, ignore_errors=True)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    for name, fn in qs.items():
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
-
-    # headline: the full KG pipeline (pages → extract → link → CC →
+    # headline FIRST: the full KG pipeline (pages → extract → link → CC →
     # SHACL-validate → partitioned emit), triples emitted per second —
     # the BASELINE.json metric.
-    import shutil
-    import tempfile
-
     from shacl_rust_spark.pipeline.run import run_pipeline
 
-    out_dir = tempfile.mkdtemp(prefix="kg_bench_")
+    out_dir = tempfile.mkdtemp(prefix="kg_bench_", dir=shm)
     try:
         t0 = time.time()
         commit = run_pipeline(spark, sf_dir, out_dir)
@@ -63,6 +81,16 @@ def main() -> None:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     n_emitted = commit["metrics"]["emitted_triples"]
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
     timings["kg_pipeline"] = round(emit_secs, 3)
 
     total = round(sum(timings.values()), 3)
@@ -77,6 +105,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
     }))
+    shutil.rmtree(local_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
