@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_sparql_optional": Q.shacl_sparql_optional,
         "shacl_sparql_agg": Q.shacl_sparql_agg,
         "shacl_sparql_path": Q.shacl_sparql_path,
+        "shacl_sparql_message": Q.shacl_sparql_message,
         "shacl_equals": Q.shacl_equals,
         "shacl_disjoint": Q.shacl_disjoint,
         "shacl_not": Q.shacl_not,
@@ -742,6 +743,12 @@ def oracle_sql() -> dict[str, str]:
         "shacl_sparql_path": f"""
             SELECT '{EX}nation/' || n_nationkey AS focus
             FROM nation WHERE n_regionkey % 2 = 1
+        """,
+        "shacl_sparql_message": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus,
+                   'segment "BUILDING" of {EX}cust/' || c_custkey
+                   || ' flagged ({{?nope}})' AS message
+            FROM customer WHERE c_mktsegment = 'BUILDING'
         """,
         "shacl_equals": f"""
             WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_linenumber AS ln,

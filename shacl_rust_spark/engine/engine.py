@@ -53,23 +53,34 @@ class Validator:
         df: DataFrame,
         shape: Shape,
         component: str,
-        message: str,
+        message,
         value: bool = False,
     ) -> DataFrame:
         """Project a frame containing `focus` (and optionally `v`) to the
-        standard violations schema."""
+        standard violations schema.
+
+        `message` is a string, a Column (per-row rendered text, e.g.
+        SPARQL message templates), or a list mixing both. Constraint
+        messages come first, then the shape's sh:message values,
+        deduplicated keeping first occurrence (build_validation_result,
+        src/validation/mod.rs:655-666) — for Column messages the dedup
+        runs row-side via array_distinct (same keep-first order).
+        """
         value_col = (
             F.col("v") if value else F.lit(None).cast(TERM_TYPE)
         )
-        # constraint message first, then the shape's sh:message values,
-        # deduplicated in order (build_validation_result,
-        # src/validation/mod.rs:655-666)
-        msgs, seen = [], set()
-        for m in [message, *shape.messages]:
-            if m not in seen:
-                seen.add(m)
-                msgs.append(m)
-        message = "; ".join(msgs)
+        parts = message if isinstance(message, list) else [message]
+        parts = [*parts, *shape.messages]
+        if any(not isinstance(m, str) for m in parts):
+            cols = [m if not isinstance(m, str) else F.lit(m) for m in parts]
+            message_col = F.array_join(F.array_distinct(F.array(*cols)), "; ")
+        else:
+            msgs, seen = [], set()
+            for m in parts:
+                if m not in seen:
+                    seen.add(m)
+                    msgs.append(m)
+            message_col = F.lit("; ".join(msgs))
         return df.select(
             F.col("focus"),
             F.lit(shape.node.n3()).alias("source_shape"),
@@ -79,7 +90,7 @@ class Validator:
             .cast("string")
             .alias("path"),
             value_col.alias("value"),
-            F.lit(message).alias("message"),
+            message_col.alias("message"),
         )
 
     def empty_violations(self) -> DataFrame:

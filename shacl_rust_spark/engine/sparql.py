@@ -1381,20 +1381,87 @@ def _expr_vars(e) -> set[str]:
     return set()
 
 
+# --- message templates --------------------------------------------------
+_TMPL_RE = re.compile(r"\{[?$]([^{}]+)\}")
+
+
+def _msg_term_col(col: Column) -> Column:
+    """Message rendering of a bound term: N3 display (term.py::Term.n3,
+    oxigraph Display) with the reference's normalize_binding_value
+    applied — IRIs lose their angle brackets, literals keep their
+    quoted N-Triples form (sparql.rs:98-104)."""
+    v = col.getField("value")
+    esc = F.replace(v, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit('"'), F.lit('\\"'))
+    esc = F.replace(esc, F.lit("\n"), F.lit("\\n"))
+    esc = F.replace(esc, F.lit("\r"), F.lit("\\r"))
+    lang = col.getField("lang")
+    dt = col.getField("datatype")
+    lit_form = (
+        F.when(lang != "", F.concat(F.lit('"'), esc, F.lit('"@'), lang))
+        .when(
+            ~dt.isin("", V.XSD_STRING),
+            F.concat(F.lit('"'), esc, F.lit('"^^<'), dt, F.lit(">")),
+        )
+        .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+    )
+    return (
+        F.when(col.getField("kind") == "iri", v)
+        .when(col.getField("kind") == "bnode", F.concat(F.lit("_:"), v))
+        .otherwise(lit_form)
+    )
+
+
+def _render_template(template: str, sol_columns: set[str]) -> Column:
+    """Per-solution substitution of {?var}/{$var} message templates
+    (apply_message_bindings, sparql.rs:106-131): context pre-bindings
+    ($this/$value/$shapesGraph/$currentShape/$PATH/params) and solution
+    vars are all columns of the solution frame; a var absent from the
+    query — or unbound in a given row (OPTIONAL) — keeps its
+    placeholder text, exactly like the reference's replace-only-bound
+    loop."""
+    parts: list[Column] = []
+    pos = 0
+    for m in _TMPL_RE.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos:m.start()]))
+        vc = _vcol(m.group(1))
+        if vc in sol_columns:
+            c = F.col(vc)
+            parts.append(
+                F.when(c.isNull(), F.lit(m.group(0))).otherwise(_msg_term_col(c))
+            )
+        else:
+            parts.append(F.lit(m.group(0)))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    if not parts:
+        return F.lit("")
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
 # --- entry point ------------------------------------------------------------
 def sparql_violations(
     vd, shape: Shape, c: SparqlC, focus_df: DataFrame, values: DataFrame
 ) -> list[DataFrame]:
     cc = c.component or V.SH_SPARQL_CC
-    message = c.messages[0] if c.messages else "SPARQL constraint violation"
+    # messages verbatim when the shape declares any; per-executable
+    # defaults otherwise (sparql.rs:253-254, 280-281, 178-180)
+    verbatim = list(c.messages)
 
-    def _vio(df: DataFrame, msg: str, value: bool = False) -> DataFrame:
+    def _vio(df: DataFrame, msg, value: bool = False) -> DataFrame:
         return vd.vio(df, shape, cc, msg, value=value)
 
     try:
         query = parse_sparql(c.query, dict(c.prefixes))
     except SparqlUnsupported as exc:
-        return [_vio(focus_df, str(exc))]
+        # unsupported pre-binding construct: reference message is the
+        # shape's own messages or the fixed fallback; the reason string
+        # lands in `detail` there (sparql.rs:173-190) — appended here
+        # since the violations schema has no detail column
+        msg = verbatim or [f"SPARQL pre-binding violation: {exc}"]
+        return [_vio(focus_df, msg)]
     except SparqlParseError as exc:
         return [_vio(focus_df, f"SPARQL parse error: {exc}")]
 
@@ -1427,13 +1494,24 @@ def sparql_violations(
 
     out: list[DataFrame] = []
     if query.is_select:
+        # SELECT messages render per solution: {?var}/{$var} templates
+        # substitute that row's bindings (render_messages_for_solution,
+        # sparql.rs:122-131); the frame passed to vio keeps the full
+        # solution columns so the template columns can resolve
+        message = (
+            [_render_template(t, set(sol.columns)) for t in verbatim]
+            if verbatim
+            else "SPARQL SELECT constraint violation"
+        )
         if "v_value" in sol.columns:
-            viol_rows = sol.select("focus", F.col("v_value").alias("v"))
+            viol_rows = sol.withColumn("v", F.col("v_value"))
             out.append(_vio(viol_rows, message, value=True))
         else:
-            out.append(_vio(sol.select("focus"), message))
+            out.append(_vio(sol, message))
         genuine_focus = sol.select("focus").distinct()
     else:
+        # ASK messages are NOT template-substituted (sparql.rs:278-283)
+        message = verbatim or "SPARQL ASK constraint violation"
         keys = ["focus"] + (["v_value"] if has_value else [])
         ok = sol.select(*[F.col(k).alias(f"_ok_{k}") for k in keys]).distinct()
         cond = reduce(
@@ -1448,10 +1526,10 @@ def sparql_violations(
             out.append(_vio(failed.select("focus"), message))
         genuine_focus = failed.select("focus").distinct()
 
-    # last-resort heuristic (sparql.rs:368-392)
+    # last-resort heuristic (sparql.rs:368-392; messages verbatim there)
     if query.is_select and any(
         tok in c.query for tok in ("bound($this", "bound(?this", "UNION")
     ):
         heur = focus_df.join(genuine_focus, "focus", "left_anti")
-        out.append(_vio(heur, "SPARQL pre-binding violation"))
+        out.append(_vio(heur, verbatim or "SPARQL pre-binding violation"))
     return out

@@ -356,6 +356,27 @@ def shacl_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _focus_only(_validate(spark, t, shapes))
 
 
+def shacl_sparql_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:sparql message templates: {?var}/{$var} substitute per
+    solution (apply_message_bindings, sparql.rs:106-131) — IRIs lose
+    their angle brackets, literals keep their quoted N3 form, unknown
+    vars keep the placeholder text."""
+    shapes = '''
+    ex:MsgShape a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:sparql [
+        sh:message "segment {?seg} of {$this} flagged ({?nope})" ;
+        sh:select """
+          SELECT $this ?seg WHERE {
+            $this <http://example.org/mktsegment> ?seg .
+            FILTER (?seg = "BUILDING")
+          }
+        """ ] .
+    '''
+    v = _validate(spark, T.customer_triples(spark, sf_dir), shapes)
+    return v.select(F.col("focus.value").alias("focus"), "message")
+
+
 def shacl_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sh:equals with the reference's aggressive extra checks
     (equals.rs:20-76): set-difference violation per focus PLUS one

@@ -257,3 +257,86 @@ def test_trailing_garbage_is_violation_not_silent(spark):
       SELECT $this WHERE { $this <http://example.org/score> ?s }
       BINDINGS ?x { }""")
     assert got == ["a", "b", "c", "e"]  # one rewrite-error violation per focus
+
+
+def _run_msgs(spark, shapes):
+    rep = validate_strings(spark, DATA, shapes)
+    return sorted(
+        (r.asDict()["focus"]["value"], r.asDict()["message"])
+        for r in rep.results()
+    )
+
+
+def test_message_template_substitution(spark):
+    # {?var}/{$var} substitute per solution: IRIs lose <>, literals keep
+    # their quoted N3 form, unknown vars keep the placeholder
+    # (apply_message_bindings, sparql.rs:106-131)
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [
+        sh:message "val {?v} on {$this} ({?nope} stays)" ;
+        sh:select '''
+          SELECT $this ?v WHERE {
+            $this <http://example.org/val> ?v . FILTER(?v > 5)
+          }''' ] .
+    """
+    assert _run_msgs(spark, shapes) == [(
+        "http://example.org/d",
+        'val "9"^^<http://www.w3.org/2001/XMLSchema#integer> on '
+        "http://example.org/d ({?nope} stays)",
+    )]
+
+
+def test_message_template_lang_literal_and_optional_unbound(spark):
+    # lang literal renders as "x"@de; a var unbound IN THAT ROW (via
+    # OPTIONAL) keeps its placeholder, exactly like the reference's
+    # replace-only-bound-vars loop
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [
+        sh:message "tag {?t} next {?w}" ;
+        sh:select '''
+          SELECT $this ?t WHERE {
+            $this <http://example.org/tag> ?t .
+            OPTIONAL { $this <http://example.org/next> ?w }
+            FILTER(?t = "x"@de)
+          }''' ] .
+    """
+    assert _run_msgs(spark, shapes) == [
+        ("http://example.org/d", 'tag "x"@de next {?w}'),
+    ]
+
+
+def test_message_defaults_select_vs_ask(spark):
+    # no sh:message ⇒ per-executable defaults (sparql.rs:253-254,280-281)
+    sel = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE { $this <http://example.org/val> ?v .
+          FILTER(?v > 5) }''' ] .
+    """
+    ask = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [ sh:ask '''
+        ASK { $this <http://example.org/val> ?v . FILTER(?v < 5) }''' ] .
+    """
+    assert _run_msgs(spark, sel) == [
+        ("http://example.org/d", "SPARQL SELECT constraint violation"),
+    ]
+    assert _run_msgs(spark, ask) == [
+        ("http://example.org/d", "SPARQL ASK constraint violation"),
+    ]
+
+
+def test_message_ask_verbatim_no_substitution(spark):
+    # ASK messages are cloned verbatim — no template substitution
+    # (sparql.rs:278-283)
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [
+        sh:message "bad {$this}" ;
+        sh:ask '''ASK { $this <http://example.org/val> ?v . FILTER(?v < 5) }''' ] .
+    """
+    assert _run_msgs(spark, shapes) == [
+        ("http://example.org/d", "bad {$this}"),
+    ]
