@@ -377,3 +377,23 @@ def validate_strings(spark, data_text: str, shapes_text: str) -> Report:
     from ..rdf.turtle import parse_turtle
 
     return validate_graphs(spark, parse_turtle(data_text), parse_turtle(shapes_text))
+
+
+def lint_data_text(data_text: str, fmt: str = "ttl") -> None:
+    """Syntax-check a data graph — the analog of the WASM/MCP
+    lint_data_graph endpoint (crates/shacl-wasm/src/lib.rs:79-84):
+    raises the format's parse error on bad input, returns None on
+    success. Driver-side only; no Spark session involved."""
+    from ..rdf import parse_rdf
+
+    parse_rdf(data_text, fmt)
+
+
+def lint_shapes_text(shapes_text: str, fmt: str = "ttl") -> None:
+    """Syntax- and shape-check a shapes graph — the analog of
+    lint_shapes_graph (crates/shacl-wasm/src/lib.rs:86-94): parses the
+    RDF text, then runs the shapes compiler over it; raises on either
+    failure."""
+    from ..rdf import parse_rdf
+
+    parse_shapes(parse_rdf(shapes_text, fmt))
