@@ -1,25 +1,34 @@
 """CLI — the analog of the reference's `shacl-validator` binary
 (/root/reference/crates/shacl-cli/src/main.rs).
 
-    python -m shacl_rust_spark.cli validate \
-        --data a.ttl [--data b.jsonld ...] --shapes shapes.ttl \
+    python -m shacl_rust_spark.cli [-v...] validate SHAPES_FILE \
+        DATA_FILE [DATA_FILE ...] \
         [--data-format ttl|nt|nq|rdf|jsonld|trig] [--shapes-format ...] \
-        [--output-format text|json|rdf|ttl|nt] [--output report.ttl] \
-        [--cpus 8]
+        [--output-format text|json|ttl|nt|nq|rdf|jsonld|trig] \
+        [--output report.ttl] [--quiet] [--cpus 8]
     python -m shacl_rust_spark.cli parse SHAPES_FILE \
         [--format ttl|...] [--output pretty|json|compact]
     python -m shacl_rust_spark.cli info SHAPES_FILE \
         [--format ttl|...] [--detailed]
 
-`validate` (main.rs:118-137, 273-385): multiple --data files are parsed
-and unioned into one graph (main.rs:286-320; graph = SET of triples, so
-the union dedups). Input format defaults to each file's extension
-(rdf.rs RdfFormat::from_extension semantics) and can be forced with
---data-format / --shapes-format. --output-format rdf emits the report
-graph as N-Triples (back-compat alias of nt); ttl emits Turtle with
-prefix compaction (rdf.rs:59-81). --output writes the report to a file
-instead of stdout (main.rs:66-68, 340-366). Exit code 1 when the data
-does not conform (main.rs:379-382).
+`validate` (main.rs:118-137, 273-385): the shapes file is the first
+positional and every following positional is a data file (the `--data`/
+`--shapes` flag spelling from earlier revisions still works); multiple
+data files are parsed and unioned into one graph (main.rs:286-320;
+graph = SET of triples, so the union dedups). Input format defaults to
+each file's extension (rdf.rs RdfFormat::from_extension semantics) and
+can be forced with --data-format / --shapes-format. --output-format
+text/json render the report directly; anything else goes through the
+format registry exactly like the reference's
+RdfFormat::from_extension(output_format) (main.rs:350-366): ttl =
+Turtle with prefix compaction (rdf.rs:59-81), rdf = RDF/XML, plus
+nt/nq/jsonld/trig; an unknown name — including `yaml`, which the
+reference advertises in its own error text but from_extension rejects —
+fails with the reference's message. --output writes the report to a
+file instead of stdout (main.rs:66-68, 340-366). -v raises log
+verbosity (info lines on stderr, main.rs info!/debug! macros); --quiet
+(visible alias --quite, main.rs:74) silences them. Exit code 1 when the
+data does not conform (main.rs:379-382).
 
 `parse` (main.rs:110-116, 150-252) and `info` (main.rs:139-145,
 255-268) inspect the shapes graph driver-side — no Spark session is
@@ -74,6 +83,22 @@ def _validate_command(args) -> int:
     from .rdf import parse_rdf_file
     from .rdf.graph import Graph
 
+    def info(msg: str) -> None:
+        if args.verbose and not args.quiet:
+            print(msg, file=sys.stderr)
+
+    # positional spelling (reference): validate SHAPES DATA...; flag
+    # spelling: validate --shapes S --data D [--data D2]
+    if args.shapes is None and not args.files:
+        print("error: SHAPES_FILE is required", file=sys.stderr)
+        return 2
+    shapes_path = args.shapes if args.shapes else args.files[0]
+    data_paths = list(args.data or [])
+    data_paths += args.files[1:] if args.shapes is None else args.files
+    if not data_paths:
+        print("error: at least one DATA_FILE is required", file=sys.stderr)
+        return 2
+
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .appName("shacl-validator")
@@ -84,9 +109,14 @@ def _validate_command(args) -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     data = Graph()
-    for path in args.data:
-        data = data.union(parse_rdf_file(path, args.data_format))
-    shapes = parse_rdf_file(args.shapes, args.shapes_format)
+    for path in data_paths:
+        g = parse_rdf_file(path, args.data_format)
+        info(f"Data graph {path} loaded with {len(g)} triples")
+        data = data.union(g)
+        info(f"Merged data graph {path} "
+             f"({len(g)} triples, total now {len(data)})")
+    shapes = parse_rdf_file(shapes_path, args.shapes_format)
+    info(f"Shapes graph loaded with {len(shapes)} triples")
 
     report = validate_graphs(spark, data, shapes)
 
@@ -99,12 +129,23 @@ def _validate_command(args) -> int:
         from .schema import df_to_triples
 
         g = Graph(df_to_triples(report.to_graph_df()))
-        fmt = "nt" if args.output_format == "rdf" else args.output_format
-        rendered = serialize_graph(g, fmt)
+        try:
+            rendered = serialize_graph(g, args.output_format)
+        except ValueError:
+            # main.rs:353-358 — from_extension failure (note: the
+            # reference lists yaml as supported here but rejects it too)
+            print(
+                f"Unsupported output format: '{args.output_format}'. "
+                "Supported: text, json, yaml, ttl, nt, nq, rdf, jsonld, "
+                "trig",
+                file=sys.stderr,
+            )
+            return 1
 
     if args.output:
         with open(args.output, "w") as f:
             f.write(rendered if rendered.endswith("\n") else rendered + "\n")
+        info(f"Report written to {args.output}")
     elif args.output_format in ("text", "json"):
         print(rendered)
     else:
@@ -114,20 +155,34 @@ def _validate_command(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
-    ap = argparse.ArgumentParser(prog="shacl-validator")
+    ap = argparse.ArgumentParser(
+        prog="shacl-validator",
+        description="SHACL (Shapes Constraint Language) validator and toolkit",
+    )
+    # main.rs:17-20 — global -v count flag, before the subcommand
+    ap.add_argument("-v", "--verbose", action="count", default=0,
+                    help="verbosity (-v, -vv, -vvv)")
     sub = ap.add_subparsers(dest="command", required=True)
 
     val = sub.add_parser("validate")
-    val.add_argument("--data", action="append", required=True)
-    val.add_argument("--shapes", required=True)
-    val.add_argument("--data-format", default=None,
-                     help="force input format for every --data file "
+    # main.rs:46-52 — positional SHAPES_FILE then DATA_FILE... ; the
+    # flag spelling from earlier revisions of this repo still works.
+    val.add_argument("files", nargs="*", metavar="FILE",
+                     help="SHAPES_FILE DATA_FILE [DATA_FILE ...]")
+    val.add_argument("--data", action="append", default=None,
+                     help=argparse.SUPPRESS)
+    val.add_argument("--shapes", default=None, help=argparse.SUPPRESS)
+    val.add_argument("-d", "--data-format", default=None,
+                     help="force input format for every data file "
                           "(default: per-file extension)")
-    val.add_argument("--shapes-format", default=None)
+    val.add_argument("-s", "--shapes-format", default=None)
     val.add_argument("--output-format", default="text",
-                     choices=["text", "json", "rdf", "ttl", "nt"])
-    val.add_argument("--output", default=None,
+                     help="text | json | ttl | nt | nq | rdf | jsonld | trig")
+    val.add_argument("-o", "--output", default=None,
                      help="write the report to this file instead of stdout")
+    # main.rs:74 — visible_alias "quite"
+    val.add_argument("--quiet", "--quite", action="store_true",
+                     dest="quiet", help="disable progress output")
     val.add_argument("--cpus", type=int, default=8)
 
     par = sub.add_parser("parse")

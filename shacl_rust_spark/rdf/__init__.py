@@ -5,7 +5,10 @@ from .formats import (
 from .graph import Graph
 from .jsonld import JsonLdParseError, parse_jsonld
 from .rdfxml import RdfXmlParseError, parse_rdfxml
-from .serialize import serialize_graph, to_ntriples, to_nquads, to_trig, to_turtle
+from .serialize import (
+    serialize_graph, to_jsonld, to_ntriples, to_nquads, to_rdfxml,
+    to_trig, to_turtle,
+)
 from .turtle import TurtleParseError, parse_turtle, parse_turtle_file
 
 __all__ = [
@@ -23,6 +26,8 @@ __all__ = [
     "parse_turtle",
     "parse_turtle_file",
     "serialize_graph",
+    "to_jsonld",
+    "to_rdfxml",
     "to_ntriples",
     "to_nquads",
     "to_trig",

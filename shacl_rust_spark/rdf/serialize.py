@@ -117,6 +117,146 @@ def to_trig(graph: Graph, prefixes: dict[str, str] | None = None) -> str:
     return to_turtle(graph, prefixes)
 
 
+# XML 1.0 NCName subset shared by the RDF/XML property-element splitter
+_NCNAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+
+def _split_qname(iri_value: str) -> tuple[str, str]:
+    """Split a predicate/type IRI into (namespace, NCName local part) at
+    the last '#' or '/' (or ':' for URNs). RDF/XML structurally requires
+    predicates to be QNames; an IRI whose tail is not an NCName cannot
+    be written (same failure mode as any spec-conforming serializer)."""
+    for sep in ("#", "/", ":"):
+        idx = iri_value.rfind(sep)
+        if idx >= 0:
+            ns, local = iri_value[: idx + 1], iri_value[idx + 1:]
+            if _NCNAME.match(local):
+                return ns, local
+    raise ValueError(
+        f"cannot serialize IRI {iri_value!r} as an RDF/XML QName"
+    )
+
+
+def _xml_escape(text: str, attr: bool = False) -> str:
+    out = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    if attr:
+        out = out.replace('"', "&quot;")
+    return out
+
+
+def to_rdfxml(graph: Graph) -> str:
+    """Graph → RDF/XML (the reference's `rdf` output format — oxigraph
+    RdfFormat::from_extension("rdf") → RdfXml, rdf.rs:59-81). One
+    rdf:Description per subject with rdf:about / rdf:nodeID, property
+    elements with rdf:resource / rdf:nodeID / rdf:datatype / xml:lang.
+    Deterministic: subjects and predicates emit in sorted order and
+    namespace prefixes are assigned in first-use order."""
+    ns_prefix: dict[str, str] = {
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#": "rdf",
+        "http://www.w3.org/ns/shacl#": "sh",  # rdf.rs:64-66 with_prefix
+    }
+
+    def prefix_for(ns: str) -> str:
+        if ns not in ns_prefix:
+            ns_prefix[ns] = f"ns{sum(p.startswith('ns') for p in ns_prefix.values()) + 1}"
+        return ns_prefix[ns]
+
+    by_subject: dict[str, tuple[Term, list]] = {}
+    for t in sorted_triples(graph):
+        by_subject.setdefault(t.s.n3(), (t.s, []))[1].append(t)
+
+    body: list[str] = []
+    for _, (s, triples) in sorted(by_subject.items()):
+        sattr = (
+            f'rdf:nodeID="{_xml_escape(s.value, attr=True)}"'
+            if s.is_bnode
+            else f'rdf:about="{_xml_escape(s.value, attr=True)}"'
+        )
+        lines = [f"  <rdf:Description {sattr}>"]
+        for t in triples:
+            ns, local = _split_qname(t.p)
+            tag = f"{prefix_for(ns)}:{local}"
+            o = t.o
+            if o.is_iri:
+                lines.append(
+                    f'    <{tag} rdf:resource="{_xml_escape(o.value, attr=True)}"/>'
+                )
+            elif o.is_bnode:
+                lines.append(
+                    f'    <{tag} rdf:nodeID="{_xml_escape(o.value, attr=True)}"/>'
+                )
+            else:
+                attrs = ""
+                if o.lang:
+                    attrs = f' xml:lang="{_xml_escape(o.lang, attr=True)}"'
+                elif o.datatype and o.datatype != vocab.XSD_STRING:
+                    attrs = (
+                        f' rdf:datatype="{_xml_escape(o.datatype, attr=True)}"'
+                    )
+                lines.append(
+                    f"    <{tag}{attrs}>{_xml_escape(o.value)}</{tag}>"
+                )
+        lines.append("  </rdf:Description>")
+        body.append("\n".join(lines))
+
+    ns_attrs = "".join(
+        f'\n         xmlns:{pfx}="{_xml_escape(ns, attr=True)}"'
+        for ns, pfx in sorted(ns_prefix.items(), key=lambda kv: kv[1])
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        f"<rdf:RDF{ns_attrs}>\n" + "\n".join(body) + "\n</rdf:RDF>\n"
+    )
+
+
+def _jsonld_object(o: Term):
+    if o.is_iri:
+        return {"@id": o.value}
+    if o.is_bnode:
+        return {"@id": f"_:{o.value}"}
+    val: dict = {"@value": o.value}
+    if o.lang:
+        val["@language"] = o.lang
+    elif o.datatype and o.datatype != vocab.XSD_STRING:
+        val["@type"] = o.datatype
+    return val
+
+
+def to_jsonld(graph: Graph) -> str:
+    """Graph → JSON-LD expanded form (the reference's `jsonld` output,
+    oxigraph RdfFormat::JsonLd): a top-level array of node objects with
+    absolute-IRI keys, rdf:type folded into @type, literals as value
+    objects. Round-trips through parse_jsonld; deterministic order."""
+    import json as _json
+
+    by_subject: dict[str, tuple[Term, dict[str, list[Term]]]] = {}
+    for t in sorted_triples(graph):
+        key = t.s.n3()
+        if key not in by_subject:
+            by_subject[key] = (t.s, {})
+        by_subject[key][1].setdefault(t.p, []).append(t.o)
+
+    nodes = []
+    for _, (s, po) in sorted(by_subject.items()):
+        node: dict = {
+            "@id": f"_:{s.value}" if s.is_bnode else s.value
+        }
+        # only IRI types fold into @type; a (rare) bnode-valued rdf:type
+        # stays a plain predicate entry so the document round-trips
+        types = [o for o in po.get(vocab.RDF_TYPE, []) if o.is_iri]
+        if types:
+            node["@type"] = [o.value for o in types]
+            rest = [o for o in po[vocab.RDF_TYPE] if not o.is_iri]
+            if rest:
+                po[vocab.RDF_TYPE] = rest
+            else:
+                po.pop(vocab.RDF_TYPE)
+        for p, objs in sorted(po.items()):
+            node[p] = [_jsonld_object(o) for o in objs]
+        nodes.append(node)
+    return _json.dumps(nodes, indent=2, sort_keys=False) + "\n"
+
+
 def serialize_graph(graph: Graph, fmt: str,
                     prefixes: dict[str, str] | None = None) -> str:
     from .formats import normalize_format
@@ -130,7 +270,12 @@ def serialize_graph(graph: Graph, fmt: str,
         return to_turtle(graph, prefixes)
     if f == "trig":
         return to_trig(graph, prefixes)
+    if f == "rdf":
+        return to_rdfxml(graph)
+    if f == "jsonld":
+        return to_jsonld(graph)
     raise ValueError(
         f"Unsupported serialization format: {fmt!r}. "
-        "Supported: ttl (turtle), nt (n-triples), nq (n-quads), trig"
+        "Supported: ttl (turtle), nt (n-triples), nq (n-quads), trig, "
+        "rdf (rdfxml/xml), jsonld (json-ld)"
     )

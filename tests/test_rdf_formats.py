@@ -120,7 +120,7 @@ def test_normalize_aliases():
     assert normalize_format("json-ld") == "jsonld"
 
 
-@pytest.mark.parametrize("fmt", ["ttl", "nt", "nq", "trig"])
+@pytest.mark.parametrize("fmt", ["ttl", "nt", "nq", "trig", "rdf", "jsonld"])
 def test_serialize_roundtrip(fmt):
     g = parse_rdf(TTL, "ttl")
     text = serialize_graph(g, fmt)
