@@ -75,7 +75,10 @@ def bnode(value: str) -> Term:
 
 def literal(value: str, datatype: str = "", lang: str = "") -> Term:
     if lang:
-        return Term(KIND_LIT, value, vocab.RDF_LANG_STRING, lang)
+        # RDF 1.1: the value space of language tags is lowercase; the
+        # reference's model does the same (oxigraph
+        # Literal::new_language_tagged_literal lowercases on construction)
+        return Term(KIND_LIT, value, vocab.RDF_LANG_STRING, lang.lower())
     return Term(KIND_LIT, value, datatype or vocab.XSD_STRING, "")
 
 
