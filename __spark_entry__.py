@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_sparql_optional": Q.shacl_sparql_optional,
         "shacl_sparql_agg": Q.shacl_sparql_agg,
         "shacl_sparql_path": Q.shacl_sparql_path,
+        "shacl_sparql_nps": Q.shacl_sparql_nps,
         "shacl_sparql_message": Q.shacl_sparql_message,
         "shacl_equals": Q.shacl_equals,
         "shacl_disjoint": Q.shacl_disjoint,
@@ -743,6 +744,11 @@ def oracle_sql() -> dict[str, str]:
         "shacl_sparql_path": f"""
             SELECT '{EX}nation/' || n_nationkey AS focus
             FROM nation WHERE n_regionkey % 2 = 1
+        """,
+        "shacl_sparql_nps": f"""
+            SELECT '{EX}nation/' || n_nationkey AS focus
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            WHERE n_regionkey != 0 AND r_name LIKE 'A%'
         """,
         "shacl_sparql_message": f"""
             SELECT '{EX}cust/' || c_custkey AS focus,

@@ -2,7 +2,7 @@
 (/root/reference/crates/shacl-cli/src/main.rs).
 
     python -m shacl_rust_spark.cli [-v...] validate SHAPES_FILE \
-        DATA_FILE [DATA_FILE ...] \
+        [DATA_FILE ...] [--data-parquet triples_dir ...] \
         [--data-format ttl|nt|nq|rdf|jsonld|trig] [--shapes-format ...] \
         [--output-format text|json|ttl|nt|nq|rdf|jsonld|trig] \
         [--output report.ttl] [--quiet] [--cpus 8]
@@ -95,8 +95,10 @@ def _validate_command(args) -> int:
     shapes_path = args.shapes if args.shapes else args.files[0]
     data_paths = list(args.data or [])
     data_paths += args.files[1:] if args.shapes is None else args.files
-    if not data_paths:
-        print("error: at least one DATA_FILE is required", file=sys.stderr)
+    parquet_paths = list(args.data_parquet or [])
+    if not data_paths and not parquet_paths:
+        print("error: at least one DATA_FILE or --data-parquet is required",
+              file=sys.stderr)
         return 2
 
     spark = (
@@ -118,7 +120,42 @@ def _validate_command(args) -> int:
     shapes = parse_rdf_file(shapes_path, args.shapes_format)
     info(f"Shapes graph loaded with {len(shapes)} triples")
 
-    report = validate_graphs(spark, data, shapes)
+    if parquet_paths:
+        # Table-backed validation — the scale path the reference has no
+        # analog for: the data graph is a parquet table of TRIPLES_TYPE
+        # rows (s/o TERM structs, p string — e.g. this repo's pipeline
+        # sink), validated distributed without driver materialization.
+        from .engine.dataset import Dataset
+        from .engine.engine import validate_dataset
+        from .schema import TRIPLES_TYPE, graph_to_df
+
+        frames = []
+        for path in parquet_paths:
+            df = spark.read.parquet(path)
+            missing = {f.name for f in TRIPLES_TYPE.fields} - set(df.columns)
+            if missing:
+                print(
+                    f"error: {path} is not a triples table "
+                    f"(missing columns: {sorted(missing)}; expected "
+                    "s/p/o per schema.TRIPLES_TYPE)",
+                    file=sys.stderr,
+                )
+                return 2
+            frames.append(df.select("s", "p", "o"))
+            info(f"Triples table {path} opened")
+        triples = frames[0]
+        for f in frames[1:]:
+            triples = triples.unionByName(f)
+        if len(data):
+            triples = triples.unionByName(graph_to_df(spark, data))
+        # cheap_pred only when every source is columnar parquet (filter
+        # pushdown makes per-predicate scans cheap); a driver-graph union
+        # branch keeps the defensive materialization
+        ds = Dataset(spark, triples, shapes,
+                     cheap_pred=not len(data))
+        report = validate_dataset(ds)
+    else:
+        report = validate_graphs(spark, data, shapes)
 
     if args.output_format == "text":
         rendered = report.to_text()
@@ -172,6 +209,12 @@ def main(argv: list[str] | None = None) -> int:
     val.add_argument("--data", action="append", default=None,
                      help=argparse.SUPPRESS)
     val.add_argument("--shapes", default=None, help=argparse.SUPPRESS)
+    val.add_argument("--data-parquet", action="append", default=None,
+                     metavar="DIR",
+                     help="validate a parquet triples table (s/p/o per "
+                          "schema.TRIPLES_TYPE, e.g. the pipeline sink) "
+                          "table-backed at scale; repeatable, unions "
+                          "with any parsed DATA_FILEs")
     val.add_argument("-d", "--data-format", default=None,
                      help="force input format for every data file "
                           "(default: per-file extension)")

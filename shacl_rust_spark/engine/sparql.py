@@ -22,7 +22,9 @@ with GROUP BY (plain vars) + HAVING — grouped per pre-binding run, the
 reference's per-focus evaluation (see _apply_modifiers) — plus
 ORDER BY / LIMIT / OFFSET sliced per run, typed
 and language-tagged literals, and property paths in the predicate
-position (^ / | * + ? with grouping) evaluated spec-compliantly —
+position (^ / | * + ? with grouping, and negated property sets
+``!(iri|^iri|...)`` as predicate-NOT-IN-filtered scans per direction
+clause) evaluated spec-compliantly —
 seeded from whichever endpoint is bound, sequence/alternative as
 join/union combinators, Kleene closure as an iterative checkpointed
 frontier fixpoint (NOTE: unlike the SHACL path resolver in paths.py,
@@ -136,6 +138,15 @@ class PInvH:
 
 
 @dataclass(frozen=True)
+class PNeg:
+    """Negated property set !(iri|...|^iri|...) — SPARQL 1.1 §18.4:
+    alt(NPS(fwd), ^NPS(inv)); a clause only exists for a non-empty set
+    (so !^a matches no forward edge at all)."""
+    fwd: tuple  # predicate IRIs negated in the forward direction
+    inv: tuple  # predicate IRIs negated in the inverse direction
+
+
+@dataclass(frozen=True)
 class PSeq:
     elems: tuple
 
@@ -182,6 +193,9 @@ def _invert_path(n):
         return PPlus(_invert_path(n.inner))
     if isinstance(n, POpt):
         return POpt(_invert_path(n.inner))
+    if isinstance(n, PNeg):
+        # ^(NPS(F) | ^NPS(I)) = ^NPS(F) | NPS(I)
+        return PNeg(fwd=n.inv, inv=n.fwd)
     raise SparqlParseError(f"cannot invert path node {n!r}")
 
 
@@ -505,13 +519,42 @@ class _Parser:
             self.next()
             return PHop(V.RDF_TYPE)
         if self.peek() == "!":
-            raise SparqlUnsupported(
-                "negated property sets are not supported for SHACL pre-binding"
+            self.next()
+            items = []
+            if self.peek() == "(":
+                self.next()
+                items.append(self._nps_item())
+                while self.peek() == "|":
+                    self.next()
+                    items.append(self._nps_item())
+                self.expect(")")
+            else:
+                items.append(self._nps_item())
+            return PNeg(
+                fwd=tuple(i for neg, i in items if not neg),
+                inv=tuple(i for neg, i in items if neg),
             )
         t = self.parse_term()
         if isinstance(t, Term) and t.is_iri:
             return PHop(t.value)
         raise SparqlParseError(f"bad path primary {t!r}")
+
+    def _nps_item(self) -> tuple:
+        """PathOneInPropertySet: iri | 'a' | '^' (iri | 'a') →
+        (inverted?, predicate IRI)."""
+        neg = False
+        if self.peek() == "^":
+            self.next()
+            neg = True
+        if self.peek() == "a":
+            self.next()
+            return (neg, V.RDF_TYPE)
+        t = self.parse_term()
+        if isinstance(t, Term) and t.is_iri:
+            return (neg, t.value)
+        raise SparqlParseError(
+            f"negated property set expects an IRI, got {t!r}"
+        )
 
     def parse_values(self) -> ValuesBlock:
         def one_term():
@@ -1110,6 +1153,29 @@ class _Compiler:
                 frontier.join(t, frontier["v"] == F.col(src))
                 .select("k", F.col(dst).alias("v"))
                 .dropDuplicates(["k", "v"])
+            )
+        if isinstance(node, PNeg):
+            # one predicate-NOT-IN-filtered scan per direction clause;
+            # the isin negation pushes to the parquet scan like pred()
+            parts = []
+            if node.fwd:
+                t = ds.triples.where(
+                    ~F.col("p").isin([*node.fwd])
+                ).select(F.col("s").alias("_ps"), F.col("o").alias("_po"))
+                parts.append(
+                    frontier.join(t, frontier["v"] == F.col("_ps"))
+                    .select("k", F.col("_po").alias("v"))
+                )
+            if node.inv:
+                t = ds.triples.where(
+                    ~F.col("p").isin([*node.inv])
+                ).select(F.col("s").alias("_ps"), F.col("o").alias("_po"))
+                parts.append(
+                    frontier.join(t, frontier["v"] == F.col("_po"))
+                    .select("k", F.col("_ps").alias("v"))
+                )
+            return reduce(DataFrame.unionByName, parts).dropDuplicates(
+                ["k", "v"]
             )
         if isinstance(node, PSeq):
             cur = frontier

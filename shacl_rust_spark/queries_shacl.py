@@ -331,6 +331,28 @@ def shacl_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _focus_only(_validate(spark, T.nation_triples(spark, sf_dir), shapes))
 
 
+def shacl_sparql_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:sparql with a negated property set (SPARQL 1.1 §18.4; the
+    reference runs these through oxigraph's full path evaluator,
+    sparql.rs:217-232; engine/sparql.py PNeg = predicate-NOT-IN-filtered
+    scan). A nation's only non-(rdf:type|ex:name) edge is ex:partOf, so
+    !(a|ex:name) reaches its region; nations whose region's name starts
+    with "A" violate."""
+    shapes = '''
+    ex:NpsShape a sh:NodeShape ;
+      sh:targetClass ex:Nation ;
+      sh:sparql [
+        sh:select """
+          SELECT $this WHERE {
+            $this !(a|<http://example.org/name>) ?r .
+            ?r <http://example.org/name> ?rn .
+            FILTER(STRSTARTS(?rn, "A"))
+          }
+        """ ] .
+    '''
+    return _focus_only(_validate(spark, T.nation_triples(spark, sf_dir), shapes))
+
+
 def shacl_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sh:sparql with aggregation + HAVING through the set-oriented
     rewriter: customers whose open-order ("O") count is at least 5,

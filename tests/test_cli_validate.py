@@ -122,3 +122,46 @@ def test_flag_spelling_still_works(spark, files, capsys):
                    "--data", files["good.ttl"], "--cpus", "4"])
     capsys.readouterr()
     assert rc == 0
+
+
+@pytest.fixture(scope="module")
+def triples_parquet(spark, files, tmp_path_factory):
+    from shacl_rust_spark.rdf import parse_rdf_file
+    from shacl_rust_spark.schema import graph_to_df
+
+    out = str(tmp_path_factory.mktemp("cli_validate_pq") / "triples")
+    g = parse_rdf_file(files["bad.ttl"]).union(
+        parse_rdf_file(files["good.ttl"]))
+    graph_to_df(spark, g).write.partitionBy("p").parquet(out)
+    return out
+
+
+def test_data_parquet_table_backed_validation(
+        spark, files, triples_parquet, capsys):
+    rc = cli_main(["validate", files["shapes.ttl"],
+                   "--data-parquet", triples_parquet, "--cpus", "4"])
+    out = capsys.readouterr().out
+    assert rc == 1  # bob (from bad.ttl) still lacks ex:name
+    assert "MinCountConstraintComponent" in out or "fewer than" in out
+
+
+def test_data_parquet_unions_with_parsed_files(
+        spark, files, triples_parquet, tmp_path, capsys):
+    # a parsed file supplying bob's missing name flips the verdict
+    fix = tmp_path / "fix.ttl"
+    fix.write_text('@prefix ex: <http://example.org/> .\n'
+                   'ex:bob ex:name "Bob" .\n')
+    rc = cli_main(["validate", files["shapes.ttl"], str(fix),
+                   "--data-parquet", triples_parquet, "--cpus", "4"])
+    capsys.readouterr()
+    assert rc == 0
+
+
+def test_data_parquet_rejects_wrong_schema(spark, files, tmp_path, capsys):
+    bad = str(tmp_path / "not_triples")
+    spark.range(3).write.parquet(bad)
+    rc = cli_main(["validate", files["shapes.ttl"],
+                   "--data-parquet", bad, "--cpus", "4"])
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "not a triples table" in err

@@ -110,6 +110,58 @@ def test_alternative_and_zero_or_one_path(spark):
     assert _run(spark, shapes) == ["http://example.org/a"]
 
 
+def test_negated_property_set_forward(spark):
+    # !(rdf:type) from a T matches its remaining ex:p edge; negating
+    # both leaves nothing (SPARQL 1.1 §18.4 NPS over forward triples)
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE { $this !(a) ?v }''' ] .
+    """
+    assert _run(spark, shapes) == [
+        "http://example.org/a", "http://example.org/b",
+    ]
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE { $this !(a|<http://example.org/p>) ?v }''' ] .
+    """
+    assert _run(spark, shapes) == []
+
+
+def test_negated_property_set_pure_inverse(spark):
+    # !(^p) has NO forward clause: v1's outgoing ex:q edge must not
+    # leak in; the only edge into v1 is via p, which is negated
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetNode ex:v1 ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE { $this !(^<http://example.org/p>) ?x }''' ] .
+    """
+    assert _run(spark, shapes) == []
+    # negating a predicate that is NOT the incoming one does match
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetNode ex:v1 ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this !(<http://example.org/q>|^<http://example.org/nope>) ?x
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/v1"]
+
+
+def test_negated_property_set_in_sequence(spark):
+    # !(a)/q : a's non-type edge lands on v1 which has a q edge; b's
+    # lands on v2 which does not
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this !(a)/<http://example.org/q> ?w
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/a"]
+
+
 def test_values_inline(spark):
     shapes = PRE + """
     ex:S a sh:NodeShape ; sh:targetClass ex:C ;
