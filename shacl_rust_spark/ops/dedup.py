@@ -220,7 +220,14 @@ def embedding_lsh_pairs(
     banding only gates candidate RECALL — the exact cosine rescore
     keeps precision identical.
     """
-    dim = len(embeddings.select("embedding").first()[0])
+    head = embeddings.select("embedding").first()
+    if head is None:  # empty corpus → no pairs (and no dim to probe)
+        return (
+            embeddings.select(F.col("vec_id").alias("a"),
+                              F.col("vec_id").alias("b"))
+            .limit(0)
+        )
+    dim = len(head[0])
     sig_udf = _band_sig_udf(n_planes, band_size, dim)
     sigs = embeddings.select(
         "vec_id", "label",

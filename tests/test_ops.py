@@ -102,6 +102,13 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert a == b
 
 
+def test_embedding_lsh_empty_corpus(spark):
+    e = spark.createDataFrame([], "vec_id long, label string, "
+                                  "embedding array<float>")
+    out = dedup.embedding_lsh_pairs(e, 0.9)
+    assert out.columns == ["a", "b"] and out.count() == 0
+
+
 def test_embedding_lsh_matches_allpairs_and_is_blocked(spark):
     import io
     from contextlib import redirect_stdout
