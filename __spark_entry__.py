@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": O.dedup_minhash_lsh,
         "dedup_components": O.dedup_components,
         "dedup_simhash": O.dedup_simhash,
+        "corpus_select": O.corpus_select,
         "dedup_embedding": O.dedup_embedding,
         "dedup_embedding_lsh": O.dedup_embedding_lsh,
         "ann_cosine_topk": O.ann_cosine_topk,
@@ -334,6 +335,99 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(
                        text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_ish
             FROM documents
+        """,
+        # the curation composite: each stage is the standalone oracle's
+        # expression verbatim, chained over the shrinking survivor set
+        "corpus_select": r"""
+            WITH RECURSIVE qf AS (
+              SELECT doc_id, text, source,
+                     len(list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '')) AS n_words,
+                     len(regexp_extract_all(text, '\bthe\b'))
+                     + len(regexp_extract_all(text, '\ba\b'))
+                     + len(regexp_extract_all(text, '\bof\b'))
+                     + len(regexp_extract_all(text, '\band\b'))
+                     + len(regexp_extract_all(text, '\bto\b'))
+                     + len(regexp_extract_all(text, '\bin\b')) AS n_stopwords
+              FROM documents),
+            q AS (SELECT doc_id, text, source FROM qf
+                  WHERE n_words >= 20 AND n_stopwords * 100 >= n_words * 5),
+            lc AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\bthe\b'))
+                     + len(regexp_extract_all(text, '\ba\b'))
+                     + len(regexp_extract_all(text, '\bof\b')) AS c_en,
+                     len(regexp_extract_all(text, '\bel\b'))
+                     + len(regexp_extract_all(text, '\bla\b'))
+                     + len(regexp_extract_all(text, '\bde\b')) AS c_es,
+                     len(regexp_extract_all(text, '\bder\b'))
+                     + len(regexp_extract_all(text, '\bdie\b'))
+                     + len(regexp_extract_all(text, '\bdas\b')) AS c_de,
+                     len(regexp_extract_all(text, '\ble\b'))
+                     + len(regexp_extract_all(text, '\bla\b'))
+                     + len(regexp_extract_all(text, '\bet\b')) AS c_fr,
+                     len(regexp_extract_all(text, '\b的\b'))
+                     + len(regexp_extract_all(text, '\b是\b'))
+                     + len(regexp_extract_all(text, '\b了\b')) AS c_zh
+              FROM q),
+            lg AS (SELECT *, greatest(c_en, c_es, c_de, c_fr, c_zh) AS best,
+                          (c_en = greatest(c_en, c_es, c_de, c_fr, c_zh))::INT
+                        + (c_es = greatest(c_en, c_es, c_de, c_fr, c_zh))::INT
+                        + (c_de = greatest(c_en, c_es, c_de, c_fr, c_zh))::INT
+                        + (c_fr = greatest(c_en, c_es, c_de, c_fr, c_zh))::INT
+                        + (c_zh = greatest(c_en, c_es, c_de, c_fr, c_zh))::INT
+                          AS nbest
+                   FROM lc),
+            s1 AS (
+              SELECT q.doc_id, q.text, q.source
+              FROM q JOIN lg USING (doc_id)
+              WHERE NOT (lg.best = 0 OR lg.nbest > 1) AND lg.c_en = lg.best),
+            kk AS (SELECT doc_id, substr(text, 1, 40) AS k FROM s1),
+            canon AS (SELECT min(doc_id) AS doc_id FROM kk GROUP BY k),
+            s2 AS (SELECT s1.* FROM s1 JOIN canon USING (doc_id)),
+            w AS (
+              SELECT doc_id, source, word FROM (
+                SELECT doc_id, source,
+                       unnest(list_distinct(regexp_split_to_array(text, '\s+')))
+                       AS word
+                FROM s2) u
+              WHERE word <> ''),
+            sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+            h AS (
+              SELECT doc_id, gs.s AS s,
+                     min(md5('s' || gs.s || ':' || word)) AS m
+              FROM w CROSS JOIN generate_series(0, 7) gs(s) GROUP BY 1, 2),
+            bk0 AS (
+              SELECT doc_id,
+                     (s // 2) || '|' || string_agg(m, '|' ORDER BY s) AS band_key
+              FROM h GROUP BY doc_id, s // 2),
+            keep AS (SELECT band_key FROM bk0 GROUP BY 1 HAVING count(*) <= 50),
+            bk AS (SELECT bk0.* FROM bk0 JOIN keep USING (band_key)),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bk x JOIN bk y
+                ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+            i AS (
+              SELECT c.a, c.b, count(*) AS ni
+              FROM cand c
+              JOIN w wa ON wa.doc_id = c.a
+              JOIN w wb ON wb.doc_id = c.b AND wa.word = wb.word
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT a, b
+              FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+              WHERE ni * 10000 >= (sa.n + sb.n - ni) * 8000),
+            und AS (
+              SELECT a AS x, b AS y FROM pairs
+              UNION SELECT b, a FROM pairs),
+            walk AS (
+              SELECT x AS node, x AS reach FROM und
+              UNION
+              SELECT wk.node, u.y FROM walk wk JOIN und u ON u.x = wk.reach),
+            comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY 1)
+            SELECT doc_id FROM s2
+            WHERE doc_id NOT IN
+              (SELECT node FROM comp WHERE node <> component)
         """,
         "text_quality": r"""
             WITH c AS (

@@ -38,15 +38,18 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
+def quality_scores(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """(doc_id, n_chars, n_words, n_stopwords, n_punct, is_quality):
-    is_quality = words ≥ 20 AND stopword share ≥ 5% (integer math)."""
+    is_quality = words ≥ 20 AND stopword share ≥ 5% (integer math).
+    `keep` passes input columns through unchanged — composites filter
+    on the flag in the SAME scan instead of self-joining on doc_id."""
     n_stop = None
     for wrd in STOPWORDS:
         c = _count_word(F.col("text"), wrd)
         n_stop = c if n_stop is None else n_stop + c
     out = docs.select(
         "doc_id",
+        *keep,
         F.length("text").alias("n_chars"),
         F.size(F.filter(F.split("text", r"\s+"), lambda w: w != ""))
         .alias("n_words"),
@@ -62,12 +65,14 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
+def lang_id(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """(doc_id, predicted_lang): argmax of per-language marker counts,
     ties and all-zero → 'und'. Deterministic tie-break: language list
     order en,es,de,fr,zh (first maximal wins only if strictly greater
-    than every later one → expressed as strict argmax, else 'und')."""
-    out = docs.select("doc_id", "text")
+    than every later one → expressed as strict argmax, else 'und').
+    `keep` passes input columns through (see quality_scores)."""
+    out = docs.select("doc_id", "text",
+                      *[c for c in keep if c != "text"])
     for lang, markers in LANG_MARKERS.items():
         c = None
         for m in markers:
@@ -83,7 +88,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     pred = F.when((best == 0) | (n_best > 1), F.lit("und"))
     for lang in langs:
         pred = pred.when(F.col(f"_c_{lang}") == best, F.lit(lang))
-    return out.select("doc_id", pred.alias("predicted_lang"))
+    return out.select("doc_id", *keep, pred.alias("predicted_lang"))
 
 
 def fingerprints(docs: DataFrame) -> DataFrame:

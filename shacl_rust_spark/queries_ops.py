@@ -59,6 +59,52 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-corpus curation — the end-to-end selection
+    pass a web-scale pipeline runs, composed from the already
+    oracle-checked operators:
+
+      1. quality gate (text.quality_scores: ≥20 words, ≥5% stopwords)
+      2. language gate (text.lang_id == 'en')
+      3. exact dedup among survivors (min doc_id per 40-char prefix)
+      4. near-dup pruning (minhash-LSH pairs over survivors →
+         connected components → keep each cluster's min doc_id)
+
+    Stages 1-2 are flag columns in ONE scan (quality_scores/lang_id
+    with keep= passthrough — no doc_id self-joins); 3 is one
+    groupBy + left-semi; 4 reuses the KG pipeline's CC operator.
+    Returns the kept doc_ids."""
+    from .pipeline import cc
+
+    docs = _docs(spark, sf_dir)
+    s1 = (
+        text.lang_id(
+            text.quality_scores(docs, keep=("text", "source"))
+            .where("is_quality")
+            .select("doc_id", "text", "source"),
+            keep=("text", "source"),
+        )
+        .where(F.col("predicted_lang") == "en")
+        .select("doc_id", "text", "source")
+    )
+    canon = (
+        s1.groupBy(F.substring("text", 1, 40).alias("_k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(canon, "doc_id", "left_semi")
+    pairs = dedup.minhash_lsh_pairs(s2, 0.8)
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    labels = cc.connected_components(
+        pairs.select(pad(F.col("a")).alias("src"),
+                     pad(F.col("b")).alias("dst"))
+    )
+    non_rep = labels.where(F.col("node") != F.col("component")).select(
+        F.col("node").cast("bigint").alias("doc_id")
+    )
+    return s2.join(non_rep, "doc_id", "left_anti").select("doc_id")
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit simhash per document (near-dup = small Hamming distance)."""
     return dedup.simhash64(_docs(spark, sf_dir))
