@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_sniff": O.multimodal_sniff,
         "multimodal_decode": O.multimodal_decode,
         "multimodal_resize": O.multimodal_resize,
+        "multimodal_audio_features": O.multimodal_audio_features,
         "multimodal_frames": O.multimodal_frames,
         "events_windowed": O.events_windowed,
         "events_sessionize": O.events_sessionize,
@@ -542,6 +543,47 @@ def oracle_sql() -> dict[str, str]:
         # resize: nearest-neighbor 2x downsample of the synthetic BMPs —
         # sampled pixel (x', y') carries (d + 2x' + 4y') % 251; out_bytes
         # = BMP header + 4-byte-padded stride x rows of the re-encode
+        # audio features: closed-form recompute of the WAV sample
+        # formula v(d,i) = ((d*7+i) % 65536) - 32768, n = 64 + d%32;
+        # peak_window over FULL 16-sample windows only, ties -> lowest
+        "multimodal_audio_features": """
+            WITH b AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
+            s AS (
+              SELECT b.doc_id, gi.i AS i, b.n,
+                     ((b.doc_id * 7 + gi.i) % 65536) - 32768 AS v
+              FROM b CROSS JOIN generate_series(0, 95) gi(i)
+              WHERE gi.i < b.n),
+            agg AS (
+              SELECT doc_id, max(n) AS n_samples,
+                     SUM(v * v) AS energy_sum, MAX(abs(v)) AS max_abs
+              FROM s GROUP BY 1),
+            zc AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN (prev < 0) <> (v < 0) THEN 1 ELSE 0 END)
+                     AS zero_crossings
+              FROM (SELECT doc_id, v,
+                           lag(v) OVER (PARTITION BY doc_id ORDER BY i)
+                           AS prev
+                    FROM s)
+              WHERE prev IS NOT NULL GROUP BY 1),
+            wins AS (
+              SELECT doc_id, i // 16 AS w, SUM(v * v) AS e
+              FROM s WHERE i < 16 * (n // 16)
+              GROUP BY 1, 2),
+            peak AS (
+              SELECT doc_id, w AS peak_window
+              FROM (SELECT doc_id, w,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY e DESC, w ASC) AS rn
+                    FROM wins)
+              WHERE rn = 1)
+            SELECT a.doc_id, CAST(a.n_samples AS BIGINT) AS n_samples,
+                   CAST(a.energy_sum AS BIGINT) AS energy_sum,
+                   CAST(a.max_abs AS BIGINT) AS max_abs,
+                   CAST(zc.zero_crossings AS BIGINT) AS zero_crossings,
+                   CAST(peak.peak_window AS BIGINT) AS peak_window
+            FROM agg a JOIN zc USING (doc_id) JOIN peak USING (doc_id)
+        """,
         "multimodal_resize": """
             WITH b AS (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
                        FROM documents),

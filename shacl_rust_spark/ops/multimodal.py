@@ -290,6 +290,64 @@ def resize_images(
     return assets.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("n_samples", LongType(), False),
+    StructField("energy_sum", LongType(), False),      # Σ s² (all samples)
+    StructField("max_abs", LongType(), False),
+    StructField("zero_crossings", LongType(), False),  # sign flips i-1→i
+    StructField("peak_window", LongType(), False),     # argmax Σs² per full
+])                                                     #   16-sample window
+
+AUDIO_WINDOW = 16
+
+
+def audio_features(
+    assets: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Feature extraction over decoded WAV PCM inside the same Arrow
+    mapInPandas slot as decode_assets: total energy (Σ s², exact int64),
+    peak amplitude, zero-crossing count, and the index of the
+    highest-energy FULL 16-sample window (trailing partial window
+    ignored; ties → lowest index). Non-WAV payloads are passed over.
+    All features are integer-exact so a closed-form SQL oracle can
+    recompute them from the synthetic sample formula."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in AUDIO_FEATURES_SCHEMA.fields
+            }
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if raw[:4] != b"RIFF":
+                    continue
+                _, samples = decode_audio(raw)
+                s = np.asarray(samples, dtype=np.int64)
+                n_full = len(s) // AUDIO_WINDOW
+                win = (
+                    (s[: n_full * AUDIO_WINDOW] ** 2)
+                    .reshape(n_full, AUDIO_WINDOW).sum(axis=1)
+                )
+                out["doc_id"].append(int(rid))
+                out["n_samples"].append(len(s))
+                out["energy_sum"].append(int((s ** 2).sum()))
+                out["max_abs"].append(int(np.abs(s).max()) if len(s) else 0)
+                out["zero_crossings"].append(
+                    int(((s[:-1] < 0) != (s[1:] < 0)).sum())
+                )
+                out["peak_window"].append(
+                    int(win.argmax()) if n_full else -1
+                )
+            yield pd.DataFrame(out)
+
+    return assets.select(id_col, payload_col).mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )
+
+
 # --- deterministic fake video container ------------------------------------
 # "FVID" + u32 frame count, then per frame u32 size + BMP bytes. A real
 # deployment swaps ffmpeg/pyav into the same decode slot; the container

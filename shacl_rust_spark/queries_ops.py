@@ -190,6 +190,16 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_assets(assets).na.fill(-1)
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (ops/multimodal.audio_features) over the
+    REAL decoded synthetic WAVs: exact-integer energy, peak amplitude,
+    zero crossings, highest-energy 16-sample window. The oracle
+    recomputes all four in closed form from the sample formula, so an
+    off-by-one in windowing or the RIFF walk hash-mismatches."""
+    assets = multimodal.synth_assets(_docs(spark, sf_dir))
+    return multimodal.audio_features(assets)
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize plumbing: synth BMPs → decode → nearest-neighbor
     2× downsample → re-encode, all inside Arrow mapInPandas. The oracle

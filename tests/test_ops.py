@@ -102,6 +102,21 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert a == b
 
 
+def test_audio_features_hand_computed(spark):
+    from shacl_rust_spark.ops import multimodal
+
+    samples = [100, -100, 100, -100] * 8  # 32 samples, alternating sign
+    wav = multimodal.encode_wav_pcm16(8000, samples)
+    bmp = multimodal.encode_bmp(2, 2, [[1, 2], [3, 4]])  # skipped: not WAV
+    df = spark.createDataFrame([(1, bytearray(wav)), (2, bytearray(bmp))],
+                               "doc_id long, payload binary")
+    rows = multimodal.audio_features(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_samples, r.energy_sum, r.max_abs, r.zero_crossings,
+            r.peak_window) == (32, 32 * 100 * 100, 100, 31, 0)
+
+
 def test_embedding_lsh_empty_corpus(spark):
     e = spark.createDataFrame([], "vec_id long, label string, "
                                   "embedding array<float>")
