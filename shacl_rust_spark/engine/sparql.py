@@ -30,8 +30,11 @@ join/union combinators, Kleene closure as an iterative checkpointed
 frontier fixpoint (NOTE: unlike the SHACL path resolver in paths.py,
 ``+`` here DOES re-emit the start node when a cycle reaches it — the
 reference evaluates sh:sparql with a spec-compliant SPARQL engine, not
-its SHACL path walker). Paths with both endpoints unbound and paths
-inside GRAPH $shapesGraph blocks are not supported.
+its SHACL path walker). A path with both endpoints unbound seeds the
+closure from every graph term (the spec's semantics; the first hop
+prunes non-starters, and ``?x p* ?y`` really does emit the identity
+pair for every term). Paths inside GRAPH $shapesGraph blocks are not
+supported.
 
 Parity behaviors preserved from the reference:
 - MINUS / SERVICE / nested SELECT ⇒ one "pre-binding" violation per
@@ -1100,14 +1103,26 @@ class _Compiler:
                 isinstance(slot, Var) and _vcol(slot.name) in cols
             )
 
+        both_unbound = False
         if not bound(s):
             if not bound(o):
-                raise SparqlUnsupported(
-                    "property path with both endpoints unbound is not supported"
-                )
-            s, o, node = o, s, _invert_path(node)
+                both_unbound = True
+            else:
+                s, o, node = o, s, _invert_path(node)
         spark = sol.sparkSession
-        if isinstance(s, Term):
+        if both_unbound:
+            # ?x path ?y with neither endpoint bound — the spec ranges x
+            # over every graph term (zeroOrMore emits (t, t) for all of
+            # them; hop-headed paths prune non-starters in the first
+            # join). One distinct over the union of both term columns.
+            t = self.vd.ds.triples
+            seed = (
+                t.select(F.col("s").alias("k"))
+                .unionByName(t.select(F.col("o").alias("k")))
+                .distinct()
+                .select("k", F.col("k").alias("v"))
+            )
+        elif isinstance(s, Term):
             seed = spark.range(1).select(
                 term_lit(s).alias("k"), term_lit(s).alias("v")
             )
@@ -1124,19 +1139,26 @@ class _Compiler:
             F.col("k").alias(f"{pre}_k"), F.col("v").alias(f"{pre}_v")
         )
         conds: list[Column] = []
-        if isinstance(s, Var):
+        if isinstance(s, Var) and not both_unbound:
             conds.append(F.col(_vcol(s.name)) == F.col(f"{pre}_k"))
         if isinstance(o, Term):
             conds.append(F.col(f"{pre}_v") == term_lit(o))
         elif _vcol(o.name) in cols:
             conds.append(F.col(_vcol(o.name)) == F.col(f"{pre}_v"))
+        extra = []
+        if both_unbound and isinstance(o, Var) and o.name == s.name:
+            # ?x path ?x — one variable, pairs restricted to k = v
+            right = right.where(F.col(f"{pre}_k") == F.col(f"{pre}_v"))
+            extra = [F.col(f"{pre}_k").alias(_vcol(s.name))]
+        else:
+            if both_unbound:
+                extra.append(F.col(f"{pre}_k").alias(_vcol(s.name)))
+            if isinstance(o, Var) and _vcol(o.name) not in cols:
+                extra.append(F.col(f"{pre}_v").alias(_vcol(o.name)))
         joined = (
             sol.join(right, reduce(lambda a, b: a & b, conds))
             if conds else sol.crossJoin(right)
         )
-        extra = []
-        if isinstance(o, Var) and _vcol(o.name) not in cols:
-            extra = [F.col(f"{pre}_v").alias(_vcol(o.name))]
         return joined.select(*[F.col(c) for c in sol.columns], *extra)
 
     def _apply_path(self, node, frontier: DataFrame) -> DataFrame:

@@ -110,6 +110,46 @@ def test_alternative_and_zero_or_one_path(spark):
     assert _run(spark, shapes) == ["http://example.org/a"]
 
 
+def test_path_both_endpoints_unbound(spark):
+    # pairs from the whole graph, tied to $this only by FILTER
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetNode ex:a ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          ?x <http://example.org/p>+ ?y .
+          FILTER(?x = $this)
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/a"]
+
+
+def test_path_both_unbound_zero_or_more_identity(spark):
+    # ?x nope* ?y emits the identity pair for EVERY graph term, so the
+    # filter matches any target — pins the all-terms seeding
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetNode ex:v2 ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          ?x <http://example.org/nope>* ?y .
+          FILTER(?x = $this && ?y = $this)
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/v2"]
+
+
+def test_path_both_unbound_same_var_cycle(spark):
+    # ?x next+ ?x: only the n1/n2 cycle members satisfy it
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:N ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          ?x <http://example.org/next>+ ?x .
+          FILTER(?x = $this)
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/n1"]
+
+
 def test_negated_property_set_forward(spark):
     # !(rdf:type) from a T matches its remaining ex:p edge; negating
     # both leaves nothing (SPARQL 1.1 §18.4 NPS over forward triples)
@@ -198,8 +238,12 @@ def test_lang_tagged_literal_equality(spark):
 
 
 def test_path_both_endpoints_unbound_is_violation_per_focus(spark):
-    # unsupported construct ⇒ the reference-parity fallback: one
-    # violation per focus node (sparql.rs:30-96 pre-binding behavior)
+    # a both-unbound path disconnected from $this is now EVALUATED
+    # (previously an unsupported-construct fallback): next+ has 5 pairs
+    # ((n1,n2),(n1,n1),(n2,n1),(n2,n2),(n3,n4)), each cross-joins every
+    # pre-binding run, and — like the reference, which builds one
+    # ValidationResult per query solution — each solution row is its
+    # own violation: 5 per focus
     shapes = PRE + """
     ex:S a sh:NodeShape ; sh:targetClass ex:C ;
       sh:sparql [ sh:select '''
@@ -207,9 +251,9 @@ def test_path_both_endpoints_unbound_is_violation_per_focus(spark):
           ?x <http://example.org/next>+ ?y .
         }''' ] .
     """
-    assert _run(spark, shapes) == [
-        "http://example.org/c", "http://example.org/d",
-    ]
+    assert _run(spark, shapes) == (
+        ["http://example.org/c"] * 5 + ["http://example.org/d"] * 5
+    )
 
 
 # --- aggregates / solution modifiers (round 2) ----------------------------
