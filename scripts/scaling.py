@@ -76,6 +76,19 @@ def run_once(sf_dir: str, n_exec: int, replicas: int) -> dict:
     return m
 
 
+def recent_matching(history: list, replicas: int, sf_dir: str,
+                    k: int = 6) -> list:
+    """The most recent k runs at exactly this (replicas, sf_dir)
+    configuration. Filter FIRST, then slice — slicing the raw history
+    before filtering would under-report matching runs once the file
+    holds other configurations (round-2 ADVICE #4)."""
+    matching = [
+        h for h in history
+        if h["replicas"] == replicas and h["sf_dir"] == sf_dir
+    ]
+    return matching[-k:]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     # default = the official evidence protocol (64 replicas = 9.6M pages);
@@ -113,17 +126,10 @@ def main() -> int:
         f.write(json.dumps(summary) + "\n")
     with open("/root/repo/BENCH_HISTORY.jsonl") as f:
         history = [json.loads(ln) for ln in f if ln.strip()]
-    # filter to this configuration FIRST, then take the most recent 6 —
-    # slicing before filtering would hide matching runs once the history
-    # contains other (replicas, sf_dir) configurations
-    matching = [
-        h for h in history
-        if h["replicas"] == replicas and h["sf_dir"] == sf_dir
-    ]
     hist_rows = "\n".join(
         f"| {h['N']['wall_secs']} | {h['4N']['wall_secs']} "
         f"| {h['speedup']:.2f}× | {h['scaling_efficiency']:.3f} |"
-        for h in matching[-6:]
+        for h in recent_matching(history, replicas, sf_dir)
     )
     # BENCH_NOTES.md (optional, committed) carries per-run analysis —
     # e.g. a diagnosed outlier — verbatim across regenerations
