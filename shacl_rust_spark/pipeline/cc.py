@@ -55,6 +55,35 @@ def _driver_cc(rows) -> list[tuple[str, str]]:
     return [(n, find(n)) for n in parent]
 
 
+def _clone_session(spark):
+    """A sibling SparkSession sharing the SparkContext but with its OWN
+    SQL conf (copied from the parent at clone time, runtime-set values
+    included), so per-algorithm conf overrides don't leak into
+    concurrently running jobs on the caller's session.
+    ``SparkSession.cloneSession`` is ``private[sql]`` in Scala, which
+    compiles to a public JVM method — callable through the gateway.
+    Returns None when the method is unavailable (caller falls back to a
+    save/restore toggle on the shared session)."""
+    from pyspark.sql import SparkSession
+
+    try:
+        jclone = spark._jsparkSession.cloneSession()
+        return SparkSession(spark.sparkContext, jclone)
+    except Exception:
+        return None
+
+
+def _rebind(df: DataFrame, session) -> DataFrame:
+    """Re-home a MATERIALIZED (checkpointed) DataFrame onto another
+    session of the same SparkContext, JVM-side (javaRDD → createDataFrame,
+    no Python pass) — cross-session plan mixing is not supported, so
+    frames must be converted at the session boundary."""
+    jdf = session._jsparkSession.createDataFrame(
+        df._jdf.javaRDD(), df._jdf.schema()
+    )
+    return DataFrame(jdf, session)
+
+
 def connected_components(
     edges: DataFrame, max_driver_edges: int = _MAX_DRIVER_EDGES
 ) -> DataFrame:
@@ -65,12 +94,13 @@ def connected_components(
     connectivity information) — uniformly on both the driver fast path
     and the distributed fixpoint.
 
-    NOTE: the distributed fixpoint disables AQE on the session conf for
-    the duration of the loop (per-stage re-planning barriers add fixed
-    latency per tiny iterative job and can re-coalesce away the
-    co-partitioning). The override is session-global: do not run
-    connected_components concurrently with other jobs that rely on AQE
-    in the same SparkSession; run.py schedules it as a sequential stage.
+    The distributed fixpoint runs with AQE disabled (per-stage
+    re-planning barriers add fixed latency to every tiny iterative job
+    and can re-coalesce away the co-partitioning), scoped PER-PLAN: the
+    loop executes on a cloned SparkSession (shared SparkContext,
+    isolated SQL conf), so concurrent jobs on the caller's session keep
+    AQE. The result is re-homed onto the caller's session before
+    returning.
     """
     spark = edges.sparkSession
     # Materialize the (narrow) edge list ONCE before the size probe so
@@ -92,14 +122,25 @@ def connected_components(
         ])
         return spark.createDataFrame(_driver_cc(probe), schema)
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Per-plan AQE scoping: run the loop on a cloned session whose conf
+    # override can't affect concurrent jobs. Fallback (no cloneSession in
+    # the runtime): save/restore on the shared session — correct but
+    # session-global for the loop's duration.
+    loop_spark = _clone_session(spark)
+    if loop_spark is not None:
+        loop_spark.conf.set("spark.sql.adaptive.enabled", "false")
+        edges = _rebind(edges, loop_spark).localCheckpoint(eager=True)
+        aqe_was = None
+    else:
+        loop_spark = spark
+        aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     # The edge set is static across iterations: hash-partition it by the
     # join key ONCE (checkpoint preserves the partitioning, SPARK-22905)
     # so each round's join re-shuffles only the (smaller) labels side.
     # AQE is off inside the loop — its per-stage re-planning barriers
     # add fixed latency to every tiny iterative job and can re-coalesce
     # away the co-partitioning.
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         # edges is already checkpointed above (shared with the probe);
         # build the undirected set from the materialized frame — a union
@@ -145,9 +186,15 @@ def connected_components(
             )
             labels = merged.select("node", "component")
             if changed == 0:
+                if loop_spark is not spark:
+                    # back across the session boundary; the projection
+                    # reads the checkpointed `merged`, so the rebind is
+                    # one cheap JVM pass over the (small) label set
+                    return _rebind(labels, spark)
                 return labels
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        if aqe_was is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     raise RuntimeError("connected components did not converge")
 
 

