@@ -517,6 +517,17 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN generate_series(0, 4) gy(y)
               WHERE gx.x < b.w AND gy.y < b.h
               GROUP BY 1),
+            png AS (SELECT doc_id, 1 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
+                    FROM documents),
+            ppx AS (
+              SELECT png.doc_id,
+                     3 * SUM((png.doc_id + 5 * gx.x + 3 * gy.y) % 251)
+                     AS pixel_sum
+              FROM png
+              CROSS JOIN generate_series(0, 5) gx(x)
+              CROSS JOIN generate_series(0, 3) gy(y)
+              WHERE gx.x < png.w AND gy.y < png.h
+              GROUP BY 1),
             wv AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
             ws AS (
               SELECT w.doc_id,
@@ -534,6 +545,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(-1 AS BIGINT) AS first_sample,
                    CAST(-1 AS BIGINT) AS duration_us
             FROM b JOIN px USING (doc_id)
+            UNION ALL
+            SELECT png.doc_id, 'png',
+                   CAST(png.w AS BIGINT), CAST(png.h AS BIGINT),
+                   CAST(ppx.pixel_sum AS BIGINT),
+                   CAST(png.doc_id % 251 AS BIGINT),
+                   -1, -1, -1, -1, -1
+            FROM png JOIN ppx USING (doc_id)
             UNION ALL
             SELECT w.doc_id, 'wav', -1, -1, -1, -1,
                    8000, w.n, CAST(ws.sample_sum AS BIGINT),

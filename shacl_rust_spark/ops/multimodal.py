@@ -4,12 +4,13 @@ The pattern for image/audio/video at 100 TB: keep the payload as a
 `binary` column, carry typed metadata beside it, and run decode /
 feature-extract / resize / frame-sample as Arrow-batched pandas UDFs
 over mapInPandas. The Spark-side schema, batching, and partitioning are
-real and tested here, and so is one decode path per modality:
-uncompressed 24-bit BMP (header + bottom-up padded pixel rows) and
-16-bit PCM WAV (RIFF chunk walk) are decoded in pure Python — no codec
-libraries exist in this container, so compressed formats (PNG/JPEG/
-MP3/...) raise NotImplementedError where a real deployment plugs
-Pillow/libvips/ffmpeg into the SAME mapInPandas slots.
+real and tested here, and so are the decode paths: uncompressed 24-bit
+BMP (header + bottom-up padded pixel rows), PNG (stdlib-zlib inflate +
+full scanline unfiltering with CRC-checked chunk walk), and 16-bit PCM
+WAV (RIFF chunk walk) decode in pure Python. Codecs that genuinely need
+external libraries (JPEG/MP3/real video) raise NotImplementedError
+where a deployment plugs Pillow/libvips/ffmpeg into the SAME
+mapInPandas slots.
 """
 
 from __future__ import annotations
@@ -127,14 +128,169 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
     return rate, samples
 
 
+# --- PNG (8-bit grayscale / truecolor, non-interlaced) ----------------------
+# PNG is zlib-compressed filtered scanlines — fully decodable with the
+# stdlib. This makes one COMPRESSED codec real; the remaining
+# NotImplementedError boundary is JPEG/MP3/video (entropy coders and DCT
+# pipelines that genuinely need external libraries).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(
+    width: int, height: int, pixel_rows: list[list[int]],
+    filters: list[int] | int = 0,
+) -> bytes:
+    """Minimal PNG writer for fixtures: pixel_rows[y][x] is a 0-255
+    value replicated across R,G,B (color type 2, 8-bit, non-interlaced).
+    `filters` selects the per-scanline filter (single int or one per
+    row, types 0-4) so fixtures can exercise every unfilter branch of
+    the decoder — filtering never changes the decoded pixels."""
+    import zlib
+
+    if isinstance(filters, int):
+        filters = [filters] * height
+    bpp = 3  # bytes per pixel (truecolor 8-bit)
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            v = pixel_rows[y][x] & 0xFF
+            line += bytes((v, v, v))
+        ft = filters[y]
+        filt = bytearray(len(line))
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            elif ft == 4:
+                pred = _paeth(a, b, c)
+            else:
+                raise ValueError(f"bad PNG filter type {ft}")
+            filt[i] = (line[i] - pred) & 0xFF
+        raw += bytes((ft,)) + filt
+        prev = bytes(line)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """(width, height, rows) with pixels as (r, g, b) — same shape as
+    decode_bmp. Real stdlib-zlib decode: chunk walk with CRC
+    verification, IDAT concatenation, and full unfiltering (filter
+    types 0-4: None/Sub/Up/Average/Paeth). Supported: 8-bit depth,
+    color types 0 (grayscale, expanded to r=g=b) and 2 (truecolor),
+    non-interlaced; palette/alpha/16-bit/Adam7 raise
+    NotImplementedError."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color, comp, filt_method, interlace = ihdr
+    if depth != 8 or color not in (0, 2) or interlace != 0 \
+            or comp != 0 or filt_method != 0:
+        raise NotImplementedError(
+            f"only 8-bit gray/truecolor non-interlaced PNG supported "
+            f"(depth={depth}, color={color}, interlace={interlace})"
+        )
+    bpp = 3 if color == 2 else 1
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    rows: list[list[tuple[int, int, int]]] = []
+    prev = bytearray(stride)
+    pos = 0
+    for _y in range(height):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1: pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:    # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        prev = line
+        if bpp == 3:
+            rows.append([
+                (line[3 * x], line[3 * x + 1], line[3 * x + 2])
+                for x in range(width)
+            ])
+        else:
+            rows.append([(v, v, v) for v in line])
+    return width, height, rows
+
+
 def decode_image(payload: bytes):
-    """Decode an image payload to (width, height, rows). BMP decodes in
-    pure Python; compressed formats need Pillow/libvips, which this
-    container does not ship."""
+    """Decode an image payload to (width, height, rows). BMP and PNG
+    decode in pure Python (PNG via stdlib zlib); JPEG/WebP/... need
+    Pillow/libvips, which this container does not ship."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only BMP decodes without image codec libraries"
+        "only BMP and PNG decode without image codec libraries"
     )
 
 
@@ -178,9 +334,9 @@ def decode_assets(
                 raw = bytes(payload)
                 row = dict.fromkeys(out)
                 row["doc_id"] = int(rid)
-                if raw[:2] == b"BM":
+                if raw[:2] == b"BM" or raw[:8] == _PNG_SIG:
                     width, height, rows = decode_image(raw)
-                    row["kind"] = "bmp"
+                    row["kind"] = "bmp" if raw[:2] == b"BM" else "png"
                     row["width"] = width
                     row["height"] = height
                     row["pixel_sum"] = sum(
@@ -203,9 +359,12 @@ def decode_assets(
 
 
 def synth_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic BMP + WAV fixture payloads per doc_id (two rows per
-    document, (doc_id, payload)): real encoded bytes so the decode path
-    runs end-to-end without codec libraries or external data."""
+    """Deterministic BMP + PNG + WAV fixture payloads per doc_id (three
+    rows per document, (doc_id, payload)): real encoded bytes so the
+    decode paths run end-to-end without codec libraries or external
+    data. The PNG scanline filters cycle through all five types
+    ((d + y) % 5 per row) so decoding exercises every unfilter branch
+    without changing the closed-form pixel oracle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -218,6 +377,13 @@ def synth_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                        for y in range(h)]
                 ids.append(d)
                 payloads.append(encode_bmp(w, h, pix))
+                pw, ph = 1 + d % 6, 1 + d % 4
+                ppix = [[(d + 5 * x + 3 * y) % 251 for x in range(pw)]
+                        for y in range(ph)]
+                ids.append(d)
+                payloads.append(encode_png(
+                    pw, ph, ppix, filters=[(d + y) % 5 for y in range(ph)]
+                ))
                 n = 64 + d % 32
                 samples = [((d * 7 + i) % 65536) - 32768 for i in range(n)]
                 ids.append(d)

@@ -177,12 +177,14 @@ def multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end binary decode: deterministic BMP + WAV payloads are
-    synthesized per document (ops/multimodal.synth_assets), then decoded
-    by the REAL pure-Python codecs (bottom-up BMP rows, RIFF chunk walk)
-    inside Arrow mapInPandas. The oracle recomputes every metadata field
-    (including the position-sensitive first_px / first_sample) in closed
-    form, so a row-order or padding bug in the decoder hash-mismatches."""
+    """End-to-end binary decode: deterministic BMP + PNG + WAV payloads
+    are synthesized per document (ops/multimodal.synth_assets), then
+    decoded by the REAL pure-Python codecs (bottom-up BMP rows,
+    stdlib-zlib PNG inflate + unfiltering across all five filter types,
+    RIFF chunk walk) inside Arrow mapInPandas. The oracle recomputes
+    every metadata field (including the position-sensitive first_px /
+    first_sample) in closed form, so a row-order, padding, or
+    unfiltering bug in a decoder hash-mismatches."""
     assets = multimodal.synth_assets(_docs(spark, sf_dir))
     # Null numeric columns become float+NaN through pandas-based oracle
     # fetches, so the gate projection uses -1 sentinels for the fields

@@ -163,6 +163,79 @@ def test_embedding_lsh_matches_allpairs_and_is_blocked(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_png_roundtrip_every_filter_type():
+    """encode→decode is identity for each scanline filter type 0-4 and
+    for a per-row mix — filters change the wire bytes, never the
+    pixels (the decoder's unfilter branches are all exercised)."""
+    w, h = 6, 5
+    pix = [[(17 * y + 3 * x) % 251 for x in range(w)] for y in range(h)]
+    want = [[(v, v, v) for v in row] for row in pix]
+    wires = set()
+    for ft in [0, 1, 2, 3, 4, [0, 1, 2, 3, 4]]:
+        payload = multimodal.encode_png(w, h, pix, filters=ft)
+        wires.add(payload)
+        assert multimodal.decode_png(payload) == (w, h, want)
+        assert multimodal.decode_image(payload) == (w, h, want)
+    assert len(wires) == 6  # each filter choice produced distinct bytes
+
+
+def test_png_crc_mismatch_and_unsupported():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    payload = bytearray(multimodal.encode_png(3, 2, [[1, 2, 3], [4, 5, 6]]))
+    # corrupt one IDAT byte → CRC check must catch it
+    idat_at = bytes(payload).index(b"IDAT") + 6
+    payload[idat_at] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(payload))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"BM_not_png")
+    # 16-bit depth and Adam7 interlacing are out of charter
+    for depth, interlace in [(16, 0), (8, 1)]:
+        ihdr = _struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace)
+        bad = (b"\x89PNG\r\n\x1a\n"
+               + multimodal._png_chunk(b"IHDR", ihdr)
+               + multimodal._png_chunk(b"IEND", b""))
+        with _pytest.raises(NotImplementedError):
+            multimodal.decode_png(bad)
+
+
+def test_png_grayscale_color_type_0():
+    """Hand-built color-type-0 PNG (1 byte/px) decodes with pixels
+    expanded to r=g=b — the non-truecolor stride path."""
+    import struct as _struct
+    import zlib as _zlib
+
+    w, h = 4, 3
+    pix = [[(9 * y + 2 * x) % 256 for x in range(w)] for y in range(h)]
+    raw = b"".join(b"\x00" + bytes(row) for row in pix)  # filter 0 rows
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + multimodal._png_chunk(b"IHDR", ihdr)
+               + multimodal._png_chunk(b"IDAT", _zlib.compress(raw))
+               + multimodal._png_chunk(b"IEND", b""))
+    assert multimodal.decode_png(payload) == (
+        w, h, [[(v, v, v) for v in row] for row in pix])
+
+
+def test_decode_assets_routes_png(spark):
+    """synth_assets now emits BMP + PNG + WAV per doc; decode_assets
+    routes each by magic and the PNG row matches the hand-computed
+    fixture formula (d=7: 2×4, pixel (7+5x+3y) % 251)."""
+    docs = spark.createDataFrame([(7,)], "doc_id long")
+    rows = multimodal.decode_assets(multimodal.synth_assets(docs)).collect()
+    by_kind = {r.kind: r for r in rows}
+    assert set(by_kind) == {"bmp", "png", "wav"}
+    png = by_kind["png"]
+    pw, ph = 1 + 7 % 6, 1 + 7 % 4
+    want_sum = 3 * sum((7 + 5 * x + 3 * y) % 251
+                       for x in range(pw) for y in range(ph))
+    assert (png.width, png.height, png.first_px, png.pixel_sum) == (
+        pw, ph, 7 % 251, want_sum)
+
+
 def test_resize_roundtrip(spark):
     """Resized payload re-decodes to exactly the nearest-neighbor
     sampled pixels of the source BMP."""
