@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_sparql_path": Q.shacl_sparql_path,
         "shacl_sparql_nps": Q.shacl_sparql_nps,
         "shacl_sparql_message": Q.shacl_sparql_message,
+        "shacl_sparql_shapes_path": Q.shacl_sparql_shapes_path,
         "shacl_equals": Q.shacl_equals,
         "shacl_disjoint": Q.shacl_disjoint,
         "shacl_not": Q.shacl_not,
@@ -909,6 +910,27 @@ def oracle_sql() -> dict[str, str]:
                    'segment "BUILDING" of {EX}cust/' || c_custkey
                    || ' flagged ({{?nope}})' AS message
             FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        # shapes-graph path introspection: declared predicates are the
+        # literal set {{rdf:type, ex:name, ex:motto}} (walked via
+        # sh:property/sh:path over the shapes graph by the engine);
+        # focus = subjects of ex:partOf = all nations + odd regions;
+        # motto is absent everywhere, type is absent for region-0
+        # nations (and all odd regions are typed)
+        "shacl_sparql_shapes_path": f"""
+            WITH focus AS (
+              SELECT '{EX}nation/' || n_nationkey AS f,
+                     CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END AS untyped
+              FROM nation
+              UNION ALL
+              SELECT '{EX}region/' || r_regionkey, 0
+              FROM region WHERE r_regionkey % 2 = 1
+            )
+            SELECT f AS focus, 'missing {EX}motto' AS message FROM focus
+            UNION ALL
+            SELECT f,
+                   'missing http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+            FROM focus WHERE untyped = 1
         """,
         "shacl_equals": f"""
             WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_linenumber AS ln,

@@ -33,8 +33,15 @@ reference evaluates sh:sparql with a spec-compliant SPARQL engine, not
 its SHACL path walker). A path with both endpoints unbound seeds the
 closure from every graph term (the spec's semantics; the first hop
 prunes non-starters, and ``?x p* ?y`` really does emit the identity
-pair for every term). Paths inside GRAPH $shapesGraph blocks are not
-supported.
+pair for every term). Paths inside GRAPH $shapesGraph blocks walk the
+broadcast shapes triples through the same machinery (the predicate
+accessor swaps from the Dataset's partition-pruned scan to an
+equivalent filter over the shapes frame) — SHACL-SPARQL component
+libraries introspect the shapes graph with paths like
+``sh:property/sh:path``.
+
+Projection supports plain variables, ``(expr AS ?v)`` with both
+aggregate and scalar expressions, and ``SELECT *``.
 
 Parity behaviors preserved from the reference:
 - MINUS / SERVICE / nested SELECT ⇒ one "pre-binding" violation per
@@ -766,10 +773,10 @@ class _Compiler:
     def __init__(self, vd, hop_counter: list[int]):
         self.vd = vd
         self._n = hop_counter
-        # identity of the data-graph frame: property paths seed from the
-        # Dataset's predicate-filtered accessors, which only cover the
-        # data graph — a PathTP evaluated against any other source
-        # (GRAPH $shapesGraph) is rejected.
+        # identity of the data-graph frame: property paths over it seed
+        # from the Dataset's predicate-filtered accessors (partition
+        # pruning); any other source (GRAPH $shapesGraph) walks its own
+        # frame via an equivalent filter (_path_accessors).
         self.data_source = vd.ds.triples
 
     def _fresh(self) -> str:
@@ -1090,11 +1097,19 @@ class _Compiler:
         raise SparqlParseError(f"unsupported element {el!r}")
 
     # --- property-path patterns ------------------------------------------
+    def _path_accessors(self, source: DataFrame):
+        """(pred, all_triples) for the graph a path walks. The data
+        graph uses the Dataset's predicate-filtered accessor (partition
+        pruning on columnar sources); any other source — the broadcast
+        shapes triples of a GRAPH $shapesGraph block — gets an
+        equivalent predicate filter over that frame."""
+        ds = self.vd.ds
+        if source is self.data_source:
+            return ds.pred, ds.triples
+        return (lambda p_iri: source.where(F.col("p") == p_iri)), source
+
     def eval_path_tp(self, el: PathTP, sol: DataFrame, source: DataFrame) -> DataFrame:
-        if source is not self.data_source:
-            raise SparqlUnsupported(
-                "property paths are only supported over the data graph"
-            )
+        pred, all_triples = self._path_accessors(source)
         cols = set(sol.columns)
         s, o, node = el.s, el.o, el.path
 
@@ -1115,7 +1130,7 @@ class _Compiler:
             # over every graph term (zeroOrMore emits (t, t) for all of
             # them; hop-headed paths prune non-starters in the first
             # join). One distinct over the union of both term columns.
-            t = self.vd.ds.triples
+            t = all_triples
             seed = (
                 t.select(F.col("s").alias("k"))
                 .unionByName(t.select(F.col("o").alias("k")))
@@ -1133,7 +1148,7 @@ class _Compiler:
                 .distinct()
                 .select("k", F.col("k").alias("v"))
             )
-        pairs = self._apply_path(node, seed)
+        pairs = self._apply_path(node, seed, pred, all_triples)
         pre = self._fresh()
         right = pairs.select(
             F.col("k").alias(f"{pre}_k"), F.col("v").alias(f"{pre}_v")
@@ -1161,13 +1176,14 @@ class _Compiler:
         )
         return joined.select(*[F.col(c) for c in sol.columns], *extra)
 
-    def _apply_path(self, node, frontier: DataFrame) -> DataFrame:
+    def _apply_path(self, node, frontier: DataFrame, pred, all_triples) -> DataFrame:
         """(k, v) frontier → (k, v') pairs after one full application of
-        the path node; always deduplicated on (k, v)."""
-        ds = self.vd.ds
+        the path node; always deduplicated on (k, v). `pred` and
+        `all_triples` are the walked graph's accessors (data graph or a
+        GRAPH $shapesGraph source — see _path_accessors)."""
         if isinstance(node, (PHop, PInvH)):
             inv = isinstance(node, PInvH)
-            t = ds.pred(node.iri).select(
+            t = pred(node.iri).select(
                 F.col("s").alias("_ps"), F.col("o").alias("_po")
             )
             src, dst = ("_po", "_ps") if inv else ("_ps", "_po")
@@ -1181,7 +1197,7 @@ class _Compiler:
             # the isin negation pushes to the parquet scan like pred()
             parts = []
             if node.fwd:
-                t = ds.triples.where(
+                t = all_triples.where(
                     ~F.col("p").isin([*node.fwd])
                 ).select(F.col("s").alias("_ps"), F.col("o").alias("_po"))
                 parts.append(
@@ -1189,7 +1205,7 @@ class _Compiler:
                     .select("k", F.col("_po").alias("v"))
                 )
             if node.inv:
-                t = ds.triples.where(
+                t = all_triples.where(
                     ~F.col("p").isin([*node.inv])
                 ).select(F.col("s").alias("_ps"), F.col("o").alias("_po"))
                 parts.append(
@@ -1202,28 +1218,31 @@ class _Compiler:
         if isinstance(node, PSeq):
             cur = frontier
             for e in node.elems:
-                cur = self._apply_path(e, cur)
+                cur = self._apply_path(e, cur, pred, all_triples)
             return cur
         if isinstance(node, PAlt):
-            parts = [self._apply_path(a, frontier) for a in node.alts]
+            parts = [self._apply_path(a, frontier, pred, all_triples)
+                     for a in node.alts]
             return reduce(DataFrame.unionByName, parts).dropDuplicates(["k", "v"])
         if isinstance(node, POpt):
             return (
                 frontier.select("k", "v")
-                .unionByName(self._apply_path(node.inner, frontier))
+                .unionByName(self._apply_path(node.inner, frontier, pred,
+                                              all_triples))
                 .dropDuplicates(["k", "v"])
             )
         if isinstance(node, PStar):
             return (
                 frontier.select("k", "v")
-                .unionByName(self._path_closure(node.inner, frontier))
+                .unionByName(self._path_closure(node.inner, frontier, pred,
+                                                all_triples))
                 .dropDuplicates(["k", "v"])
             )
         if isinstance(node, PPlus):
-            return self._path_closure(node.inner, frontier)
+            return self._path_closure(node.inner, frontier, pred, all_triples)
         raise SparqlParseError(f"unknown path node {node!r}")
 
-    def _path_closure(self, inner, start: DataFrame) -> DataFrame:
+    def _path_closure(self, inner, start: DataFrame, pred, all_triples) -> DataFrame:
         """Spec-compliant transitive closure seeded per k: every node
         reachable in ≥ 1 step — INCLUDING the start node when a cycle
         returns to it (paths.py's SHACL walker deliberately excludes
@@ -1238,7 +1257,7 @@ class _Compiler:
         frontier = expanded
         acc: DataFrame | None = None
         for _ in range(_MAX_KLEENE_ITERS):
-            step = self._apply_path(inner, frontier)
+            step = self._apply_path(inner, frontier, pred, all_triples)
             acc = (
                 step if acc is None
                 else acc.unionByName(step).dropDuplicates(["k", "v"])

@@ -399,6 +399,37 @@ def shacl_sparql_message(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(F.col("focus.value").alias("focus"), "message")
 
 
+def shacl_sparql_shapes_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:sparql with a property path inside GRAPH $shapesGraph — the
+    component-library introspection idiom the reference evaluates via
+    oxigraph's full dataset support (sparql.rs:217-232, shapes graph
+    registered under urn:shacl:shapes-graph per dataset.rs:10): walk
+    sh:property/sh:path over the SHAPES graph to enumerate the shape's
+    declared predicates, then flag focus nodes missing any of them in
+    the DATA graph (FILTER NOT EXISTS). Focus = subjects of ex:partOf
+    (all nations + odd-keyed regions); ex:motto is declared but absent
+    everywhere, rdf:type is absent for region-0 nations."""
+    shapes = '''
+    ex:DeclShape a sh:NodeShape ;
+      sh:targetSubjectsOf ex:partOf ;
+      sh:property [ sh:path rdf:type ] ;
+      sh:property [ sh:path ex:name ] ;
+      sh:property [ sh:path ex:motto ] ;
+      sh:sparql [
+        sh:message "missing {?prop}" ;
+        sh:select """
+          PREFIX sh: <http://www.w3.org/ns/shacl#>
+          SELECT $this ?prop WHERE {
+            GRAPH $shapesGraph { $currentShape sh:property/sh:path ?prop . }
+            FILTER NOT EXISTS { $this ?prop ?v . }
+          }
+        """ ] .
+    '''
+    v = _validate(spark, T.nation_triples(spark, sf_dir), shapes)
+    return v.where(F.col("component").contains("SPARQLConstraintComponent")) \
+        .select(F.col("focus.value").alias("focus"), "message")
+
+
 def shacl_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sh:equals with the reference's aggressive extra checks
     (equals.rs:20-76): set-difference violation per focus PLUS one

@@ -436,3 +436,95 @@ def test_message_ask_verbatim_no_substitution(spark):
     assert _run_msgs(spark, shapes) == [
         ("http://example.org/d", "bad {$this}"),
     ]
+
+
+# --- property paths over GRAPH $shapesGraph (round 3) ----------------------
+# The reference registers the shapes graph as a named graph
+# (urn:shacl:shapes-graph, dataset.rs:10) in oxigraph, so paths inside
+# GRAPH $shapesGraph evaluate like any other — these pin the rewriter's
+# source-threaded path machinery to the same behavior.
+
+def test_shapes_graph_sequence_path_introspection(spark):
+    # sh:property/sh:path over the SHAPES graph enumerates the shape's
+    # declared predicates; focus nodes missing one in the DATA graph
+    # violate (the component-library idiom)
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:property [ sh:path ex:p ] ;
+      sh:property [ sh:path ex:missing ] ;
+      sh:sparql [ sh:select '''
+        PREFIX sh: <http://www.w3.org/ns/shacl#>
+        SELECT $this ?prop WHERE {
+          GRAPH $shapesGraph { $currentShape sh:property/sh:path ?prop . }
+          FILTER NOT EXISTS { $this ?prop ?v . }
+        }''' ] .
+    """
+    # a and b both carry ex:p but not ex:missing — one violation each
+    assert _run(spark, shapes) == [
+        "http://example.org/a", "http://example.org/b",
+    ]
+
+
+def test_shapes_graph_star_path(spark):
+    # Kleene closure over shapes-graph triples: chain S ->chain S2
+    # ->chain S3 gives 3 reachable nodes (incl. the start) per focus
+    shapes = PRE + """
+    ex:S ex:chain ex:S2 . ex:S2 ex:chain ex:S3 .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        PREFIX ex: <http://example.org/>
+        SELECT $this ?x WHERE {
+          GRAPH $shapesGraph { $currentShape ex:chain* ?x . }
+        }''' ] .
+    """
+    assert _run(spark, shapes) == (
+        ["http://example.org/a"] * 3 + ["http://example.org/b"] * 3
+    )
+
+
+def test_shapes_graph_inverse_and_alternative_path(spark):
+    # (^chain|chain) from S over the shapes graph: Other ->chain S and
+    # S ->chain S2 give exactly two solutions per focus
+    shapes = PRE + """
+    ex:Other ex:chain ex:S . ex:S ex:chain ex:S2 .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        PREFIX ex: <http://example.org/>
+        SELECT $this ?x WHERE {
+          GRAPH $shapesGraph { $currentShape (^ex:chain|ex:chain) ?x . }
+        }''' ] .
+    """
+    assert _run(spark, shapes) == (
+        ["http://example.org/a"] * 2 + ["http://example.org/b"] * 2
+    )
+
+
+def test_shapes_graph_path_does_not_touch_data_graph(spark):
+    # ex:p exists in the DATA graph only — a shapes-graph path over it
+    # must find nothing (and vice versa the data path is unaffected)
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        PREFIX ex: <http://example.org/>
+        SELECT $this WHERE {
+          GRAPH $shapesGraph { $currentShape ex:p+ ?x . }
+        }''' ] .
+    """
+    assert _run(spark, shapes) == []
+
+
+def test_scalar_expr_projection_message(spark):
+    # SELECT (expr AS ?v) with a non-aggregate expression, rendered
+    # through the message template per solution
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [
+        sh:message "doubled {?m}" ;
+        sh:select '''
+        SELECT $this (STR(?v * 2) AS ?m) WHERE {
+          $this <http://example.org/val> ?v . FILTER(?v >= 9)
+        }''' ] .
+    """
+    assert _run_msgs(spark, shapes) == [
+        ("http://example.org/d", 'doubled "18"'),
+    ]
