@@ -236,6 +236,50 @@ def test_decode_assets_routes_png(spark):
         pw, ph, 7 % 251, want_sum)
 
 
+def test_embedding_lsh_hot_label_stays_bounded(spark):
+    """Stop-bucket removal under extreme label skew (VERDICT r2 #8):
+    a hot label of n_hot IDENTICAL vectors makes every one of its
+    (label, band, sig) buckets n_hot-deep. With max_bucket << n_hot the
+    hot label must contribute ZERO candidate pairs (the documented
+    recall sacrifice that bounds the join at scale: without the stop
+    filter it would emit n_bands × C(n_hot, 2) ≈ 6M candidate rows
+    here), while a normal label's pairs are still found exactly."""
+    import math
+
+    n_hot, max_bucket = 600, 10
+    rows = [(i, "hot", [1.0, 0.5, -0.25, 0.125]) for i in range(n_hot)]
+    # normal label: 3 orthogonal-ish vectors, one planted near-dup pair
+    rows += [
+        (1000, "ok", [1.0, 0.0, 0.0, 0.0]),
+        (1001, "ok", [0.999, 0.01, 0.0, 0.0]),   # cos ≈ 1 with 1000
+        (1002, "ok", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {(r.a, r.b) for r in dedup.embedding_lsh_pairs(
+        e, 0.9, n_planes=64, band_size=2, max_bucket=max_bucket
+    ).collect()}
+    assert got == {(1000, 1001)}, got  # hot label fully stop-bucketed
+
+    # the bucket invariant that bounds the candidate join: every
+    # surviving (label, band, sig) bucket has ≤ max_bucket members, so
+    # candidates ≤ Σ C(bucket, 2) regardless of label skew
+    sig_udf = dedup._band_sig_udf(64, 2, 4)
+    sigs = e.select(
+        "vec_id", "label",
+        F.posexplode(sig_udf(F.col("embedding"))).alias("_band", "_sig"),
+    )
+    surviving = (
+        sigs.groupBy("label", "_band", "_sig").count()
+        .where(F.col("count") <= max_bucket)
+    )
+    sizes = [r["count"] for r in surviving.collect()]
+    assert all(s <= max_bucket for s in sizes)
+    cand_bound = sum(math.comb(s, 2) for s in sizes)
+    # the bound is tiny relative to the unblocked hot-label explosion
+    assert cand_bound < 200
+    assert 32 * math.comb(n_hot, 2) > 5_000_000  # what we avoided
+
+
 def test_resize_roundtrip(spark):
     """Resized payload re-decodes to exactly the nearest-neighbor
     sampled pixels of the source BMP."""
