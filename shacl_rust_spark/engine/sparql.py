@@ -1025,13 +1025,28 @@ class _Compiler:
         if isinstance(el, Bind):
             return sol.withColumn(_vcol(el.var.name), self.expr_term(el.expr, cols))
         if isinstance(el, GraphBlock):
+            # The validation dataset has exactly ONE named graph — the
+            # shapes graph under urn:shacl:shapes-graph (dataset.rs:10;
+            # the data graph is the DEFAULT graph, which GRAPH never
+            # matches). So: $shapesGraph / its IRI evaluate over the
+            # shapes triples; any other IRI names a graph that does not
+            # exist (zero solutions, like the reference's oxigraph
+            # store); a plain variable ranges over the one named graph,
+            # binding it to the shapes-graph IRI.
             tgt = el.target
-            is_shapes = (isinstance(tgt, Var) and tgt.name == "shapesGraph") or (
-                isinstance(tgt, Term) and tgt.value == SHAPES_GRAPH_IRI
-            )
-            if not is_shapes:
-                raise SparqlParseError("GRAPH over a non-shapes graph is not supported")
-            return self.eval_elems(el.elems, sol, self.vd.ds.shapes_triples_df())
+            shapes_src = self.vd.ds.shapes_triples_df()
+            if isinstance(tgt, Var):
+                if tgt.name == "shapesGraph":
+                    return self.eval_elems(el.elems, sol, shapes_src)
+                out = self.eval_elems(el.elems, sol, shapes_src)
+                g_term = term_lit(iri(SHAPES_GRAPH_IRI))
+                vc = _vcol(tgt.name)
+                if vc in sol.columns:  # pre-bound ?g must equal the IRI
+                    return out.where(F.col(vc) == g_term)
+                return out.withColumn(vc, g_term)
+            if isinstance(tgt, Term) and tgt.value == SHAPES_GRAPH_IRI:
+                return self.eval_elems(el.elems, sol, shapes_src)
+            return sol.limit(0)
         if isinstance(el, UnionBlock):
             parts = [self.eval_elems(b, sol, source) for b in el.branches]
             out = parts[0]

@@ -528,3 +528,57 @@ def test_scalar_expr_projection_message(spark):
     assert _run_msgs(spark, shapes) == [
         ("http://example.org/d", 'doubled "18"'),
     ]
+
+
+def test_graph_other_iri_is_empty_not_error(spark):
+    # the dataset's only named graph is urn:shacl:shapes-graph
+    # (dataset.rs:10): GRAPH over any other IRI matches NOTHING — it is
+    # an empty pattern, not an unsupported construct (oxigraph parity)
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          GRAPH <http://example.org/no-such-graph> { ?s ?p ?o . }
+        }''' ] .
+    """
+    assert _run(spark, shapes) == []
+
+
+def test_graph_explicit_shapes_iri(spark):
+    # the shapes graph is addressable by its IRI, not only $shapesGraph
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        PREFIX sh: <http://www.w3.org/ns/shacl#>
+        SELECT $this WHERE {
+          GRAPH <urn:shacl:shapes-graph> {
+            $currentShape a sh:NodeShape .
+          }
+        }''' ] .
+    """
+    assert _run(spark, shapes) == [
+        "http://example.org/a", "http://example.org/b",
+    ]
+
+
+def test_graph_variable_ranges_over_named_graphs(spark):
+    # GRAPH ?g ranges over the dataset's named graphs = exactly the
+    # shapes graph; ?g binds to its IRI and is usable in a FILTER
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [
+        sh:message "in {?g}" ;
+        sh:select '''
+        PREFIX sh: <http://www.w3.org/ns/shacl#>
+        SELECT $this ?g WHERE {
+          GRAPH ?g { $currentShape a sh:NodeShape . }
+          FILTER(?g = <urn:shacl:shapes-graph>)
+        }''' ] .
+    """
+    rep = validate_strings(spark, DATA, shapes)
+    rows = sorted((r.asDict()["focus"]["value"], r.asDict()["message"])
+                  for r in rep.results())
+    assert rows == [
+        ("http://example.org/a", "in urn:shacl:shapes-graph"),
+        ("http://example.org/b", "in urn:shacl:shapes-graph"),
+    ]
