@@ -44,6 +44,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": O.text_quality,
         "text_langid": O.text_langid,
         "text_fingerprint": O.text_fingerprint,
+        "curation_sample": O.curation_sample,
+        "curation_mix": O.curation_mix,
+        "curation_pii": O.curation_pii,
+        "curation_repetition": O.curation_repetition,
+        "curation_domain_stats": O.curation_domain_stats,
+        "curation_domain_cap": O.curation_domain_cap,
         "multimodal_sniff": O.multimodal_sniff,
         "multimodal_decode": O.multimodal_decode,
         "multimodal_resize": O.multimodal_resize,
@@ -491,6 +497,113 @@ def oracle_sql() -> dict[str, str]:
                        list_filter(regexp_split_to_array(text, '\s+'),
                                    x -> x <> ''))), ' ')) AS fp
             FROM documents
+        """,
+        # deterministic md5-hash sampling: identical expression in both
+        # engines; thresholds are rate_threshold() values (0.1 →
+        # int(0.1 * 16^8) = 0x19999999, 0.5 → 80000000, 0.25 →
+        # 40000000, 1.0 → 'g' which every hex digit sorts below)
+        "curation_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5('r3' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '19999999'
+        """,
+        "curation_mix": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < CASE lang WHEN 'en' THEN '80000000'
+                              WHEN 'zh' THEN 'g'
+                              ELSE '40000000' END
+        """,
+        # closed form: the base corpus text is digit- and @-free
+        # (verified), so every PII hit is a plant indicator and the
+        # redacted text is base || typed placeholders — the oracle never
+        # runs a regex, pinning the engine's patterns to derived truth
+        "curation_pii": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+                     AS n_emails,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT)
+                     AS n_phones,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT)
+                     AS n_ips,
+                   CAST(CASE WHEN doc_id % 3 = 0 OR doc_id % 5 = 0
+                             OR doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT)
+                     AS has_pii,
+                   text
+                   || CASE WHEN doc_id % 3 = 0 THEN ' contact <EMAIL>'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN ' call <PHONE>'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN ' ip <IP>'
+                           ELSE '' END AS redacted
+            FROM documents
+        """,
+        "curation_repetition": r"""
+            WITH arr AS (
+              SELECT doc_id, string_split_regex(trim(text), ' +') AS l
+              FROM documents
+            ),
+            w AS (SELECT doc_id, unnest(l) AS w FROM arr),
+            pw AS (SELECT doc_id, w, count(*) AS c FROM w
+                   WHERE w <> '' GROUP BY 1, 2),
+            ws AS (
+              SELECT doc_id, SUM(c) AS n_words,
+                     COUNT(*) AS n_distinct_words, MAX(c) AS top_word_count
+              FROM pw GROUP BY 1
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(l) - 1),
+                                           i -> l[i] || ' ' || l[i + 1])) AS b
+              FROM arr
+            ),
+            pb AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+            bs AS (
+              SELECT doc_id, SUM(c) AS n_bigrams,
+                     COUNT(*) AS n_distinct_bigrams,
+                     MAX(c) AS top_bigram_count
+              FROM pb GROUP BY 1
+            )
+            SELECT ws.doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+                   CAST(top_word_count AS BIGINT) AS top_word_count,
+                   CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(n_distinct_bigrams, 0) AS BIGINT)
+                     AS n_distinct_bigrams,
+                   CAST(COALESCE(top_bigram_count, 0) AS BIGINT)
+                     AS top_bigram_count
+            FROM ws LEFT JOIN bs USING (doc_id)
+        """,
+        # closed-form URL reconstruction (pages.py formulas): hosts are
+        # exN.test (orders) + docs.test (documents); 2-label hosts make
+        # host == registrable domain
+        "curation_domain_stats": """
+            WITH u AS (
+              SELECT 'ex' || (o_custkey % 100) || '.test' AS domain
+              FROM orders
+              UNION ALL SELECT 'docs.test' FROM documents
+            )
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(1 AS BIGINT) AS n_hosts
+            FROM u GROUP BY domain
+        """,
+        "curation_domain_cap": """
+            WITH u AS (
+              SELECT 'http://ex' || (o_custkey % 100) || '.test/o'
+                       || o_orderkey AS url,
+                     'ex' || (o_custkey % 100) || '.test' AS domain
+              FROM orders
+              UNION ALL
+              SELECT 'http://docs.test/d' || doc_id, 'docs.test'
+              FROM documents
+            )
+            SELECT url, domain FROM (
+              SELECT url, domain,
+                     row_number() OVER (PARTITION BY domain ORDER BY url)
+                       AS rn
+              FROM u
+            ) WHERE rn <= 5
         """,
         "multimodal_sniff": _KG_CTE + """
             SELECT url,

@@ -1,0 +1,59 @@
+"""PII detection & redaction for corpus curation.
+
+Pure-Column regex ops (JVM-side, whole-stage codegen — no Python in the
+hot path): count and redact email / NANP-phone / IPv4 occurrences per
+document. Patterns are deliberately RE2-safe (no lookaround, no
+backreferences) so the same source text produces identical matches in
+Spark's java.util.regex and the DuckDB oracle's RE2 — and in any other
+engine a deployment cross-checks against.
+
+Redaction order is fixed (emails, then phones, then IPs) and part of
+the contract: an email's host can contain digit runs an IP pattern
+would otherwise nibble at, so later patterns must see earlier
+placeholders, not raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+REDACTIONS = [
+    (EMAIL_RE, "<EMAIL>"),
+    (PHONE_RE, "<PHONE>"),
+    (IPV4_RE, "<IP>"),
+]
+
+
+def pii_scan(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII hit counts: (id, n_emails, n_phones, n_ips,
+    has_pii). One projection over the scan — counts are the cheap
+    audit pass a pipeline runs before deciding to redact or drop."""
+    t = F.col(text_col)
+    n_e = F.regexp_count(t, F.lit(EMAIL_RE))
+    n_p = F.regexp_count(t, F.lit(PHONE_RE))
+    n_i = F.regexp_count(t, F.lit(IPV4_RE))
+    return docs.select(
+        F.col(id_col),
+        n_e.alias("n_emails"),
+        n_p.alias("n_phones"),
+        n_i.alias("n_ips"),
+        ((n_e + n_p + n_i) > 0).alias("has_pii"),
+    )
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document redacted text: every match replaced by its typed
+    placeholder, in the fixed REDACTIONS order."""
+    out = F.col(text_col)
+    for pat, repl in REDACTIONS:
+        out = F.regexp_replace(out, pat, repl)
+    return docs.select(F.col(id_col), out.alias("redacted"))

@@ -1,0 +1,76 @@
+"""Deterministic sampling & source mixing for corpus curation.
+
+At 100 TB, sampling must be (a) a pure map over the scan — no shuffle,
+no driver state; (b) exactly reproducible across engines and reruns;
+(c) independent of partitioning and row order. `rand()`-Bernoulli
+fails (b) and (c); TABLESAMPLE fails (c). Hashing a stable business key
+passes all three: a row is kept iff the first 8 hex chars of
+``md5(salt || key)`` sort lexicographically below the rate's hex
+threshold. md5 is bit-identical everywhere (the DuckDB oracle runs the
+same expression), equal-length lowercase hex strings compare exactly
+like the integers they encode, and changing the salt draws an
+independent sample — the standard trick for train/val splits that must
+never drift between pipeline runs.
+
+Source mixing (the per-domain / per-language rates every LLM data
+recipe specifies) is the same predicate with a per-group threshold
+looked up from the mixing table — still one scan, zero shuffles;
+`.explain` shows a single Filter over the file scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPAN = 16 ** 8  # 8 hex chars
+
+
+def rate_threshold(rate: float) -> str:
+    """Hex threshold such that P[hash8 < threshold] == rate.
+
+    rate ≥ 1 returns "g": every hex digit sorts below 'g', so all rows
+    pass without a 9-character threshold breaking the equal-length
+    lexicographic == numeric property. rate ≤ 0 returns "": nothing
+    sorts below the empty string."""
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return ""
+    return f"{int(rate * _HEX_SPAN):08x}"
+
+
+def sample_hash(key: Column, salt: str) -> Column:
+    """First 8 hex chars of md5(salt || key) — the sampling coordinate
+    in [0, 16^8), uniform for any high-entropy key."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, salt: str = "s0", key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep a `rate` fraction of rows, deterministically by key."""
+    return df.where(
+        sample_hash(F.col(key_col), salt) < F.lit(rate_threshold(rate))
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    group_col: str = "lang",
+    salt: str = "mix",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group downsampling rates (data-mixing recipe): group g keeps
+    a rates.get(g, default_rate) fraction of its rows. One scan, one
+    Filter; the rates table compiles to a CASE expression (broadcast-
+    free — mixing tables are spec-sized, not data-sized)."""
+    thr: Column = F.lit(rate_threshold(default_rate))
+    for g, r in sorted(rates.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(rate_threshold(r))) \
+            .otherwise(thr)
+    return df.where(sample_hash(F.col(key_col), salt) < thr)

@@ -103,3 +103,51 @@ def fingerprints(docs: DataFrame) -> DataFrame:
             )),
         )).alias("fp"),
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals, integer-exact:
+    (doc_id, n_words, n_distinct_words, top_word_count, n_bigrams,
+    n_distinct_bigrams, top_bigram_count). Duplicate-word fraction is
+    1 - n_distinct/n_words and top-n-gram fraction is top_count/n —
+    kept as integer numerator/denominator pairs so thresholds apply
+    engine-exactly (cross-multiplied), never as floats.
+
+    Plan shape: one scan → split/explode → two partial-aggregating
+    groupBys keyed by doc_id — map-side combine keeps the shuffle at
+    one row per (doc, distinct gram), and skew is bounded because a
+    document's gram count is bounded by its length."""
+    # trim + run-collapsing split: no empty tokens, and — deliberately —
+    # no F.filter lambda (PySpark 4.1 cross-contaminates lambda
+    # variables when several higher-order lambdas share a projection;
+    # see pipeline/link.py::with_minhash_sig — zip_with below must stay
+    # the only lambda in this plan)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("_w"),
+    ).where(F.col("_w") != "")
+    per_w = words.groupBy("doc_id", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    w_stats = per_w.groupBy("doc_id").agg(
+        F.sum("_c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("_c").alias("top_word_count"),
+    )
+    # bigrams over the same trimmed, run-collapsed word array
+    arr = F.split(F.trim(F.col("text")), " +")
+    n1 = F.greatest(F.size(arr) - 1, F.lit(0))
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(arr, 1, n1), F.slice(arr, 2, n1),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("_b"),
+    )
+    per_b = bigrams.groupBy("doc_id", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    b_stats = per_b.groupBy("doc_id").agg(
+        F.sum("_c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("_c").alias("top_bigram_count"),
+    )
+    return w_stats.join(b_stats, "doc_id", "left").na.fill(0)

@@ -1,0 +1,79 @@
+"""URL normalization & per-domain curation over the pages table.
+
+Common-Crawl-style pipelines dedup by normalized URL and cap documents
+per registrable domain (C4/RefinedWeb recipe) before any content-level
+stage, because URL-level ops are O(rows) pure-Column work while content
+dedup shuffles payloads. Everything here is JVM-side regex/string
+Columns — one scan, and the per-domain cap is a single window keyed by
+a column with natural cardinality (domains), so the shuffle is the
+minimal one the semantics require. A pathological single-domain crawl
+would skew that window; the cap itself is the mitigation (rank > cap
+rows are dropped on the spot, and at real scale the window can be
+preceded by the same salted two-stage pattern as pipeline/link.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL: lowercase scheme+host (path case preserved),
+    fragment stripped, default-port and trailing-slash-only-path
+    removed. Deterministic string surgery — no parser dependency."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    # lowercase scheme://host, keep the rest as-is
+    head = F.lower(F.regexp_extract(no_frag, r"^([^/]*//[^/:?#]+)", 1))
+    tail = F.regexp_replace(no_frag, r"^[^/]*//[^/:?#]+", "")
+    tail = F.regexp_replace(tail, r"^:(80|443)(?=/|$)", "")
+    tail = F.regexp_replace(tail, r"^/$", "")
+    return F.concat(head, tail)
+
+
+def host_of(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def domain_of(url: Column) -> Column:
+    """Registrable-domain heuristic: the last two labels of the host
+    (a public-suffix list is a deployment lookup table broadcast into
+    this same expression; the container ships none)."""
+    return F.regexp_extract(host_of(url), r"([^.]+\.[^.]+)$", 1)
+
+
+def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(domain, n_pages, n_hosts) — the audit aggregate behind cap
+    decisions. One partial-aggregating groupBy."""
+    return (
+        pages.select(
+            domain_of(F.col(url_col)).alias("domain"),
+            host_of(F.col(url_col)).alias("_host"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.count_distinct("_host").alias("n_hosts"),
+        )
+    )
+
+
+def cap_per_domain(
+    pages: DataFrame, max_pages: int, url_col: str = "url"
+) -> DataFrame:
+    """Keep at most `max_pages` pages per registrable domain,
+    deterministically (rank by normalized URL — reruns and repartitions
+    keep the same survivors). Adds the `domain` column."""
+    from pyspark.sql import Window
+
+    norm = normalize_url(F.col(url_col))
+    w = Window.partitionBy("domain").orderBy("_norm_url")
+    return (
+        pages.withColumn("domain", domain_of(F.col(url_col)))
+        .withColumn("_norm_url", norm)
+        .withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= max_pages)
+        .drop("_rank", "_norm_url")
+    )

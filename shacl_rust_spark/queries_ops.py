@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ops import ann, dedup, events, multimodal, text
+from .ops import ann, dedup, events, multimodal, pii, sample, text, web
 from .pipeline import pages as kg_pages_mod
 
 
@@ -168,6 +168,80 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprints(_docs(spark, sf_dir))
+
+
+# --- curation: sampling / PII / repetition / domains (round 3) ------------
+
+def curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample (ops/sample.deterministic_sample):
+    keep iff md5('r3' || doc_id)[:8] < '19999999' — a pure map, exactly
+    reproducible; the oracle runs the identical expression in DuckDB
+    (md5 is engine-independent)."""
+    return sample.deterministic_sample(
+        _docs(spark, sf_dir), 0.1, salt="r3"
+    ).select("doc_id", "lang")
+
+
+def curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixing rates (ops/sample.mix_sources): en 0.5,
+    zh 1.0, everything else 0.25 — the data-mixing recipe as one
+    filtered scan with a CASE threshold."""
+    return sample.mix_sources(
+        _docs(spark, sf_dir), {"en": 0.5, "zh": 1.0}, default_rate=0.25
+    ).select("doc_id", "lang")
+
+
+def curation_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction (ops/pii) over documents with
+    deterministically planted PII (base corpus text is digit- and
+    @-free, verified, so the oracle is CLOSED FORM: counts are the
+    plant indicators and the redacted text is the base text with typed
+    placeholders — pinning the regexes against hand-derived truth)."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = d.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@mail.example.com"),
+        )).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" call +1-"), (100 + did % 900).cast("string"),
+            F.lit("-555-"), (1000 + did % 9000).cast("string"),
+        )).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(
+            F.lit(" ip 10.0."), (did % 256).cast("string"),
+            F.lit("."), (did % 250).cast("string"),
+        )).otherwise(F.lit("")),
+    ))
+    # has_pii projected as int: the oracle-compare stringifies python
+    # bools as "true"/"false" but pandas-fetched DuckDB booleans as
+    # numpy bools — ints sidestep the dialect
+    return (
+        pii.pii_scan(aug).join(pii.pii_redact(aug), "doc_id")
+        .withColumn("has_pii", F.col("has_pii").cast("int"))
+    )
+
+
+def curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (ops/text.repetition_stats):
+    integer-exact word/bigram totals, distinct counts, and top-gram
+    counts per document."""
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
+def curation_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain page counts (ops/web.domain_stats) over
+    the synthetic crawl (hosts exN.test + docs.test)."""
+    return web.domain_stats(kg_pages_mod.pages(spark, sf_dir))
+
+
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain cap (ops/web.cap_per_domain): keep at most 5
+    pages per domain, deterministically by normalized URL — the oracle
+    replays the same window over the closed-form URL formulas."""
+    capped = web.cap_per_domain(kg_pages_mod.pages(spark, sf_dir), 5)
+    return capped.select("url", "domain")
 
 
 # --- multimodal / events -------------------------------------------------

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from shacl_rust_spark.ops import ann, dedup, multimodal, text
+from shacl_rust_spark.ops import ann, dedup, multimodal, pii, sample, text, web
 from shacl_rust_spark.streaming import run_streaming_once
 
 
@@ -309,3 +309,129 @@ def test_fvid_roundtrip_and_frame_sample(spark):
            for r in multimodal.sample_frames(videos, every=2).collect()}
     assert set(out) == {0, 2, 4}
     assert out[2] == (2, 1, 3 * (2 + 3))
+
+
+# --- curation ops (round 3) -------------------------------------------------
+
+def test_rate_threshold_edges():
+    assert sample.rate_threshold(0.0) == ""
+    assert sample.rate_threshold(-1) == ""
+    assert sample.rate_threshold(1.0) == "g"   # every hex digit < 'g'
+    assert sample.rate_threshold(2.0) == "g"
+    assert sample.rate_threshold(0.5) == "80000000"
+    assert sample.rate_threshold(0.1) == "19999999"
+
+
+def test_deterministic_sample_properties(spark):
+    d = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id for r in
+          sample.deterministic_sample(d, 0.2, salt="a").collect()}
+    s2 = {r.doc_id for r in
+          sample.deterministic_sample(d, 0.2, salt="a").collect()}
+    assert s1 == s2                       # reproducible
+    # order/partitioning independence
+    s3 = {r.doc_id for r in sample.deterministic_sample(
+        d.repartition(7).orderBy(F.desc("doc_id")), 0.2, salt="a"
+    ).collect()}
+    assert s1 == s3
+    # roughly the right rate (md5 is uniform; 2000 draws at 0.2)
+    assert 300 < len(s1) < 500
+    # a larger rate's sample CONTAINS the smaller one (same salt —
+    # nested splits, the property train/val pipelines rely on)
+    s_big = {r.doc_id for r in
+             sample.deterministic_sample(d, 0.5, salt="a").collect()}
+    assert s1 <= s_big
+    # different salt draws an (almost surely) different sample
+    s_other = {r.doc_id for r in
+               sample.deterministic_sample(d, 0.2, salt="b").collect()}
+    assert s1 != s_other
+    # rate edges
+    assert sample.deterministic_sample(d, 0.0).count() == 0
+    assert sample.deterministic_sample(d, 1.0).count() == 2000
+
+
+def test_mix_sources_per_group_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)]
+    d = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = sample.mix_sources(d, {"en": 0.1, "zh": 1.0}, default_rate=0.0)
+    by_lang = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["zh"] == 1000          # rate 1.0 keeps everything
+    assert 60 < by_lang.get("en", 0) < 140
+    # unknown group takes the default rate
+    d2 = spark.createDataFrame([(1, "fr")], ["doc_id", "lang"])
+    assert sample.mix_sources(d2, {"en": 1.0}, default_rate=0.0).count() == 0
+
+
+def test_pii_scan_and_redact_hand_cases(spark):
+    d = spark.createDataFrame([
+        (1, "mail bob.smith+x@sub.example.co.uk now"),
+        (2, "call +1-415-555-2671 or +1-800-555-0100"),
+        (3, "host 192.168.0.1 and 10.0.255.254 up"),
+        (4, "clean text with no pii at all"),
+        (5, "combo a@b.io +1-222-333-4444 1.2.3.4"),
+    ], ["doc_id", "text"])
+    scan = {r.doc_id: (r.n_emails, r.n_phones, r.n_ips, r.has_pii)
+            for r in pii.pii_scan(d).collect()}
+    assert scan[1] == (1, 0, 0, True)
+    assert scan[2] == (0, 2, 0, True)
+    assert scan[3] == (0, 0, 2, True)
+    assert scan[4] == (0, 0, 0, False)
+    assert scan[5] == (1, 1, 1, True)
+    red = {r.doc_id: r.redacted for r in pii.pii_redact(d).collect()}
+    assert red[1] == "mail <EMAIL> now"
+    assert red[2] == "call <PHONE> or <PHONE>"
+    assert red[3] == "host <IP> and <IP> up"
+    assert red[4] == "clean text with no pii at all"
+    assert red[5] == "combo <EMAIL> <PHONE> <IP>"
+
+
+def test_repetition_stats_hand_case(spark):
+    d = spark.createDataFrame(
+        [(1, "a b a b a"),          # words: a×3 b×2; bigrams: "a b"×2, "b a"×2
+         (2, "x"),                   # single word, no bigrams
+         (3, "  u  v  ")],           # separator runs + padding
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.repetition_stats(d).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_distinct_words, r1.top_word_count) == (5, 2, 3)
+    assert (r1.n_bigrams, r1.n_distinct_bigrams, r1.top_bigram_count) == (4, 2, 2)
+    r2 = out[2]
+    assert (r2.n_words, r2.n_bigrams) == (1, 0)
+    r3 = out[3]
+    assert (r3.n_words, r3.n_distinct_words, r3.n_bigrams) == (2, 2, 1)
+
+
+def test_url_normalize_and_domain(spark):
+    d = spark.createDataFrame([
+        (1, "HTTP://WWW.Example.COM:80/Path/To?q=1#frag"),
+        (2, "https://a.b.news.example.org:443/"),
+        (3, "http://docs.test/d7"),
+    ], ["doc_id", "url"])
+    out = {r.doc_id: (r.n, r.h, r.dom) for r in d.select(
+        "doc_id",
+        web.normalize_url(F.col("url")).alias("n"),
+        web.host_of(F.col("url")).alias("h"),
+        web.domain_of(F.col("url")).alias("dom"),
+    ).collect()}
+    assert out[1] == ("http://www.example.com/Path/To?q=1",
+                      "www.example.com", "example.com")
+    assert out[2] == ("https://a.b.news.example.org",
+                      "a.b.news.example.org", "example.org")
+    assert out[3] == ("http://docs.test/d7", "docs.test", "docs.test")
+
+
+def test_cap_per_domain_deterministic(spark):
+    rows = [(f"http://spam.test/p{i:03d}", i) for i in range(20)]
+    rows += [(f"http://ok.test/p{i}", 100 + i) for i in range(3)]
+    d = spark.createDataFrame(rows, ["url", "x"])
+    kept = web.cap_per_domain(d, 5)
+    by_dom = {r["domain"]: r["n"] for r in
+              kept.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert by_dom == {"spam.test": 5, "ok.test": 3}
+    # deterministic survivors: lexicographically first normalized urls
+    urls = sorted(r.url for r in kept.where(F.col("domain") == "spam.test")
+                  .collect())
+    assert urls == [f"http://spam.test/p{i:03d}" for i in range(5)]
+    # passthrough columns survive
+    assert set(kept.columns) == {"url", "x", "domain"}
