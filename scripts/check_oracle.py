@@ -36,8 +36,17 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --artifact PATH writes the per-query results as JSON (the
+    # committed full-oracle evidence, e.g. CORRECTNESS_full_r3.json) in
+    # the driver's CORRECTNESS_r{N}.json row shape
+    argv = list(sys.argv[1:])
+    artifact = None
+    if "--artifact" in argv:
+        i = argv.index("--artifact")
+        artifact = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -62,6 +71,7 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -72,9 +82,16 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None, "err": str(exc)[:300]}
             print(f"FAIL {name}: spark error: {exc}")
             continue
         if name not in oracles:
+            results[name] = {"rows_match": len(srows) > 0,
+                             "schema_match": None, "hash_match": None,
+                             "spark_rows": len(srows), "oracle_rows": None,
+                             "err": None, "rows_only": True}
             print(f"ok?  {name}: {len(srows)} rows (rows-only, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             if not srows:
@@ -84,11 +101,22 @@ def main() -> int:
             odf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(srows),
+                             "oracle_rows": None,
+                             "err": f"oracle: {str(exc)[:300]}"}
             print(f"FAIL {name}: oracle error: {exc}")
             continue
         ocols = list(odf.columns)
         orows = [tuple(r) for r in odf.itertuples(index=False)]
         sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
+        results[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": sorted(scols) == sorted(ocols),
+            "hash_match": sh == oh,
+            "spark_rows": len(srows), "oracle_rows": len(orows),
+            "err": None,
+        }
         status = "PASS" if (len(srows) == len(orows)
                             and sorted(scols) == sorted(ocols)
                             and sh == oh) else "FAIL"
@@ -102,6 +130,13 @@ def main() -> int:
         if status == "PASS" and not srows:
             print(f"     WARNING {name}: empty-vs-empty match (weak)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if artifact:
+        import json
+
+        with open(artifact, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(results),
+                       "failures": failures, "queries": results}, f, indent=1)
+        print(f"artifact written: {artifact}")
     return 1 if failures else 0
 
 
