@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_repetition": O.curation_repetition,
         "curation_domain_stats": O.curation_domain_stats,
         "curation_domain_cap": O.curation_domain_cap,
+        "pack_chunks": O.pack_chunks,
+        "pack_shards": O.pack_shards,
         "multimodal_sniff": O.multimodal_sniff,
         "multimodal_decode": O.multimodal_decode,
         "multimodal_resize": O.multimodal_resize,
@@ -604,6 +606,48 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM u
             ) WHERE rn <= 5
+        """,
+        # 64-token chunks, 16 overlap → stride 48; n_chunks =
+        # 1 + max(0, ceil((n - 64) / 48)); chunk k covers tokens
+        # [48k+1, min(48k+64, n)] (1-based inclusive, DuckDB slicing)
+        "pack_chunks": r"""
+            WITH arr AS (
+              SELECT doc_id, string_split_regex(trim(text), ' +') AS l,
+                     len(string_split_regex(trim(text), ' +')) AS n
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, l, n,
+                     unnest(generate_series(0,
+                       greatest(0, CAST(ceil((n - 64) / 48.0) AS INT))))
+                       AS chunk_id
+              FROM arr
+            )
+            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                   CAST(least(48 * chunk_id + 64, n)
+                        - (48 * chunk_id + 1) + 1 AS INT)
+                     AS n_chunk_tokens,
+                   array_to_string(
+                     l[48 * chunk_id + 1 : least(48 * chunk_id + 64, n)],
+                     ' ') AS chunk
+            FROM c
+        """,
+        # contiguous packing: shard = floor(starting token offset /
+        # 5000) under one global prefix sum in doc_id order — the
+        # single-window formulation the distributed two-phase prefix
+        # sum must reproduce exactly
+        "pack_shards": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), ' +')) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(floor(
+                     (SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 5000.0
+                   ) AS BIGINT) AS shard
+            FROM t
         """,
         "multimodal_sniff": _KG_CTE + """
             SELECT url,

@@ -1,0 +1,96 @@
+"""Context-window chunking & contiguous shard packing — the last mile
+of a training-data pipeline: documents → fixed-token-budget chunks →
+deterministically packed output shards.
+
+Chunking is a pure-Column explode (sequence → slice → array_join): one
+scan, fan-out inside whole-stage codegen, no Python, no shuffle.
+
+Shard assignment needs a GLOBAL prefix sum of token counts in doc_id
+order — the one operation a naive window turns into a single-partition
+bottleneck. The scale-safe shape used here is the classic two-phase
+prefix sum: (1) per-bucket token totals (a tiny aggregate, one row per
+doc_id range), (2) exclusive bucket offsets computed driver-side over
+those few rows (bounded by n_buckets, like the driver-side closure caps
+elsewhere in this repo), (3) broadcast the offsets back and run the
+cumulative window PARTITIONED BY BUCKET — every partition-local window
+runs in parallel and the global order is recovered exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKENS = "split(trim(text), ' +')"
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """(doc_id, chunk_id, n_chunk_tokens, chunk) — whitespace-token
+    windows of `chunk_tokens` with `overlap` tokens shared between
+    consecutive chunks; the final chunk may be short. n_chunks =
+    1 + max(0, ceil((n - chunk_tokens) / stride))."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.expr(_TOKENS)
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0), F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride))
+    ).cast("int")
+    base = docs.select(
+        "doc_id", toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return base.select(
+        "doc_id", "chunk_id",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk"),
+    )
+
+
+def assign_shards(
+    docs: DataFrame, tokens_per_shard: int, bucket_width: int = 1000
+) -> DataFrame:
+    """(doc_id, n_tokens, shard) — contiguous packing: documents in
+    doc_id order fill shard 0 until `tokens_per_shard` tokens are
+    reached, then shard 1, ... A document's shard is determined by its
+    STARTING offset in the global token stream, so every engine
+    computing the same prefix sum agrees (the DuckDB oracle uses a
+    plain global window; this implementation uses the distributed
+    two-phase prefix sum described in the module docstring)."""
+    from pyspark.sql import Window
+
+    d = docs.select(
+        "doc_id",
+        F.size(F.expr(_TOKENS)).alias("n_tokens"),
+        (F.col("doc_id") / bucket_width).cast("long").alias("_bucket"),
+    )
+    totals = sorted(
+        (r["_bucket"], r["_sum"])
+        for r in d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_sum"))
+        .collect()
+    )
+    offsets, running = [], 0
+    for b, s in totals:
+        offsets.append((b, running))
+        running += s
+    off = F.broadcast(
+        d.sparkSession.createDataFrame(offsets, "_bucket long, _offset long")
+    )
+    w = (
+        Window.partitionBy("_bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.col("_offset") + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        d.join(off, "_bucket")
+        .select(
+            "doc_id", "n_tokens",
+            F.floor(start / tokens_per_shard).cast("long").alias("shard"),
+        )
+    )

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ops import ann, dedup, events, multimodal, pii, sample, text, web
+from .ops import ann, dedup, events, multimodal, pack, pii, sample, text, web
 from .pipeline import pages as kg_pages_mod
 
 
@@ -242,6 +242,22 @@ def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the same window over the closed-form URL formulas."""
     capped = web.cap_per_domain(kg_pages_mod.pages(spark, sf_dir), 5)
     return capped.select("url", "domain")
+
+
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (ops/pack.chunk_documents): 64-token
+    windows with 16-token overlap, as a pure-Column sequence-explode —
+    the oracle recomputes chunk count, boundaries, and joined text from
+    the same slicing formulas."""
+    return pack.chunk_documents(_docs(spark, sf_dir), 64, 16)
+
+
+def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous shard packing (ops/pack.assign_shards): documents in
+    doc_id order fill 5000-token shards; the distributed two-phase
+    prefix sum must agree exactly with the oracle's single global
+    window."""
+    return pack.assign_shards(_docs(spark, sf_dir), 5000, bucket_width=100)
 
 
 # --- multimodal / events -------------------------------------------------

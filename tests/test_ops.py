@@ -435,3 +435,48 @@ def test_cap_per_domain_deterministic(spark):
     assert urls == [f"http://spam.test/p{i:03d}" for i in range(5)]
     # passthrough columns survive
     assert set(kept.columns) == {"url", "x", "domain"}
+
+
+def test_chunk_documents_boundaries(spark):
+    from shacl_rust_spark.ops import pack
+
+    words = " ".join(f"w{i}" for i in range(10))
+    d = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "solo")], ["doc_id", "text"])
+    out = {(r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk)
+           for r in pack.chunk_documents(d, chunk_tokens=4, overlap=1)
+           .collect()}
+    # doc 1: 10 tokens, stride 3 → ceil((10-4)/3) = 2 extra chunks →
+    # starts 1,4,7; the last chunk ends exactly at token 10 (full
+    # coverage, no short tail); consecutive chunks share 1 token
+    assert out[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert out[(1, 1)] == (4, "w3 w4 w5 w6")
+    assert out[(1, 2)] == (4, "w6 w7 w8 w9")
+    assert (1, 3) not in out
+    # doc 2: fits one chunk
+    assert out[(2, 0)] == (3, "a b c") and (2, 1) not in out
+    assert out[(3, 0)] == (1, "solo")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack.chunk_documents(d, chunk_tokens=4, overlap=4)
+
+
+def test_assign_shards_matches_sequential_model(spark):
+    from shacl_rust_spark.ops import pack
+
+    rows = [(i, " ".join("t" * 1 for _ in range(3 + i % 7)))
+            for i in range(50)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # sequential truth: fill shards of 20 tokens in doc_id order
+    model, cum = {}, 0
+    for i in range(50):
+        n = 3 + i % 7
+        model[i] = cum // 20
+        cum += n
+
+    for bw in (1, 7, 1000):  # many buckets ... single bucket
+        got = {r.doc_id: r.shard
+               for r in pack.assign_shards(d, 20, bucket_width=bw).collect()}
+        assert got == model, f"bucket_width={bw}"

@@ -308,3 +308,27 @@ def test_kleene_paths_match_reference_bfs(spark, edges, starts, inverse,
             f"{elem_cls.__name__} inverse={inverse} loop={force_loop}: "
             f"got {sorted(got)}, want {sorted(want)}"
         )
+
+
+# --- PNG codec round-trip (round 3) -----------------------------------------
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.data(),
+)
+@settings(max_examples=150, deadline=None)
+def test_png_roundtrip_random_images_and_filters(w, h, seed, data):
+    """decode(encode(img, any filter per row)) == img for arbitrary
+    pixel patterns — pins all five unfilter branches (incl. Paeth's
+    predictor ties) against the encoder's exact inverses, driver-side,
+    no Spark session."""
+    from shacl_rust_spark.ops import multimodal
+
+    pix = [[(seed + 31 * y + 7 * x + (x * y) % 13) % 256 for x in range(w)]
+           for y in range(h)]
+    filters = data.draw(st.lists(
+        st.integers(min_value=0, max_value=4), min_size=h, max_size=h))
+    payload = multimodal.encode_png(w, h, pix, filters=filters)
+    got = multimodal.decode_png(payload)
+    assert got == (w, h, [[(v, v, v) for v in row] for row in pix])
