@@ -13,7 +13,9 @@ Supported: SELECT/ASK, BGP triple patterns (vars in any slot), FILTER
 (=, !=, <, >, <=, >=, &&, ||, !, arithmetic + - * /, bound,
 isLiteral/isIRI/isBlank, lang, langMatches, CONCAT, COALESCE, datatype,
 str, STRLEN, UCASE, LCASE, SUBSTR, REPLACE, REGEX, STRSTARTS, STRENDS,
-CONTAINS, STRBEFORE, STRAFTER, ABS, ROUND, CEIL, FLOOR, IF), BIND,
+CONTAINS, STRBEFORE, STRAFTER, ABS, ROUND, CEIL, FLOOR, IF, sameTerm,
+isNumeric, IRI/URI, STRDT, STRLANG, ENCODE_FOR_URI, MD5/SHA1/SHA256,
+and `expr [NOT] IN (...)`), BIND,
 GRAPH $shapesGraph {}, UNION (flattened-scope approximation), FILTER
 (NOT) EXISTS via shared-column (anti-)joins, DISTINCT, OPTIONAL (left
 join on the shared solution variables), VALUES (inline solution join),
@@ -213,6 +215,14 @@ def _invert_path(n):
 class ECall:
     fn: str
     args: tuple
+
+
+@dataclass(frozen=True)
+class EIn:
+    """``expr [NOT] IN (e1, e2, ...)`` — sugar for an =-disjunction."""
+    expr: object
+    items: tuple
+    negated: bool
 
 
 @dataclass(frozen=True)
@@ -670,7 +680,24 @@ class _Parser:
         e = self.parse_add()
         if self.peek() in ("=", "!=", "<", ">", "<=", ">="):
             op = self.next()
-            e = EBin(op, e, self.parse_add())
+            return EBin(op, e, self.parse_add())
+        negated = False
+        if self.kw("NOT") and self.peek(1).upper() == "IN":
+            self.next()
+            negated = True
+        if self.kw("IN"):
+            self.next()
+            self.expect("(")
+            items = []
+            if self.peek() != ")":
+                items.append(self.parse_expr())
+                while self.peek() == ",":
+                    self.next()
+                    items.append(self.parse_expr())
+            self.expect(")")
+            return EIn(e, tuple(items), negated)
+        if negated:
+            raise SparqlParseError("expected IN after NOT")
         return e
 
     def parse_add(self):
@@ -691,6 +718,8 @@ class _Parser:
         "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE", "REGEX",
         "STRSTARTS", "STRENDS", "CONTAINS", "STRBEFORE", "STRAFTER",
         "ABS", "ROUND", "CEIL", "FLOOR", "IF",
+        "SAMETERM", "ISNUMERIC", "IRI", "URI", "STRDT", "STRLANG",
+        "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256",
     )
     _AGGS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT")
 
@@ -886,6 +915,49 @@ class _Compiler:
                     self.expr_bool(e.args[0], sol_cols),
                     self.expr_term(e.args[1], sol_cols),
                 ).otherwise(self.expr_term(e.args[2], sol_cols))
+            if e.fn in ("IRI", "URI"):
+                # of an IRI: identity; of a string literal: an IRI with
+                # that lexical form (no base resolution — pre-bound
+                # constraint queries carry absolute IRIs)
+                v = self.expr_term(e.args[0], sol_cols)
+                return F.struct(
+                    F.lit("iri").alias("kind"), v["value"].alias("value"),
+                    F.lit("").alias("datatype"), F.lit("").alias("lang"),
+                )
+            if e.fn == "STRDT":
+                lex = self.expr_term(e.args[0], sol_cols)["value"]
+                dt = self.expr_term(e.args[1], sol_cols)["value"]
+                return F.struct(
+                    F.lit("lit").alias("kind"), lex.alias("value"),
+                    dt.alias("datatype"), F.lit("").alias("lang"),
+                )
+            if e.fn == "STRLANG":
+                lex = self.expr_term(e.args[0], sol_cols)["value"]
+                tag = F.lower(self.expr_term(e.args[1], sol_cols)["value"])
+                # language-tagged literals are rdf:langString with the
+                # tag lowercased at construction (term.py literal())
+                return F.struct(
+                    F.lit("lit").alias("kind"), lex.alias("value"),
+                    F.lit(V.RDF_LANG_STRING).alias("datatype"),
+                    tag.alias("lang"),
+                )
+            if e.fn == "ENCODE_FOR_URI":
+                v = self.expr_term(e.args[0], sol_cols)["value"]
+                # url_encode is form-encoding; patch its three RFC-3986
+                # divergences (space→'+', '~' escaped, '*' kept)
+                enc = F.url_encode(v)
+                enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+                enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
+                enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+                return self._str_term(enc)
+            if e.fn in ("MD5", "SHA1", "SHA256"):
+                v = self.expr_term(e.args[0], sol_cols)["value"]
+                out = {
+                    "MD5": lambda c: F.md5(c.cast("binary")),
+                    "SHA1": lambda c: F.sha1(c.cast("binary")),
+                    "SHA256": lambda c: F.sha2(c.cast("binary"), 256),
+                }[e.fn](v)
+                return self._str_term(out)
             if e.fn == "LANG":
                 v = self.expr_term(e.args[0], sol_cols)
                 return F.struct(
@@ -939,9 +1011,36 @@ class _Compiler:
             return compare_terms(a, b, op)
         if isinstance(e, ENot):
             return ~self.expr_bool(e.a, sol_cols)
+        if isinstance(e, EIn):
+            t = self.expr_term(e.expr, sol_cols)
+            cond = F.lit(False)
+            for item in e.items:
+                cond = cond | (t == self.expr_term(item, sol_cols))
+            return ~cond if e.negated else cond
         if isinstance(e, ECall):
             if e.fn == "BOUND":
                 return self.expr_term(e.args[0], sol_cols).isNotNull()
+            if e.fn == "SAMETERM":
+                # exact term identity — precisely the TERM struct equality
+                a = self.expr_term(e.args[0], sol_cols)
+                b = self.expr_term(e.args[1], sol_cols)
+                return a == b
+            if e.fn == "ISNUMERIC":
+                t = self.expr_term(e.args[0], sol_cols)
+                numeric_dts = [
+                    V.XSD_INTEGER, V.XSD_DECIMAL, V.XSD_DOUBLE,
+                    V.XSD + "float", V.XSD + "long", V.XSD + "int",
+                    V.XSD + "short", V.XSD + "byte",
+                    V.XSD + "nonNegativeInteger", V.XSD + "nonPositiveInteger",
+                    V.XSD + "positiveInteger", V.XSD + "negativeInteger",
+                    V.XSD + "unsignedLong", V.XSD + "unsignedInt",
+                    V.XSD + "unsignedShort", V.XSD + "unsignedByte",
+                ]
+                return (
+                    (t["kind"] == "lit")
+                    & t["datatype"].isin(numeric_dts)
+                    & t["value"].try_cast("double").isNotNull()
+                )
             if e.fn == "ISLITERAL":
                 return self.expr_term(e.args[0], sol_cols)["kind"] == "lit"
             if e.fn in ("ISIRI", "ISURI"):
@@ -1348,6 +1447,10 @@ def _collect_aggs(e, out: dict) -> None:
         _collect_aggs(e.b, out)
     elif isinstance(e, ENot):
         _collect_aggs(e.a, out)
+    elif isinstance(e, EIn):
+        _collect_aggs(e.expr, out)
+        for item in e.items:
+            _collect_aggs(item, out)
     elif isinstance(e, ECall):
         for a in e.args:
             _collect_aggs(a, out)
@@ -1360,6 +1463,12 @@ def _subst_aggs(e, mapping: dict):
         return EBin(e.op, _subst_aggs(e.a, mapping), _subst_aggs(e.b, mapping))
     if isinstance(e, ENot):
         return ENot(_subst_aggs(e.a, mapping))
+    if isinstance(e, EIn):
+        return EIn(
+            _subst_aggs(e.expr, mapping),
+            tuple(_subst_aggs(i, mapping) for i in e.items),
+            e.negated,
+        )
     if isinstance(e, ECall):
         return ECall(e.fn, tuple(_subst_aggs(a, mapping) for a in e.args))
     return e
@@ -1493,6 +1602,11 @@ def _expr_vars(e) -> set[str]:
         return _expr_vars(e.a) | _expr_vars(e.b)
     if isinstance(e, ENot):
         return _expr_vars(e.a)
+    if isinstance(e, EIn):
+        out = _expr_vars(e.expr)
+        for item in e.items:
+            out |= _expr_vars(item)
+        return out
     if isinstance(e, ECall):
         out: set[str] = set()
         for a in e.args:

@@ -582,3 +582,119 @@ def test_graph_variable_ranges_over_named_graphs(spark):
         ("http://example.org/a", "in urn:shacl:shapes-graph"),
         ("http://example.org/b", "in urn:shacl:shapes-graph"),
     ]
+
+
+# --- builtin width (round 3): IN, sameTerm, isNumeric, constructors --------
+
+def test_filter_in_and_not_in(spark):
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/val> ?v .
+          FILTER(?v IN (3, 7, 11))
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/c"]
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/val> ?v .
+          FILTER(?v NOT IN (3))
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/d"]
+
+
+def test_sameterm_vs_equality_on_lang_tags(spark):
+    # sameTerm is exact term identity: "x"@en and "x"@de differ
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/tag> ?t .
+          FILTER(SAMETERM(?t, "x"@en))
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/c"]
+
+
+def test_isnumeric(spark):
+    # vals are xsd:integer literals; tags are langString → not numeric
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/tag> ?t .
+          FILTER(ISNUMERIC(?t))
+        }''' ] .
+    """
+    assert _run(spark, shapes) == []
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/val> ?v .
+          FILTER(ISNUMERIC(?v) && ?v > 5)
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/d"]
+
+
+def test_iri_constructor_and_strdt_strlang(spark):
+    # IRI(CONCAT(...)) builds a term equal to a real IRI; STRDT/STRLANG
+    # construct typed / language-tagged literals that compare exactly
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/p> ?v .
+          FILTER(?v = IRI(CONCAT("http://example.org/", "v1")))
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/a"]
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/val> ?v .
+          FILTER(?v = STRDT("3", <http://www.w3.org/2001/XMLSchema#integer>))
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/c"]
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/tag> ?t .
+          FILTER(SAMETERM(?t, STRLANG("x", "EN")))
+        }''' ] .
+    """
+    # STRLANG lowercases the tag like literal construction does
+    assert _run(spark, shapes) == ["http://example.org/c"]
+
+
+def test_encode_for_uri_and_hashes(spark):
+    import hashlib
+
+    md5x = hashlib.md5(b"x").hexdigest()
+    sha256x = hashlib.sha256(b"x").hexdigest()
+    shapes = PRE + f"""
+    ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:sparql [
+        sh:message "e={{?e}} m={{?m}} s={{?s}}" ;
+        sh:select '''
+        SELECT $this (ENCODE_FOR_URI("a b~c*") AS ?e)
+                     (MD5("x") AS ?m) (SHA256("x") AS ?s)
+        WHERE {{
+          $this <http://example.org/tag> ?t . FILTER(lang(?t) = "en")
+        }}''' ] .
+    """
+    rep = validate_strings(spark, DATA, shapes)
+    rows = [(r.asDict()["focus"]["value"], r.asDict()["message"])
+            for r in rep.results()]
+    assert rows == [(
+        "http://example.org/c",
+        f'e="a%20b~c%2A" m="{md5x}" s="{sha256x}"',
+    )]
