@@ -17,7 +17,9 @@ CONTAINS, STRBEFORE, STRAFTER, ABS, ROUND, CEIL, FLOOR, IF, sameTerm,
 isNumeric, IRI/URI, STRDT, STRLANG, ENCODE_FOR_URI, MD5/SHA1/SHA256,
 and `expr [NOT] IN (...)`), BIND,
 GRAPH $shapesGraph {}, UNION (flattened-scope approximation), FILTER
-(NOT) EXISTS via shared-column (anti-)joins, DISTINCT, OPTIONAL (left
+(NOT) EXISTS via shared-column (anti-)joins — standalone, AND embedded
+inside boolean expressions (``FILTER(... || EXISTS {...})``) via mark
+joins — DISTINCT, OPTIONAL (left
 join on the shared solution variables), VALUES (inline solution join),
 aggregates (COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT with DISTINCT)
 with GROUP BY (plain vars) + HAVING — grouped per pre-binding run, the
@@ -223,6 +225,25 @@ class EIn:
     expr: object
     items: tuple
     negated: bool
+
+
+@dataclass(frozen=True)
+class EExists:
+    """``[NOT] EXISTS { ... }`` EMBEDDED in a boolean expression (the
+    standalone FILTER (NOT) EXISTS form compiles to a semi/anti join,
+    NotExists). Evaluated as a MARK JOIN: the inner pattern's match set
+    left-joins a boolean flag onto the solution, which then
+    participates in the surrounding &&/||/! tree as an ordinary
+    column."""
+    elems: tuple
+    negated: bool
+
+
+@dataclass(frozen=True)
+class EMark:
+    """Internal: a resolved EExists — references the boolean mark
+    column the mark join added."""
+    col: str
 
 
 @dataclass(frozen=True)
@@ -731,6 +752,12 @@ class _Parser:
             return self.parse_bracketed_expr()
         t = self.peek()
         up = t.upper()
+        if up == "EXISTS" and self.peek(1) == "{":
+            self.next()
+            return EExists(self.parse_group(), negated=False)
+        if up == "NOT" and self.peek(1).upper() == "EXISTS":
+            self.next(), self.next()
+            return EExists(self.parse_group(), negated=True)
         if up in self._AGGS and self.peek(1) == "(":
             return self.parse_aggregate()
         if up in self._FNS and self.peek(1) == "(":
@@ -1011,6 +1038,12 @@ class _Compiler:
             return compare_terms(a, b, op)
         if isinstance(e, ENot):
             return ~self.expr_bool(e.a, sol_cols)
+        if isinstance(e, EMark):
+            return F.col(e.col)
+        if isinstance(e, EExists):
+            raise SparqlUnsupported(
+                "EXISTS is only supported inside FILTER expressions"
+            )
         if isinstance(e, EIn):
             t = self.expr_term(e.expr, sol_cols)
             cond = F.lit(False)
@@ -1120,6 +1153,24 @@ class _Compiler:
             ]
             return joined.select(*keep)
         if isinstance(el, Filter):
+            ex_nodes: list[EExists] = []
+            _collect_exists(el.expr, ex_nodes)
+            if ex_nodes:
+                # embedded [NOT] EXISTS: mark-join each subpattern's
+                # match set onto the solution as a boolean column, then
+                # evaluate the whole &&/||/! tree over the marks and
+                # project the marks back off
+                mapping: dict[int, object] = {}
+                work = sol
+                for ex in ex_nodes:
+                    mark = f"{self._fresh()}_ex"
+                    work = self._mark_exists(ex, work, source, mark)
+                    m: object = EMark(mark)
+                    mapping[id(ex)] = ENot(m) if ex.negated else m
+                expr2 = _subst_exists(el.expr, mapping)
+                return work.where(
+                    self.expr_bool(expr2, set(work.columns))
+                ).select(*[F.col(c) for c in sol.columns])
             return sol.where(self.expr_bool(el.expr, cols))
         if isinstance(el, Bind):
             return sol.withColumn(_vcol(el.var.name), self.expr_term(el.expr, cols))
@@ -1209,6 +1260,32 @@ class _Compiler:
         if isinstance(el, PathTP):
             return self.eval_path_tp(el, sol, source)
         raise SparqlParseError(f"unsupported element {el!r}")
+
+    def _mark_exists(
+        self, ex: EExists, sol: DataFrame, source: DataFrame, mark: str
+    ) -> DataFrame:
+        """Left-join a boolean `mark` column onto sol: true iff the
+        EXISTS subpattern matches under the row's bindings (same
+        shared-key machinery as the semi/anti-join NotExists)."""
+        inner_vars = _pattern_vars(ex.elems)
+        shared = [c for c in sol.columns
+                  if c.startswith("v_") and c in inner_vars]
+        keys = ["focus", *shared]
+        inner_sol = self.eval_elems(ex.elems, sol, source)
+        pre = self._fresh()
+        matches = (
+            inner_sol.select(*[F.col(k).alias(f"{pre}_{k}") for k in keys])
+            .distinct()
+            .withColumn(mark, F.lit(True))
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(k).eqNullSafe(F.col(f"{pre}_{k}")) for k in keys],
+        )
+        return sol.join(matches, cond, "left").select(
+            *[F.col(c) for c in sol.columns],
+            F.coalesce(F.col(mark), F.lit(False)).alias(mark),
+        )
 
     # --- property-path patterns ------------------------------------------
     def _path_accessors(self, source: DataFrame):
@@ -1456,6 +1533,44 @@ def _collect_aggs(e, out: dict) -> None:
             _collect_aggs(a, out)
 
 
+def _collect_exists(e, out: list) -> None:
+    if isinstance(e, EExists):
+        out.append(e)
+        return
+    if isinstance(e, EBin):
+        _collect_exists(e.a, out)
+        _collect_exists(e.b, out)
+    elif isinstance(e, ENot):
+        _collect_exists(e.a, out)
+    elif isinstance(e, EIn):
+        _collect_exists(e.expr, out)
+        for item in e.items:
+            _collect_exists(item, out)
+    elif isinstance(e, ECall):
+        for a in e.args:
+            _collect_exists(a, out)
+
+
+def _subst_exists(e, mapping: dict):
+    """Replace each EExists (by identity) with its EMark / ENot(EMark)."""
+    if isinstance(e, EExists):
+        return mapping[id(e)]
+    if isinstance(e, EBin):
+        return EBin(e.op, _subst_exists(e.a, mapping),
+                    _subst_exists(e.b, mapping))
+    if isinstance(e, ENot):
+        return ENot(_subst_exists(e.a, mapping))
+    if isinstance(e, EIn):
+        return EIn(
+            _subst_exists(e.expr, mapping),
+            tuple(_subst_exists(i, mapping) for i in e.items),
+            e.negated,
+        )
+    if isinstance(e, ECall):
+        return ECall(e.fn, tuple(_subst_exists(a, mapping) for a in e.args))
+    return e
+
+
 def _subst_aggs(e, mapping: dict):
     if isinstance(e, EAgg):
         return Var(mapping[e])
@@ -1607,6 +1722,8 @@ def _expr_vars(e) -> set[str]:
         for item in e.items:
             out |= _expr_vars(item)
         return out
+    if isinstance(e, EExists):
+        return _pattern_vars(e.elems)
     if isinstance(e, ECall):
         out: set[str] = set()
         for a in e.args:

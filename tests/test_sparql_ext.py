@@ -698,3 +698,63 @@ def test_encode_for_uri_and_hashes(spark):
         "http://example.org/c",
         f'e="a%20b~c%2A" m="{md5x}" s="{sha256x}"',
     )]
+
+
+# --- EXISTS embedded in boolean FILTER expressions (round 3) ---------------
+
+def test_exists_in_disjunction(spark):
+    # a passes via EXISTS (v1 has a q edge), b passes nothing
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/p> ?v .
+          FILTER(?v = <http://example.org/never>
+                 || EXISTS { ?v <http://example.org/q> ?w })
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/a"]
+
+
+def test_negated_exists_in_conjunction(spark):
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/p> ?v .
+          FILTER(!EXISTS { ?v <http://example.org/q> ?w }
+                 && isIRI(?v))
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/b"]
+
+
+def test_not_exists_or_exists_two_marks(spark):
+    # two independent subpatterns in one boolean tree: every T matches
+    # exactly one branch, so both a and b violate
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/p> ?v .
+          FILTER(NOT EXISTS { ?v <http://example.org/q> ?w }
+                 || EXISTS { ?v <http://example.org/q> "present" })
+        }''' ] .
+    """
+    assert _run(spark, shapes) == [
+        "http://example.org/a", "http://example.org/b",
+    ]
+
+
+def test_exists_sees_current_bindings(spark):
+    # the inner pattern is correlated on ?v (the row's binding), not
+    # just on $this — v2 has no q edge so only a's row matches
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this ?v WHERE {
+          $this <http://example.org/p> ?v .
+          FILTER(EXISTS { ?v <http://example.org/q> ?w } || false)
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/a"]
