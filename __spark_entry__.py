@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_connected_components": K.kg_connected_components,
         "kg_validated_triples": K.kg_validated_triples,
         "kg_triple_counts": K.kg_triple_counts,
+        "kg_ingest_stream": K.kg_ingest_stream,
         "shacl_min_count": Q.shacl_min_count,
         "shacl_max_count": Q.shacl_max_count,
         "shacl_class": Q.shacl_class,
@@ -932,6 +933,29 @@ def oracle_sql() -> dict[str, str]:
             FROM osurf JOIN canon ON canon.k = osurf.k WHERE o % 11 <> 0
             UNION ALL
             SELECT '{EX}placedBy', count(*) FROM osurf
+        """,
+        # incremental-sink contents: validated candidates BEFORE
+        # canonicalization — subjects are raw surfaces (alt/k when the
+        # order seeded an alias, cust/k otherwise), unlinked locatedIn
+        # (o % 11 = 0 → literal object) dropped by sh:nodeKind, and the
+        # sameAs edges retained for the consolidation CC
+        "kg_ingest_stream": f"""{_KG_CTE}
+            SELECT DISTINCT
+                   CASE WHEN is_alias THEN '{EX}alt/' || k
+                        ELSE '{EX}cust/' || k END AS s,
+                   '{EX}locatedIn' AS p, '{EX}nation/' || nk AS o
+            FROM osurf WHERE o % 11 <> 0
+            UNION ALL
+            SELECT '{EX}order/' || o, '{EX}placedBy',
+                   CASE WHEN is_alias THEN '{EX}alt/' || k
+                        ELSE '{EX}cust/' || k END
+            FROM osurf
+            UNION
+            SELECT DISTINCT '{EX}alt/' || k, '{EX}sameAs', '{EX}cust/' || k
+            FROM osurf WHERE o % 5 = 0
+            UNION
+            SELECT DISTINCT '{EX}alt2/' || k, '{EX}sameAs', '{EX}alt/' || k
+            FROM osurf WHERE o % 25 = 0
         """,
         "shacl_min_count": f"""
             SELECT '{EX}cust/' || c_custkey AS focus

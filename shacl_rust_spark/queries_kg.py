@@ -110,3 +110,39 @@ def kg_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("n_triples"))
     )
+
+
+def kg_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental ingestion end-to-end
+    (streaming/ingest.py): the crawl is split into two deterministic
+    drops, each ingested as a Structured Streaming micro-batch
+    (foreachBatch: extract → link → SHACL-validate → per-batch append
+    with an atomic lineage manifest), then the sink is read back and
+    cross-batch-deduplicated (the consolidation job's first step). The
+    oracle is the closed-form validated candidate set BEFORE
+    canonicalization — raw surface subjects, linked locatedIn +
+    placedBy + the sameAs edges the consolidation CC consumes."""
+    import shutil
+    import tempfile
+
+    from .streaming import ingest
+
+    tmp = tempfile.mkdtemp(prefix="kg_ingest_gate_")
+    try:
+        pg = pages.pages(spark, sf_dir).localCheckpoint(eager=True)
+        half = F.abs(F.hash("url")) % 2
+        drops = f"{tmp}/drops"
+        out = f"{tmp}/out"
+        pg.where(half == 0).write.parquet(drops)
+        ingest.ingest_pages_stream(spark, drops, out, sf_dir)
+        pg.where(half == 1).write.mode("append").parquet(drops)
+        ingest.ingest_pages_stream(spark, drops, out, sf_dir)
+        assert [m["batch_id"] for m in ingest.read_manifests(out)] == [0, 1]
+        return (
+            ingest.read_ingested(spark, out)
+            .select("s", "p", "o")
+            .dropDuplicates(["s", "p", "o"])
+            .localCheckpoint(eager=True)  # materialize before cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
