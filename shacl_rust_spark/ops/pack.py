@@ -75,6 +75,12 @@ def assign_shards(
         for r in d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_sum"))
         .collect()
     )
+    if len(totals) > 1_000_000:
+        raise ValueError(
+            f"{len(totals)} prefix-sum buckets would be driver-collected; "
+            f"raise bucket_width (currently {bucket_width}) so the "
+            "bucket count stays bounded"
+        )
     offsets, running = [], 0
     for b, s in totals:
         offsets.append((b, running))
