@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_repetition": O.curation_repetition,
         "curation_domain_stats": O.curation_domain_stats,
         "curation_domain_cap": O.curation_domain_cap,
+        "curation_decontaminate": O.curation_decontaminate,
         "pack_chunks": O.pack_chunks,
         "pack_shards": O.pack_shards,
         "multimodal_sniff": O.multimodal_sniff,
@@ -607,6 +608,33 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM u
             ) WHERE rn <= 5
+        """,
+        # benchmark decontamination: distinct 4-word-grams per doc,
+        # benchmark = doc_id % 97 == 0, corpus docs sharing any gram
+        # with the benchmark are flagged with (total, contaminated)
+        # gram counts
+        "curation_decontaminate": r"""
+            WITH arr AS (
+              SELECT doc_id, string_split_regex(trim(text), ' +') AS l
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(l) - 3, 0)),
+                         i -> array_to_string(l[i : i + 3], ' '))) AS gram
+                FROM arr)
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            tot AS (SELECT doc_id, count(*) AS n_grams FROM g
+                    WHERE doc_id % 97 <> 0 GROUP BY 1),
+            hit AS (SELECT g.doc_id, count(*) AS n_contaminated
+                    FROM g JOIN bench USING (gram)
+                    WHERE g.doc_id % 97 <> 0 GROUP BY 1)
+            SELECT hit.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(n_contaminated AS BIGINT) AS n_contaminated
+            FROM hit JOIN tot ON hit.doc_id = tot.doc_id
         """,
         # 64-token chunks, 16 overlap → stride 48; n_chunks =
         # 1 + max(0, ceil((n - 64) / 48)); chunk k covers tokens

@@ -5,7 +5,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ops import ann, dedup, events, multimodal, pack, pii, sample, text, web
+from .ops import (
+    ann, contamination, dedup, events, multimodal, pack, pii, sample, text,
+    web,
+)
 from .pipeline import pages as kg_pages_mod
 
 
@@ -242,6 +245,20 @@ def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the same window over the closed-form URL formulas."""
     capped = web.cap_per_domain(kg_pages_mod.pages(spark, sf_dir), 5)
     return capped.select("url", "domain")
+
+
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (ops/contamination): docs with
+    doc_id % 97 == 0 play the evaluation set; every other document
+    sharing a word n-gram with it is flagged with its gram counts.
+    n=4 here — real deployments use n≈8-13, but the synthetic corpus's
+    tiny vocabulary makes 4-grams the realistic analog (8 docs flagged
+    at sf0.01 vs zero at n=8). Oracle recomputes the same n-gram join
+    in DuckDB."""
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return contamination.contaminated_docs(corpus, bench, n=4)
 
 
 def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -480,3 +480,39 @@ def test_assign_shards_matches_sequential_model(spark):
         got = {r.doc_id: r.shard
                for r in pack.assign_shards(d, 20, bucket_width=bw).collect()}
         assert got == model, f"bucket_width={bw}"
+
+
+def test_contamination_hand_case(spark):
+    """Planted leak: corpus doc 1 contains benchmark doc 100's exact
+    question as a sub-span; doc 2 shares only shorter overlaps; doc 3
+    is clean."""
+    import io
+    from contextlib import redirect_stdout
+
+    from shacl_rust_spark.ops import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris obviously")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame([
+        (1, "padding words then what is the capital of france paris end"),
+        (2, "what is the answer to life the universe and everything"),
+        (3, "totally unrelated content about spark partitions"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: (r.n_grams, r.n_contaminated)
+           for r in contamination.contaminated_docs(corpus, bench, n=4)
+           .collect()}
+    # doc 1: 11 words → 8 distinct 4-grams; the leaked span
+    # "what is the capital of france paris" (7 words) contributes 4
+    # contaminated 4-grams
+    assert out[1] == (8, 4)
+    # doc 2 shares only "what is the" (3 words < n) — not flagged
+    assert 2 not in out and 3 not in out
+
+    # plan: benchmark gram set broadcasts; no corpus self-join
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        contamination.contaminated_docs(corpus, bench, n=4).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
