@@ -68,3 +68,40 @@ def test_incremental_ingest_exactly_once(spark, tmp_path):
     # per-batch lineage: batch_id is a partition column of the sink
     cols = ingest.read_ingested(spark, out).columns
     assert "batch_id" in cols
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash-recovery contract: a batch replayed under the SAME
+    batch_id (what Structured Streaming does when the driver dies
+    after foreachBatch started but before the checkpoint commit)
+    overwrites only its own directory and manifest — the sink and
+    lineage end identical to a single clean run, even when the first
+    attempt left a PARTIAL write behind."""
+    import os
+
+    out = str(tmp_path / "kg_replay")
+    pg = pages.pages(spark, SF).limit(200).localCheckpoint(eager=True)
+    edict = pages.entity_dict(spark, SF)
+
+    m1 = ingest.process_pages_batch(pg, 0, edict, out)
+
+    # simulate a torn first attempt for batch 1: partial parquet dir,
+    # no manifest (the atomic rename never happened)
+    partial = f"{out}/batches/batch_id=1"
+    os.makedirs(partial, exist_ok=True)
+    with open(f"{partial}/part-junk.parquet", "w") as f:
+        f.write("torn write")
+    assert [m["batch_id"] for m in ingest.read_manifests(out)] == [0]
+
+    # replay batch 1 cleanly; then replay it AGAIN (double delivery)
+    m2a = ingest.process_pages_batch(pg, 1, edict, out)
+    m2b = ingest.process_pages_batch(pg, 1, edict, out)
+    assert m2a["triples"] == m2b["triples"] == m1["triples"]
+    assert not os.path.exists(f"{partial}/part-junk.parquet")  # torn file gone
+
+    rows = ingest.read_ingested(spark, out)
+    per_batch = {r.batch_id: r.n for r in
+                 rows.groupBy("batch_id").agg(F.count("*").alias("n"))
+                 .collect()}
+    assert per_batch == {0: m1["triples"], 1: m1["triples"]}
+    assert [m["batch_id"] for m in ingest.read_manifests(out)] == [0, 1]
