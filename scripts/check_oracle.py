@@ -43,6 +43,10 @@ def main() -> int:
     artifact = None
     if "--artifact" in argv:
         i = argv.index("--artifact")
+        if i + 1 >= len(argv):
+            print("usage: check_oracle.py [--artifact PATH] [sf_dir] "
+                  "[query ...]", file=sys.stderr)
+            return 2
         artifact = argv[i + 1]
         del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"

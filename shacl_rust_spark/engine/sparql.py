@@ -1191,7 +1191,12 @@ class _Compiler:
                 out = self.eval_elems(el.elems, sol, shapes_src)
                 g_term = term_lit(iri(SHAPES_GRAPH_IRI))
                 vc = _vcol(tgt.name)
-                if vc in sol.columns:  # pre-bound ?g must equal the IRI
+                # check the EVALUATED columns, not just sol's: the
+                # graph variable may be pre-bound by the outer solution
+                # OR bound by a pattern inside the block — both must
+                # FILTER on equality with the graph IRI (overwriting a
+                # pattern-derived binding would fabricate solutions)
+                if vc in out.columns:
                     return out.where(F.col(vc) == g_term)
                 return out.withColumn(vc, g_term)
             if isinstance(tgt, Term) and tgt.value == SHAPES_GRAPH_IRI:

@@ -23,13 +23,22 @@ from pyspark.sql import functions as F
 def word_ngrams(
     df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, gram) — DISTINCT word n-grams per document."""
-    arr = F.split(F.trim(F.col(text_col)), " +")
-    k = F.greatest(F.size(arr) - (n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.array_join(F.slice(arr, i, n), " "),
-    )
+    """(id, gram) — DISTINCT word n-grams per document. A document with
+    fewer than n words contributes no rows (Spark's sequence(1, 0)
+    DESCENDS rather than producing an empty range, so the window count
+    is clamped to ≥ 1 and the too-short case is masked to an empty
+    array explicitly)."""
+    from .text import word_array
+
+    arr = word_array(text_col)
+    k = F.size(arr) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(arr, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), F.explode(grams).alias("gram"))
         .dropDuplicates([id_col, "gram"])
@@ -46,18 +55,24 @@ def contaminated_docs(
     """(doc_id, n_grams, n_contaminated) for every corpus document
     that shares at least one word n-gram with the benchmark set.
     `n_contaminated / n_grams` is the usual drop-threshold input — kept
-    as integers so thresholds apply engine-exactly."""
+    as integers so thresholds apply engine-exactly.
+
+    One corpus pass: the n-gram expansion left-joins the broadcast
+    benchmark gram set with a hit flag, and a single aggregation
+    produces both the total and contaminated counts — the dominant
+    scan/explode/dedup cost is paid once, not once per aggregate."""
     cg = word_ngrams(corpus, n, id_col, text_col)
     bg = F.broadcast(
         word_ngrams(benchmark, n, id_col, text_col)
         .select("gram").distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    totals = cg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        cg.join(bg, "gram")
+    return (
+        cg.join(bg, "gram", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    return hits.join(totals, id_col).select(
-        id_col, "n_grams", "n_contaminated"
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .where(F.col("n_contaminated") > 0)
     )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_TOKENS = "split(trim(text), ' +')"
+from .text import word_array
 
 
 def chunk_documents(
@@ -34,7 +34,7 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.expr(_TOKENS)
+    toks = word_array()
     n = F.size(toks)
     n_chunks = F.lit(1) + F.greatest(
         F.lit(0), F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride))
@@ -67,20 +67,27 @@ def assign_shards(
 
     d = docs.select(
         "doc_id",
-        F.size(F.expr(_TOKENS)).alias("n_tokens"),
+        F.size(word_array()).alias("n_tokens"),
         (F.col("doc_id") / bucket_width).cast("long").alias("_bucket"),
     )
-    totals = sorted(
-        (r["_bucket"], r["_sum"])
-        for r in d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_sum"))
-        .collect()
+    # materialize the per-bucket aggregate once (executor-side), then
+    # check the bucket count SPARK-SIDE before collecting — a guard
+    # after .collect() cannot prevent the driver blowup it exists to
+    # stop, and counting a lazy plan would re-run the corpus scan
+    per_bucket = (
+        d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_sum"))
+        .localCheckpoint(eager=True)
     )
-    if len(totals) > 1_000_000:
+    n_buckets = per_bucket.count()
+    if n_buckets > 1_000_000:
         raise ValueError(
-            f"{len(totals)} prefix-sum buckets would be driver-collected; "
+            f"{n_buckets} prefix-sum buckets would be driver-collected; "
             f"raise bucket_width (currently {bucket_width}) so the "
             "bucket count stays bounded"
         )
+    totals = sorted(
+        (r["_bucket"], r["_sum"]) for r in per_bucket.collect()
+    )
     offsets, running = [], 0
     for b, s in totals:
         offsets.append((b, running))

@@ -21,6 +21,16 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
 
+def word_array(text_col: str = "text") -> F.Column:
+    """THE whitespace tokenization contract shared by repetition_stats,
+    ops/pack, and ops/contamination — trim + run-collapsing split, so
+    no empty tokens appear mid-array (a lone empty string remains for
+    empty input; token consumers filter it where it matters). Every
+    DuckDB oracle mirrors this as string_split_regex(trim(text), ' +');
+    changing one side without the other desynchronizes the oracles."""
+    return F.split(F.trim(F.col(text_col)), " +")
+
+
 def _count_word(text: F.Column, word: str) -> F.Column:
     return F.size(F.regexp_extract_all(text, F.lit(rf"\b{word}\b"), 0))
 
@@ -124,7 +134,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     # the only lambda in this plan)
     words = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.col("text")), " +")).alias("_w"),
+        F.explode(word_array()).alias("_w"),
     ).where(F.col("_w") != "")
     per_w = words.groupBy("doc_id", "_w").agg(F.count(F.lit(1)).alias("_c"))
     w_stats = per_w.groupBy("doc_id").agg(
@@ -133,7 +143,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         F.max("_c").alias("top_word_count"),
     )
     # bigrams over the same trimmed, run-collapsed word array
-    arr = F.split(F.trim(F.col("text")), " +")
+    arr = word_array()
     n1 = F.greatest(F.size(arr) - 1, F.lit(0))
     bigrams = docs.select(
         "doc_id",

@@ -22,13 +22,21 @@ _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
 
 def normalize_url(url: Column) -> Column:
     """Canonical URL: lowercase scheme+host (path case preserved),
-    fragment stripped, default-port and trailing-slash-only-path
-    removed. Deterministic string surgery — no parser dependency."""
+    fragment stripped, the scheme's OWN default port removed (:80 for
+    http, :443 for https — http://host:443 is a real non-default port
+    and must survive), trailing-slash-only-path removed. Deterministic
+    string surgery — no parser dependency."""
     no_frag = F.regexp_replace(url, r"#.*$", "")
     # lowercase scheme://host, keep the rest as-is
     head = F.lower(F.regexp_extract(no_frag, r"^([^/]*//[^/:?#]+)", 1))
     tail = F.regexp_replace(no_frag, r"^[^/]*//[^/:?#]+", "")
-    tail = F.regexp_replace(tail, r"^:(80|443)(?=/|$)", "")
+    tail = (
+        F.when(head.startswith("http://"),
+               F.regexp_replace(tail, r"^:80(?=/|$)", ""))
+        .when(head.startswith("https://"),
+              F.regexp_replace(tail, r"^:443(?=/|$)", ""))
+        .otherwise(tail)
+    )
     tail = F.regexp_replace(tail, r"^/$", "")
     return F.concat(head, tail)
 

@@ -116,8 +116,20 @@ def ingest_pages_stream(
 
 def read_ingested(spark: SparkSession, out_dir: str) -> DataFrame:
     """All triples committed by the incremental sink (s, p, o,
-    batch_id) — the consolidation job's input."""
-    return spark.read.parquet(f"{out_dir}/batches")
+    batch_id) — the consolidation job's input. Reads ONLY batches whose
+    atomic manifest rename landed: a torn batch directory left by a
+    mid-write crash (part files on disk, no manifest) is invisible
+    until the stream replays and commits it — the read side of the
+    exactly-once contract."""
+    committed = [m["batch_id"] for m in read_manifests(out_dir)]
+    if not committed:
+        return spark.createDataFrame(
+            [], "s string, p string, o string, batch_id int"
+        )
+    paths = [f"{out_dir}/batches/batch_id={b}" for b in committed]
+    return (
+        spark.read.option("basePath", f"{out_dir}/batches").parquet(*paths)
+    )
 
 
 def read_manifests(out_dir: str) -> list[dict]:

@@ -516,3 +516,48 @@ def test_contamination_hand_case(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_short_docs_no_crash(spark):
+    """Docs shorter than n words contribute zero n-grams instead of
+    crashing (Spark's sequence(1, 0) DESCENDS — review finding): a
+    1-word corpus doc and a 2-word benchmark doc must be no-ops."""
+    from shacl_rust_spark.ops import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "hi there"), (101, "what is the capital of france")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame([
+        (1, "x"),
+        (2, ""),
+        (3, "padding what is the capital of france end"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: (r.n_grams, r.n_contaminated)
+           for r in contamination.contaminated_docs(corpus, bench, n=4)
+           .collect()}
+    assert out == {3: (5, 3)}
+    # and a benchmark made ONLY of short docs flags nothing
+    assert contamination.contaminated_docs(
+        corpus, bench.where(F.col("doc_id") == 100), n=4).count() == 0
+
+
+def test_normalize_url_scheme_aware_ports(spark):
+    """:443 on an http URL (and :80 on https) are REAL non-default
+    ports and must survive normalization (review finding)."""
+    d = spark.createDataFrame([
+        (1, "http://a.test:443/x"),
+        (2, "https://a.test:443/x"),
+        (3, "http://a.test:80/x"),
+        (4, "https://a.test:80/x"),
+        (5, "ftp://a.test:80/x"),
+    ], ["doc_id", "url"])
+    out = {r.doc_id: r.n for r in
+           d.select("doc_id", web.normalize_url(F.col("url")).alias("n"))
+           .collect()}
+    assert out == {
+        1: "http://a.test:443/x",   # non-default: kept
+        2: "https://a.test/x",      # default: stripped
+        3: "http://a.test/x",       # default: stripped
+        4: "https://a.test:80/x",   # non-default: kept
+        5: "ftp://a.test:80/x",     # unknown scheme: untouched
+    }

@@ -758,3 +758,20 @@ def test_exists_sees_current_bindings(spark):
         }''' ] .
     """
     assert _run(spark, shapes) == ["http://example.org/a"]
+
+
+def test_graph_variable_bound_inside_block_filters_not_overwrites(spark):
+    # review finding: when the graph variable is ALSO bound by a
+    # pattern inside the block, the binding must be FILTERED against
+    # the graph IRI, not overwritten — sh:property objects are bnodes,
+    # never urn:shacl:shapes-graph, so this query has ZERO solutions
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:property [ sh:path ex:p ] ;
+      sh:sparql [ sh:select '''
+        PREFIX sh: <http://www.w3.org/ns/shacl#>
+        SELECT $this WHERE {
+          GRAPH ?g { $currentShape sh:property ?g . }
+        }''' ] .
+    """
+    assert _run(spark, shapes) == []

@@ -105,3 +105,29 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
                  .collect()}
     assert per_batch == {0: m1["triples"], 1: m1["triples"]}
     assert [m["batch_id"] for m in ingest.read_manifests(out)] == [0, 1]
+
+
+def test_read_ingested_skips_uncommitted_batches(spark, tmp_path):
+    """A torn batch directory (part files, no manifest) is INVISIBLE to
+    readers until its replay commits (review finding: the read side
+    must honor the manifest protocol, not just the write side)."""
+    import os
+
+    out = str(tmp_path / "kg_torn")
+    pg = pages.pages(spark, SF).limit(150).localCheckpoint(eager=True)
+    edict = pages.entity_dict(spark, SF)
+    m0 = ingest.process_pages_batch(pg, 0, edict, out)
+
+    # torn batch 1: directory exists, manifest never renamed in
+    partial = f"{out}/batches/batch_id=1"
+    os.makedirs(partial, exist_ok=True)
+    with open(f"{partial}/part-junk.parquet", "w") as f:
+        f.write("garbage that would break a naive directory read")
+
+    rows = ingest.read_ingested(spark, out)
+    assert {r.batch_id for r in rows.select("batch_id").distinct()
+            .collect()} == {0}
+    assert rows.count() == m0["triples"]
+
+    # an empty sink (no manifests at all) reads as an empty frame
+    assert ingest.read_ingested(spark, str(tmp_path / "nothing")).count() == 0
