@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_sparql_nps": Q.shacl_sparql_nps,
         "shacl_sparql_message": Q.shacl_sparql_message,
         "shacl_sparql_shapes_path": Q.shacl_sparql_shapes_path,
+        "shacl_sparql_exists_agg": Q.shacl_sparql_exists_agg,
         "shacl_equals": Q.shacl_equals,
         "shacl_disjoint": Q.shacl_disjoint,
         "shacl_not": Q.shacl_not,
@@ -1140,6 +1141,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT f,
                    'missing http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
             FROM focus WHERE untyped = 1
+        """,
+        # EXISTS in HAVING + projection: >=4 "F" orders, segment not
+        # MACHINERY (each customer has exactly one segment, so
+        # max(c_mktsegment) IS the segment); message renders COUNT as
+        # an xsd:integer N3 literal and the projected EXISTS boolean
+        # as an xsd:boolean N3 literal
+        "shacl_sparql_exists_agg": f"""
+            SELECT '{EX}cust/' || c_custkey AS focus,
+                   'n="' || count(*)
+                   || '"^^<http://www.w3.org/2001/XMLSchema#integer> building="'
+                   || CASE WHEN max(c_mktsegment) = 'BUILDING'
+                           THEN 'true' ELSE 'false' END
+                   || '"^^<http://www.w3.org/2001/XMLSchema#boolean>' AS message
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY c_custkey
+            HAVING count(*) >= 4 AND max(c_mktsegment) != 'MACHINERY'
         """,
         "shacl_equals": f"""
             WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_linenumber AS ln,

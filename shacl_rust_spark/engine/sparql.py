@@ -18,8 +18,9 @@ isNumeric, IRI/URI, STRDT, STRLANG, ENCODE_FOR_URI, MD5/SHA1/SHA256,
 and `expr [NOT] IN (...)`), BIND,
 GRAPH $shapesGraph {}, UNION (flattened-scope approximation), FILTER
 (NOT) EXISTS via shared-column (anti-)joins — standalone, AND embedded
-inside boolean expressions (``FILTER(... || EXISTS {...})``) via mark
-joins — DISTINCT, OPTIONAL (left
+inside boolean expressions via mark joins wherever expressions occur:
+FILTER (``FILTER(... || EXISTS {...})``), BIND, HAVING, and ``(expr AS
+?v)`` projections — DISTINCT, OPTIONAL (left
 join on the shared solution variables), VALUES (inline solution join),
 aggregates (COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT with DISTINCT)
 with GROUP BY (plain vars) + HAVING — grouped per pre-binding run, the
@@ -1041,8 +1042,12 @@ class _Compiler:
         if isinstance(e, EMark):
             return F.col(e.col)
         if isinstance(e, EExists):
+            # reachable only from positions with no mark-join pass
+            # (ORDER BY keys) — FILTER / BIND / HAVING / SELECT exprs
+            # resolve EExists to EMark before evaluation
             raise SparqlUnsupported(
-                "EXISTS is only supported inside FILTER expressions"
+                "EXISTS is not supported in this position "
+                "(supported: FILTER, BIND, HAVING, SELECT expressions)"
             )
         if isinstance(e, EIn):
             t = self.expr_term(e.expr, sol_cols)
@@ -1173,6 +1178,24 @@ class _Compiler:
                 ).select(*[F.col(c) for c in sol.columns])
             return sol.where(self.expr_bool(el.expr, cols))
         if isinstance(el, Bind):
+            ex_nodes = []
+            _collect_exists(el.expr, ex_nodes)
+            if ex_nodes:
+                # BIND(... EXISTS {...} ... AS ?v): mark-join the
+                # subpatterns, evaluate the expression over the marks,
+                # drop the marks (same machinery as FILTER EXISTS)
+                mapping: dict[int, object] = {}
+                work, marks = sol, []
+                for ex in ex_nodes:
+                    mark = f"{self._fresh()}_ex"
+                    work = self._mark_exists(ex, work, source, mark)
+                    marks.append(mark)
+                    m: object = EMark(mark)
+                    mapping[id(ex)] = ENot(m) if ex.negated else m
+                expr2 = _subst_exists(el.expr, mapping)
+                return work.withColumn(
+                    _vcol(el.var.name), self.expr_term(expr2, set(work.columns))
+                ).drop(*marks)
             return sol.withColumn(_vcol(el.var.name), self.expr_term(el.expr, cols))
         if isinstance(el, GraphBlock):
             # The validation dataset has exactly ONE named graph — the
@@ -1650,17 +1673,51 @@ def _apply_modifiers(
                     grouped = grouped.withColumn(vc, F.coalesce(F.col(vc), empty))
         sol = grouped
 
-    for h in query.having:
-        sol = sol.where(
-            compiler.expr_bool(_subst_aggs(h, mapping), set(sol.columns))
-        )
-    for item in query.projection:
+    # [NOT] EXISTS embedded in HAVING / projection expressions: resolve
+    # each subpattern to a boolean mark column on the (grouped) solution
+    # first — the same mark-join machinery as FILTER-embedded EXISTS —
+    # then evaluate the expression trees over the marks and drop them.
+    # Per SPARQL 1.1 §11.1 the subpattern sees the group's visible
+    # bindings, which after aggregation are exactly sol's columns.
+    having = [_subst_aggs(h, mapping) for h in query.having]
+    projection = [
+        (_subst_aggs(item[0], mapping), item[1]) if isinstance(item, tuple)
+        else item
+        for item in query.projection
+    ]
+    ex_nodes: list[EExists] = []
+    for h in having:
+        _collect_exists(h, ex_nodes)
+    for item in projection:
+        if isinstance(item, tuple):
+            _collect_exists(item[0], ex_nodes)
+    marks: list[str] = []
+    if ex_nodes:
+        exmap: dict[int, object] = {}
+        for ex in ex_nodes:
+            mark = f"{compiler._fresh()}_ex"
+            sol = compiler._mark_exists(ex, sol, compiler.data_source, mark)
+            marks.append(mark)
+            m: object = EMark(mark)
+            exmap[id(ex)] = ENot(m) if ex.negated else m
+        having = [_subst_exists(h, exmap) for h in having]
+        projection = [
+            (_subst_exists(item[0], exmap), item[1])
+            if isinstance(item, tuple) else item
+            for item in projection
+        ]
+
+    for h in having:
+        sol = sol.where(compiler.expr_bool(h, set(sol.columns)))
+    for item in projection:
         if isinstance(item, tuple):
             expr, var = item
             sol = sol.withColumn(
                 _vcol(var.name),
-                compiler.expr_term(_subst_aggs(expr, mapping), set(sol.columns)),
+                compiler.expr_term(expr, set(sol.columns)),
             )
+    if marks:
+        sol = sol.drop(*marks)
 
     if query.limit is not None or query.offset is not None:
         from pyspark.sql import Window

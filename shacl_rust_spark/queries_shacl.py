@@ -430,6 +430,41 @@ def shacl_sparql_shapes_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("focus.value").alias("focus"), "message")
 
 
+def shacl_sparql_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:sparql with [NOT] EXISTS beyond FILTER: correlated inside
+    HAVING over the grouped per-focus run, and projected as a
+    ``(EXISTS {...} AS ?var)`` xsd:boolean observable through the
+    message template. The reference evaluates these positions via
+    oxigraph's full SPARQL engine (sparql.rs:217-232); the rewriter
+    resolves each subpattern to a boolean mark column first
+    (_apply_modifiers), so the expression tree evaluates over marks.
+
+    Flags customers with >= 4 finished ("F") orders whose market
+    segment is not MACHINERY; the message carries the order count and
+    whether the segment is BUILDING."""
+    shapes = '''
+    ex:ExistsAggShape a sh:NodeShape ;
+      sh:targetClass ex:Customer ;
+      sh:sparql [
+        sh:message "n={?n} building={?bldg}" ;
+        sh:select """
+          SELECT $this (COUNT(?o) AS ?n)
+                 (EXISTS { $this <http://example.org/mktsegment> "BUILDING" } AS ?bldg)
+          WHERE {
+            ?o <http://example.org/customer> $this .
+            ?o <http://example.org/status> "F" .
+          }
+          HAVING (COUNT(?o) >= 4 &&
+                  NOT EXISTS { $this <http://example.org/mktsegment> "MACHINERY" })
+        """ ] .
+    '''
+    t = T.customer_triples(spark, sf_dir).unionByName(
+        T.order_triples(spark, sf_dir)
+    )
+    v = _validate(spark, t, shapes)
+    return v.select(F.col("focus.value").alias("focus"), "message")
+
+
 def shacl_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sh:equals with the reference's aggressive extra checks
     (equals.rs:20-76): set-difference violation per focus PLUS one

@@ -775,3 +775,90 @@ def test_graph_variable_bound_inside_block_filters_not_overwrites(spark):
         }''' ] .
     """
     assert _run(spark, shapes) == []
+
+
+# --- EXISTS beyond FILTER: BIND / HAVING / projection (round 3) -------------
+
+def test_exists_in_bind(spark):
+    # BIND(EXISTS{...} AS ?has) materializes the mark as an
+    # xsd:boolean term usable by later FILTERs
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/p> ?v .
+          BIND(EXISTS { ?v <http://example.org/q> ?w } AS ?has)
+          FILTER(?has)
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/a"]
+
+
+def test_not_exists_in_bind_expression(spark):
+    # the mark composes inside a larger boolean expression in BIND
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/p> ?v .
+          BIND((NOT EXISTS { ?v <http://example.org/q> ?w }
+                && isIRI(?v)) AS ?lonely)
+          FILTER(?lonely)
+        }''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/b"]
+
+
+def test_exists_in_projection(spark):
+    # SELECT (EXISTS{...} AS ?has): projected as an xsd:boolean term,
+    # observable through the message template
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [
+        sh:message "has={?has}" ;
+        sh:select '''
+        SELECT $this (EXISTS { ?v <http://example.org/q> ?w } AS ?has)
+        WHERE {
+          $this <http://example.org/p> ?v .
+        }''' ] .
+    """
+    rep = validate_strings(spark, DATA, shapes)
+    rows = sorted(
+        (r.asDict()["focus"]["value"], r.asDict()["message"])
+        for r in rep.results()
+    )
+    assert [(f, "true" in m and "false" not in m) for f, m in rows] == [
+        ("http://example.org/a", True),
+        ("http://example.org/b", False),
+    ]
+
+
+def test_exists_in_having(spark):
+    # HAVING(EXISTS{...}) over grouped solutions: the subpattern is
+    # correlated on the group key ($this); only a's group survives
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this (COUNT(?v) AS ?n) WHERE {
+          $this <http://example.org/p> ?v .
+        }
+        GROUP BY $this
+        HAVING(EXISTS { $this <http://example.org/p>/<http://example.org/q> ?w }
+               || COUNT(?v) > 5)
+        ''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/a"]
+
+
+def test_not_exists_in_having(spark):
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this (COUNT(?v) AS ?n) WHERE {
+          $this <http://example.org/p> ?v .
+        }
+        GROUP BY $this
+        HAVING(NOT EXISTS { $this <http://example.org/p>/<http://example.org/q> ?w })
+        ''' ] .
+    """
+    assert _run(spark, shapes) == ["http://example.org/b"]
