@@ -19,8 +19,8 @@ and `expr [NOT] IN (...)`), BIND,
 GRAPH $shapesGraph {}, UNION (flattened-scope approximation), FILTER
 (NOT) EXISTS via shared-column (anti-)joins — standalone, AND embedded
 inside boolean expressions via mark joins wherever expressions occur:
-FILTER (``FILTER(... || EXISTS {...})``), BIND, HAVING, and ``(expr AS
-?v)`` projections — DISTINCT, OPTIONAL (left
+FILTER (``FILTER(... || EXISTS {...})``), BIND, HAVING, ``(expr AS
+?v)`` projections, and ORDER BY keys — DISTINCT, OPTIONAL (left
 join on the shared solution variables), VALUES (inline solution join),
 aggregates (COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT with DISTINCT)
 with GROUP BY (plain vars) + HAVING — grouped per pre-binding run, the
@@ -1042,12 +1042,12 @@ class _Compiler:
         if isinstance(e, EMark):
             return F.col(e.col)
         if isinstance(e, EExists):
-            # reachable only from positions with no mark-join pass
-            # (ORDER BY keys) — FILTER / BIND / HAVING / SELECT exprs
-            # resolve EExists to EMark before evaluation
+            # every expression position (FILTER / BIND / HAVING /
+            # SELECT exprs / ORDER BY keys) resolves EExists to EMark
+            # via a mark-join pass before evaluation — reaching here
+            # means a new position was added without one
             raise SparqlUnsupported(
-                "EXISTS is not supported in this position "
-                "(supported: FILTER, BIND, HAVING, SELECT expressions)"
+                "EXISTS reached evaluation without a mark-join pass"
             )
         if isinstance(e, EIn):
             t = self.expr_term(e.expr, sol_cols)
@@ -1723,13 +1723,33 @@ def _apply_modifiers(
         from pyspark.sql import Window
 
         part = [c for c in ctx.columns if c in sol.columns]
-        order_cols = [
-            (compiler.order_key(_subst_aggs(ok.expr, mapping), set(sol.columns))
-             .desc() if ok.desc else
-             compiler.order_key(_subst_aggs(ok.expr, mapping), set(sol.columns)))
-            for ok in query.order_by
-        ]
         tie = [F.col(c) for c in sol.columns]
+        # [NOT] EXISTS inside ORDER BY keys (only observable under a
+        # LIMIT/OFFSET slice): the same mark-join pass as HAVING —
+        # one join per subpattern onto the sliced frame, then the key
+        # orders over the boolean mark ("false" < "true" matches
+        # SPARQL's boolean order).
+        okeys = [_subst_aggs(ok.expr, mapping) for ok in query.order_by]
+        ex_nodes = []
+        for k in okeys:
+            _collect_exists(k, ex_nodes)
+        omarks: list[str] = []
+        if ex_nodes:
+            exmap = {}
+            for ex in ex_nodes:
+                mark = f"{compiler._fresh()}_ex"
+                sol = compiler._mark_exists(
+                    ex, sol, compiler.data_source, mark
+                )
+                omarks.append(mark)
+                m: object = EMark(mark)
+                exmap[id(ex)] = ENot(m) if ex.negated else m
+            okeys = [_subst_exists(k, exmap) for k in okeys]
+        order_cols = [
+            (compiler.order_key(k, set(sol.columns)).desc() if ok.desc
+             else compiler.order_key(k, set(sol.columns)))
+            for k, ok in zip(okeys, query.order_by)
+        ]
         w = (
             Window.partitionBy(*part) if part else Window.partitionBy(F.lit(1))
         ).orderBy(*order_cols, *tie)
@@ -1740,7 +1760,7 @@ def _apply_modifiers(
         sol = (
             sol.withColumn("_rn", F.row_number().over(w))
             .where(cond)
-            .drop("_rn")
+            .drop("_rn", *omarks)
         )
     # bare ORDER BY (no slice) cannot change a violation SET — dropped.
     return sol

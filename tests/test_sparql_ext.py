@@ -862,3 +862,60 @@ def test_not_exists_in_having(spark):
         ''' ] .
     """
     assert _run(spark, shapes) == ["http://example.org/b"]
+
+
+# --- EXISTS in ORDER BY keys (round 3, closes the last position) -----------
+
+ORDER_EX_DATA = """
+@prefix ex: <http://example.org/> .
+ex:a a ex:T ; ex:p "hit" ; ex:p "miss" .
+ex:z ex:q "hit" .
+"""
+
+
+def _run_order_ex(spark, data, select):
+    shapes = PRE + f"""
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [
+        sh:message "v={{?v}}" ;
+        sh:select '''{select}''' ] .
+    """
+    rep = validate_strings(spark, data, shapes)
+    return sorted(
+        (r.asDict()["focus"]["value"], r.asDict()["message"])
+        for r in rep.results()
+    )
+
+
+def test_exists_in_order_by_desc(spark):
+    # DESC(EXISTS{...}) under LIMIT: "true" sorts first, so the sliced
+    # row is the one whose ?v has a matching q-edge
+    got = _run_order_ex(spark, ORDER_EX_DATA, """
+        SELECT $this ?v WHERE { $this <http://example.org/p> ?v }
+        ORDER BY DESC(EXISTS { ?z <http://example.org/q> ?v })
+        LIMIT 1""")
+    assert got == [("http://example.org/a", 'v="hit"')]
+
+
+def test_exists_in_order_by_asc(spark):
+    # ascending boolean order: false < true, so the non-matching row
+    # wins the slice
+    got = _run_order_ex(spark, ORDER_EX_DATA, """
+        SELECT $this ?v WHERE { $this <http://example.org/p> ?v }
+        ORDER BY EXISTS { ?z <http://example.org/q> ?v }
+        LIMIT 1""")
+    assert got == [("http://example.org/a", 'v="miss"')]
+
+
+def test_exists_order_key_with_secondary_key(spark):
+    # the mark orders the groups, the plain key breaks ties within one
+    data = """
+    @prefix ex: <http://example.org/> .
+    ex:a a ex:T ; ex:p "b1" ; ex:p "a2" ; ex:p "a1" .
+    ex:z ex:q "a1" ; ex:q "a2" .
+    """
+    got = _run_order_ex(spark, data, """
+        SELECT $this ?v WHERE { $this <http://example.org/p> ?v }
+        ORDER BY DESC(NOT EXISTS { ?z <http://example.org/q> ?v }) ?v
+        LIMIT 1""")
+    assert got == [("http://example.org/a", 'v="b1"')]
