@@ -21,9 +21,11 @@ GRAPH $shapesGraph {}, UNION (flattened-scope approximation), FILTER
 inside boolean expressions via mark joins wherever expressions occur:
 FILTER (``FILTER(... || EXISTS {...})``), BIND, HAVING, ``(expr AS
 ?v)`` projections, and ORDER BY keys — DISTINCT, OPTIONAL (left
-join on the shared solution variables), VALUES (inline solution join),
-aggregates (COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT with DISTINCT)
-with GROUP BY (plain vars) + HAVING — grouped per pre-binding run, the
+join on the shared solution variables), VALUES (inline solution join;
+UNDEF cells via a compatibility join), aggregates
+(COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT with DISTINCT)
+with GROUP BY (vars and computed ``(expr [AS ?v])`` keys) + HAVING —
+grouped per pre-binding run, the
 reference's per-focus evaluation (see _apply_modifiers) — plus
 ORDER BY / LIMIT / OFFSET sliced per run, typed
 and language-tagged literals, and property paths in the predicate
@@ -276,6 +278,14 @@ class OrderKey:
 
 
 @dataclass(frozen=True)
+class GroupExpr:
+    """A computed GROUP BY key: ``GROUP BY (expr)`` or
+    ``GROUP BY (expr AS ?v)`` (var is None for the anonymous form)."""
+    expr: object
+    var: object = None
+
+
+@dataclass(frozen=True)
 class SparqlQuery:
     is_select: bool
     elems: tuple
@@ -411,12 +421,28 @@ class _Parser:
         while True:
             if self.kw("GROUP") and self.peek(1).upper() == "BY":
                 self.next(), self.next()
-                while self.peek().startswith(("?", "$")):
-                    group_by.append(Var(self.next()[1:]))
+                while True:
+                    if self.peek().startswith(("?", "$")):
+                        group_by.append(Var(self.next()[1:]))
+                    elif self.peek() == "(":
+                        # GROUP BY (expr) / (expr AS ?v)
+                        self.next()
+                        expr = self.parse_expr()
+                        var = None
+                        if self.kw("AS"):
+                            self.next()
+                            v = self.next()
+                            if not v.startswith(("?", "$")):
+                                raise SparqlParseError(
+                                    "GROUP BY AS target must be a variable"
+                                )
+                            var = Var(v[1:])
+                        self.expect(")")
+                        group_by.append(GroupExpr(expr, var))
+                    else:
+                        break
                 if not group_by:
-                    raise SparqlUnsupported(
-                        "GROUP BY supports plain variables only"
-                    )
+                    raise SparqlParseError("empty GROUP BY")
             elif self.kw("HAVING"):
                 self.next()
                 having.append(self.parse_bracketed_expr())
@@ -601,9 +627,8 @@ class _Parser:
     def parse_values(self) -> ValuesBlock:
         def one_term():
             if self.peek().upper() == "UNDEF":
-                raise SparqlUnsupported(
-                    "UNDEF in VALUES is not supported for SHACL pre-binding"
-                )
+                self.next()
+                return None  # unbound cell: compatible with anything
             t = self.parse_term()
             if isinstance(t, Var):
                 raise SparqlParseError("variable in VALUES data row")
@@ -1273,18 +1298,52 @@ class _Compiler:
             )
         if isinstance(el, ValuesBlock):
             spark = sol.sparkSession
+            null_term = F.lit(None).cast(TERM_TYPE)
             branches = [
                 spark.range(1).select(*[
-                    term_lit(t).alias(_vcol(v.name))
+                    (term_lit(t) if t is not None else null_term)
+                    .alias(_vcol(v.name))
                     for v, t in zip(el.vars, row)
                 ])
                 for row in el.rows
             ]
             vals = reduce(DataFrame.unionByName, branches).distinct()
             shared = [c for c in vals.columns if c in cols]
+            has_undef = any(t is None for row in el.rows for t in row)
+            if not has_undef:
+                if shared:
+                    return sol.join(vals, shared)
+                return sol.crossJoin(vals)
+            # UNDEF rows: SPARQL compatibility join — an unbound cell
+            # on either side is compatible with anything, the merged
+            # binding is whichever side bound it. The VALUES side is a
+            # literal handful of rows, so the non-equi condition plans
+            # as a broadcast nested-loop join over a tiny build side.
+            pre = self._fresh()
+            right = vals.select(
+                *[F.col(c).alias(f"{pre}_{c}") for c in vals.columns]
+            )
             if shared:
-                return sol.join(vals, shared)
-            return sol.crossJoin(vals)
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"{pre}_{c}").isNull() | F.col(c).isNull()
+                        | (F.col(f"{pre}_{c}") == F.col(c))
+                        for c in shared
+                    ],
+                )
+                joined = sol.join(right, cond)
+            else:
+                joined = sol.crossJoin(right)
+            out = [
+                F.coalesce(F.col(c), F.col(f"{pre}_{c}")).alias(c)
+                if c in shared else F.col(c)
+                for c in sol.columns
+            ] + [
+                F.col(f"{pre}_{c}").alias(c)
+                for c in vals.columns if c not in shared
+            ]
+            return joined.select(*out)
         if isinstance(el, PathTP):
             return self.eval_path_tp(el, sol, source)
         raise SparqlParseError(f"unsupported element {el!r}")
@@ -1642,7 +1701,23 @@ def _apply_modifiers(
 
     if aggs or query.group_by:
         keys = [c for c in ctx.columns if c in sol.columns]
+        anon_keys: list[str] = []
         for v in query.group_by:
+            if isinstance(v, GroupExpr):
+                # computed grouping key: evaluated once per solution
+                # row, grouped on the resulting term column; a named
+                # key ((expr AS ?v)) stays projectable as ?v, an
+                # anonymous one is dropped again after grouping
+                vc = (_vcol(v.var.name) if v.var is not None
+                      else f"{compiler._fresh()}_gk")
+                if v.var is None:
+                    anon_keys.append(vc)
+                sol = sol.withColumn(
+                    vc, compiler.expr_term(v.expr, set(sol.columns))
+                )
+                if vc not in keys:
+                    keys.append(vc)
+                continue
             vc = _vcol(v.name)
             if vc not in keys:
                 if vc not in sol.columns:
@@ -1671,7 +1746,7 @@ def _apply_modifiers(
                 if empty is not None:
                     vc = _vcol(name)
                     grouped = grouped.withColumn(vc, F.coalesce(F.col(vc), empty))
-        sol = grouped
+        sol = grouped.drop(*anon_keys) if anon_keys else grouped
 
     # [NOT] EXISTS embedded in HAVING / projection expressions: resolve
     # each subpattern to a boolean mark column on the (grouped) solution

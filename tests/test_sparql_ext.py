@@ -919,3 +919,72 @@ def test_exists_order_key_with_secondary_key(spark):
         ORDER BY DESC(NOT EXISTS { ?z <http://example.org/q> ?v }) ?v
         LIMIT 1""")
     assert got == [("http://example.org/a", 'v="b1"')]
+
+
+# --- UNDEF in VALUES + computed GROUP BY keys (round 3) --------------------
+
+def test_values_undef_matches_anything(spark):
+    # row 1 binds ?v, row 2 leaves it UNDEF — the UNDEF row is
+    # compatible with every solution, so a gets both tags and b one
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [
+        sh:message "m={?m}" ;
+        sh:select '''
+        SELECT $this ?m WHERE {
+          $this <http://example.org/p> ?v .
+          VALUES (?v ?m) {
+            (<http://example.org/v1> "one")
+            (UNDEF "any")
+          }
+        }''' ] .
+    """
+    rep = validate_strings(spark, DATA, shapes)
+    rows = sorted(
+        (r.asDict()["focus"]["value"], r.asDict()["message"])
+        for r in rep.results()
+    )
+    assert rows == [
+        ("http://example.org/a", 'm="any"'),
+        ("http://example.org/a", 'm="one"'),
+        ("http://example.org/b", 'm="any"'),
+    ]
+
+
+def test_values_undef_leaves_var_unbound(spark):
+    # the UNDEF row binds nothing: !bound(?m) keeps exactly that row,
+    # so every focus still appears exactly once
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/p> ?v .
+          VALUES ?m { "tagged" UNDEF }
+          FILTER(!bound(?m))
+        }''' ] .
+    """
+    assert _run(spark, shapes) == [
+        "http://example.org/a", "http://example.org/b",
+    ]
+
+
+def test_group_by_named_expr_key(spark):
+    # GROUP BY a computed boolean bucket: a's scores split 5 | 10,20
+    # and b's 1,2 land in one bucket — only groups of >=2 survive
+    got = _run_agg(spark, """
+      SELECT $this ?bucket (COUNT(?s) AS ?n)
+      WHERE { $this <http://example.org/score> ?s }
+      GROUP BY $this ((?s > 6) AS ?bucket)
+      HAVING (COUNT(?s) >= 2)""")
+    assert got == ["a", "b"]
+
+
+def test_group_by_anonymous_expr_key(spark):
+    # same partitioning with no AS: the internal key column must group
+    # correctly and not leak into the result
+    got = _run_agg(spark, """
+      SELECT $this (COUNT(?s) AS ?n)
+      WHERE { $this <http://example.org/score> ?s }
+      GROUP BY $this ((?s > 6))
+      HAVING (COUNT(?s) >= 2)""")
+    assert got == ["a", "b"]
