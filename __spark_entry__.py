@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": O.dedup_minhash_lsh,
         "dedup_components": O.dedup_components,
         "dedup_simhash": O.dedup_simhash,
+        "dedup_spans": O.dedup_spans,
         "corpus_select": O.corpus_select,
         "dedup_embedding": O.dedup_embedding,
         "dedup_embedding_lsh": O.dedup_embedding_lsh,
@@ -44,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": O.text_quality,
         "text_langid": O.text_langid,
         "text_fingerprint": O.text_fingerprint,
+        "text_vocab": O.text_vocab,
         "curation_sample": O.curation_sample,
         "curation_mix": O.curation_mix,
         "curation_pii": O.curation_pii,
@@ -61,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": O.events_windowed,
         "events_sessionize": O.events_sessionize,
         "events_sessionize_stream": O.events_sessionize_stream,
+        "events_asof": O.events_asof,
         "kg_pages": K.kg_pages,
         "kg_extract_text": K.kg_extract_text,
         "kg_mentions": K.kg_mentions,
@@ -496,12 +499,74 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'zh' END AS predicted_lang
             FROM g
         """,
+        # remove-duplicated-spans: 4-word grams appearing in >=2
+        # distinct docs are hot; every word position covered by a hot
+        # gram occurrence is dropped, survivors reassembled in order.
+        # Parallel unnests in one SELECT zip (equal-length lists).
+        "dedup_spans": r"""
+            WITH arr AS (
+              SELECT doc_id, string_split_regex(trim(text), ' +') AS l
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(l))) AS pos,
+                     unnest(l) AS w
+              FROM arr
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(len(l) - 3, 0)))
+                       AS pos,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(l) - 3, 0)),
+                       i -> array_to_string(l[i : i + 3], ' '))) AS gram
+              FROM arr
+            ),
+            hot AS (
+              SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1
+              ) WHERE nd >= 2
+            ),
+            cov AS (
+              SELECT DISTINCT g.doc_id, g.pos + o.o AS pos
+              FROM g JOIN hot USING (gram)
+              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS o) o
+            ),
+            kept AS (
+              SELECT w.doc_id, w.pos, w.w FROM w
+              ANTI JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos
+              WHERE w.w <> ''
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(w, ' ' ORDER BY pos) AS cleaned_text
+              FROM kept GROUP BY 1
+            )
+            SELECT arr.doc_id,
+                   CAST(len(l) AS BIGINT) AS n_words,
+                   CAST(len(l) - coalesce(n_kept, 0) AS BIGINT)
+                     AS n_removed,
+                   coalesce(cleaned_text, '') AS cleaned_text
+            FROM arr LEFT JOIN agg ON arr.doc_id = agg.doc_id
+        """,
         "text_fingerprint": r"""
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct(
                        list_filter(regexp_split_to_array(text, '\s+'),
                                    x -> x <> ''))), ' ')) AS fp
             FROM documents
+        """,
+        "text_vocab": r"""
+            SELECT w AS word,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), ' +')) AS w
+              FROM documents
+            ) WHERE w <> ''
+            GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
         """,
         # deterministic md5-hash sampling: identical expression in both
         # engines; thresholds are rate_threshold() values (0.1 →
@@ -893,6 +958,30 @@ def oracle_sql() -> dict[str, str]:
                    sess.session_end, sess.n_events
             FROM sess, m
             WHERE epoch_ms(session_end) + 1800000 <= mx - 1800000
+        """,
+        # as-of join: each click to the same user's latest view with
+        # view_ts <= click_ts; ties on ts break to the highest view id
+        # — the range-join + row_number formulation states the ASOF
+        # semantics independently of the engine's union+window plan
+        "events_asof": """
+            WITH v AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'view'),
+            c AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click'),
+            p AS (
+              SELECT c.event_id AS probe_id, c.user_id,
+                     c.ts AS probe_ts, v.event_id AS ref_id,
+                     v.ts AS ref_ts, v.value AS ref_value,
+                     row_number() OVER (
+                       PARTITION BY c.event_id
+                       ORDER BY v.ts DESC, v.event_id DESC) AS rn
+              FROM c JOIN v
+                ON v.user_id = c.user_id AND v.ts <= c.ts)
+            SELECT probe_id, user_id, probe_ts, ref_id, ref_ts,
+                   ref_value,
+                   CAST(date_diff('microsecond', ref_ts, probe_ts)
+                        AS BIGINT) AS gap_us
+            FROM p WHERE rn = 1
         """,
         "kg_pages": _KG_CTE + """
             SELECT url, 'en' AS lang, text,

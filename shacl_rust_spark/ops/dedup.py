@@ -290,3 +290,114 @@ def simhash64(docs: DataFrame) -> DataFrame:
         sim = sim + F.when(F.col(f"_b{b}") > 0,
                            F.lit(weight).cast("long")).otherwise(F.lit(0))
     return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def remove_duplicated_spans(
+    docs: DataFrame, n: int = 4, min_docs: int = 2
+) -> DataFrame:
+    """Exact-substring dedup at word-n-gram granularity (the
+    remove-duplicated-spans pass of Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", approximated on
+    n-gram boundaries instead of suffix arrays): any n-word span that
+    appears in >= min_docs DISTINCT documents is removed from every
+    document, and the surviving words are reassembled in order.
+
+    Returns one row per input document:
+    (doc_id, n_words, n_removed, cleaned_text) — a document fully
+    covered by hot spans survives with cleaned_text = ''.
+
+    Corpus-vs-itself twin of ops/contamination.py (corpus-vs-benchmark).
+    Plan shape for 100 TB: the text column is scanned exactly TWICE
+    (word explode + gram explode — deriving grams from the word frame
+    instead would trade the second columnar scan for a full shuffle of
+    the corpus through a per-doc window, a bad trade at scale); the
+    hot-span set is one groupBy on a fixed-width md5 digest (two-phase
+    count-distinct, map-side partial agg) and is tiny relative to the
+    corpus (only spans repeated across documents), so AQE broadcasts it
+    into the gram join; covered positions join the word frame on
+    (doc_id, pos) and ONE groupBy doc_id computes totals, kept counts,
+    and the reassembled text together; the completeness join for
+    zero-word documents reads doc_id alone (column-pruned). No corpus
+    self-join anywhere."""
+    from .text import word_array
+
+    empty = F.array().cast("array<string>")
+    split_once = F.when(
+        F.trim(F.col("text")) == "", empty
+    ).otherwise(word_array())
+    # materialize the token array behind a projection so the gram
+    # lambda's many slice() references don't each re-run split()
+    # (Catalyst keeps the projection because _arr is referenced more
+    # than once by a non-cheap expression — one split per row, not
+    # one per gram)
+    toks = docs.select("doc_id", split_once.alias("_arr"))
+    arr = F.col("_arr")
+
+    words = toks.select(
+        "doc_id", F.posexplode(arr).alias("_p0", "_w")
+    ).select("doc_id", (F.col("_p0") + 1).alias("_pos"), "_w")
+
+    k = F.size(arr) - (n - 1)
+    gram_arr = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(arr, i, n), " "),
+        ),
+    ).otherwise(empty)
+    grams = toks.select(
+        "doc_id", F.posexplode(gram_arr).alias("_g0", "_gram")
+    ).select(
+        "doc_id",
+        (F.col("_g0") + 1).alias("_gpos"),
+        F.md5(F.col("_gram")).alias("_gkey"),
+    )
+
+    hot = (
+        grams.groupBy("_gkey")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_gkey")
+    )
+    covered = (
+        grams.join(hot, "_gkey")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("_gpos"), F.col("_gpos") + F.lit(n - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(1))
+    )
+    keep = F.col("_cov").isNull()
+    agg = (
+        words.join(covered, ["doc_id", "_pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_words"),
+            F.sum(keep.cast("long")).alias("_n_kept"),
+            # collect_list skips nulls → only kept words are gathered
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(keep, F.struct(
+                        F.col("_pos").alias("p"), F.col("_w").alias("w")
+                    )))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+    return (
+        docs.select("doc_id").join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n_words"), F.lit(0))
+            .cast("long").alias("n_words"),
+            (F.coalesce(F.col("_n_words"), F.lit(0))
+             - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

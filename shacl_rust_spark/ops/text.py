@@ -161,3 +161,27 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         F.max("_c").alias("top_bigram_count"),
     )
     return w_stats.join(b_stats, "doc_id", "left").na.fill(0)
+
+
+def vocabulary(docs: DataFrame, min_docs: int = 2) -> DataFrame:
+    """(word, n_occurrences, n_docs): corpus-wide word-frequency table,
+    the tokenizer-training prep stage (BPE/unigram trainers start from
+    exactly this). min_docs filters hapax noise by document frequency.
+
+    One explode scan → a single groupBy word with map-side partial
+    aggregation (count + two-phase count-distinct); the shuffle carries
+    one row per distinct (word, doc) — sublinear in corpus size. Top-k
+    consumers should orderBy+limit (TakeOrderedAndProject: per-partition
+    partial top-k, never a global sort)."""
+    words = docs.select(
+        "doc_id", F.explode(word_array()).alias("_w")
+    ).where(F.col("_w") != "")
+    return (
+        words.groupBy("_w")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select(F.col("_w").alias("word"), "n_occurrences", "n_docs")
+    )

@@ -345,3 +345,31 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stateful import sessionize_replay_closed
 
     return sessionize_replay_closed(spark, f"{sf_dir}/events.parquet")
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (ops/dedup.remove_duplicated_spans):
+    every 4-word span appearing in >= 2 distinct documents is removed
+    corpus-wide and the survivors reassembled — the Lee et al. 2021
+    remove-duplicated-spans pass at n-gram granularity. Covers all 500
+    sf0.01 docs, ~370 of them partially rewritten."""
+    return dedup.remove_duplicated_spans(_docs(spark, sf_dir), n=4,
+                                         min_docs=2)
+
+
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with occurrence + document frequencies
+    (ops/text.vocabulary) — the tokenizer-training input table."""
+    return text.vocabulary(_docs(spark, sf_dir), min_docs=2)
+
+
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (ops/events.asof_join): each click joined to the
+    same user's most recent view at-or-before it — the union+window
+    composition (one shuffle) standing in for the ASOF JOIN operator
+    Spark lacks; the DuckDB oracle states the same semantics
+    independently as a range join + row_number pick."""
+    return events.asof_join(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        probe_type="click", ref_type="view",
+    )

@@ -561,3 +561,81 @@ def test_normalize_url_scheme_aware_ports(spark):
         4: "https://a.test:80/x",   # non-default: kept
         5: "ftp://a.test:80/x",     # unknown scheme: untouched
     }
+
+
+def test_remove_duplicated_spans_hand_case(spark):
+    # "a b c" appears in docs 1 and 2 → hot; doc 3 shares no 3-gram.
+    # doc 1: positions 1-3 covered, "x y" survives; doc 2 fully covered;
+    # doc 3 untouched; doc 4 is shorter than n → never covered.
+    d = _docs(spark, [
+        (1, "s", "a b c x y"),
+        (2, "s", "a b c"),
+        (3, "s", "p q r s t"),
+        (4, "s", "a b"),
+    ])
+    out = {r.doc_id: (r.n_words, r.n_removed, r.cleaned_text)
+           for r in dedup.remove_duplicated_spans(d, n=3, min_docs=2)
+           .collect()}
+    assert out == {
+        1: (5, 3, "x y"),
+        2: (3, 3, ""),
+        3: (5, 0, "p q r s t"),
+        4: (2, 0, "a b"),
+    }
+
+
+def test_remove_duplicated_spans_overlap_union(spark):
+    # two hot 3-grams overlap inside doc 1 ("a b c" at 1, "b c d" at 2):
+    # covered = union 1..5, not double-counted; the trailing word stays
+    d = _docs(spark, [
+        (1, "s", "a b c d e z"),
+        (2, "s", "a b c"),
+        (3, "s", "b c d"),
+        (4, "s", "c d e"),
+    ])
+    out = {r.doc_id: (r.n_removed, r.cleaned_text)
+           for r in dedup.remove_duplicated_spans(d, n=3, min_docs=2)
+           .collect()}
+    assert out[1] == (5, "z")
+
+
+def test_vocabulary_counts_and_docfreq(spark):
+    d = _docs(spark, [
+        (1, "s", "a a b"),
+        (2, "s", "a c"),
+        (3, "s", "  b  "),   # run-collapsing trim tokenization
+    ])
+    out = {r.word: (r.n_occurrences, r.n_docs)
+           for r in text.vocabulary(d, min_docs=2).collect()}
+    assert out == {"a": (3, 2), "b": (2, 2)}  # c is hapax → filtered
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+    from shacl_rust_spark.ops import events as ev
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: view@1, view@3, click@3 (tie → <= picks view@3),
+        # click@5 (picks view@3), view@7 twice same ts (ids 10, 11 →
+        # highest id wins), click@8
+        (1, t(1), 1, "view", 1.0),
+        (2, t(3), 1, "view", 2.0),
+        (3, t(3), 1, "click", 0.0),
+        (4, t(5), 1, "click", 0.0),
+        (10, t(7), 1, "view", 3.0),
+        (11, t(7), 1, "view", 4.0),
+        (12, t(8), 1, "click", 0.0),
+        # user 2: click with NO prior view → dropped
+        (20, t(2), 2, "click", 0.0),
+        (21, t(4), 2, "view", 9.0),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    out = {r.probe_id: (r.ref_id, r.ref_value, r.gap_us)
+           for r in ev.asof_join(e).collect()}
+    assert out == {
+        3: (2, 2.0, 0),
+        4: (2, 2.0, 2_000_000),
+        12: (11, 4.0, 1_000_000),
+    }
