@@ -46,6 +46,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": O.text_langid,
         "text_fingerprint": O.text_fingerprint,
         "text_vocab": O.text_vocab,
+        "text_quantiles": O.text_quantiles,
+        "rank_tfidf": O.rank_tfidf,
+        "rank_bm25": O.rank_bm25,
+        "cluster_kmeans": O.cluster_kmeans,
+        "curation_stratified": O.curation_stratified,
         "curation_sample": O.curation_sample,
         "curation_mix": O.curation_mix,
         "curation_pii": O.curation_pii,
@@ -181,6 +186,52 @@ WITH w AS (
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1)
 """
+
+
+def _kmeans_oracle(k: int, iters: int, dims: int = 64) -> str:
+    """Unrolled DuckDB twin of ops/cluster.kmeans: the same
+    k-smallest-id init, argmin assignment (ties → lowest cluster), and
+    round(avg, 6) centroid update, one CTE block per Lloyd's
+    iteration."""
+    def dist(c: str) -> str:
+        return ("list_sum(list_transform(generate_series(1, len(e.v)), "
+                f"i -> (e.v[i] - {c}.v[i]) * (e.v[i] - {c}.v[i])))")
+
+    ctes = [
+        ("e AS (SELECT vec_id, list_transform(embedding, "
+         "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"),
+        (f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+         f"AS INT) AS j, v FROM (SELECT vec_id, v FROM e "
+         f"ORDER BY vec_id LIMIT {k}))"),
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        ctes += [
+            (f"d{it} AS (SELECT e.vec_id, {prev}.j, {dist(prev)} AS "
+             f"dist FROM e CROSS JOIN {prev})"),
+            (f"a{it} AS (SELECT vec_id, j AS cluster FROM ("
+             f"SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id "
+             f"ORDER BY dist, j) AS rn FROM d{it}) WHERE rn = 1)"),
+            (f"u{it} AS (SELECT a{it}.cluster AS j, t.d, "
+             f"round(avg(e.v[t.d]), 6) AS c FROM e JOIN a{it} "
+             f"USING (vec_id) CROSS JOIN generate_series(1, {dims}) "
+             f"AS t(d) GROUP BY 1, 2)"),
+            (f"c{it} AS (SELECT {prev}.j, coalesce(u.v, {prev}.v) AS v "
+             f"FROM {prev} LEFT JOIN (SELECT j, list(c ORDER BY d) AS v "
+             f"FROM u{it} GROUP BY 1) u USING (j))"),
+        ]
+    fin = iters + 1
+    ctes.append(
+        f"d{fin} AS (SELECT e.vec_id, c{iters}.j, {dist(f'c{iters}')} "
+        f"AS dist FROM e CROSS JOIN c{iters})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT vec_id, j AS cluster, dist FROM ("
+        "SELECT vec_id, j, dist, row_number() OVER ("
+        f"PARTITION BY vec_id ORDER BY dist, j) AS rn FROM d{fin}) "
+        "WHERE rn = 1"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -544,9 +595,10 @@ def oracle_sql() -> dict[str, str]:
               FROM kept GROUP BY 1
             )
             SELECT arr.doc_id,
-                   CAST(len(l) AS BIGINT) AS n_words,
-                   CAST(len(l) - coalesce(n_kept, 0) AS BIGINT)
-                     AS n_removed,
+                   CAST(len(list_filter(l, x -> x <> '')) AS BIGINT)
+                     AS n_words,
+                   CAST(len(list_filter(l, x -> x <> ''))
+                        - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
                    coalesce(cleaned_text, '') AS cleaned_text
             FROM arr LEFT JOIN agg ON arr.doc_id = agg.doc_id
         """,
@@ -568,6 +620,103 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE w <> ''
             GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
         """,
+        # exact quantiles: DuckDB quantile_cont implements the same
+        # rank = p*(n-1) linear interpolation as Spark's percentile;
+        # the mean divides an exact integer sum
+        "text_quantiles": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_len,
+                   quantile_cont(n_chars, 0.25) AS q25,
+                   quantile_cont(n_chars, 0.50) AS q50,
+                   quantile_cont(n_chars, 0.75) AS q75,
+                   quantile_cont(n_chars, 0.95) AS q95
+            FROM documents GROUP BY 1
+        """,
+        # tf-idf: every float is a pure function of integer (tf, df, N)
+        "rank_tfidf": r"""
+            WITH words AS (
+              SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +')) AS w
+                FROM documents
+              ) WHERE w <> ''
+            ),
+            tf AS (
+              SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+              FROM words GROUP BY 1, 2
+            ),
+            df AS (
+              SELECT w, count(*) AS df FROM tf
+              GROUP BY 1 HAVING count(*) >= 2
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.w AS word, tf.tf,
+                     tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+              FROM tf JOIN df USING (w) CROSS JOIN n
+            )
+            SELECT doc_id, word, tf, score, CAST(rank AS INT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, word ASC
+              ) AS rank FROM scored
+            ) WHERE rank <= 3
+        """,
+        # BM25 with k1=1.2, b=0.75 over query terms (join, data, spark);
+        # dl counts the same non-empty word_array tokens, avgdl stays
+        # the exact integer pair total_len/n until the one division
+        "rank_bm25": r"""
+            WITH words AS (
+              SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +')) AS w
+                FROM documents
+              ) WHERE w <> ''
+            ),
+            lens AS (
+              SELECT d.doc_id, coalesce(w.c, 0) AS dl
+              FROM documents d LEFT JOIN (
+                SELECT doc_id, count(*) AS c FROM words GROUP BY 1
+              ) w USING (doc_id)
+            ),
+            tot AS (
+              SELECT CAST(sum(dl) AS DOUBLE) AS total_len,
+                     CAST(count(*) AS DOUBLE) AS n
+              FROM lens
+            ),
+            tfq AS (
+              SELECT doc_id, w, count(*) AS tf FROM words
+              WHERE w IN ('join', 'data', 'spark') GROUP BY 1, 2
+            ),
+            dfq AS (SELECT w, count(*) AS df FROM tfq GROUP BY 1),
+            per AS (
+              SELECT tfq.doc_id,
+                     ln(1.0 + (tot.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                     * (tfq.tf * (1.2 + 1.0))
+                     / (tfq.tf + 1.2 * (0.25 + 0.75 * lens.dl
+                                        / (tot.total_len / tot.n))) AS s
+              FROM tfq JOIN dfq USING (w) JOIN lens USING (doc_id)
+              CROSS JOIN tot
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+                   sum(s) AS score
+            FROM per GROUP BY 1
+        """,
+        # exact per-stratum top-n by sampling hash — the oracle states
+        # the semantics as ONE direct window; the engine's two-phase
+        # shard windows must select the identical rows
+        "curation_stratified": """
+            SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+            FROM (
+              SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang ORDER BY
+                  substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8),
+                  doc_id
+              ) AS sample_rank
+              FROM documents
+            ) WHERE sample_rank <= 20
+        """,
+        "cluster_kmeans": _kmeans_oracle(k=4, iters=2),
         # deterministic md5-hash sampling: identical expression in both
         # engines; thresholds are rate_threshold() values (0.1 →
         # int(0.1 * 16^8) = 0x19999999, 0.5 → 80000000, 0.25 →

@@ -74,3 +74,48 @@ def mix_sources(
         thr = F.when(F.col(group_col) == g, F.lit(rate_threshold(r))) \
             .otherwise(thr)
     return df.where(sample_hash(F.col(key_col), salt) < thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str = "lang",
+    salt: str = "strat",
+    key_col: str = "doc_id",
+    n_salts: int = 32,
+) -> DataFrame:
+    """EXACT n rows per stratum (vs mix_sources' rate-expected count):
+    the n smallest sampling hashes in each stratum, ties broken by key
+    — a pure function of (salt, keys), so reruns, repartitions, and
+    other engines select the identical rows. This is the "give me
+    exactly 10k eval docs per language" primitive.
+
+    A naive row_number() over (partition by stratum) sorts EVERY row of
+    a stratum in ONE task — a head language at 100 TB is a straggler or
+    an OOM. Instead the standard exact two-phase top-n: a first window
+    over (stratum, shard) — shard = key hash mod n_salts, so each task
+    sorts ~1/n_salts of the stratum — keeps n candidates per shard,
+    then the second window ranks the surviving ≤ n·n_salts rows per
+    stratum. Any row in the true global top-n is in its shard's top-n,
+    so phase 1 never drops a winner; both windows are now bounded.
+    The oracle states the semantics as the single direct window.
+    """
+    from pyspark.sql import Window
+
+    h = sample_hash(F.col(key_col), salt)
+    shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salts))
+    local = Window.partitionBy(stratum_col, "_shard").orderBy(
+        F.asc("_h"), F.asc(key_col)
+    )
+    glob = Window.partitionBy(stratum_col).orderBy(
+        F.asc("_h"), F.asc(key_col)
+    )
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_shard", shard)
+        .withColumn("_lr", F.row_number().over(local))
+        .where(F.col("_lr") <= n_per_stratum)
+        .withColumn("sample_rank", F.row_number().over(glob))
+        .where(F.col("sample_rank") <= n_per_stratum)
+        .drop("_h", "_shard", "_lr")
+    )

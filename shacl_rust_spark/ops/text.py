@@ -163,6 +163,44 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     return w_stats.join(b_stats, "doc_id", "left").na.fill(0)
 
 
+def length_quantiles(
+    docs: DataFrame,
+    quantiles: tuple = (0.25, 0.5, 0.75, 0.95),
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Per-group EXACT length quantiles (linear interpolation at rank
+    p·(n−1)) plus count and mean — the distribution summary every
+    curation recipe reads before setting length cutoffs, per language
+    or per source.
+
+    Spark's `percentile` is the exact algorithm (not approx_percentile):
+    one groupBy with map-side partial collection; group cardinality is
+    bounded by the value domain, and the number of groups (languages /
+    sources) is tiny, so the shuffle carries digests, not the corpus.
+    At 100 TB over a high-cardinality value domain, swap in
+    approx_percentile(…, accuracy) — same plan shape, bounded memory.
+    DuckDB's quantile_cont implements the identical interpolation, so
+    the oracle is the direct twin. The mean stays integer-exact
+    (sum(bigint)/count), engine-identical."""
+    pctl = F.expr(
+        f"percentile({value_col}, array({', '.join(map(str, quantiles))}))"
+    )
+    cols = [
+        F.col("_q")[i].alias(f"q{int(q * 100)}")
+        for i, q in enumerate(quantiles)
+    ]
+    return (
+        docs.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(value_col) / F.count(F.lit(1))).alias("mean_len"),
+            pctl.alias("_q"),
+        )
+        .select(group_col, "n", "mean_len", *cols)
+    )
+
+
 def vocabulary(docs: DataFrame, min_docs: int = 2) -> DataFrame:
     """(word, n_occurrences, n_docs): corpus-wide word-frequency table,
     the tokenizer-training prep stage (BPE/unigram trainers start from

@@ -6,8 +6,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ops import (
-    ann, contamination, dedup, events, multimodal, pack, pii, sample, text,
-    web,
+    ann, cluster, contamination, dedup, events, multimodal, pack, pii,
+    rank, sample, text, web,
 )
 from .pipeline import pages as kg_pages_mod
 
@@ -361,6 +361,45 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with occurrence + document frequencies
     (ops/text.vocabulary) — the tokenizer-training input table."""
     return text.vocabulary(_docs(spark, sf_dir), min_docs=2)
+
+
+def rank_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf
+    (ops/rank.tfidf_topk): one explode scan, broadcast df join,
+    per-doc window — integer inputs make the float scores
+    engine-exact."""
+    return rank.tfidf_topk(_docs(spark, sf_dir), k=3, min_df=2)
+
+
+def rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document scores against a 3-term query
+    (ops/rank.bm25_scores): the tf stream is filtered to the query
+    terms before aggregation, so post-scan work is matches-sized."""
+    return rank.bm25_scores(
+        _docs(spark, sf_dir), ["join", "data", "spark"]
+    )
+
+
+def curation_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language (ops/sample.stratified_sample):
+    the 20 smallest sampling hashes per stratum via the skew-safe
+    two-phase top-n; rerun/repartition/engine-stable."""
+    out = sample.stratified_sample(_docs(spark, sf_dir), 20)
+    return out.select("doc_id", "lang", "sample_rank")
+
+
+def text_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length distribution summary
+    (ops/text.length_quantiles): exact interpolated quantiles +
+    integer-exact mean, one digest-sized groupBy."""
+    return text.length_quantiles(_docs(spark, sf_dir))
+
+
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means over the embeddings (ops/cluster.kmeans):
+    k=4, two Lloyd's iterations from the k-smallest-id init; the
+    oracle unrolls the identical iterations in SQL."""
+    return cluster.kmeans(_emb(spark, sf_dir), k=4, iters=2)
 
 
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:

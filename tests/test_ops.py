@@ -639,3 +639,147 @@ def test_asof_join_semantics(spark):
         4: (2, 2.0, 2_000_000),
         12: (11, 4.0, 1_000_000),
     }
+
+
+def test_tfidf_topk_formula_and_ranking(spark):
+    import math
+    from shacl_rust_spark.ops import rank
+
+    d = _docs(spark, [
+        (1, "s", "apple apple banana cherry"),
+        (2, "s", "apple banana banana banana"),
+        (3, "s", "cherry cherry date"),
+        (4, "s", "apple cherry"),
+    ])
+    out = rank.tfidf_topk(d, k=2, min_df=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # date is hapax (df=1) -> excluded by min_df
+    assert all(r.word != "date" for r in out)
+    # doc 2: banana tf=3 df=2 -> top; apple tf=1 df=3 second
+    d2 = sorted(by_doc[2], key=lambda r: r.rank)
+    assert [r.word for r in d2] == ["banana", "apple"]
+    assert d2[0].score == 3 * math.log(4 / 2)
+    assert d2[1].score == 1 * math.log(4 / 3)
+    # every doc emits at most k rows, ranks are 1..len
+    for rows in by_doc.values():
+        assert sorted(r.rank for r in rows) == list(
+            range(1, len(rows) + 1))
+
+
+def test_bm25_matches_hand_computation(spark):
+    import math
+    from shacl_rust_spark.ops import rank
+
+    d = _docs(spark, [
+        (1, "s", "x x y pad pad pad"),        # dl 6, tf(x)=2
+        (2, "s", "x pad"),                    # dl 2, tf(x)=1
+        (3, "s", "pad pad pad pad"),          # dl 4, no match
+    ])
+    out = {r.doc_id: (r.n_matched, r.score)
+           for r in rank.bm25_scores(d, ["x", "y"], k1=1.2, b=0.75)
+           .collect()}
+    n, avgdl = 3, 12 / 3
+    def bm25(tf, df, dl):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert set(out) == {1, 2}
+    assert out[1][0] == 2
+    assert abs(out[1][1] - (bm25(2, 2, 6) + bm25(1, 1, 6))) < 1e-12
+    assert out[2][0] == 1
+    assert abs(out[2][1] - bm25(1, 2, 2)) < 1e-12
+
+
+def test_stratified_sample_exact_and_stable(spark):
+    import hashlib
+    from shacl_rust_spark.ops import sample as smp
+
+    rows = [(i, "s", f"t{i}", "en" if i % 3 else "de")
+            for i in range(200)]
+    d = spark.createDataFrame(rows, ["doc_id", "source", "text", "lang"])
+    out = smp.stratified_sample(d, 5, salt="t", n_salts=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.lang, []).append((r.sample_rank, r.doc_id))
+    # exactly n per stratum
+    assert {k: len(v) for k, v in got.items()} == {"en": 5, "de": 5}
+    # equals the direct single-pass definition: n smallest md5 hashes
+    h = lambda i: hashlib.md5(f"t{i}".encode()).hexdigest()[:8]  # noqa: E731
+    for lang in ("en", "de"):
+        ids = [i for i, _, _, lg in rows if lg == lang]
+        want = sorted(ids, key=lambda i: (h(i), i))[:5]
+        assert [i for _, i in sorted(got[lang])] == want
+    # repartition-stable
+    out2 = smp.stratified_sample(
+        d.repartition(7), 5, salt="t", n_salts=4).collect()
+    assert {(r.doc_id, r.sample_rank) for r in out2} == \
+           {(r.doc_id, r.sample_rank) for r in out}
+
+
+def test_length_quantiles_matches_numpy(spark):
+    import numpy as np
+    from shacl_rust_spark.ops import text as tx
+
+    vals = {"en": [3, 1, 4, 1, 5, 9, 2, 6], "de": [10, 20, 30]}
+    rows = [(100 * j + i, "x" * v, lg, "s", v)
+            for j, (lg, vs) in enumerate(sorted(vals.items()))
+            for i, v in enumerate(vs)]
+    d = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r.lang: r for r in tx.length_quantiles(d).collect()}
+    for lg, vs in vals.items():
+        r = out[lg]
+        assert r.n == len(vs)
+        assert r.mean_len == sum(vs) / len(vs)
+        for q in (25, 50, 75, 95):
+            assert abs(getattr(r, f"q{q}")
+                       - np.percentile(vs, q)) < 1e-9
+
+
+def test_kmeans_matches_numpy_lloyds(spark):
+    import numpy as np
+    from shacl_rust_spark.ops import cluster
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[0.0, 0.0, 0.0], [5.0, 5.0, 5.0],
+                        [-5.0, 5.0, 0.0]])
+    X = np.vstack([c + 0.1 * rng.randn(20, 3) for c in centers])
+    rows = [(i, [float(x) for x in X[i]], 0) for i in range(len(X))]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.vec_id: r.cluster
+           for r in cluster.kmeans(e, k=3, iters=3).collect()}
+
+    # numpy twin of the deterministic algorithm
+    C = X[:3].astype(float).copy()
+    for _ in range(3):
+        dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = dist.argmin(1)
+        for j in range(3):
+            if (a == j).any():
+                C[j] = np.round(X[a == j].mean(0), 6)
+    a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    assert out == {i: int(a[i]) for i in range(len(X))}
+    # each planted blob lands in one cluster
+    assert len({out[i] for i in range(20)}) == 1
+    assert len({out[i] for i in range(20, 40)}) == 1
+    assert len({out[i] for i in range(40, 60)}) == 1
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from shacl_rust_spark.ops import cluster
+
+    # two far blobs, k=3: the third init point (id 2) sits inside
+    # blob A, loses everything to centroid 0 after one update? No —
+    # plant an init point that attracts nothing after the first
+    # update: ids 0,1 at the blob centers, id 2 equidistant but
+    # assignment ties to cluster 0, leaving cluster 2 empty.
+    rows = [
+        (0, [0.0, 0.0], 0), (1, [10.0, 0.0], 0), (2, [0.0, 0.1], 0),
+        (3, [0.2, 0.0], 0), (4, [9.8, 0.0], 0), (5, [10.2, 0.0], 0),
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = cluster.kmeans(e, k=3, iters=2)
+    # runs without error and yields a full assignment
+    assert out.count() == 6
+    assert set(r.cluster for r in out.collect()) <= {0, 1, 2}
