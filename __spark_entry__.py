@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_tfidf": O.rank_tfidf,
         "rank_bm25": O.rank_bm25,
         "cluster_kmeans": O.cluster_kmeans,
+        "dedup_semantic": O.dedup_semantic,
         "curation_stratified": O.curation_stratified,
         "curation_sample": O.curation_sample,
         "curation_mix": O.curation_mix,
@@ -188,11 +189,11 @@ sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1)
 """
 
 
-def _kmeans_oracle(k: int, iters: int, dims: int = 64) -> str:
+def _kmeans_ctes(k: int, iters: int, dims: int = 64) -> tuple:
     """Unrolled DuckDB twin of ops/cluster.kmeans: the same
     k-smallest-id init, argmin assignment (ties → lowest cluster), and
     round(avg, 6) centroid update, one CTE block per Lloyd's
-    iteration."""
+    iteration. Returns (ctes, final_dist_table)."""
     def dist(c: str) -> str:
         return ("list_sum(list_transform(generate_series(1, len(e.v)), "
                 f"i -> (e.v[i] - {c}.v[i]) * (e.v[i] - {c}.v[i])))")
@@ -225,12 +226,42 @@ def _kmeans_oracle(k: int, iters: int, dims: int = 64) -> str:
         f"d{fin} AS (SELECT e.vec_id, c{iters}.j, {dist(f'c{iters}')} "
         f"AS dist FROM e CROSS JOIN c{iters})"
     )
+    return ctes, f"d{fin}"
+
+
+def _kmeans_oracle(k: int, iters: int, dims: int = 64) -> str:
+    ctes, fin = _kmeans_ctes(k, iters, dims)
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         "SELECT vec_id, j AS cluster, dist FROM ("
         "SELECT vec_id, j, dist, row_number() OVER ("
-        f"PARTITION BY vec_id ORDER BY dist, j) AS rn FROM d{fin}) "
+        f"PARTITION BY vec_id ORDER BY dist, j) AS rn FROM {fin}) "
         "WHERE rn = 1"
+    )
+
+
+def _semantic_dedup_oracle(k: int, iters: int, thr: float,
+                           dims: int = 64) -> str:
+    """ops/cluster.semantic_dedup twin: the kmeans CTEs produce the
+    assignment, then a within-cluster pair join keeps round(cos,6) >=
+    thr and min-aggregates the dominating lower id."""
+    ctes, fin = _kmeans_ctes(k, iters, dims)
+    ctes.append(
+        "asg AS (SELECT vec_id, j AS cluster FROM ("
+        "SELECT vec_id, j, dist, row_number() OVER ("
+        f"PARTITION BY vec_id ORDER BY dist, j) AS rn FROM {fin}) "
+        "WHERE rn = 1)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT pb.vec_id AS vec_id, pb.cluster AS cluster, "
+        "CAST(min(pa.vec_id) AS BIGINT) AS dup_of\n"
+        "FROM (embeddings a JOIN asg pa ON a.vec_id = pa.vec_id)\n"
+        "JOIN (embeddings b JOIN asg pb ON b.vec_id = pb.vec_id)\n"
+        "  ON pa.cluster = pb.cluster AND pa.vec_id < pb.vec_id\n"
+        "WHERE round(list_cosine_similarity(a.embedding, b.embedding), "
+        f"6) >= {thr}\n"
+        "GROUP BY 1, 2"
     )
 
 
@@ -717,6 +748,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE sample_rank <= 20
         """,
         "cluster_kmeans": _kmeans_oracle(k=4, iters=2),
+        "dedup_semantic": _semantic_dedup_oracle(k=4, iters=2, thr=0.35),
         # deterministic md5-hash sampling: identical expression in both
         # engines; thresholds are rate_threshold() values (0.1 →
         # int(0.1 * 16^8) = 0x19999999, 0.5 → 80000000, 0.25 →

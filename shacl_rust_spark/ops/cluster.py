@@ -100,3 +100,43 @@ def kmeans(
     return _assign(e, centroids, "_v").select(
         F.col(id_col), "cluster", F.col("_dist").alias("dist")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, then drop
+    every vector whose cosine to a LOWER-id vector in the same cluster
+    is ≥ threshold. Returns the dropped rows as (id, cluster, dup_of)
+    with dup_of = the smallest dominating id — the mapping a dedup pass
+    applies with one anti-join.
+
+    This is the scale design from the paper: the quadratic pair search
+    runs per cluster, and k grows with the corpus so cluster size (and
+    the per-cluster join) stays bounded — the clustering is what makes
+    embedding dedup tractable where the global all-pairs join is not.
+    The threshold compares round(cos, 6) so the cut is reduction-order
+    independent (same device as dedup_embedding)."""
+    from . import ann
+
+    assigned = kmeans(emb, k, iters, vec_col, id_col) \
+        .select(id_col, "cluster")
+    e = emb.select(id_col, vec_col).join(assigned, id_col)
+    a = e.select(F.col(id_col).alias("a"), "cluster",
+                 F.col(vec_col).alias("_ea"))
+    b = e.select(F.col(id_col).alias("b"), "cluster",
+                 F.col(vec_col).alias("_eb"))
+    pairs = ann.with_cosine(
+        a.join(b, "cluster").where(F.col("a") < F.col("b")),
+        "_ea", "_eb", "_cos",
+    ).where(F.round("_cos", 6) >= threshold)
+    return (
+        pairs.groupBy("b", "cluster")
+        .agg(F.min("a").alias("dup_of"))
+        .select(F.col("b").alias(id_col), "cluster", "dup_of")
+    )

@@ -402,6 +402,15 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster.kmeans(_emb(spark, sf_dir), k=4, iters=2)
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (ops/cluster.semantic_dedup): k-means clusters, then
+    drop vectors with cosine >= 0.35 to a lower-id cluster-mate —
+    the cluster-bounded embedding dedup; the oracle composes the
+    unrolled kmeans SQL with the pair join."""
+    return cluster.semantic_dedup(_emb(spark, sf_dir), 0.35,
+                                  k=4, iters=2)
+
+
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (ops/events.asof_join): each click joined to the
     same user's most recent view at-or-before it — the union+window

@@ -783,3 +783,26 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     # runs without error and yields a full assignment
     assert out.count() == 6
     assert set(r.cluster for r in out.collect()) <= {0, 1, 2}
+
+
+def test_semantic_dedup_drops_within_cluster_only(spark):
+    from shacl_rust_spark.ops import cluster
+
+    # two far-apart blobs; near-dups exist inside each blob and one
+    # cross-blob pair of identical DIRECTIONS would be cos=1.0 but
+    # lands in different clusters -> never compared
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [0.99, 0.01], 0),   # blob A near-dups
+        (2, [0.98, 0.02], 0),
+        (10, [0.0, 1.0], 0), (11, [0.01, 0.99], 0),  # blob B near-dups
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.vec_id: (r.cluster, r.dup_of)
+           for r in cluster.semantic_dedup(e, 0.95, k=2, iters=2)
+           .collect()}
+    # reps (smallest id per blob) never appear; others point at them
+    assert 0 not in out and 10 not in out
+    assert out[1][1] == 0 and out[2][1] == 0
+    assert out[11][1] == 10
+    # the two blobs are distinct clusters
+    assert out[1][0] != out[11][0]
