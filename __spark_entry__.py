@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quantiles": O.text_quantiles,
         "rank_tfidf": O.rank_tfidf,
         "rank_bm25": O.rank_bm25,
+        "text_unigram_nll": O.text_unigram_nll,
         "cluster_kmeans": O.cluster_kmeans,
         "dedup_semantic": O.dedup_semantic,
         "curation_stratified": O.curation_stratified,
@@ -731,6 +732,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
                    sum(s) AS score
+            FROM per GROUP BY 1
+        """,
+        # corpus unigram LM with add-1 smoothing; p(w) inputs are all
+        # exact integers, the per-doc log-sum compares after the hash's
+        # 6-decimal rounding
+        "text_unigram_nll": r"""
+            WITH words AS (
+              SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +')) AS w
+                FROM documents
+              ) WHERE w <> ''
+            ),
+            tf AS (
+              SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+              FROM words GROUP BY 1, 2
+            ),
+            lm AS (
+              SELECT w, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+            ),
+            tot AS (
+              SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM lm
+            ),
+            per AS (
+              SELECT tf.doc_id, tf.tf,
+                     tf.tf * ln((lm.cnt + 1.0)
+                                / (tot.total + 1.0 * (tot.v + 1.0)))
+                       AS lp
+              FROM tf JOIN lm USING (w) CROSS JOIN tot
+            )
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+                   -sum(lp) / sum(tf) AS nll
             FROM per GROUP BY 1
         """,
         # exact per-stratum top-n by sampling hash — the oracle states

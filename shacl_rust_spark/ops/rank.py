@@ -127,3 +127,40 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_matched"),
         F.sum("s").alias("score"),
     )
+
+
+def unigram_logprob(docs: DataFrame, alpha: float = 1.0) -> DataFrame:
+    """Per-document mean negative log-probability under a corpus-level
+    unigram LM with add-alpha smoothing — the CCNet-style
+    perplexity-proxy quality signal (documents scoring far from the
+    corpus distribution are boilerplate, gibberish, or wrong-language).
+
+    p(w) = (count(w) + alpha) / (total + alpha * (V + 1)); unseen words
+    (possible when scoring against a reference corpus) take the
+    count=0 slot. Output: (doc_id, n_words, nll) with
+    nll = -Σ tf·ln p(w) / Σ tf; documents with no tokens are omitted
+    (they have no distribution to score — gate them on length first).
+
+    Plan: ONE explode scan feeds both the LM counts and the per-doc
+    term frequencies (self-derived, so Spark computes the explode
+    twice — at 100 TB checkpoint the tf frame and derive both).
+    The LM table is vocabulary-sized → BroadcastExchange into the
+    scoring join; the scalars (total, V) fold to literals. All p(w)
+    inputs are exact integers, so the floats are engine-identical;
+    the per-doc Σ is over ≤ distinct-words-per-doc terms, compared
+    only after the hash's 6-decimal rounding."""
+    tf = _term_freqs(docs)
+    lm = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
+    totals = lm.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    total, v = totals["total"], totals["v"]
+    denom = F.lit(float(total)) + F.lit(alpha) * F.lit(float(v + 1))
+    logp = F.log((F.col("cnt") + F.lit(alpha)) / denom)
+    scored = tf.join(F.broadcast(lm), "word").select(
+        "doc_id", (F.col("tf") * logp).alias("_lp"), "tf"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_words"),
+        (-F.sum("_lp") / F.sum("tf")).alias("nll"),
+    )

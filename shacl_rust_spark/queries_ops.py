@@ -380,6 +380,13 @@ def rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean negative log-prob under the corpus unigram LM with
+    add-1 smoothing (ops/rank.unigram_logprob) — the CCNet-style
+    perplexity-proxy quality signal."""
+    return rank.unigram_logprob(_docs(spark, sf_dir), alpha=1.0)
+
+
 def curation_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 20 docs per language (ops/sample.stratified_sample):
     the 20 smallest sampling hashes per stratum via the skew-safe

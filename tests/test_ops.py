@@ -691,6 +691,35 @@ def test_bm25_matches_hand_computation(spark):
     assert abs(out[2][1] - bm25(1, 2, 2)) < 1e-12
 
 
+def test_unigram_nll_matches_hand_computation(spark):
+    import math
+    from shacl_rust_spark.ops import rank
+
+    d = _docs(spark, [
+        (1, "s", "a a b"),
+        (2, "s", "b c"),
+        (3, "s", "   "),   # no tokens -> omitted
+    ])
+    out = {r.doc_id: (r.n_words, r.nll)
+           for r in rank.unigram_logprob(d, alpha=1.0).collect()}
+    # corpus: a=2 b=2 c=1, total=5, V=3 -> denom = 5 + 1*(3+1) = 9
+    def p(cnt):
+        return (cnt + 1.0) / 9.0
+    assert set(out) == {1, 2}
+    assert out[1][0] == 3
+    exp1 = -(2 * math.log(p(2)) + 1 * math.log(p(2))) / 3
+    assert abs(out[1][1] - exp1) < 1e-12
+    assert out[2][0] == 2
+    exp2 = -(math.log(p(2)) + math.log(p(1))) / 2
+    assert abs(out[2][1] - exp2) < 1e-12
+    # alpha=0.5 shifts the smoothing mass
+    out5 = {r.doc_id: r.nll
+            for r in rank.unigram_logprob(d, alpha=0.5).collect()}
+    denom = 5 + 0.5 * 4
+    exp1b = -3 * math.log((2 + 0.5) / denom) / 3
+    assert abs(out5[1] - exp1b) < 1e-12
+
+
 def test_stratified_sample_exact_and_stable(spark):
     import hashlib
     from shacl_rust_spark.ops import sample as smp
