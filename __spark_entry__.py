@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_bm25": O.rank_bm25,
         "text_unigram_nll": O.text_unigram_nll,
         "cluster_kmeans": O.cluster_kmeans,
+        "graph_pagerank": O.graph_pagerank,
+        "graph_degrees": O.graph_degrees,
         "dedup_semantic": O.dedup_semantic,
         "curation_stratified": O.curation_stratified,
         "curation_sample": O.curation_sample,
@@ -263,6 +265,70 @@ def _semantic_dedup_oracle(k: int, iters: int, thr: float,
         "WHERE round(list_cosine_similarity(a.embedding, b.embedding), "
         f"6) >= {thr}\n"
         "GROUP BY 1, 2"
+    )
+
+
+_ENTITY_EDGES_SQL = """
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT 'o' || o_orderkey AS src, 'c' || o_custkey AS dst
+        FROM orders
+        UNION ALL
+        SELECT 'c' || c_custkey, 'n' || c_nationkey FROM customer
+        UNION ALL
+        SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+        UNION ALL
+        SELECT 'o' || l_orderkey, 'p' || l_partkey FROM lineitem
+        UNION ALL
+        SELECT 'o' || l_orderkey, 's' || l_suppkey FROM lineitem
+        UNION ALL
+        SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation
+      )
+    )
+"""
+
+
+def _pagerank_oracle(iterations: int = 6, damping_pct: int = 85,
+                     scale: int = 10**12) -> str:
+    """Chained-CTE unroll of the fixed-point-integer PageRank
+    (ops/graph.pagerank): every step is BIGINT arithmetic, so the
+    unrolled SQL is bit-identical to the Spark fixpoint loop."""
+    d, t = damping_pct, 100 - damping_pct
+    ctes = [
+        _ENTITY_EDGES_SQL,
+        """nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        )""",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1)",
+        f"""params AS (
+          SELECT CAST({scale} // count(*) AS BIGINT) AS base,
+                 CAST(({t} * ({scale} // count(*))) // 100 AS BIGINT)
+                   AS teleport
+          FROM nodes
+        )""",
+        """r0 AS (
+          SELECT node, (SELECT base FROM params) AS rank FROM nodes
+        )""",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""r{k} AS (
+          SELECT n.node,
+                 CAST((SELECT teleport FROM params)
+                      + ({d} * COALESCE(c.inflow, 0)) // 100
+                      AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(r.rank // od.outdeg) AS BIGINT) AS inflow
+            FROM edges e
+            JOIN r{k - 1} r ON e.src = r.node
+            JOIN outdeg od ON e.src = od.src
+            GROUP BY 1
+          ) c ON n.node = c.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank AS rank_scaled FROM r{iterations}"
+        + "\nORDER BY rank DESC, node LIMIT 100"
     )
 
 
@@ -783,6 +849,24 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE sample_rank <= 20
         """,
         "cluster_kmeans": _kmeans_oracle(k=4, iters=2),
+        # integer fixed-point PageRank: the unrolled-CTE oracle is
+        # bit-identical to the Spark fixpoint (all-BIGINT arithmetic)
+        "graph_pagerank": _pagerank_oracle(iterations=6),
+        "graph_degrees": "WITH " + _ENTITY_EDGES_SQL + """,
+            outd AS (SELECT src AS node, count(*) AS d FROM edges
+                     GROUP BY 1),
+            ind AS (SELECT dst AS node, count(*) AS d FROM edges
+                    GROUP BY 1),
+            deg AS (
+              SELECT COALESCE(o.node, i.node) AS node,
+                     CAST(COALESCE(o.d, 0) AS BIGINT) AS out_degree,
+                     CAST(COALESCE(i.d, 0) AS BIGINT) AS in_degree
+              FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+            )
+            SELECT out_degree, in_degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY 1, 2
+        """,
         "dedup_semantic": _semantic_dedup_oracle(k=4, iters=2, thr=0.35),
         # deterministic md5-hash sampling: identical expression in both
         # engines; thresholds are rate_threshold() values (0.1 →

@@ -1,0 +1,172 @@
+"""Graph analytics over the constructed knowledge graph.
+
+The KG pipeline (pipeline/run.py) emits a typed entity graph; a
+downstream consumer ranks entities by structural importance (salience
+for entity-linking priors, crawl scheduling, display ordering) and
+inspects degree shape (hub detection, skew diagnosis before a join).
+These operators take a generic ``edges(src string, dst string)`` frame
+so they run on any edge list — the gate queries build one from the
+TPC-H-shaped tables the same way the KG links rows to entities.
+
+PageRank here is the FIXED-POINT-INTEGER variant: ranks are BIGINT
+micro-units (``scale`` = 1 rank unit) and every step is integer
+arithmetic (``DIV``), so the result is bit-identical regardless of
+execution order, partitioning, or engine — float PageRank sums in
+whatever order the shuffle delivers and drifts in the last ulps,
+which would make a cross-engine hash-exact oracle a coin flip.
+Semantics notes (both deliberate, both deterministic):
+
+- dangling mass is DROPPED, not redistributed: a sink node's rank
+  leaks out of the system each iteration instead of being spread over
+  all nodes. Redistribution needs a global scalar per iteration
+  (another action per round); the dropped-mass variant preserves the
+  same relative ordering for ranking use.
+- per-edge shares use floor division, so up to ``outdeg-1`` units of
+  a node's rank are truncated per iteration — at scale=1e12 that is
+  a relative error ≤ outdeg/1e12 per step.
+
+Scale design (100 TB): the edge list is the big side — it is hash-
+partitioned by ``src`` ONCE and checkpointed (SPARK-22905 preserves
+the partitioning), so each iteration re-shuffles only the ranks frame
+(one row per node). One iteration = join(edges, ranks on src) →
+groupBy(dst) partial-agg sum → left join back to nodes: two shuffles
+of node-cardinality data, zero re-scans of the edge list.
+``localCheckpoint`` per iteration cuts the lineage chain (Catalyst
+has no recursive plans — SURVEY.md §4). The loop runs with AQE off on
+a CLONED session (pipeline/cc.py machinery) so the static
+co-partitioning isn't re-coalesced away and concurrent jobs on the
+caller's session keep AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..pipeline.cc import _clone_session, _rebind
+
+DEFAULT_SCALE = 10**12
+
+
+def _clean_edges(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select("src", "dst")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 6,
+    damping_pct: int = 85,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """edges(src, dst) → (node string, rank_scaled bigint) after
+    ``iterations`` rounds of integer fixed-point PageRank.
+
+    rank⁰ = scale DIV n  for every node;
+    rankᵏ⁺¹(v) = ((100-d)·base) DIV 100
+                 + (d · Σ_{u→v} rankᵏ(u) DIV outdeg(u)) DIV 100.
+
+    Duplicate and null-endpoint edges are dropped (set semantics —
+    a repeated assertion is one link). ``damping_pct`` is an integer
+    percentage so the teleport/damping split stays in ℤ.
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    spark = edges.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = _clean_edges(edges).localCheckpoint(eager=True)
+
+    loop_spark = _clone_session(spark)
+    if loop_spark is not None:
+        loop_spark.conf.set("spark.sql.adaptive.enabled", "false")
+        edges = _rebind(edges, loop_spark)
+        aqe_was = None
+    else:
+        loop_spark = spark
+        aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # static across iterations: partition the edge list (with its
+        # per-src out-degree riding along) by the join key once
+        outdeg = edges.groupBy("src").agg(
+            F.count(F.lit(1)).alias("outdeg")
+        )
+        linked = (
+            edges.join(outdeg, "src")
+            .repartition(n_parts, "src")
+            .localCheckpoint(eager=True)
+        )
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .dropDuplicates(["node"])
+            .repartition(n_parts, "node")
+            .localCheckpoint(eager=True)
+        )
+        n = nodes.count()
+        if n == 0:
+            return spark.createDataFrame(
+                [], "node string, rank_scaled bigint"
+            )
+        base = scale // n
+        teleport = ((100 - damping_pct) * base) // 100
+        ranks = nodes.withColumn(
+            "rank_scaled", F.lit(base).cast("bigint")
+        ).localCheckpoint(eager=True)
+        for _ in range(iterations):
+            contrib = (
+                linked.join(
+                    ranks, linked["src"] == ranks["node"]
+                )
+                .select(
+                    F.col("dst"),
+                    F.expr("rank_scaled DIV outdeg").alias("share"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("share").alias("inflow"))
+            )
+            ranks = (
+                nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + F.expr(
+                            f"({damping_pct} * coalesce(inflow, 0L))"
+                            " DIV 100"
+                        )
+                    ).cast("bigint").alias("rank_scaled"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        if aqe_was is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    if ranks.sparkSession is not spark:
+        ranks = _rebind(ranks, spark)
+    return ranks
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """edges(src, dst) → (node, out_degree, in_degree) over the
+    deduplicated edge set; nodes appearing only on one side report 0
+    on the other. One scan feeds both sides of a full-outer merge on
+    pre-aggregated (node-cardinality) frames — no node×edge join."""
+    edges = _clean_edges(edges)
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )

@@ -6,8 +6,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ops import (
-    ann, cluster, contamination, dedup, events, multimodal, pack, pii,
-    rank, sample, text, web,
+    ann, cluster, contamination, dedup, events, graph, multimodal, pack,
+    pii, rank, sample, text, web,
 )
 from .pipeline import pages as kg_pages_mod
 
@@ -385,6 +385,54 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-1 smoothing (ops/rank.unigram_logprob) — the CCNet-style
     perplexity-proxy quality signal."""
     return rank.unigram_logprob(_docs(spark, sf_dir), alpha=1.0)
+
+
+def _entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed entity graph from the TPC-H-shaped tables — the same
+    row→entity links the KG pipeline emits as triples, as a generic
+    (src, dst) edge list with type-prefixed node ids (o=order,
+    c=customer, s=supplier, p=part, n=nation, r=region)."""
+    def tbl(name):
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    def edge(df, s_pre, s_col, d_pre, d_col):
+        return df.select(
+            F.concat(F.lit(s_pre), F.col(s_col).cast("string"))
+            .alias("src"),
+            F.concat(F.lit(d_pre), F.col(d_col).cast("string"))
+            .alias("dst"),
+        )
+
+    li = tbl("lineitem")
+    return (
+        edge(tbl("orders"), "o", "o_orderkey", "c", "o_custkey")
+        .unionByName(edge(tbl("customer"), "c", "c_custkey",
+                          "n", "c_nationkey"))
+        .unionByName(edge(tbl("supplier"), "s", "s_suppkey",
+                          "n", "s_nationkey"))
+        .unionByName(edge(li, "o", "l_orderkey", "p", "l_partkey"))
+        .unionByName(edge(li, "o", "l_orderkey", "s", "l_suppkey"))
+        .unionByName(edge(tbl("nation"), "n", "n_nationkey",
+                          "r", "n_regionkey"))
+    )
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 entities by 6-iteration fixed-point-integer PageRank
+    (ops/graph.pagerank) over the typed entity graph — entity salience
+    for linking priors. Deterministic tie-break on node id."""
+    pr = graph.pagerank(_entity_edges(spark, sf_dir), iterations=6)
+    return pr.orderBy(F.desc("rank_scaled"), "node").limit(100)
+
+
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint (out_degree, in_degree) histogram of the typed entity
+    graph (ops/graph.degrees) — hub/skew shape at a glance."""
+    return (
+        graph.degrees(_entity_edges(spark, sf_dir))
+        .groupBy("out_degree", "in_degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
 
 
 def curation_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:

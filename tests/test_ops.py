@@ -720,6 +720,65 @@ def test_unigram_nll_matches_hand_computation(spark):
     assert abs(out5[1] - exp1b) < 1e-12
 
 
+def _model_pagerank(edges, iterations, damping_pct=85, scale=10**12):
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = scale // len(nodes)
+    teleport = ((100 - damping_pct) * base) // 100
+    rank = {n: base for n in nodes}
+    for _ in range(iterations):
+        inflow = {n: 0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // outdeg[s]
+        rank = {n: teleport + (damping_pct * inflow[n]) // 100
+                for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_integer_model(spark):
+    from shacl_rust_spark.ops import graph
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+             ("d", "c"),            # d is teleport-only (no in-edges)
+             ("c", "e")]            # e is a sink (dangling)
+    e = spark.createDataFrame(edges + [("a", "b")],  # dup collapses
+                              ["src", "dst"])
+    out = {r.node: r.rank_scaled
+           for r in graph.pagerank(e, iterations=4).collect()}
+    assert out == _model_pagerank(edges, 4)
+    # sink's outflow is dropped: total mass strictly decreases
+    assert sum(out.values()) < 10**12
+
+
+def test_pagerank_null_edges_and_empty(spark):
+    from shacl_rust_spark.ops import graph
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", None), (None, "b")], ["src", "dst"])
+    out = {r.node: r.rank_scaled
+           for r in graph.pagerank(e, iterations=2).collect()}
+    assert out == _model_pagerank([("a", "b")], 2)
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert graph.pagerank(empty, iterations=2).count() == 0
+    import pytest
+    with pytest.raises(ValueError):
+        graph.pagerank(e, damping_pct=101)
+
+
+def test_degrees_hand_case(spark):
+    from shacl_rust_spark.ops import graph
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "b"), ("a", None)],
+        ["src", "dst"])
+    out = {r.node: (r.out_degree, r.in_degree)
+           for r in graph.degrees(e).collect()}
+    assert out == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+
+
 def test_stratified_sample_exact_and_stable(spark):
     import hashlib
     from shacl_rust_spark.ops import sample as smp
