@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_tfidf": O.rank_tfidf,
         "rank_bm25": O.rank_bm25,
         "text_unigram_nll": O.text_unigram_nll,
+        "rank_dsir": O.rank_dsir,
+        "text_bpe_pairs": O.text_bpe_pairs,
         "cluster_kmeans": O.cluster_kmeans,
         "graph_pagerank": O.graph_pagerank,
         "graph_degrees": O.graph_degrees,
@@ -833,6 +835,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
                    -sum(lp) / sum(tf) AS nll
             FROM per GROUP BY 1
+        """,
+        # DSIR importance weights: string md5-prefix buckets (no int
+        # conversion), integer counts in, closed-form floats out
+        "rank_dsir": r"""
+            WITH wa AS (
+              SELECT doc_id, lang,
+                     string_split_regex(trim(text), ' +') AS l
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, lang, feat FROM (
+                SELECT doc_id, lang, unnest(l) AS feat FROM wa
+              ) WHERE feat <> ''
+              UNION ALL
+              SELECT doc_id, lang,
+                     unnest(list_transform(
+                       generate_series(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i + 1])) AS feat
+              FROM wa
+            ),
+            fb AS (
+              SELECT doc_id, lang = 'en' AS is_t,
+                     substr(md5(feat), 1, 3) AS bucket
+              FROM feats
+            ),
+            pd AS (
+              SELECT doc_id, is_t, bucket, count(*) AS n
+              FROM fb GROUP BY 1, 2, 3
+            ),
+            raw AS (
+              SELECT bucket, CAST(sum(n) AS BIGINT) AS r
+              FROM pd GROUP BY 1
+            ),
+            tgt AS (
+              SELECT bucket, CAST(sum(n) AS BIGINT) AS t
+              FROM pd WHERE is_t GROUP BY 1
+            ),
+            tot AS (
+              SELECT CAST(sum(n) AS DOUBLE) AS r_total,
+                     CAST(sum(CASE WHEN is_t THEN n ELSE 0 END)
+                          AS DOUBLE) AS t_total
+              FROM pd
+            ),
+            lr AS (
+              SELECT raw.bucket,
+                     ln((COALESCE(tgt.t, 0) + 1.0)
+                        / (tot.t_total + 4096.0))
+                   - ln((raw.r + 1.0) / (tot.r_total + 4096.0)) AS lr
+              FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+            )
+            SELECT pd.doc_id, CAST(sum(pd.n) AS BIGINT) AS n_features,
+                   sum(pd.n * lr.lr) / sum(pd.n) AS logweight
+            FROM pd JOIN lr USING (bucket) GROUP BY 1
+        """,
+        # BPE merge-step pair counts over the vocabulary, word-weighted
+        "text_bpe_pairs": r"""
+            WITH w AS (
+              SELECT unnest(string_split_regex(trim(text), ' +'))
+                       AS word
+              FROM documents
+            ),
+            v AS (
+              SELECT word, count(*) AS wc FROM w
+              WHERE word <> '' GROUP BY 1
+            ),
+            p AS (
+              SELECT wc,
+                     unnest(list_transform(
+                       generate_series(1, length(word) - 1),
+                       i -> substr(word, i, 2))) AS pair
+              FROM v WHERE length(word) >= 2
+            )
+            SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+            FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 50
         """,
         # exact per-stratum top-n by sampling hash — the oracle states
         # the semantics as ONE direct window; the engine's two-phase

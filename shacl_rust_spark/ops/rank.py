@@ -129,6 +129,103 @@ def bm25_scores(
     )
 
 
+def hashed_ngram_importance(
+    docs: DataFrame,
+    is_target,
+    prefix_len: int = 3,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log importance ratio between a TARGET distribution (the
+    in-domain slice selected by the boolean Column ``is_target``) and
+    the RAW corpus distribution, both estimated over hashed n-gram
+    features. High-scoring documents look like the target domain;
+    resampling by this weight skews a 100 TB crawl toward it.
+
+    Features are word unigrams + bigrams hashed into 16**prefix_len
+    buckets by md5-hex prefix — a STRING bucket key, so Spark and the
+    DuckDB oracle agree byte-for-byte with no integer-conversion
+    divergence (same device as ops/sample's threshold sampling).
+    Bucket log-ratios use add-alpha smoothing:
+    lr(b) = ln((t_b+α)/(T+αB)) − ln((r_b+α)/(R+αB)).
+    Output: (doc_id, n_features, logweight) with logweight the
+    feature-count-weighted mean of lr over the doc's buckets;
+    documents with no tokens are omitted.
+
+    Scale design: ONE explode scan produces the feature stream; both
+    distributions are groupBys onto ≤B=16^prefix_len rows, so the
+    lr table is broadcast back — the corpus is never shuffled on a
+    wide key. All count inputs are exact integers → the float scores
+    are engine-identical closed forms (cf. unigram_logprob)."""
+    buckets = 16 ** prefix_len
+    w = word_array()
+    base = docs.select(
+        "doc_id", is_target.alias("_t"), w.alias("_w")
+    )
+    feats = base.select(
+        "doc_id",
+        "_t",
+        F.explode(
+            F.concat(
+                F.expr("filter(_w, x -> x <> '')"),
+                F.expr(
+                    "CASE WHEN size(_w) >= 2 THEN "
+                    "transform(sequence(1, size(_w) - 1), "
+                    " i -> concat(element_at(_w, i), ' ', "
+                    "             element_at(_w, i + 1))) "
+                    "ELSE cast(array() AS array<string>) END"
+                ),
+            )
+        ).alias("feat"),
+    )
+    fb = feats.select(
+        "doc_id", "_t",
+        F.substring(F.md5("feat"), 1, prefix_len).alias("bucket"),
+    )
+    # collapse the feature stream to (doc, bucket) granularity FIRST
+    # (one explode scan, one shuffle); everything else — raw counts,
+    # target counts, totals, per-doc scoring — derives from this much
+    # smaller frame, checkpointed so the explode runs exactly once
+    per_doc = (
+        fb.groupBy("doc_id", "_t", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    raw = per_doc.groupBy("bucket").agg(F.sum("n").alias("r"))
+    tgt = (
+        per_doc.where(F.col("_t"))
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("t"))
+    )
+    totals = per_doc.agg(F.sum("n")).collect()[0][0] or 0
+    t_total = (
+        per_doc.where(F.col("_t")).agg(F.sum("n")).collect()[0][0] or 0
+    )
+    lr = raw.join(tgt, "bucket", "left").select(
+        "bucket",
+        (
+            F.log(
+                (F.coalesce(F.col("t"), F.lit(0)) + F.lit(alpha))
+                / F.lit(float(t_total) + alpha * buckets)
+            )
+            - F.log(
+                (F.col("r") + F.lit(alpha))
+                / F.lit(float(totals) + alpha * buckets)
+            )
+        ).alias("lr"),
+    )
+    return (
+        per_doc.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_features"),
+            (F.sum(F.col("n") * F.col("lr")) / F.sum("n"))
+            .alias("logweight"),
+        )
+    )
+
+
 def unigram_logprob(docs: DataFrame, alpha: float = 1.0) -> DataFrame:
     """Per-document mean negative log-probability under a corpus-level
     unigram LM with add-alpha smoothing — the CCNet-style

@@ -223,3 +223,42 @@ def vocabulary(docs: DataFrame, min_docs: int = 2) -> DataFrame:
         .where(F.col("n_docs") >= min_docs)
         .select(F.col("_w").alias("word"), "n_occurrences", "n_docs")
     )
+
+
+def bpe_pair_counts(docs: DataFrame, top_k: int = 50) -> DataFrame:
+    """(pair, n): the ``top_k`` most frequent adjacent character pairs
+    across the corpus, weighted by word frequency — the count step of
+    one BPE merge iteration (Sennrich et al. 2016). The returned
+    argmax pair is what a BPE trainer would merge first.
+
+    The BPE trick makes this corpus-size-independent after one scan:
+    pair frequencies are Σ over the VOCABULARY of
+    word_count × (pair occurrences in word), so the explode over
+    character positions runs on the vocabulary table (distinct words),
+    not on the 100 TB corpus. Pairs are within-word only (standard
+    BPE pre-tokenizes at whitespace; no cross-word merges). Counts are
+    integers → engine-exact; ties break on the pair string so the
+    top-k cut is deterministic."""
+    w = word_array()
+    vocab = (
+        docs.select(F.explode(w).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .where(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(top_k)
+    )

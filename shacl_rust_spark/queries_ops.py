@@ -380,6 +380,23 @@ def rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rank_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (ops/rank.hashed_ngram_importance)
+    against the English slice as the target domain: documents that
+    look like lang='en' text score high; resample by logweight to
+    skew the corpus toward the target."""
+    return rank.hashed_ngram_importance(
+        _docs(spark, sf_dir), is_target=F.col("lang") == "en"
+    )
+
+
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent character pairs weighted by word frequency
+    (ops/text.bpe_pair_counts) — the count step of the first BPE
+    merge over the corpus vocabulary."""
+    return text.bpe_pair_counts(_docs(spark, sf_dir), top_k=50)
+
+
 def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean negative log-prob under the corpus unigram LM with
     add-1 smoothing (ops/rank.unigram_logprob) — the CCNet-style

@@ -720,6 +720,72 @@ def test_unigram_nll_matches_hand_computation(spark):
     assert abs(out5[1] - exp1b) < 1e-12
 
 
+def test_dsir_importance_hand_case(spark):
+    import hashlib
+    import math
+    from shacl_rust_spark.ops import rank
+
+    docs = [
+        (1, "t", "the cat sat"),
+        (2, "t", "the dog"),
+        (3, "r", "ein hund lief"),
+        (4, "r", "the cat"),
+        (5, "r", "   "),      # no tokens -> omitted
+    ]
+    d = _docs(spark, docs)
+    out = {r.doc_id: (r.n_features, r.logweight)
+           for r in rank.hashed_ngram_importance(
+               d, is_target=F.col("source") == "t").collect()}
+    assert set(out) == {1, 2, 3, 4}
+
+    # python model: unigrams + bigrams, md5-prefix(3) buckets
+    def feats(text):
+        ws = [w for w in text.strip().split() if w]
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(f):
+        return hashlib.md5(f.encode()).hexdigest()[:3]
+
+    raw, tgt = {}, {}
+    per = {}
+    for doc_id, src, text in docs:
+        for f in feats(text):
+            b = bucket(f)
+            raw[b] = raw.get(b, 0) + 1
+            if src == "t":
+                tgt[b] = tgt.get(b, 0) + 1
+            per.setdefault(doc_id, {})
+            per[doc_id][b] = per[doc_id].get(b, 0) + 1
+    R, T, B = sum(raw.values()), sum(tgt.values()), 4096
+    for doc_id, bs in per.items():
+        if not bs:
+            continue
+        n = sum(bs.values())
+        lw = sum(
+            c * (math.log((tgt.get(b, 0) + 1) / (T + B))
+                 - math.log((raw[b] + 1) / (R + B)))
+            for b, c in bs.items()
+        ) / n
+        assert out[doc_id][0] == n
+        assert abs(out[doc_id][1] - lw) < 1e-9
+    # target-looking docs score higher than the off-domain one
+    assert out[1][1] > out[3][1] and out[2][1] > out[3][1]
+
+
+def test_bpe_pair_counts_hand_case(spark):
+    from shacl_rust_spark.ops import text as text_ops
+
+    d = _docs(spark, [
+        (1, "s", "abab ab"),
+        (2, "s", "abab x"),     # 1-char word contributes no pair
+    ])
+    out = [(r.pair, r.n) for r in
+           text_ops.bpe_pair_counts(d, top_k=3).collect()]
+    # vocab: abab×2 (pairs ab,ba,ab), ab×1 (ab), x×1 (none)
+    # ab: 2*2 + 1 = 5 ; ba: 2*1 = 2
+    assert out == [("ab", 5), ("ba", 2)]
+
+
 def _model_pagerank(edges, iterations, damping_pct=85, scale=10**12):
     edges = sorted(set(edges))
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
