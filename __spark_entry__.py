@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": O.graph_pagerank,
         "graph_degrees": O.graph_degrees,
         "dedup_semantic": O.dedup_semantic,
+        "curation_weighted": O.curation_weighted,
+        "sketch_distinct_words": O.sketch_distinct_words,
         "curation_stratified": O.curation_stratified,
         "curation_sample": O.curation_sample,
         "curation_mix": O.curation_mix,
@@ -332,6 +334,63 @@ def _pagerank_oracle(iterations: int = 6, damping_pct: int = 85,
         + f"\nSELECT node, rank AS rank_scaled FROM r{iterations}"
         + "\nORDER BY rank DESC, node LIMIT 100"
     )
+
+
+def _hll_oracle() -> str:
+    """Per-lang deterministic-HLL distinct-word estimate + exact count
+    (ops/sketch.hll_distinct): same md5 registers, same integer-scaled
+    harmonic sum, same single float division."""
+    from shacl_rust_spark.ops.sketch import scaled_alpha
+
+    return f"""
+        WITH w2 AS (
+          SELECT lang, word FROM (
+            SELECT lang,
+                   unnest(string_split_regex(trim(text), ' +')) AS word
+            FROM documents
+          ) WHERE word <> ''
+        ),
+        r AS (
+          SELECT lang, substr(md5(word), 1, 3) AS bucket,
+                 CASE WHEN v = 0 THEN 61
+                      ELSE 61 - length(bin(v)) END AS rho
+          FROM (
+            SELECT lang, word,
+                   ('0x' || substr(md5(word), 4, 15))::BIGINT AS v
+            FROM w2
+          )
+        ),
+        regs AS (
+          SELECT lang, bucket, max(rho) AS m FROM r GROUP BY 1, 2
+        ),
+        pg AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_registers_used,
+                 CAST(sum(CASE WHEN m <= 50
+                               THEN (1::BIGINT << (50 - m))
+                               ELSE 0 END) AS BIGINT) AS s_used
+          FROM regs GROUP BY 1
+        ),
+        ex AS (
+          SELECT lang, CAST(count(DISTINCT word) AS BIGINT)
+                         AS exact_distinct
+          FROM w2 GROUP BY 1
+        ),
+        est AS (
+          SELECT lang, n_registers_used,
+                 {scaled_alpha()!r}
+                   / (s_used
+                      + (4096 - n_registers_used) * (1::BIGINT << 50))
+                   AS raw,
+                 4096 - n_registers_used AS empty
+          FROM pg
+        )
+        SELECT est.lang, est.n_registers_used,
+               CASE WHEN est.raw <= {2.5 * 4096!r} AND est.empty > 0
+                    THEN 4096.0 * ln(4096.0 / est.empty)
+                    ELSE est.raw END AS est_distinct,
+               ex.exact_distinct
+        FROM est JOIN ex USING (lang)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -909,6 +968,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pair, CAST(sum(wc) AS BIGINT) AS n
             FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 50
+        """,
+        # deterministic HLL: identical register table on both engines
+        # (md5 buckets + bin() leading-zeros), harmonic sum in EXACT
+        # integer arithmetic, one final division of agreed numbers
+        "sketch_distinct_words": _hll_oracle(),
+        # Efraimidis–Spirakis weighted sample: the oracle states the
+        # semantics as ONE direct window over the exponential keys;
+        # the engine's two-phase shard windows must pick the same rows
+        "curation_weighted": r"""
+            WITH keyed AS (
+              SELECT doc_id, n_chars,
+                     -ln((('0x' || substr(md5('ws' ||
+                              CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                           + 1) / 281474976710657.0)
+                       / CAST(n_chars AS DOUBLE) AS e
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, n_chars,
+                   CAST(ROW_NUMBER() OVER (ORDER BY e, doc_id)
+                        AS INTEGER) AS sample_rank
+            FROM keyed
+            QUALIFY sample_rank <= 100
         """,
         # exact per-stratum top-n by sampling hash — the oracle states
         # the semantics as ONE direct window; the engine's two-phase

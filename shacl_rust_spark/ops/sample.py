@@ -76,6 +76,62 @@ def mix_sources(
     return df.where(sample_hash(F.col(key_col), salt) < thr)
 
 
+_HEX12_SPAN = 16 ** 12  # 48 bits — exact in a double
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+    key_col: str = "doc_id",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): row i is kept with probability proportional
+    to its weight, by taking the k smallest exponential keys
+    eᵢ = −ln(uᵢ)/wᵢ with uᵢ a deterministic uniform from the md5 hash
+    of (salt, key). "Sample 100k docs biased by quality score" is this
+    primitive; the salt draws an independent sample.
+
+    Determinism: uᵢ = (hex12(md5)+1)/(16¹²+1) — a 48-bit integer, so
+    the double is exact, and eᵢ is the same IEEE closed form on any
+    engine/partitioning (the DuckDB oracle computes the identical
+    expression via the '0x'-cast). Ties break on the key. Rows with
+    weight ≤ 0 or NULL are never selected (P→0 in the limit; they are
+    filtered, documented). Same two-phase sharded top-k as
+    stratified_sample, so no single task ever sorts the full corpus.
+    """
+    from pyspark.sql import Window
+
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+            1, 12,
+        ),
+        16, 10,
+    ).cast("bigint")
+    u = (v + F.lit(1)).cast("double") / F.lit(float(_HEX12_SPAN + 1))
+    e = -F.log(u) / F.col(weight_col).cast("double")
+    shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salts))
+    local = Window.partitionBy("_shard").orderBy(
+        F.asc("_e"), F.asc(key_col)
+    )
+    glob = Window.partitionBy().orderBy(F.asc("_e"), F.asc(key_col))
+    return (
+        df.where(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .withColumn("_e", e)
+        .withColumn("_shard", shard)
+        .withColumn("_lr", F.row_number().over(local))
+        .where(F.col("_lr") <= k)
+        .withColumn("sample_rank", F.row_number().over(glob))
+        .where(F.col("sample_rank") <= k)
+        .drop("_e", "_shard", "_lr")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     n_per_stratum: int,

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from .ops import (
     ann, cluster, contamination, dedup, events, graph, multimodal, pack,
-    pii, rank, sample, text, web,
+    pii, rank, sample, sketch, text, web,
 )
 from .pipeline import pages as kg_pages_mod
 
@@ -450,6 +450,35 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("out_degree", "in_degree")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+def sketch_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-word cardinality: deterministic HLL
+    estimate (ops/sketch.hll_distinct, 4096 md5-bucketed registers)
+    side-by-side with the exact count — the estimate lands within the
+    sketch's ~1.6 % standard error, and both engines compute the
+    identical register table."""
+    from .ops.text import word_array
+
+    words = (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(word_array()).alias("word"))
+        .where(F.col("word") != "")
+    )
+    est = sketch.hll_distinct(words, F.col("word"), group_cols=("lang",))
+    exact = words.groupBy("lang").agg(
+        F.count_distinct("word").alias("exact_distinct")
+    )
+    return est.join(exact, "lang")
+
+
+def curation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 100 docs sampled WITHOUT replacement with probability ∝
+    n_chars (ops/sample.weighted_sample, Efraimidis–Spirakis keys) —
+    'sample biased toward longer documents', engine/rerun-stable."""
+    return sample.weighted_sample(
+        _docs(spark, sf_dir), weight_col="n_chars", k=100
+    ).select("doc_id", "n_chars", "sample_rank")
 
 
 def curation_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -720,6 +720,83 @@ def test_unigram_nll_matches_hand_computation(spark):
     assert abs(out5[1] - exp1b) < 1e-12
 
 
+def _model_hll(keys):
+    import hashlib
+    import math
+    regs = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        b, v = h[:3], int(h[3:18], 16)
+        rho = 61 if v == 0 else 61 - v.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    m = 4096
+    s = sum((1 << (50 - r)) if r <= 50 else 0 for r in regs.values())
+    s += (m - len(regs)) * (1 << 50)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m * float(2**50) / s
+    empty = m - len(regs)
+    if raw <= 2.5 * m and empty > 0:
+        return len(regs), 4096.0 * math.log(4096.0 / empty)
+    return len(regs), raw
+
+
+def test_hll_matches_register_model_exactly(spark):
+    from shacl_rust_spark.ops import sketch
+
+    keys = [f"k{i}" for i in range(200)] + ["k0", None]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    row = sketch.hll_distinct(df, F.col("key")).collect()[0]
+    n_used, est = _model_hll(k for k in keys if k is not None)
+    assert row.n_registers_used == n_used
+    assert row.est_distinct == est  # bit-identical, not approximate
+
+
+def test_hll_accuracy_at_20k(spark):
+    from shacl_rust_spark.ops import sketch
+
+    df = spark.range(20000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("key"),
+        (F.col("id") % 2).alias("g"),
+    )
+    # global: raw-HLL branch (est > 2.5m); within 5% of the truth
+    row = sketch.hll_distinct(df, F.col("key")).collect()[0]
+    assert abs(row.est_distinct - 20000) / 20000 < 0.05
+    # grouped: two groups of 10k, each within 5%
+    for r in sketch.hll_distinct(df, F.col("key"),
+                                 group_cols=("g",)).collect():
+        assert abs(r.est_distinct - 10000) / 10000 < 0.05
+
+
+def test_weighted_sample_matches_es_model(spark):
+    import hashlib
+    import math
+    from shacl_rust_spark.ops import sample
+
+    rows = [(i, "s", "x" * (i % 7 + 1)) for i in range(1, 61)]
+    d = _docs(spark, rows).withColumn("w", F.length("text"))
+    # zero/null weights never selected
+    d = d.unionByName(
+        _docs(spark, [(100, "s", ""), (101, "s", "")])
+        .withColumn("w", F.when(F.col("doc_id") == 100, 0)
+                    .otherwise(F.lit(None).cast("int")))
+    )
+    out = [(r.doc_id, r.sample_rank)
+           for r in sample.weighted_sample(d, "w", k=10, salt="ws")
+           .select("doc_id", "sample_rank").collect()]
+
+    def e_key(doc_id, w):
+        v = int(hashlib.md5(f"ws{doc_id}".encode()).hexdigest()[:12], 16)
+        return -math.log((v + 1) / (16**12 + 1)) / w
+
+    model = sorted(
+        ((e_key(i, i % 7 + 1), i) for i, _, _ in rows)
+    )[:10]
+    assert sorted(out, key=lambda t: t[1]) == [
+        (i, r + 1) for r, (_, i) in enumerate(model)
+    ]
+    assert all(i < 100 for i, _ in out)
+
+
 def test_dsir_importance_hand_case(spark):
     import hashlib
     import math
