@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_tfidf": O.rank_tfidf,
         "rank_bm25": O.rank_bm25,
         "text_unigram_nll": O.text_unigram_nll,
+        "text_bigram_nll": O.text_bigram_nll,
         "rank_dsir": O.rank_dsir,
         "text_bpe_pairs": O.text_bpe_pairs,
         "cluster_kmeans": O.cluster_kmeans,
@@ -57,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": O.graph_degrees,
         "dedup_semantic": O.dedup_semantic,
         "curation_weighted": O.curation_weighted,
+        "curation_normalize": O.curation_normalize,
         "sketch_distinct_words": O.sketch_distinct_words,
         "curation_stratified": O.curation_stratified,
         "curation_sample": O.curation_sample,
@@ -895,6 +897,53 @@ def oracle_sql() -> dict[str, str]:
                    -sum(lp) / sum(tf) AS nll
             FROM per GROUP BY 1
         """,
+        # corpus bigram LM, add-1 over (V+1) with V = unigram vocab;
+        # heads derive from the LM table by splitting on the space
+        "text_bigram_nll": r"""
+            WITH wa AS (
+              SELECT doc_id, string_split_regex(trim(text), ' +') AS l
+              FROM documents
+            ),
+            bgs AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i + 1])) AS bg
+              FROM wa
+            ),
+            tf AS (
+              SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
+              FROM bgs GROUP BY 1, 2
+            ),
+            lm AS (
+              SELECT bg, CAST(sum(tf) AS BIGINT) AS cnt
+              FROM tf GROUP BY 1
+            ),
+            heads AS (
+              SELECT split_part(bg, ' ', 1) AS w1,
+                     CAST(sum(cnt) AS BIGINT) AS head_cnt
+              FROM lm GROUP BY 1
+            ),
+            voc AS (
+              SELECT CAST(count(DISTINCT u) AS DOUBLE) AS v FROM (
+                SELECT unnest(string_split_regex(trim(text), ' +')) AS u
+                FROM documents
+              ) WHERE u <> ''
+            ),
+            per AS (
+              SELECT tf.doc_id, tf.tf,
+                     tf.tf * ln((lm.cnt + 1.0)
+                                / (heads.head_cnt
+                                   + 1.0 * (voc.v + 1.0))) AS lp
+              FROM tf
+              JOIN lm USING (bg)
+              JOIN heads ON split_part(tf.bg, ' ', 1) = heads.w1
+              CROSS JOIN voc
+            )
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                   -sum(lp) / sum(tf) AS nll
+            FROM per GROUP BY 1
+        """,
         # DSIR importance weights: string md5-prefix buckets (no int
         # conversion), integer counts in, closed-form floats out
         "rank_dsir": r"""
@@ -968,6 +1017,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pair, CAST(sum(wc) AS BIGINT) AS n
             FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 50
+        """,
+        # canonical text cleaning; regexp semantics shared (\s, hex
+        # classes), boolean pre-cast to int for the hash compare
+        "curation_normalize": r"""
+            WITH n AS (
+              SELECT doc_id, text,
+                     lower(trim(regexp_replace(regexp_replace(
+                       text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                       '\s+', ' ', 'g'))) AS text_norm
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(text_norm) AS INTEGER) AS n_chars_norm,
+                   CAST(text_norm <> text AS INTEGER) AS changed,
+                   substr(text_norm, 1, 32) AS norm_prefix
+            FROM n
         """,
         # deterministic HLL: identical register table on both engines
         # (md5 buckets + bin() leading-zeros), harmonic sum in EXACT

@@ -129,6 +129,72 @@ def bm25_scores(
     )
 
 
+def bigram_logprob(docs: DataFrame, alpha: float = 1.0) -> DataFrame:
+    """Per-document mean negative log-probability under a corpus-level
+    BIGRAM LM with add-alpha smoothing — the sharper sibling of
+    unigram_logprob (KenLM-style filtering uses n-gram context; the
+    bigram model already separates shuffled-word gibberish from
+    natural order, which no unigram score can).
+
+    p(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁·) + α·(V+1)) with c(w₁·) the
+    count of bigrams headed by w₁ and V the unigram vocabulary size
+    (the +1 is the unseen-word slot). Output: (doc_id, n_bigrams, nll)
+    with nll = −Σ tf·ln p / Σ tf; documents with fewer than two tokens
+    are omitted (no bigram to score).
+
+    Scale design: the bigram-count table is n-gram-vocabulary-sized —
+    big at 100 TB but ≪ corpus — and joins the per-doc tf stream on
+    the bigram key (Catalyst broadcasts when it fits, sort-merges
+    when not; either way the corpus shuffles once, on the bigram).
+    Head totals derive from the LM table itself (split on the first
+    space — tokens cannot contain spaces by construction), not from a
+    second corpus scan. All count inputs are exact integers → the
+    floats are engine-identical closed forms."""
+    w = word_array()
+    base = docs.select("doc_id", w.alias("_w"))
+    bgs = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_w) >= 2 THEN "
+                "transform(sequence(1, size(_w) - 1), "
+                " i -> concat(element_at(_w, i), ' ', "
+                "             element_at(_w, i + 1))) "
+                "ELSE cast(array() AS array<string>) END"
+            )
+        ).alias("bg"),
+    )
+    tf = bgs.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf"))
+    lm = tf.groupBy("bg").agg(F.sum("tf").alias("cnt"))
+    heads = (
+        lm.groupBy(F.substring_index("bg", " ", 1).alias("_w1"))
+        .agg(F.sum("cnt").alias("head_cnt"))
+    )
+    v = (
+        docs.select(F.explode(w).alias("_u"))
+        .where(F.col("_u") != "")
+        .agg(F.count_distinct("_u"))
+        .collect()[0][0]
+    )
+    denom = F.col("head_cnt").cast("double") + F.lit(alpha * (v + 1))
+    scored = (
+        tf.join(lm, "bg")
+        .join(heads, F.substring_index(tf["bg"], " ", 1) == heads["_w1"])
+        .select(
+            "doc_id",
+            "tf",
+            (
+                F.col("tf")
+                * F.log((F.col("cnt") + F.lit(alpha)) / denom)
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        (-F.sum("_lp") / F.sum("tf")).alias("nll"),
+    )
+
+
 def hashed_ngram_importance(
     docs: DataFrame,
     is_target,

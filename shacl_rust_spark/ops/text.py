@@ -225,6 +225,34 @@ def vocabulary(docs: DataFrame, min_docs: int = 2) -> DataFrame:
     )
 
 
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonical text cleaning, the first stage of every training-data
+    recipe (C4/Gopher pipelines normalize before dedup so that
+    whitespace/case variants hash identically): control characters
+    → space, whitespace runs collapsed to one space, trimmed,
+    lower-cased. Adds (text_norm, n_chars_norm, changed) to the input
+    frame — pure Column regexes, zero shuffles, one scan, fully
+    pushdown-friendly. Unicode note: lower() is the engine's default
+    casefold; for the ASCII-dominant web corpus this matches the
+    DuckDB oracle exactly (both are utf8-aware defaults, neither does
+    locale-specific Turkish-I folding)."""
+    cleaned = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("text"), r"[\x00-\x1f\x7f]", " "
+                ),
+                r"\s+", " ",
+            )
+        )
+    )
+    return docs.withColumn("text_norm", cleaned).withColumn(
+        "n_chars_norm", F.length("text_norm")
+    ).withColumn(
+        "changed", (F.col("text_norm") != F.col("text")).cast("int")
+    )
+
+
 def bpe_pair_counts(docs: DataFrame, top_k: int = 50) -> DataFrame:
     """(pair, n): the ``top_k`` most frequent adjacent character pairs
     across the corpus, weighted by word frequency — the count step of

@@ -481,6 +481,25 @@ def curation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars", "sample_rank")
 
 
+def curation_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning stage (ops/text.normalize_text): per doc the
+    normalized length, change flag, and a 32-char preview of the
+    canonical form."""
+    return text.normalize_text(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_chars_norm",
+        "changed",
+        F.substring("text_norm", 1, 32).alias("norm_prefix"),
+    )
+
+
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean negative log-prob under the corpus bigram LM with
+    add-1 smoothing (ops/rank.bigram_logprob) — context-aware quality
+    signal; shuffled-word docs score far from natural ones."""
+    return rank.bigram_logprob(_docs(spark, sf_dir), alpha=1.0)
+
+
 def curation_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 20 docs per language (ops/sample.stratified_sample):
     the 20 smallest sampling hashes per stratum via the skew-safe

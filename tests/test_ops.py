@@ -922,6 +922,42 @@ def test_degrees_hand_case(spark):
     assert out == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
 
 
+def test_bigram_nll_matches_hand_computation(spark):
+    import math
+    from shacl_rust_spark.ops import rank
+
+    d = _docs(spark, [
+        (1, "s", "a b a b"),
+        (2, "s", "b c"),
+        (3, "s", "a"),     # single token -> omitted
+    ])
+    out = {r.doc_id: (r.n_bigrams, r.nll)
+           for r in rank.bigram_logprob(d, alpha=1.0).collect()}
+    # bigrams: doc1 {a b:2, b a:1}, doc2 {b c:1}
+    # heads: a->2 ('a b'×2), b->2 ('b a' + 'b c'); V = |{a,b,c}| = 3
+    def p(cnt, head):
+        return (cnt + 1.0) / (head + 1.0 * 4)
+    assert set(out) == {1, 2}
+    assert out[1][0] == 3
+    exp1 = -(2 * math.log(p(2, 2)) + math.log(p(1, 2))) / 3
+    assert abs(out[1][1] - exp1) < 1e-12
+    assert out[2][0] == 1
+    assert abs(out[2][1] - (-math.log(p(1, 2)))) < 1e-12
+
+
+def test_normalize_text_hand_cases(spark):
+    from shacl_rust_spark.ops import text as text_ops
+
+    d = _docs(spark, [
+        (1, "s", "  Hello\tWORLD \x01ok  "),
+        (2, "s", "already clean"),
+    ])
+    out = {r.doc_id: (r.text_norm, r.n_chars_norm, r.changed)
+           for r in text_ops.normalize_text(d).collect()}
+    assert out[1] == ("hello world ok", 14, 1)
+    assert out[2] == ("already clean", 13, 0)
+
+
 def test_stratified_sample_exact_and_stable(spark):
     import hashlib
     from shacl_rust_spark.ops import sample as smp
