@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_stats": K.kg_link_stats,
         "kg_connected_components": K.kg_connected_components,
         "kg_validated_triples": K.kg_validated_triples,
+        "kg_entity_salience": K.kg_entity_salience,
         "kg_triple_counts": K.kg_triple_counts,
         "kg_ingest_stream": K.kg_ingest_stream,
         "shacl_min_count": Q.shacl_min_count,
@@ -295,13 +296,18 @@ _ENTITY_EDGES_SQL = """
 
 
 def _pagerank_oracle(iterations: int = 6, damping_pct: int = 85,
-                     scale: int = 10**12) -> str:
+                     scale: int = 10**12,
+                     edges_cte: str | None = None,
+                     prefix: str = "") -> str:
     """Chained-CTE unroll of the fixed-point-integer PageRank
     (ops/graph.pagerank): every step is BIGINT arithmetic, so the
-    unrolled SQL is bit-identical to the Spark fixpoint loop."""
+    unrolled SQL is bit-identical to the Spark fixpoint loop.
+    ``edges_cte`` is the ``edges AS (...)`` definition (defaults to the
+    typed TPC-H entity graph); ``prefix`` is an existing WITH chain
+    (e.g. _KG_CTE) the edges definition references."""
     d, t = damping_pct, 100 - damping_pct
     ctes = [
-        _ENTITY_EDGES_SQL,
+        edges_cte if edges_cte is not None else _ENTITY_EDGES_SQL,
         """nodes AS (
           SELECT src AS node FROM edges UNION SELECT dst FROM edges
         )""",
@@ -331,8 +337,9 @@ def _pagerank_oracle(iterations: int = 6, damping_pct: int = 85,
             GROUP BY 1
           ) c ON n.node = c.node
         )""")
+    head = prefix.rstrip() + "," if prefix else "WITH"
     return (
-        "WITH " + ",\n".join(ctes)
+        head + "\n" + ",\n".join(ctes)
         + f"\nSELECT node, rank AS rank_scaled FROM r{iterations}"
         + "\nORDER BY rank DESC, node LIMIT 100"
     )
@@ -1568,6 +1575,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT '{EX}order/' || o, '{EX}placedBy', canon.subj
             FROM osurf JOIN canon ON canon.k = osurf.k
         """,
+        # PageRank over the validated emission's closed-form golden
+        # set — the same unrolled BIGINT CTEs, edges from _KG_CTE
+        "kg_entity_salience": _pagerank_oracle(
+            iterations=6,
+            prefix=_KG_CTE,
+            edges_cte=f"""edges AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT canon.subj AS src,
+                       '{EX}nation/' || nk AS dst
+                FROM osurf JOIN canon ON canon.k = osurf.k
+                WHERE o % 11 <> 0
+                UNION ALL
+                SELECT '{EX}order/' || o, canon.subj
+                FROM osurf JOIN canon ON canon.k = osurf.k
+              )
+            )""",
+        ),
         "kg_triple_counts": f"""{_KG_CTE}
             SELECT '{EX}locatedIn' AS p,
                    count(DISTINCT (canon.subj, nk)) AS n_triples

@@ -103,6 +103,22 @@ def kg_validated_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "validated", build)
 
 
+def kg_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 entities by PageRank over the VALIDATED emission —
+    structural salience of the constructed KG (linking priors, display
+    ordering). Every validated object is an IRI (sh:nodeKind gated the
+    literal-object candidates), so the triple set IS the edge list.
+    Reuses the memoized validated stage; ops/graph.pagerank is the
+    same fixed-point-integer loop as graph_pagerank."""
+    from .ops import graph
+
+    edges = kg_validated_triples(spark, sf_dir).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    pr = graph.pagerank(edges, iterations=6)
+    return pr.orderBy(F.desc("rank_scaled"), "node").limit(100)
+
+
 def kg_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-predicate lineage counts over the validated emission."""
     return (
