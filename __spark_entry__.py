@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_weighted": O.curation_weighted,
         "curation_normalize": O.curation_normalize,
         "sketch_distinct_words": O.sketch_distinct_words,
+        "pack_sequences": O.pack_sequences,
         "curation_stratified": O.curation_stratified,
         "curation_sample": O.curation_sample,
         "curation_mix": O.curation_mix,
@@ -1273,6 +1274,36 @@ def oracle_sql() -> dict[str, str]:
                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 5000.0
                    ) AS BIGINT) AS shard
             FROM t
+        """,
+        # sequence-packing manifest: oracle = one global window prefix
+        # sum + generate_series over the doc's sequence span
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), ' +')) + 1
+                       AS l
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, l,
+                     CAST(SUM(l) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - l AS BIGINT) AS st
+              FROM t
+            ),
+            ex AS (
+              SELECT doc_id, st, l,
+                     unnest(generate_series(st // 128,
+                                            (st + l - 1) // 128))
+                       AS seq_id
+              FROM s
+            )
+            SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                   CAST(greatest(st, seq_id * 128) - seq_id * 128
+                        AS INTEGER) AS offset_in_seq,
+                   CAST(least(st + l, (seq_id + 1) * 128)
+                        - greatest(st, seq_id * 128)
+                        AS INTEGER) AS n_tokens_in_seq
+            FROM ex
         """,
         "multimodal_sniff": _KG_CTE + """
             SELECT url,

@@ -63,19 +63,35 @@ def assign_shards(
     computing the same prefix sum agrees (the DuckDB oracle uses a
     plain global window; this implementation uses the distributed
     two-phase prefix sum described in the module docstring)."""
+    d = docs.select(
+        "doc_id", F.size(word_array()).alias("n_tokens")
+    )
+    started = _with_global_start(d, "n_tokens", bucket_width)
+    return started.select(
+        "doc_id", "n_tokens",
+        F.floor(F.col("_start") / tokens_per_shard)
+        .cast("long").alias("shard"),
+    )
+
+
+def _with_global_start(
+    d: DataFrame, len_col: str, bucket_width: int
+) -> DataFrame:
+    """Adds ``_start`` = exclusive prefix sum of ``len_col`` in doc_id
+    order — the distributed two-phase prefix sum from the module
+    docstring (per-bucket totals → bounded driver offsets → broadcast
+    back → per-bucket window). ``d`` must have a ``doc_id`` column."""
     from pyspark.sql import Window
 
-    d = docs.select(
-        "doc_id",
-        F.size(word_array()).alias("n_tokens"),
-        (F.col("doc_id") / bucket_width).cast("long").alias("_bucket"),
+    d = d.withColumn(
+        "_bucket", (F.col("doc_id") / bucket_width).cast("long")
     )
     # materialize the per-bucket aggregate once (executor-side), then
     # check the bucket count SPARK-SIDE before collecting — a guard
     # after .collect() cannot prevent the driver blowup it exists to
     # stop, and counting a lazy plan would re-run the corpus scan
     per_bucket = (
-        d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_sum"))
+        d.groupBy("_bucket").agg(F.sum(len_col).alias("_sum"))
         .localCheckpoint(eager=True)
     )
     n_buckets = per_bucket.count()
@@ -99,11 +115,50 @@ def assign_shards(
         Window.partitionBy("_bucket").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start = F.col("_offset") + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    start = (
+        F.col("_offset") + F.sum(len_col).over(w) - F.col(len_col)
+    )
     return (
         d.join(off, "_bucket")
-        .select(
-            "doc_id", "n_tokens",
-            F.floor(start / tokens_per_shard).cast("long").alias("shard"),
-        )
+        .withColumn("_start", start.cast("long"))
+        .drop("_bucket", "_offset")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int = 128, bucket_width: int = 1000
+) -> DataFrame:
+    """GPT-style sequence packing: the corpus is one virtual token
+    stream — each document's whitespace tokens followed by ONE eos
+    token — cut into fixed ``seq_len`` training sequences with no
+    padding; documents cross sequence boundaries. Output is the pack
+    manifest, one row per (sequence, document) overlap:
+    (seq_id, doc_id, offset_in_seq, n_tokens_in_seq) — exactly what a
+    loader needs to materialize sequence ``seq_id`` by slicing the
+    referenced documents. All integers, engine-exact; the DuckDB
+    oracle states the same closed form over a single global window.
+
+    Scale design: the only global coordination is the exclusive prefix
+    sum over doc lengths — the same two-phase bucket machinery as
+    assign_shards (no single-partition window); the per-doc sequence
+    fan-out is a codegen explode over ≤ len/seq_len + 1 elements."""
+    d = docs.select(
+        "doc_id", (F.size(word_array()) + F.lit(1)).alias("_len")
+    )
+    started = _with_global_start(d, "_len", bucket_width)
+    first = F.floor(F.col("_start") / seq_len).cast("long")
+    last = F.floor(
+        (F.col("_start") + F.col("_len") - 1) / seq_len
+    ).cast("long")
+    ex = started.select(
+        "doc_id", "_start", "_len",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * seq_len
+    begin = F.greatest(F.col("_start"), seq_lo)
+    end = F.least(F.col("_start") + F.col("_len"), seq_lo + seq_len)
+    return ex.select(
+        "seq_id", "doc_id",
+        (begin - seq_lo).cast("int").alias("offset_in_seq"),
+        (end - begin).cast("int").alias("n_tokens_in_seq"),
     )

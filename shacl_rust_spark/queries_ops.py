@@ -452,6 +452,13 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style cross-document packing manifest at seq_len=128
+    (ops/pack.pack_sequences): each doc's tokens + one EOS laid into
+    fixed sequences, docs crossing boundaries."""
+    return pack.pack_sequences(_docs(spark, sf_dir), seq_len=128)
+
+
 def sketch_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-word cardinality: deterministic HLL
     estimate (ops/sketch.hll_distinct, 4096 md5-bucketed registers)

@@ -482,6 +482,38 @@ def test_assign_shards_matches_sequential_model(spark):
         assert got == model, f"bucket_width={bw}"
 
 
+def test_pack_sequences_matches_sequential_model(spark):
+    from shacl_rust_spark.ops import pack
+
+    rows = [(i, " ".join("t" for _ in range(3 + i % 9)))
+            for i in range(40)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # sequential truth: lay each doc's tokens + 1 EOS into a stream,
+    # cut every 16 tokens, record per-(seq, doc) overlap
+    model, cum = [], 0
+    for i in range(40):
+        ln = 3 + i % 9 + 1
+        for s in range(cum // 16, (cum + ln - 1) // 16 + 1):
+            b, e = max(cum, s * 16), min(cum + ln, (s + 1) * 16)
+            model.append((s, i, b - s * 16, e - b))
+        cum += ln
+
+    for bw in (1, 7, 1000):
+        got = sorted(
+            (r.seq_id, r.doc_id, r.offset_in_seq, r.n_tokens_in_seq)
+            for r in pack.pack_sequences(d, seq_len=16,
+                                         bucket_width=bw).collect()
+        )
+        assert got == sorted(model), f"bucket_width={bw}"
+    # every sequence except possibly the last is exactly full
+    per_seq = {}
+    for s, _, _, n in model:
+        per_seq[s] = per_seq.get(s, 0) + n
+    last = max(per_seq)
+    assert all(v == 16 for s, v in per_seq.items() if s != last)
+
+
 def test_contamination_hand_case(spark):
     """Planted leak: corpus doc 1 contains benchmark doc 100's exact
     question as a sub-span; doc 2 shares only shorter overlaps; doc 3
