@@ -12,6 +12,7 @@ from .stream import streaming_windowed_counts, run_streaming_once
 from .stateful import (
     streaming_sessionize,
     streaming_dedup_events,
+    streaming_distinct_users,
     run_events_stream_once,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "run_streaming_once",
     "streaming_sessionize",
     "streaming_dedup_events",
+    "streaming_distinct_users",
     "run_events_stream_once",
 ]

@@ -33,13 +33,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
 )
 
 from ..ops.events import SESSION_GAP_MIN
+from ..ops.sketch import scaled_alpha
 
 SESSION_OUT_SCHEMA = StructType([
     StructField("user_id", LongType()),
@@ -171,11 +174,12 @@ def streaming_sessionize(
     )
 
 
-def run_events_stream_once(spark, events_dir: str, transform, out_table: str):
+def run_events_stream_once(spark, events_dir: str, transform, out_table: str,
+                           output_mode: str = "append"):
     """Replay a parquet events dir file-by-file (1 file = 1 micro-batch,
     files in path order — write them in ascending-ts chunks so the
     watermark advances monotonically like a live source) through
-    `transform` into an in-memory append sink; returns the sink table."""
+    `transform` into an in-memory sink; returns the sink table."""
     schema = spark.read.parquet(events_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -184,7 +188,7 @@ def run_events_stream_once(spark, events_dir: str, transform, out_table: str):
     )
     q = (
         transform(stream)
-        .writeStream.outputMode("append")
+        .writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(out_table)
         .trigger(availableNow=True)
@@ -268,6 +272,85 @@ def sessionize_replay_closed(
     return out.where(
         (F.col("user_id") >= 0)
         & (F.unix_millis(F.col("session_end")) + F.lit(_GAP_MS) <= F.lit(wm))
+    )
+
+
+HLL_OUT_SCHEMA = StructType([
+    StructField("event_type", StringType()),
+    StructField("n_batches", LongType()),
+    StructField("n_registers_used", LongType()),
+    StructField("est_distinct", DoubleType()),
+])
+
+# (the 4096 HLL registers, densely; number of micro-batches folded in)
+_HLL_STATE_SCHEMA = StructType([
+    StructField("regs", ArrayType(LongType())),
+    StructField("n_batches", LongType()),
+])
+
+
+def _hll_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import hashlib
+    import math
+
+    regs = [0] * 4096
+    nb = 0
+    if state.exists:
+        regs, nb = state.get
+        regs = list(regs)
+    for pdf in pdfs:
+        for v in pdf["user_id"].dropna().tolist():
+            h = hashlib.md5(str(v).encode()).hexdigest()
+            b = int(h[:3], 16)
+            x = int(h[3:18], 16)
+            rho = 61 if x == 0 else 61 - x.bit_length()
+            if rho > regs[b]:
+                regs[b] = rho
+    nb += 1
+    state.update((regs, nb))
+    used = sum(1 for r in regs if r)
+    s = sum((1 << (50 - r)) if r <= 50 else 0 for r in regs if r)
+    s += (4096 - used) * (1 << 50)
+    raw = scaled_alpha() / s
+    empty = 4096 - used
+    if raw <= 2.5 * 4096 and empty > 0:
+        est = 4096.0 * math.log(4096.0 / empty)
+    else:
+        est = raw
+    yield pd.DataFrame(
+        [(key[0], nb, used, est)],
+        columns=["event_type", "n_batches", "n_registers_used",
+                 "est_distinct"],
+    )
+
+
+def streaming_distinct_users(stream: DataFrame) -> DataFrame:
+    """Continuously-updated distinct-user estimate per event_type — the
+    streaming twin of ops/sketch.hll_distinct, same md5 registers and
+    closed forms, so after the final micro-batch the emitted estimate
+    is BIT-IDENTICAL to the batch sketch over the same rows (the
+    parity test asserts equality, not closeness).
+
+    This is where HLL's mergeability pays off in streaming: state per
+    key is a CONSTANT 4096 registers regardless of how many distinct
+    users ever appear — a streaming exact count-distinct would grow
+    state without bound. Emits (event_type, n_batches,
+    n_registers_used, est_distinct) in update mode each micro-batch;
+    no watermark needed because state never grows."""
+    return (
+        stream
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _hll_fn,
+            HLL_OUT_SCHEMA,
+            _HLL_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
     )
 
 

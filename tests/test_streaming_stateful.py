@@ -14,6 +14,7 @@ from shacl_rust_spark.ops import events as ev
 from shacl_rust_spark.streaming import (
     run_events_stream_once,
     streaming_dedup_events,
+    streaming_distinct_users,
     streaming_sessionize,
 )
 
@@ -106,6 +107,41 @@ def test_streaming_sessionize_emits_exactly_once(spark, tmp_path):
         spark, d, streaming_sessionize, "sess_once_test").collect()
     keys = [(r.user_id, r.session_seq) for r in out]
     assert len(keys) == len(set(keys))
+
+
+def test_streaming_hll_matches_batch_sketch_exactly(spark, tmp_path):
+    """After the last micro-batch, the streaming HLL's estimate per
+    event_type equals the batch sketch bit-for-bit (same registers),
+    including across duplicate re-deliveries (HLL updates are
+    idempotent — max is max)."""
+    from shacl_rust_spark.ops import sketch
+
+    src = spark.read.parquet(EVENTS).toPandas()
+    d = _write_ts_ordered_chunks(src, tmp_path / "hll_stream",
+                                 dup_each=True)
+    out = run_events_stream_once(
+        spark, d, streaming_distinct_users, "hll_stream_test",
+        output_mode="update")
+    rows = out.collect()
+    final = {}
+    for r in rows:
+        if (r.event_type not in final
+                or r.n_batches > final[r.event_type].n_batches):
+            final[r.event_type] = r
+    batch = {
+        r.event_type: r
+        for r in sketch.hll_distinct(
+            spark.read.parquet(EVENTS), F.col("user_id"),
+            group_cols=("event_type",)).collect()
+    }
+    assert set(final) == set(batch)
+    for et, b in batch.items():
+        s = final[et]
+        assert s.n_registers_used == b.n_registers_used
+        assert s.est_distinct == b.est_distinct  # bit-identical
+        # sanity: estimate is in the right ballpark of the exact count
+        exact = len(set(src[src["event_type"] == et]["user_id"]))
+        assert abs(s.est_distinct - exact) / max(exact, 1) < 0.1
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):
