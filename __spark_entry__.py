@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": O.graph_pagerank,
         "graph_degrees": O.graph_degrees,
         "dedup_semantic": O.dedup_semantic,
+        "dedup_containment": O.dedup_containment,
+        "dedup_incremental": O.dedup_incremental,
         "curation_weighted": O.curation_weighted,
         "curation_normalize": O.curation_normalize,
         "sketch_distinct_words": O.sketch_distinct_words,
@@ -421,6 +423,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, ni AS n_common, (sa.n + sb.n - ni) AS n_union
             FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
             WHERE ni * 10000 >= (sa.n + sb.n - ni) * 8000
+        """,
+        "dedup_containment": _WORDS_CTE + """
+            , i AS (
+              SELECT wa.doc_id AS contained, wb.doc_id AS container,
+                     count(*) AS ni
+              FROM w wa JOIN w wb
+                ON wa.word = wb.word AND wa.source = wb.source
+               AND wa.doc_id <> wb.doc_id
+              GROUP BY 1, 2)
+            SELECT contained, container, ni AS n_common,
+                   sa.n AS n_contained_words
+            FROM i JOIN sz sa ON sa.doc_id = contained
+            WHERE ni * 10000 >= sa.n * 9000
+        """,
+        "dedup_incremental": """
+            WITH k AS (
+              SELECT doc_id, lang, n_chars,
+                     substr(text, 1, 40) AS kk
+              FROM documents
+            ),
+            seen AS (
+              SELECT DISTINCT kk FROM k WHERE doc_id % 2 = 0
+            ),
+            fresh AS (
+              SELECT k.doc_id, k.lang, k.n_chars, k.kk
+              FROM k LEFT JOIN seen USING (kk)
+              WHERE k.doc_id % 2 = 1 AND seen.kk IS NULL
+            )
+            SELECT doc_id, lang, n_chars FROM fresh f
+            WHERE doc_id = (SELECT min(doc_id) FROM fresh f2
+                            WHERE f2.kk = f.kk)
         """,
         "dedup_minhash_lsh": _WORDS_CTE + """
             , h AS (

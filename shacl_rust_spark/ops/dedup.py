@@ -75,6 +75,65 @@ def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def containment_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Within-source one-sided containment pairs: emit (contained,
+    container) where |A∩B| / |A| ≥ threshold — catches a document
+    that is a QUOTE/SUBSET of a longer one, which symmetric Jaccard
+    misses (a tweet embedded in an article has tiny Jaccard but
+    containment ≈ 1). Broder's containment coefficient over word
+    sets; INTEGER cross-multiplied threshold like jaccard_pairs, so
+    the cut is engine-exact. This is the blocked verify path (the
+    scale path pre-filters candidates with minhash_lsh_pairs — LSH
+    for containment uses the same buckets, rescoring with this
+    formula). Self-pairs excluded; both directions emitted when both
+    hold (A≈B)."""
+    ws = _word_sets(docs)
+    a = ws.select(F.col("doc_id").alias("contained"), F.col("source"),
+                  F.col("_w").alias("_wa"))
+    b = ws.select(F.col("doc_id").alias("container"), F.col("source"),
+                  F.col("_w").alias("_wb"))
+    num, den = int(threshold * 10000), 10000
+    return (
+        a.join(b, "source")
+        .where(F.col("contained") != F.col("container"))
+        .withColumn("_i", F.size(F.array_intersect("_wa", "_wb")))
+        .withColumn("_na", F.size("_wa"))
+        .where((F.col("_na") > 0)
+               & (F.col("_i") * den >= F.col("_na") * num))
+        .select("contained", "container",
+                F.col("_i").alias("n_common"),
+                F.col("_na").alias("n_contained_words"))
+    )
+
+
+def incremental_new_docs(
+    docs: DataFrame, seen_keys: DataFrame, key: F.Column
+) -> DataFrame:
+    """Cross-corpus incremental dedup — THE daily-crawl operation: keep
+    only documents whose dedup key does not already exist in the
+    accumulated corpus. ``seen_keys`` is a one-column frame of keys
+    already ingested (the running state a production pipeline persists
+    between runs); new-batch-internal duplicates also collapse to
+    their smallest doc_id (exact_duplicates semantics), so the output
+    is ingestable as-is and its keys can be unioned into seen_keys.
+
+    Scale design: one left_anti shuffle on the key (both sides
+    key-partitioned; at 100 TB the seen side is a bucketed table and
+    the join is co-located), then the within-batch groupBy(min). No
+    driver state, no collect."""
+    keyed = docs.withColumn("_k", key)
+    fresh = keyed.join(
+        seen_keys.select(F.col(seen_keys.columns[0]).alias("_k")),
+        "_k", "left_anti",
+    )
+    firsts = fresh.groupBy("_k").agg(F.min("doc_id").alias("_first"))
+    return (
+        fresh.join(firsts, "_k")
+        .where(F.col("doc_id") == F.col("_first"))
+        .drop("_k", "_first")
+    )
+
+
 def _word_minhash(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """(doc_id, sig array<string>) — per seed, the lexicographic min of
     md5('s<seed>:' || word) hex digests over the doc's word set."""

@@ -40,6 +40,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8)
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided containment pairs at 0.9 (ops/dedup.containment_pairs):
+    docs whose word set is ≥90% inside another doc's — quote/subset
+    duplicates symmetric Jaccard misses."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), 0.9)
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl incremental dedup (ops/dedup.incremental_new_docs):
+    even doc_ids play the already-ingested corpus (their 40-char
+    prefix keys are the persisted state), odd doc_ids are the new
+    batch; keep only genuinely new documents, batch-internal dups
+    collapsed to the smallest doc_id."""
+    d = _docs(spark, sf_dir)
+    key = F.substring("text", 1, 40)
+    seen = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .select(key.alias("k"))
+        .distinct()
+    )
+    out = dedup.incremental_new_docs(
+        d.where(F.col("doc_id") % 2 == 1), seen, key
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate document CLUSTERS: the minhash-LSH pair set as an
     undirected edge set → connected components (the same CC operator the

@@ -829,6 +829,41 @@ def test_weighted_sample_matches_es_model(spark):
     assert all(i < 100 for i, _ in out)
 
 
+def test_containment_pairs_hand_case(spark):
+    from shacl_rust_spark.ops import dedup
+
+    d = _docs(spark, [
+        (1, "s", "a b c"),           # fully inside 2
+        (2, "s", "a b c d e f"),
+        (3, "s", "a x y z"),         # only 1/4 inside others
+        (4, "t", "a b c"),           # other source — never paired
+    ])
+    out = {(r.contained, r.container): (r.n_common, r.n_contained_words)
+           for r in dedup.containment_pairs(d, 0.9).collect()}
+    assert out == {(1, 2): (3, 3)}
+    # threshold 0.25 brings doc 3 in against 1 and 2 (1 of 4 words)
+    lo = {(r.contained, r.container)
+          for r in dedup.containment_pairs(d, 0.25).collect()}
+    assert (3, 2) in lo and (3, 1) in lo and (4, 1) not in lo
+
+
+def test_incremental_new_docs_hand_case(spark):
+    from shacl_rust_spark.ops import dedup
+
+    new = _docs(spark, [
+        (10, "s", "fresh one"),
+        (11, "s", "seen before"),
+        (12, "s", "fresh one"),      # batch-internal dup of 10
+        (13, "s", "fresh two"),
+    ])
+    seen = spark.createDataFrame([("seen before",)], ["k"])
+    out = sorted(
+        r.doc_id for r in dedup.incremental_new_docs(
+            new, seen, F.col("text")).collect()
+    )
+    assert out == [10, 13]
+
+
 def test_dsir_importance_hand_case(spark):
     import hashlib
     import math
