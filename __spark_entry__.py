@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_weighted": O.curation_weighted,
         "curation_normalize": O.curation_normalize,
         "sketch_distinct_words": O.sketch_distinct_words,
+        "sketch_word_counts": O.sketch_word_counts,
         "pack_sequences": O.pack_sequences,
         "curation_stratified": O.curation_stratified,
         "curation_sample": O.curation_sample,
@@ -1307,6 +1308,40 @@ def oracle_sql() -> dict[str, str]:
                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 5000.0
                    ) AS BIGINT) AS shard
             FROM t
+        """,
+        # count-min: identical md5-salted counter table both engines;
+        # integer mins, one-sided error visible as cms_n >= exact_n
+        "sketch_word_counts": r"""
+            WITH w AS (
+              SELECT word FROM (
+                SELECT unnest(string_split_regex(trim(text), ' +'))
+                         AS word
+                FROM documents
+              ) WHERE word <> ''
+            ),
+            ex AS (SELECT word, count(*) AS n FROM w GROUP BY 1),
+            top AS (
+              SELECT word, n FROM ex ORDER BY n DESC, word LIMIT 20
+            ),
+            cnt AS (
+              SELECT r.r AS row,
+                     substr(md5('cm' || r.r || ':' || word), 1, 3)
+                       AS bucket,
+                     count(*) AS c
+              FROM w CROSS JOIN generate_series(0, 3) r(r)
+              GROUP BY 1, 2
+            ),
+            est AS (
+              SELECT t.word, min(c.c) AS cms_n
+              FROM top t
+              CROSS JOIN generate_series(0, 3) r(r)
+              JOIN cnt c ON c.row = r.r
+               AND c.bucket = substr(md5('cm' || r.r || ':' || t.word),
+                                     1, 3)
+              GROUP BY 1
+            )
+            SELECT top.word, top.n AS exact_n, est.cms_n
+            FROM top JOIN est USING (word)
         """,
         # sequence-packing manifest: oracle = one global window prefix
         # sum + generate_series over the doc's sequence span

@@ -46,6 +46,74 @@ def scaled_alpha(m: int = _M, shift: int = _SHIFT) -> float:
     return alpha * m * m * float(2 ** shift)
 
 
+_CMS_DEPTH = 4
+
+
+def cms_table(df: DataFrame, key: Column, depth: int = _CMS_DEPTH) -> DataFrame:
+    """Count-min sketch of ``key`` frequencies: (row, bucket, c) with
+    ``depth`` independent md5-salted rows of 16^prefix_len counters —
+    a CONSTANT depth·4096-row table whatever the corpus size, built
+    with one groupBy (map-side combined) per row, union'd. Mergeable:
+    two sketches merge by summing counters. NULL keys ignored."""
+    parts = []
+    for r in range(depth):
+        parts.append(
+            df.where(key.isNotNull()).select(
+                F.lit(r).alias("row"),
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cm{r}:"),
+                                   key.cast("string"))),
+                    1, _PREFIX_LEN,
+                ).alias("bucket"),
+            )
+        )
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    return allrows.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def cms_estimate(
+    sketch_df: DataFrame, candidates: DataFrame, key_col: str,
+    depth: int = _CMS_DEPTH,
+) -> DataFrame:
+    """Point-estimate candidate keys against a cms_table: cms_n =
+    min over rows of the key's counter. The count-min guarantee is
+    one-sided — cms_n ≥ true count always, with overestimate ≤
+    εN w.h.p. — so the sketch can gate 'is this n-gram frequent?'
+    at 100 TB without a full groupBy over the corpus; the candidate
+    set is the only thing that must be known (sampled or enumerated).
+    Everything is integer and md5-derived → engine-exact."""
+    keyed = candidates.select(
+        F.col(key_col),
+        *[
+            F.substring(
+                F.md5(F.concat(F.lit(f"cm{r}:"),
+                               F.col(key_col).cast("string"))),
+                1, _PREFIX_LEN,
+            ).alias(f"_b{r}")
+            for r in range(depth)
+        ],
+    )
+    out = keyed
+    for r in range(depth):
+        s = sketch_df.where(F.col("row") == r).select(
+            F.col("bucket").alias(f"_b{r}"), F.col("c").alias(f"_c{r}")
+        )
+        # LEFT join: a candidate hashing to an untouched bucket has a
+        # zero counter (the sketch stores zeros implicitly)
+        out = out.join(F.broadcast(s), f"_b{r}", "left")
+    return out.select(
+        key_col,
+        F.least(*[
+            F.coalesce(F.col(f"_c{r}"), F.lit(0).cast("bigint"))
+            for r in range(depth)
+        ]).alias("cms_n"),
+    )
+
+
 def hll_distinct(
     df: DataFrame, key: Column, group_cols: tuple = ()
 ) -> DataFrame:

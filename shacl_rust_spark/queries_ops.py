@@ -478,6 +478,26 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates for the 20 most frequent words
+    (ops/sketch.cms_table + cms_estimate) next to their exact counts —
+    cms_n ≥ exact_n always (one-sided error), equal when no bucket
+    collision; both engines build the identical counter table."""
+    from .ops.text import word_array
+
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(word_array()).alias("word"))
+        .where(F.col("word") != "")
+    )
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), "word").limit(20)
+    est = sketch.cms_estimate(
+        sketch.cms_table(words, F.col("word")), top, "word"
+    )
+    return top.join(est, "word")
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style cross-document packing manifest at seq_len=128
     (ops/pack.pack_sequences): each doc's tokens + one EOS laid into

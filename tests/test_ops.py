@@ -799,6 +799,38 @@ def test_hll_accuracy_at_20k(spark):
         assert abs(r.est_distinct - 10000) / 10000 < 0.05
 
 
+def test_cms_overestimates_never_under(spark):
+    import hashlib
+    from shacl_rust_spark.ops import sketch
+
+    vals = (["hot"] * 50 + ["warm"] * 7
+            + [f"cold{i}" for i in range(300)])
+    df = spark.createDataFrame([(v,) for v in vals], "key string")
+    sk = sketch.cms_table(df, F.col("key"))
+    cand = spark.createDataFrame(
+        [("hot",), ("warm",), ("cold0",), ("absent",)], ["key"])
+    got = {r.key: r.cms_n
+           for r in sketch.cms_estimate(sk, cand, "key").collect()}
+    truth = {"hot": 50, "warm": 7, "cold0": 1, "absent": 0}
+    assert all(got[k] >= truth[k] for k in truth)
+
+    # exact python model of the counter table
+    import collections
+    counters = collections.Counter()
+    for v in vals:
+        for r in range(4):
+            b = hashlib.md5(f"cm{r}:{v}".encode()).hexdigest()[:3]
+            counters[(r, b)] += 1
+    for k, t in truth.items():
+        est = min(
+            counters.get(
+                (r, hashlib.md5(f"cm{r}:{k}".encode()).hexdigest()[:3]),
+                0)
+            for r in range(4)
+        )
+        assert got[k] == est
+
+
 def test_weighted_sample_matches_es_model(spark):
     import hashlib
     import math
