@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_bm25": O.rank_bm25,
         "text_unigram_nll": O.text_unigram_nll,
         "text_bigram_nll": O.text_bigram_nll,
+        "text_entropy": O.text_entropy,
+        "text_sentences": O.text_sentences,
         "rank_dsir": O.rank_dsir,
         "text_bpe_pairs": O.text_bpe_pairs,
         "cluster_kmeans": O.cluster_kmeans,
@@ -347,6 +349,14 @@ def _pagerank_oracle(iterations: int = 6, damping_pct: int = 85,
         + f"\nSELECT node, rank AS rank_scaled FROM r{iterations}"
         + "\nORDER BY rank DESC, node LIMIT 100"
     )
+
+
+def _sent_thr() -> str:
+    """The md5 hex threshold of text_sentences' 2% page sample —
+    identical expression to ops/sample.rate_threshold(0.02)."""
+    from shacl_rust_spark.ops.sample import rate_threshold
+
+    return rate_threshold(0.02)
 
 
 def _hll_oracle() -> str:
@@ -985,6 +995,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
                    -sum(lp) / sum(tf) AS nll
             FROM per GROUP BY 1
+        """,
+        # character-histogram entropy + type-token ratio; all-integer
+        # inputs -> engine-identical floats
+        "text_entropy": r"""
+            WITH ch AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, length(text)),
+                       i -> substr(text, i, 1))) AS ch
+              FROM documents
+            ),
+            hist AS (
+              SELECT doc_id, ch, count(*) AS n FROM ch GROUP BY 1, 2
+            ),
+            ent AS (
+              SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars_counted,
+                     -sum(n * log2(n)) / sum(n) + log2(sum(n))
+                       AS char_entropy
+              FROM hist GROUP BY 1
+            ),
+            w2 AS (
+              SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +')) AS w
+                FROM documents
+              ) WHERE w <> ''
+            ),
+            ws AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(count(DISTINCT w) AS DOUBLE) / count(*) AS ttr
+              FROM w2 GROUP BY 1
+            )
+            SELECT ent.doc_id, ent.n_chars_counted, ent.char_entropy,
+                   COALESCE(ws.n_words, 0) AS n_words,
+                   COALESCE(ws.ttr, 0.0) AS ttr
+            FROM ent LEFT JOIN ws USING (doc_id)
+        """,
+        # sentence segmentation on terminal-punctuation runs over the
+        # md5-sampled synthesized pages; sent_id is the raw-split
+        # position (empties dropped)
+        "text_sentences": _KG_CTE + f"""
+            , pg AS (
+              SELECT url, text FROM opage
+              UNION ALL
+              SELECT url, text FROM dpage
+            ),
+            sampled AS (
+              SELECT url, text FROM pg
+              WHERE substr(md5('sent' || url), 1, 8)
+                      < '{_sent_thr()}'
+            ),
+            segs AS (
+              SELECT url,
+                     regexp_split_to_array(text,
+                       '[.!?]+(\\s+|$)') AS a
+              FROM sampled
+            ),
+            ex AS (
+              SELECT url,
+                     unnest(generate_series(1, len(a))) AS i, a
+              FROM segs
+            ),
+            s AS (
+              SELECT url, CAST(i - 1 AS INT) AS sent_id,
+                     trim(a[i]) AS sentence
+              FROM ex
+            )
+            SELECT url, sent_id, sentence,
+                   len(string_split_regex(sentence, ' +')) AS n_words
+            FROM s WHERE sentence <> ''
         """,
         # DSIR importance weights: string md5-prefix buckets (no int
         # conversion), integer counts in, closed-form floats out

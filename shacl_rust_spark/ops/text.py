@@ -225,6 +225,80 @@ def vocabulary(docs: DataFrame, min_docs: int = 2) -> DataFrame:
     )
 
 
+def char_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc character-distribution signals: Shannon entropy of the
+    character histogram (gibberish/binary-paste detector — natural
+    text sits ~4-4.5 bits, single-char spam near 0, random base64
+    near 6) and word type-token ratio (vocabulary richness;
+    boilerplate repeats words). Output: (doc_id, n_chars_counted,
+    char_entropy [bits], n_words, ttr); empty-text docs are omitted.
+
+    One scan fans out to characters via a codegen transform+explode
+    (no Python); the entropy aggregation shuffles (doc, char) rows —
+    alphabet-bounded per doc. All inputs to the float math are exact
+    integer counts, so the entropy/ttr values are engine-identical
+    closed forms (DuckDB oracle states the same)."""
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)), "
+                " i -> substring(text, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    hist = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ent = hist.groupBy("doc_id").agg(
+        F.sum("n").alias("n_chars_counted"),
+        (
+            -F.sum(F.col("n") * F.log2(F.col("n")))
+            / F.sum("n")
+            + F.log2(F.sum("n"))
+        ).alias("char_entropy"),
+    )
+    words = docs.select(
+        "doc_id", F.explode(word_array()).alias("w")
+    ).where(F.col("w") != "")
+    wstats = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        (
+            F.count_distinct("w").cast("double")
+            / F.count(F.lit(1))
+        ).alias("ttr"),
+    )
+    return ent.join(wstats, "doc_id", "left").select(
+        "doc_id", "n_chars_counted", "char_entropy",
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("ttr", F.lit(0.0)).alias("ttr"),
+    )
+
+
+def split_sentences(docs: DataFrame) -> DataFrame:
+    """(doc_id, sent_id, sentence, n_words): sentence segmentation on
+    terminal-punctuation runs ([.!?]+ followed by whitespace or end) —
+    the regex heuristic every fast pipeline uses before sentence-level
+    dedup/contamination checks. Empty segments (e.g. after the
+    trailing period) are dropped; sent_id is the segment's 0-based
+    position in the RAW split (stable and join-able; gaps where empty
+    segments were dropped — renumbering densely would cost a per-doc
+    window for no consumer benefit). Pure-Column split+posexplode,
+    one scan, no shuffle."""
+    segs = F.expr(r"split(text, '[.!?]+(\\s+|$)')")
+    ex = docs.select(
+        "doc_id", F.posexplode(segs).alias("_pos", "_raw")
+    ).where(F.trim(F.col("_raw")) != "")
+    return ex.select(
+        "doc_id",
+        F.col("_pos").alias("sent_id"),
+        F.trim(F.col("_raw")).alias("sentence"),
+        F.size(
+            F.split(F.trim(F.col("_raw")), " +")
+        ).alias("n_words"),
+    )
+
+
 def normalize_text(docs: DataFrame) -> DataFrame:
     """Canonical text cleaning, the first stage of every training-data
     recipe (C4/Gopher pipelines normalize before dedup so that

@@ -546,6 +546,29 @@ def curation_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character entropy + type-token ratio per doc
+    (ops/text.char_stats) — gibberish and boilerplate signals."""
+    return text.char_stats(_docs(spark, sf_dir))
+
+
+def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (ops/text.split_sentences) over a
+    deterministic 2% md5 sample of the synthesized web pages (the
+    documents table is punctuation-free word salad — pages carry real
+    multi-sentence prose). Output keyed by url."""
+    from .pipeline import pages as pages_mod
+
+    p = pages_mod.pages(spark, sf_dir).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    p = p.where(
+        sample.sample_hash(F.col("doc_id"), "sent") <
+        F.lit(sample.rate_threshold(0.02))
+    )
+    return text.split_sentences(p).withColumnRenamed("doc_id", "url")
+
+
 def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean negative log-prob under the corpus bigram LM with
     add-1 smoothing (ops/rank.bigram_logprob) — context-aware quality

@@ -1044,6 +1044,42 @@ def test_bigram_nll_matches_hand_computation(spark):
     assert abs(out[2][1] - (-math.log(p(1, 2)))) < 1e-12
 
 
+def test_char_stats_hand_case(spark):
+    import math
+    from shacl_rust_spark.ops import text as text_ops
+
+    d = _docs(spark, [
+        (1, "s", "aaaa"),      # zero entropy, 1 word, ttr 1
+        (2, "s", "ab ab"),     # chars a:2 b:2 space:1
+    ])
+    out = {r.doc_id: r for r in text_ops.char_stats(d).collect()}
+    assert out[1].char_entropy == 0.0
+    assert (out[1].n_words, out[1].ttr) == (1, 1.0)
+    n = 5
+    h = -(2/n)*math.log2(2/n)*2 - (1/n)*math.log2(1/n)
+    assert abs(out[2].char_entropy - h) < 1e-12
+    assert out[2].n_words == 2 and out[2].ttr == 0.5
+
+
+def test_split_sentences_hand_case(spark):
+    from shacl_rust_spark.ops import text as text_ops
+
+    d = _docs(spark, [
+        (1, "s", "Hello there. Bye now! Ok?"),
+        (2, "s", "No terminal punctuation here"),
+    ])
+    out = sorted(
+        (r.doc_id, r.sent_id, r.sentence, r.n_words)
+        for r in text_ops.split_sentences(d).collect()
+    )
+    assert out == [
+        (1, 0, "Hello there", 2),
+        (1, 1, "Bye now", 2),
+        (1, 2, "Ok", 1),
+        (2, 0, "No terminal punctuation here", 4),
+    ]
+
+
 def test_normalize_text_hand_cases(spark):
     from shacl_rust_spark.ops import text as text_ops
 
