@@ -53,6 +53,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_nll": O.text_bigram_nll,
         "text_entropy": O.text_entropy,
         "text_sentences": O.text_sentences,
+        "text_classifier": O.text_classifier,
+        "rank_postings": O.rank_postings,
+        "events_funnel": O.events_funnel,
+        "events_retention": O.events_retention,
+        "events_rollup": O.events_rollup,
+        "events_anomaly": O.events_anomaly,
+        "graph_triangles": O.graph_triangles,
         "rank_dsir": O.rank_dsir,
         "text_bpe_pairs": O.text_bpe_pairs,
         "cluster_kmeans": O.cluster_kmeans,
@@ -435,6 +442,30 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
             WHERE ni * 10000 >= (sa.n + sb.n - ni) * 8000
         """,
+        # triangles over the Jaccard>=0.8 pair graph: pairs (a<b) are
+        # re-derived with the dedup_jaccard CTE, then the canonical
+        # two-join closure counts each triangle once and unnests the
+        # three corners for per-node counts
+        "graph_triangles": _WORDS_CTE + """
+            , i AS (
+              SELECT wa.doc_id AS a, wb.doc_id AS b, count(*) AS ni
+              FROM w wa JOIN w wb
+                ON wa.word = wb.word AND wa.source = wb.source
+               AND wa.doc_id < wb.doc_id
+              GROUP BY 1, 2),
+            p AS (
+              SELECT a, b FROM i
+              JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+              WHERE ni * 10000 >= (sa.n + sb.n - ni) * 8000),
+            t AS (
+              SELECT e1.a, e1.b, e2.c
+              FROM p e1
+              JOIN (SELECT a AS b, b AS c FROM p) e2 USING (b)
+              JOIN (SELECT a, b AS c FROM p) e3
+                ON e3.a = e1.a AND e3.c = e2.c),
+            x AS (SELECT unnest([a, b, c]) AS node FROM t)
+            SELECT node, count(*) AS n_triangles FROM x GROUP BY 1
+        """,
         "dedup_containment": _WORDS_CTE + """
             , i AS (
               SELECT wa.doc_id AS contained, wb.doc_id AS container,
@@ -726,6 +757,49 @@ def oracle_sql() -> dict[str, str]:
                    (n_words >= 20 AND n_stopwords * 100 >= n_words * 5)
                    AS is_quality
             FROM c
+        """,
+        # same feature CTE as text_quality; z is the identical
+        # left-associated double expression as the Spark side, so the
+        # sigmoid and the z>=0 label agree bit-for-bit
+        "text_classifier": r"""
+            WITH c AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     len(list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '')) AS n_words,
+                     len(regexp_extract_all(text, '\bthe\b'))
+                     + len(regexp_extract_all(text, '\ba\b'))
+                     + len(regexp_extract_all(text, '\bof\b'))
+                     + len(regexp_extract_all(text, '\band\b'))
+                     + len(regexp_extract_all(text, '\bto\b'))
+                     + len(regexp_extract_all(text, '\bin\b')) AS n_stopwords,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     -3.2 + 0.6 * ln(1.0 + n_words)
+                     + 8.0 * (CASE WHEN n_words > 0
+                              THEN CAST(n_stopwords AS DOUBLE) / n_words
+                              ELSE 0.0 END)
+                     + (-2.0) * (CASE WHEN n_chars > 0
+                              THEN CAST(n_punct AS DOUBLE) / n_chars
+                              ELSE 0.0 END) AS z
+              FROM c)
+            SELECT doc_id, z, 1.0 / (1.0 + exp(-z)) AS score,
+                   CAST(z >= 0 AS INTEGER) AS label
+            FROM f
+        """,
+        "rank_postings": r"""
+            WITH tf AS (
+              SELECT doc_id, word, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +'))
+                         AS word
+                FROM documents) u
+              WHERE word <> '' GROUP BY 1, 2)
+            SELECT word, count(*) AS df,
+                   string_agg(doc_id || ':' || tf, ','
+                              ORDER BY doc_id) AS postings
+            FROM tf GROUP BY word HAVING count(*) >= 2
         """,
         "text_langid": r"""
             WITH c AS (
@@ -1691,6 +1765,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(date_diff('microsecond', ref_ts, probe_ts)
                         AS BIGINT) AS gap_us
             FROM p WHERE rn = 1
+        """,
+        # funnel: the oracle states the semantics as the min-ts join
+        # chain (min t1; min t2 > t1; min t3 > t2) — an independent
+        # formulation of the Spark side's single-pass greedy HOF scan
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                   GROUP BY 1),
+            c AS (
+              SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+                     count(*) AS n_users FROM s1
+              UNION ALL
+              SELECT 2, 'click', count(*) FROM s2
+              UNION ALL
+              SELECT 3, 'purchase', count(*) FROM s3)
+            SELECT step_idx, step, n_users FROM c WHERE n_users > 0
+        """,
+        "events_retention": """
+            WITH f AS (SELECT user_id,
+                              CAST(min(date_trunc('week', ts))
+                                   AS TIMESTAMP) AS cohort_week
+                       FROM events GROUP BY 1),
+            a AS (SELECT DISTINCT user_id,
+                         CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+                  FROM events)
+            SELECT cohort_week,
+                   CAST(floor(date_diff('day', cohort_week, w) / 7)
+                        AS BIGINT) AS week_offset,
+                   count(DISTINCT a.user_id) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "events_rollup": """
+            WITH e AS (SELECT event_type,
+                              CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                              value FROM events)
+            SELECT event_type, day,
+                   CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_value
+            FROM e GROUP BY ROLLUP(event_type, day)
+        """,
+        "events_anomaly": """
+            WITH s AS (SELECT event_type, count(*) AS n,
+                              CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                                   AS DOUBLE) AS sm
+                       FROM events GROUP BY 1)
+            SELECT event_id, user_id, e.event_type, value
+            FROM events e JOIN s USING (event_type)
+            WHERE value * CAST(n AS DOUBLE) > 4.0 * sm
         """,
         "kg_pages": _KG_CTE + """
             SELECT url, 'en' AS lang, text,

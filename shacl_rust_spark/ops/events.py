@@ -115,3 +115,145 @@ def asof_join(
             (micros - ref_micros).alias("gap_us"),
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-funnel analysis: (step_idx, step, n_users) where a user
+    reaches step k iff an event of type steps[k] occurs STRICTLY after
+    the timestamp at which they reached step k-1 (earliest-match
+    semantics — step k's anchor is the minimum qualifying ts).
+
+    Plan: ONE shuffle. Events are pre-filtered to the step types, then
+    per-user sorted arrays are scanned with a higher-order-function
+    aggregate (JVM-side, no Python) whose accumulator is (steps
+    reached, anchor ts). The greedy earliest-first scan computes
+    exactly the min-ts join chain (min t1; min t2 > t1; …), which is
+    how the DuckDB oracle states the semantics — two independent
+    formulations of the same funnel. Per-user state is bounded by the
+    user's own funnel-event count; no per-step join or recompute of
+    the upstream scan."""
+    sidx = None
+    for i, s in enumerate(steps):
+        c = F.when(F.col("event_type") == s, F.lit(i + 1))
+        sidx = c if sidx is None else sidx.when(
+            F.col("event_type") == s, F.lit(i + 1)
+        )
+    # diffs/comparisons only → constant NTZ→LTZ offset cancels
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = (
+        events.where(F.col("event_type").isin(*steps))
+        .select(
+            "user_id",
+            F.struct(
+                micros.alias("t"),
+                F.col("event_id").alias("eid"),
+                sidx.alias("s"),
+            ).alias("_e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("_e")).alias("_evs"))
+    )
+
+    def _step(acc, e):
+        adv = (e["s"] == acc["r"] + 1) & (
+            (acc["r"] == 0) | (e["t"] > acc["lt"])
+        )
+        return F.struct(
+            F.when(adv, acc["r"] + 1).otherwise(acc["r"]).alias("r"),
+            F.when(adv, e["t"]).otherwise(acc["lt"]).alias("lt"),
+        )
+
+    reached = F.aggregate(
+        "_evs",
+        F.struct(F.lit(0).alias("r"), F.lit(-1).cast("long").alias("lt")),
+        _step,
+    )["r"]
+    names = F.array(*[F.lit(s) for s in steps])
+    return (
+        per_user.select(reached.alias("_r"))
+        .where(F.col("_r") > 0)
+        .select(F.explode(F.sequence(F.lit(1), F.col("_r")))
+                .alias("_i"))
+        .groupBy("_i")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("_i").cast("bigint").alias("step_idx"),
+            F.element_at(names, F.col("_i")).alias("step"),
+            "n_users",
+        )
+    )
+
+
+def retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: cohort_week = Monday-truncated week of
+    the user's first event; one output row per (cohort_week,
+    week_offset) with the count of distinct cohort users active that
+    week. Two narrow aggregates + one join on user_id — the cohort
+    table is users-sized, far below the event count, and AQE
+    broadcasts it when small."""
+    # TIMESTAMP-typed weeks (Monday-truncated midnights) — the
+    # engine-portable calendar key (same device as windowed_counts)
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = events.groupBy("user_id").agg(
+        F.min(wk).alias("cohort_week")
+    )
+    active = events.select("user_id", wk.alias("_w")).distinct()
+    offset = F.floor(
+        F.datediff(F.col("_w"), F.col("cohort_week")) / 7
+    ).cast("bigint")
+    return (
+        active.join(firsts, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def rollup_counts(events: DataFrame) -> DataFrame:
+    """OLAP ROLLUP over (event_type, day): per-(type, day) counts and
+    exact-decimal value sums, plus the per-type and grand-total
+    super-aggregate rows, disambiguated by grouping_id — the
+    hypertable-rollup surface, computed in one pass by the engine's
+    native ROLLUP (partial aggregation per level, no self-union)."""
+    return (
+        events.select(
+            "event_type",
+            # STRING-typed day key: the super-aggregate rows carry
+            # NULL day, and a NULL string is the one calendar type
+            # every engine surfaces identically
+            F.to_date("ts").cast("string").alias("day"),
+            "value",
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double").alias("sum_value"),
+        )
+    )
+
+
+def value_outliers(events: DataFrame, factor: int = 4) -> DataFrame:
+    """Events whose value exceeds `factor` × their type's mean value —
+    the per-stream anomaly gate. The mean is never materialized as a
+    float: the filter is the cross-multiplied form
+    value · n > factor · sum(value), with sum accumulated in exact
+    DECIMAL (order-independent) and the final comparison in double on
+    identical operands — engine-exact. The 5-row per-type stats frame
+    broadcasts; one scan of the fact side."""
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double").alias("_sum"),
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .where(
+            F.col("value") * F.col("_n").cast("double")
+            > F.lit(float(factor)) * F.col("_sum")
+        )
+        .select("event_id", "user_id", "event_type", "value")
+    )

@@ -170,3 +170,41 @@ def degrees(edges: DataFrame) -> DataFrame:
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
     )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph of
+    `edges(src, dst)` — (node, n_triangles) for every node in ≥ 1
+    triangle. On a near-duplicate pair graph this is the template-
+    family signal: clique-like neighborhoods (high triangle count)
+    mark boilerplate clusters that connected components alone can't
+    separate from chains.
+
+    Plan: canonical low→high orientation (a < b after least/greatest
+    normalization + distinct), then the standard two-join closure —
+    wedges (a<b<c) from e ⋈ e on the middle node, closed by a third
+    join back to e on (a, c). Each triangle is produced exactly once.
+    All joins are equi-joins on edge keys (shuffle or broadcast by
+    AQE); wedge work is Σ deg², the textbook bound — at real scale
+    the orientation can be switched to (degree, id) ordering for
+    O(m^1.5) without changing this topology. No driver-side state."""
+    e = (
+        edges.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    wedges = e.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    tri = wedges.join(
+        e.select("a", F.col("b").alias("c")), ["a", "c"]
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -327,3 +327,43 @@ def unigram_logprob(docs: DataFrame, alpha: float = 1.0) -> DataFrame:
         F.sum("tf").alias("n_words"),
         (-F.sum("_lp") / F.sum("tf")).alias("nll"),
     )
+
+
+def postings(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """Inverted index over the corpus: (word, df, postings) where
+    postings is the doc_id-ascending list "doc:tf,doc:tf,…" — the
+    search/audit index a BM25 serving layer consumes, built from the
+    same one-explode-scan (doc, word, tf) stream as tf-idf.
+
+    Plan: the tf stream shuffles ONCE on word; collect_list + one
+    array_sort inside the aggregate keeps per-word memory bounded by
+    that word's document frequency. Ultra-common words are exactly the
+    rows a real index shards further (or stoplists); min_df trims the
+    hapax tail, which dominates vocabulary size but serves no query.
+    Serialized as a string (not array<struct>) so the row is engine-
+    portable and oracle-hashable."""
+    tf = _term_freqs(docs)
+    df = tf.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "tf"))
+        ).alias("_p"),
+    )
+    return (
+        df.where(F.col("df") >= min_df)
+        .select(
+            "word",
+            "df",
+            F.array_join(
+                F.transform(
+                    "_p",
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["doc_id"].cast("string"),
+                        s["tf"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )

@@ -364,3 +364,43 @@ def bpe_pair_counts(docs: DataFrame, top_k: int = 50) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(top_k)
     )
+
+
+# fixed fastText-style weights for the logistic quality gate: length,
+# stopword density, punctuation density. Frozen here (not trained) so
+# the op is deterministic; a production pipeline would drop in its own.
+_CLF_BIAS = -3.2
+_CLF_W_LOGLEN = 0.6
+_CLF_W_STOP = 8.0
+_CLF_W_PUNCT = -2.0
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """(doc_id, z, score, label): linear quality classifier over the
+    quality_scores features — z = b + w·(ln(1+words), stop ratio,
+    punct ratio), score = σ(z), label = 1 iff z ≥ 0 (⟺ score ≥ 0.5,
+    stated on z so the threshold never touches the sigmoid's float).
+    The CCNet/fastText-style quality gate as a pure-Column scan: every
+    feature is an exact integer ratio, so z is the same deterministic
+    double on any engine and any partitioning; no shuffle at all."""
+    q = quality_scores(docs)
+    stop_ratio = F.when(
+        F.col("n_words") > 0,
+        F.col("n_stopwords").cast("double") / F.col("n_words"),
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.col("n_chars") > 0,
+        F.col("n_punct").cast("double") / F.col("n_chars"),
+    ).otherwise(F.lit(0.0))
+    z = (
+        F.lit(_CLF_BIAS)
+        + F.lit(_CLF_W_LOGLEN) * F.log(F.lit(1.0) + F.col("n_words"))
+        + F.lit(_CLF_W_STOP) * stop_ratio
+        + F.lit(_CLF_W_PUNCT) * punct_ratio
+    )
+    return q.select(
+        "doc_id",
+        z.alias("z"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
+        (z >= 0).cast("int").alias("label"),
+    )

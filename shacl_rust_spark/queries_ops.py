@@ -617,3 +617,55 @@ def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet"),
         probe_type="click", ref_type="view",
     )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase (ops/events.funnel): one
+    per-user HOF scan; the oracle states the same semantics as the
+    min-ts join chain."""
+    return events.funnel(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (ops/events.retention)."""
+    return events.retention(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ROLLUP over (event_type, day) with grouping_id
+    disambiguation (ops/events.rollup_counts)."""
+    return events.rollup_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type mean-ratio outliers (ops/events.value_outliers):
+    value > 4× the type mean, cross-multiplied exact comparison."""
+    return events.value_outliers(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), factor=4
+    )
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (ops/graph.triangles) over the
+    Jaccard ≥ 0.8 near-duplicate pair graph — clique-density as the
+    template-family detector on top of the dedup candidate edges."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    return graph.triangles(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+
+
+def rank_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with doc:tf posting strings (ops/rank.postings),
+    min_df=2."""
+    return rank.postings(_docs(spark, sf_dir), min_df=2)
+
+
+def text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-weight logistic quality classifier
+    (ops/text.quality_classifier) over the integer quality features."""
+    return text.quality_classifier(_docs(spark, sf_dir))

@@ -1208,3 +1208,144 @@ def test_semantic_dedup_drops_within_cluster_only(spark):
     assert out[11][1] == 10
     # the two blobs are distinct clusters
     assert out[1][0] != out[11][0]
+
+
+def test_funnel_strict_order_and_partial_reach(spark):
+    import datetime as dt
+    from shacl_rust_spark.ops import events as ev
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1 completes all three in order
+        (1, t(1), 1, "view", 0.0),
+        (2, t(2), 1, "click", 0.0),
+        (3, t(3), 1, "purchase", 0.0),
+        # user 2: click BEFORE any view, then view → stuck at step 1
+        (10, t(1), 2, "click", 0.0),
+        (11, t(2), 2, "view", 0.0),
+        # user 3: click at the SAME ts as the first view → strict >
+        # rejects it; a later click advances, purchase never comes
+        (20, t(1), 3, "view", 0.0),
+        (21, t(1), 3, "click", 0.0),
+        (22, t(5), 3, "click", 0.0),
+        # user 4: purchase only → reaches nothing
+        (30, t(1), 4, "purchase", 0.0),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    out = {r.step_idx: (r.step, r.n_users)
+           for r in ev.funnel(e).collect()}
+    assert out == {1: ("view", 3), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_retention_weekly_offsets(spark):
+    import datetime as dt
+    from shacl_rust_spark.ops import events as ev
+
+    # 2024-01-01 is a Monday; user 1 active weeks 0 and 2, user 2
+    # joins in week 1 (cohorts split), both touch 2024-01-15's week
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 1, "view", 0.0),
+        (2, dt.datetime(2024, 1, 16, 9), 1, "view", 0.0),
+        (3, dt.datetime(2024, 1, 10, 9), 2, "view", 0.0),
+        (4, dt.datetime(2024, 1, 15, 9), 2, "view", 0.0),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    out = {(str(r.cohort_week), r.week_offset): r.n_users
+           for r in ev.retention(e).collect()}
+    assert out == {
+        ("2024-01-01 00:00:00", 0): 1,
+        ("2024-01-01 00:00:00", 2): 1,
+        ("2024-01-08 00:00:00", 0): 1,
+        ("2024-01-08 00:00:00", 1): 1,
+    }
+
+
+def test_rollup_levels_reconcile(spark):
+    import datetime as dt
+    from shacl_rust_spark.ops import events as ev
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 1, "a", 1.5),
+        (2, dt.datetime(2024, 1, 1, 10), 1, "a", 2.5),
+        (3, dt.datetime(2024, 1, 2, 9), 1, "b", 4.0),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    out = ev.rollup_counts(e).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r.gid, []).append(r)
+    # leaf rows (gid 0), per-type subtotals (gid 1), grand total (3)
+    assert {len(by_gid[0]), len(by_gid[1]), len(by_gid[3])} == {2, 1} \
+        or (len(by_gid[0]), len(by_gid[1]), len(by_gid[3])) == (2, 2, 1)
+    total = [r for r in by_gid[3]][0]
+    assert total.n_events == 3 and total.sum_value == 8.0
+    assert all(r.day is None for r in by_gid[1] + by_gid[3])
+    leaf_sum = sum(r.n_events for r in by_gid[0])
+    sub_sum = sum(r.n_events for r in by_gid[1])
+    assert leaf_sum == sub_sum == total.n_events
+
+
+def test_value_outliers_cross_multiplied_cut(spark):
+    import datetime as dt
+    from shacl_rust_spark.ops import events as ev
+
+    t = dt.datetime(2024, 1, 1)
+    # type 'a': values 1,1,1,13 → sum 16, n 4; outlier iff v*4 > 4*16
+    # ⇔ v > 16 … 13 is NOT an outlier; 17 would be. type 'b': 100
+    # alone is its own mean → 100*1 > 4*100 false.
+    rows = [
+        (1, t, 1, "a", 1.0), (2, t, 1, "a", 1.0), (3, t, 1, "a", 1.0),
+        (4, t, 1, "a", 13.0), (5, t, 1, "b", 100.0),
+        (6, t, 1, "a", 65.0),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    # with event 6: sum_a=81, n=5 → cut v > 4*81/5 = 64.8 → only 65
+    out = {r.event_id for r in ev.value_outliers(e, factor=4).collect()}
+    assert out == {6}
+
+
+def test_triangles_once_per_triangle(spark):
+    from shacl_rust_spark.ops import graph
+
+    # triangle 1-2-3 (one edge given reversed + duplicated), plus a
+    # dangling chain 3-4-5 and a self-loop 6-6 (both contribute none)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (4, 5), (6, 6)],
+        ["src", "dst"])
+    out = {r.node: r.n_triangles for r in graph.triangles(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_postings_sorted_and_min_df(spark):
+    from shacl_rust_spark.ops import rank
+
+    d = _docs(spark, [
+        (2, "s", "b a a"),
+        (1, "s", "a x"),
+        (3, "s", "b"),
+    ])
+    out = {r.word: (r.df, r.postings)
+           for r in rank.postings(d, min_df=2).collect()}
+    # x is hapax → filtered; postings doc-ascending with tf
+    assert out == {"a": (2, "1:1,2:2"), "b": (2, "2:1,3:1")}
+
+
+def test_quality_classifier_threshold_and_margin(spark):
+    from shacl_rust_spark.ops import text as tx
+
+    long_good = "the " * 30 + "of a to in and cat dog"   # stopword-rich
+    junk = "#### $$$$ !!!! %%%%"                         # punct-only
+    d = _docs(spark, [(1, "s", long_good), (2, "s", junk), (3, "s", "")])
+    rows = {r.doc_id: r for r in tx.quality_classifier(d).collect()}
+    assert rows[1].label == 1 and rows[1].score > 0.5
+    assert rows[2].label == 0 and rows[2].score < 0.5
+    assert rows[3].label == 0
+    # the z≥0 decision must never sit on a float knife-edge in the
+    # planted cases (guards the cross-engine ulp argument)
+    assert all(abs(r.z) > 1e-6 for r in rows.values())
+    # label is exactly the z-sign indicator
+    assert all((r.z >= 0) == (r.label == 1) for r in rows.values())
