@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": O.events_rollup,
         "events_anomaly": O.events_anomaly,
         "graph_triangles": O.graph_triangles,
+        "events_attribution_stream": O.events_attribution_stream,
         "rank_dsir": O.rank_dsir,
         "text_bpe_pairs": O.text_bpe_pairs,
         "cluster_kmeans": O.cluster_kmeans,
@@ -1823,6 +1824,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, e.event_type, value
             FROM events e JOIN s USING (event_type)
             WHERE value * CAST(n AS DOUBLE) > 4.0 * sm
+        """,
+        # stream-stream interval join: inner-join completeness over a
+        # full in-order replay ⇒ exactly the batch range join
+        "events_attribution_stream": """
+            SELECT c.event_id AS click_id, c.user_id,
+                   c.ts AS click_ts, v.event_id AS view_id,
+                   v.ts AS view_ts, v.value AS view_value
+            FROM events c JOIN events v
+              ON v.user_id = c.user_id
+             AND c.event_type = 'click' AND v.event_type = 'view'
+             AND c.ts >= v.ts
+             AND c.ts <= v.ts + INTERVAL 30 MINUTE
         """,
         "kg_pages": _KG_CTE + """
             SELECT url, 'en' AS lang, text,

@@ -13,7 +13,7 @@ benchmark measures the engine, not the sandbox's root disk; a warm
 pre-pass (Python-worker fork + Arrow, shuffle write/read, parquet
 encode/decode) runs before the measured window so one-time provisioning
 costs don't land in it; and the headline pipeline is measured FIRST,
-on a fresh block manager — the 94 gate queries that follow accumulate
+on a fresh block manager — the gate queries that follow accumulate
 localCheckpoint blocks and would otherwise inflate the headline by
 ~20% of GC/memory pressure.
 """

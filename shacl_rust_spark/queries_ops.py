@@ -669,3 +669,14 @@ def text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frozen-weight logistic quality classifier
     (ops/text.quality_classifier) over the integer quality features."""
     return text.quality_classifier(_docs(spark, sf_dir))
+
+
+def events_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join
+    (streaming/stream.attribution_replay): views ⋈ clicks of the same
+    user within a 30-minute horizon, replayed as two watermarked
+    streams; inner-join completeness makes the full replay equal the
+    batch range join, which is the oracle."""
+    from .streaming.stream import attribution_replay
+
+    return attribution_replay(spark, f"{sf_dir}/events.parquet")

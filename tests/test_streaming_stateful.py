@@ -155,3 +155,38 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = sorted(r.event_id for r in out.collect())
     want = sorted(src["event_id"].tolist())
     assert got == want
+
+
+def test_stream_stream_attribution_matches_batch_range_join(spark, tmp_path):
+    """Planted interval-join case: pairs inside the 30-min horizon
+    join, a click 1 s past the horizon and a click before the view do
+    not; the full-replay stream output equals the batch range join."""
+    import datetime as dt
+
+    from shacl_rust_spark.streaming.stream import attribution_replay
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: view@0; clicks at +10min (in), +30min (boundary, in),
+        # +30min1s (out), and -1s (before the view, out)
+        (1, t0, 1, "view", 5.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 1, "click", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=30), 1, "click", 0.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=30, seconds=1), 1, "click", 0.0, "{}"),
+        (5, t0 - dt.timedelta(seconds=1), 1, "click", 0.0, "{}"),
+        # user 2: same-ts view+click (boundary, in); user 3: view only
+        (6, t0, 2, "view", 7.0, "{}"),
+        (7, t0, 2, "click", 0.0, "{}"),
+        (8, t0, 3, "view", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value", "props"])
+    d = str(tmp_path / "attr_events")
+    import os
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   f"{d}/events.parquet", coerce_timestamps="us")
+    out = attribution_replay(spark, f"{d}/events.parquet", n_chunks=3)
+    got = {(r.click_id, r.view_id) for r in out.collect()}
+    assert got == {(2, 1), (3, 1), (7, 6)}
