@@ -196,6 +196,10 @@ def triangles(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # e feeds all three join branches: materialize the (possibly
+        # expensive) upstream once instead of three times — same
+        # checkpoint-reused-intermediates device as shacl_equals
+        .localCheckpoint(eager=True)
     )
     wedges = e.join(
         e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
