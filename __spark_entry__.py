@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": O.events_anomaly,
         "graph_triangles": O.graph_triangles,
         "events_attribution_stream": O.events_attribution_stream,
+        "events_transitions": O.events_transitions,
+        "graph_kcore": O.graph_kcore,
         "rank_dsir": O.rank_dsir,
         "text_bpe_pairs": O.text_bpe_pairs,
         "cluster_kmeans": O.cluster_kmeans,
@@ -211,6 +213,46 @@ WITH w AS (
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1)
 """
+
+# the Jaccard>=0.8 canonical pair graph (a < b), shared by the
+# triangle / k-core oracles — identical to dedup_jaccard's pair set
+_PAIR_GRAPH_CTE = """
+, i AS (
+  SELECT wa.doc_id AS a, wb.doc_id AS b, count(*) AS ni
+  FROM w wa JOIN w wb
+    ON wa.word = wb.word AND wa.source = wb.source
+   AND wa.doc_id < wb.doc_id
+  GROUP BY 1, 2),
+p AS MATERIALIZED (
+  SELECT a, b FROM i
+  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+  WHERE ni * 10000 >= (sa.n + sb.n - ni) * 8000)
+"""
+
+
+def _kcore_ctes(k: int, rounds: int) -> str:
+    """Unroll `rounds` synchronous k-core peel rounds over the pair
+    graph CTE `p` — the DuckDB twin of ops/graph.k_core (bounded-round
+    contract, all-integer, so the hash compare is exact). Every stage
+    is MATERIALIZED: DuckDB inlines plain CTEs at each reference, and
+    each round references its predecessor three times, so an inlined
+    unroll would expand ~3^rounds scans of the corpus (it manifests as
+    'Too many open files', not just slowness)."""
+    parts, prev = [], "p"
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+  d{r} AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+      SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) u
+    GROUP BY 1),
+  k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+  e{r} AS MATERIALIZED (SELECT a, b FROM {prev}
+           JOIN k{r} ka ON ka.node = a
+           JOIN k{r} kb ON kb.node = b)""")
+        prev = f"e{r}"
+    return ("," + ",".join(parts) + f"""
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) u
+  GROUP BY 1""")
 
 
 def _kmeans_ctes(k: int, iters: int, dims: int = 64) -> tuple:
@@ -447,18 +489,8 @@ def oracle_sql() -> dict[str, str]:
         # re-derived with the dedup_jaccard CTE, then the canonical
         # two-join closure counts each triangle once and unnests the
         # three corners for per-node counts
-        "graph_triangles": _WORDS_CTE + """
-            , i AS (
-              SELECT wa.doc_id AS a, wb.doc_id AS b, count(*) AS ni
-              FROM w wa JOIN w wb
-                ON wa.word = wb.word AND wa.source = wb.source
-               AND wa.doc_id < wb.doc_id
-              GROUP BY 1, 2),
-            p AS (
-              SELECT a, b FROM i
-              JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-              WHERE ni * 10000 >= (sa.n + sb.n - ni) * 8000),
-            t AS (
+        "graph_triangles": _WORDS_CTE + _PAIR_GRAPH_CTE + """
+            , t AS (
               SELECT e1.a, e1.b, e2.c
               FROM p e1
               JOIN (SELECT a AS b, b AS c FROM p) e2 USING (b)
@@ -466,6 +498,18 @@ def oracle_sql() -> dict[str, str]:
                 ON e3.a = e1.a AND e3.c = e2.c),
             x AS (SELECT unnest([a, b, c]) AS node FROM t)
             SELECT node, count(*) AS n_triangles FROM x GROUP BY 1
+        """,
+        "graph_kcore": _WORDS_CTE + _PAIR_GRAPH_CTE + _kcore_ctes(3, 6),
+        "events_transitions": """
+            WITH t AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events)
+            SELECT prev AS from_type, event_type AS to_type,
+                   count(*) AS n
+            FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
         """,
         "dedup_containment": _WORDS_CTE + """
             , i AS (

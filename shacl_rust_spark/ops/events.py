@@ -257,3 +257,24 @@ def value_outliers(events: DataFrame, factor: int = 4) -> DataFrame:
         )
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+def transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts over each user's
+    ts-ordered event stream: (from_type, to_type, n) for every
+    consecutive pair (ties broken by event_id — the deterministic
+    total order every windowed op in this module uses). The
+    behavioral-model / next-event-prediction input table. ONE shuffle
+    on user_id for the lag window, then a tiny (|types|²-bounded)
+    aggregate."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_prev", F.lag("event_type").over(w))
+        .where(F.col("_prev").isNotNull())
+        .groupBy(
+            F.col("_prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -212,3 +212,47 @@ def triangles(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def k_core(edges: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
+    """Bounded synchronous k-core peeling: `rounds` rounds of
+    [degree → drop nodes with degree < k → restrict edges], then the
+    final (node, degree) table. Equals the true k-core wherever the
+    peel converges within `rounds`; the bounded-round contract (same
+    as kmeans iters / the fixed-point PageRank) is what makes an
+    unrolled-CTE DuckDB oracle possible — every round is exact
+    integer arithmetic.
+
+    Plan: degrees come from one explode + map-side-combined count per
+    round; the restriction is two semi-joins of the edge set against
+    the (node-cardinality, strictly shrinking) keep set, which AQE
+    broadcasts once it fits. Each round's edge set is checkpointed —
+    bounded lineage, and the next round reads the materialization,
+    not the replay."""
+    e = (
+        edges.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def degs(ed):
+        return (
+            ed.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    for _ in range(rounds):
+        keep = degs(e).where(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return degs(e)

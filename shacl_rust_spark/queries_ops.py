@@ -680,3 +680,23 @@ def events_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stream import attribution_replay
 
     return attribution_replay(spark, f"{sf_dir}/events.parquet")
+
+
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts per user stream
+    (ops/events.transitions)."""
+    return events.transitions(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 6-round k-core peel at k=3 (ops/graph.k_core) over the
+    Jaccard ≥ 0.8 near-dup pair graph — the dense-core extractor that
+    separates tight template families from stray chain links; the
+    oracle unrolls the identical six integer peel rounds."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    return graph.k_core(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        k=3, rounds=6,
+    )

@@ -1349,3 +1349,39 @@ def test_quality_classifier_threshold_and_margin(spark):
     assert all(abs(r.z) > 1e-6 for r in rows.values())
     # label is exactly the z-sign indicator
     assert all((r.z >= 0) == (r.label == 1) for r in rows.values())
+
+
+def test_transitions_lag_per_user(spark):
+    import datetime as dt
+    from shacl_rust_spark.ops import events as ev
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, t(1), 1, "view", 0.0), (2, t(2), 1, "click", 0.0),
+        (3, t(3), 1, "view", 0.0),
+        # user 2's first event produces no pair; same-ts tie breaks
+        # by event_id (10 before 11)
+        (10, t(5), 2, "view", 0.0), (11, t(5), 2, "click", 0.0),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    out = {(r.from_type, r.to_type): r.n
+           for r in ev.transitions(e).collect()}
+    assert out == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_kcore_peels_tendrils(spark):
+    from shacl_rust_spark.ops import graph
+
+    # K4 on {1,2,3,4} plus a tendril 4-5-6: the 3-core is exactly the
+    # K4 (every node degree 3); 5 and 6 peel in two rounds
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6)], ["src", "dst"])
+    out = {r.node: r.degree
+           for r in graph.k_core(edges, k=3, rounds=6).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=2 keeps nothing of the tendril either (6 peels, then 5)
+    out2 = {r.node: r.degree
+            for r in graph.k_core(edges, k=2, rounds=6).collect()}
+    assert out2 == {1: 3, 2: 3, 3: 3, 4: 3}
