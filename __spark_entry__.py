@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_stream": O.events_attribution_stream,
         "events_transitions": O.events_transitions,
         "graph_kcore": O.graph_kcore,
+        "graph_common_neighbors": O.graph_common_neighbors,
+        "sketch_length_quantiles": O.sketch_length_quantiles,
         "rank_dsir": O.rank_dsir,
         "text_bpe_pairs": O.text_bpe_pairs,
         "cluster_kmeans": O.cluster_kmeans,
@@ -500,6 +502,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, count(*) AS n_triangles FROM x GROUP BY 1
         """,
         "graph_kcore": _WORDS_CTE + _PAIR_GRAPH_CTE + _kcore_ctes(3, 6),
+        "graph_common_neighbors": _WORDS_CTE + _PAIR_GRAPH_CTE + """
+            , adj AS MATERIALIZED (
+                SELECT a AS node, b AS nb FROM p
+                UNION ALL SELECT b, a FROM p),
+            deg AS MATERIALIZED (
+                SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+            cn AS (
+              SELECT a1.node AS u, a2.node AS v, count(*) AS n_common
+              FROM adj a1 JOIN adj a2
+                ON a1.nb = a2.nb AND a1.node < a2.node
+              GROUP BY 1, 2
+              HAVING count(*) >= 2),
+            topk AS (
+              SELECT u, v, n_common,
+                     row_number() OVER (PARTITION BY u
+                       ORDER BY n_common DESC, v ASC) AS rn
+              FROM cn)
+            SELECT u, v, n_common, du.deg AS deg_u, dv.deg AS deg_v
+            FROM topk JOIN deg du ON du.node = u
+                      JOIN deg dv ON dv.node = v
+            WHERE rn <= 3
+        """,
+        # bin from the binary-string length, same as the Spark side —
+        # never floor(log2()) (libm exactness at powers of two is not
+        # guaranteed and one ulp flips the bucket)
+        "sketch_length_quantiles": """
+            WITH c AS (
+              SELECT lang,
+                     length(bin(greatest(CAST(n_chars AS BIGINT), 1)))
+                       - 1 AS bin
+              FROM documents),
+            counts AS (
+              SELECT lang, bin, count(*) AS n FROM c GROUP BY 1, 2),
+            cum AS (
+              SELECT lang, bin, n,
+                     SUM(n) OVER (PARTITION BY lang ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(n) OVER (PARTITION BY lang) AS total
+              FROM counts),
+            q AS (
+              SELECT lang, CAST(SUM(n) AS BIGINT) AS n,
+                     MIN(CASE WHEN cum * 100 >= 50 * total
+                         THEN bin END) AS p50_bin,
+                     MIN(CASE WHEN cum * 100 >= 90 * total
+                         THEN bin END) AS p90_bin,
+                     MIN(CASE WHEN cum * 100 >= 99 * total
+                         THEN bin END) AS p99_bin
+              FROM cum GROUP BY 1)
+            SELECT lang, n, p50_bin, p90_bin, p99_bin,
+                   (CAST(1 AS BIGINT) << (p50_bin + 1)) - 1 AS p50_est,
+                   (CAST(1 AS BIGINT) << (p90_bin + 1)) - 1 AS p90_est,
+                   (CAST(1 AS BIGINT) << (p99_bin + 1)) - 1 AS p99_est
+            FROM q
+        """,
         "events_transitions": """
             WITH t AS (
               SELECT user_id, event_type,

@@ -256,3 +256,66 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return degs(e)
+
+
+def common_neighbors(
+    edges: DataFrame, min_common: int = 2, top_k: int | None = None
+) -> DataFrame:
+    """Link-prediction candidate pairs by shared neighborhood:
+    (u, v, n_common, deg_u, deg_v) for every unordered node pair with
+    ≥ `min_common` common neighbors in the undirected simple graph —
+    u and v need NOT be adjacent (that's the point: high neighbor
+    overlap without an edge predicts a missing link / a same-entity
+    pair the direct-similarity pass missed). All-integer output, so
+    neighbor-Jaccard n_common/(deg_u+deg_v-n_common) thresholds apply
+    downstream in exact cross-multiplied form.
+
+    Plan: symmetric adjacency (edge list both ways), wedge join on the
+    shared neighbor, groupBy the (u,v) pair — Σdeg² wedge work, the
+    same bound as triangles; degree frames are node-cardinality joins
+    AQE broadcasts. min_common prunes the quadratic tail of weak
+    pairs at the aggregate, before the degree joins. top_k (if set)
+    keeps each u's strongest `top_k` candidates — the shortlist
+    semantics real candidate generation wants, and it bounds the
+    output at nodes × k instead of the clique-quadratic pair count
+    (deterministic order: n_common DESC, v ASC)."""
+    e = (
+        edges.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("a").alias("node"), F.col("b").alias("nb")) \
+        .unionByName(
+            e.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    pairs = (
+        adj.select(F.col("node").alias("u"), "nb")
+        .join(adj.select(F.col("node").alias("v"), "nb"), "nb")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("u").orderBy(
+            F.desc("n_common"), F.asc("v")
+        )
+        pairs = (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= top_k)
+            .drop("_rn")
+        )
+    return (
+        pairs.join(deg.select(F.col("node").alias("u"),
+                              F.col("deg").alias("deg_u")), "u")
+        .join(deg.select(F.col("node").alias("v"),
+                         F.col("deg").alias("deg_v")), "v")
+        .select("u", "v", "n_common", "deg_u", "deg_v")
+    )

@@ -31,7 +31,7 @@ registers the standard error is ~1.04/√m ≈ 1.6 %.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _PREFIX_LEN = 3
@@ -156,3 +156,56 @@ def hll_distinct(
         .otherwise(raw)
         .alias("est_distinct"),
     )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple = (),
+    quantiles: tuple = (50, 90, 99),
+) -> DataFrame:
+    """Mergeable power-of-two histogram quantile sketch: values bucket
+    into bin = bit_length(v)-1 (v clamped to ≥ 1), per-group bin
+    counts, and the q-th percentile estimate is the UPPER BOUND
+    2^(bin+1)−1 of the first bin whose cumulative count reaches
+    ⌈q%·n⌉. One groupBy of (group, bin) — state is ≤ 64 counters per
+    group, counters merge by addition (map-side combined), so unlike
+    exact percentile (a full sort) or GK/t-digest (merge-order-
+    dependent) this sketch is deterministic under ANY partitioning —
+    which is what makes a cross-engine hash-exact oracle possible.
+    Estimator variant stated per ADVICE.md policy: upper-bound-of-bin,
+    relative error ≤ 2× by construction.
+
+    bin is computed from the BINARY-STRING length (length(bin(v))−1),
+    never floor(log2(v)) — libm log2 is not guaranteed exact at
+    powers of two, and one ulp flips the bucket."""
+    g = [F.col(c) for c in group_cols]
+    v = F.greatest(F.col(value_col).cast("bigint"), F.lit(1))
+    b = (F.length(F.bin(v)) - 1).alias("bin")
+    counts = df.select(*g, b).groupBy(*group_cols, "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wcum = (
+        Window.partitionBy(*group_cols).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    cum = counts.withColumn("cum", F.sum("n").over(wcum)) \
+                .withColumn("total", F.sum("n").over(wtot))
+    aggs = [F.sum("n").alias("n")]
+    for q in quantiles:
+        qbin = F.min(
+            F.when(F.col("cum") * 100 >= F.lit(q) * F.col("total"),
+                   F.col("bin"))
+        )
+        aggs.append(qbin.alias(f"p{q}_bin"))
+    out = cum.groupBy(*group_cols).agg(*aggs)
+    for q in quantiles:
+        # SQL shiftleft: the shift amount can be a column there
+        # (the PySpark wrapper only takes a Python int)
+        out = out.withColumn(
+            f"p{q}_est",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), p{q}_bin + 1)"
+                   " - CAST(1 AS BIGINT)"),
+        )
+    return out

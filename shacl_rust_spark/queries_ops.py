@@ -700,3 +700,25 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         k=3, rounds=6,
     )
+
+
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-neighborhood link-prediction shortlist
+    (ops/graph.common_neighbors): each node's top-3 candidates with
+    >= 2 common neighbors over the Jaccard >= 0.8 near-dup graph —
+    candidates the direct pass missed, output bounded at nodes x k
+    instead of the clique-quadratic pair count."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    return graph.common_neighbors(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        min_common=2, top_k=3,
+    )
+
+
+def sketch_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language power-of-two histogram quantile sketch of document
+    lengths (ops/sketch.hist_quantiles) — the mergeable, partitioning-
+    independent alternative to the exact percentile scan."""
+    return sketch.hist_quantiles(
+        _docs(spark, sf_dir), "n_chars", group_cols=("lang",)
+    )

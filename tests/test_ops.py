@@ -1385,3 +1385,37 @@ def test_kcore_peels_tendrils(spark):
     out2 = {r.node: r.degree
             for r in graph.k_core(edges, k=2, rounds=6).collect()}
     assert out2 == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_common_neighbors_nonadjacent_pairs(spark):
+    from shacl_rust_spark.ops import graph
+
+    # hubs 100 and 200 both link 1,2,3 but NOT each other: the top
+    # predicted pair is (100,200) with 3 shared neighbors
+    edges = spark.createDataFrame(
+        [(100, 1), (100, 2), (100, 3), (200, 1), (200, 2), (200, 3)],
+        ["src", "dst"])
+    out = {(r.u, r.v): (r.n_common, r.deg_u, r.deg_v)
+           for r in graph.common_neighbors(edges, min_common=2).collect()}
+    assert out == {
+        (100, 200): (3, 3, 3),
+        (1, 2): (2, 2, 2), (1, 3): (2, 2, 2), (2, 3): (2, 2, 2),
+    }
+
+
+def test_hist_quantiles_bin_bounds(spark):
+    from shacl_rust_spark.ops import sketch
+
+    rows = [("en", 1), ("en", 1), ("en", 1), ("en", 1000),
+            ("de", 7)]
+    d = spark.createDataFrame(rows, ["lang", "n_chars"])
+    out = {r.lang: r for r in sketch.hist_quantiles(
+        d, "n_chars", group_cols=("lang",)).collect()}
+    en = out["en"]
+    # bin(1)=0 → est 1; bin(1000)=9 (bit_length 10) → est 1023
+    assert (en.n, en.p50_bin, en.p50_est) == (4, 0, 1)
+    assert (en.p99_bin, en.p99_est) == (9, 1023)
+    de = out["de"]  # 7 → bin 2, est 2^3-1 = 7 (upper bound is tight)
+    assert (de.n, de.p50_bin, de.p50_est) == (1, 2, 7)
+    # the upper-bound estimator never underestimates
+    assert en.p50_est >= 1 and en.p99_est >= 1000
