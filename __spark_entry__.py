@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": O.graph_kcore,
         "graph_common_neighbors": O.graph_common_neighbors,
         "sketch_length_quantiles": O.sketch_length_quantiles,
+        "events_json_stats": O.events_json_stats,
+        "events_pivot": O.events_pivot,
         "rank_dsir": O.rank_dsir,
         "text_bpe_pairs": O.text_bpe_pairs,
         "cluster_kmeans": O.cluster_kmeans,
@@ -1924,6 +1926,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, e.event_type, value
             FROM events e JOIN s USING (event_type)
             WHERE value * CAST(n AS DOUBLE) > 4.0 * sm
+        """,
+        "events_json_stats": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events)
+            SELECT event_type, count(*) AS n_with_k,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k, MAX(k) AS max_k
+            FROM e WHERE k IS NOT NULL GROUP BY 1
+        """,
+        # conditional aggregation restates the PIVOT with the same
+        # explicit value list
+        "events_pivot": """
+            WITH e AS (
+              SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                     event_type
+              FROM events)
+            SELECT day,
+                   count(*) FILTER (event_type = 'view') AS "view",
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'error') AS error
+            FROM e GROUP BY 1
         """,
         # stream-stream interval join: inner-join completeness over a
         # full in-order replay ⇒ exactly the batch range join

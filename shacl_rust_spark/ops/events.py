@@ -278,3 +278,45 @@ def transitions(events: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: pull the integer `k` out of the
+    JSON `props` column (engine JSON path, no Python) and aggregate
+    per event_type — (event_type, n_with_k, sum_k, min_k, max_k).
+    The ETL pattern for event payloads at scale: extract typed fields
+    ONCE in the scan projection (whole-stage codegen), aggregate on
+    the typed column; rows whose payload lacks the field drop out as
+    NULLs. Exact integer aggregates — engine-portable."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.select("event_type", k.alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_with_k"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
+def pivot_daily_counts(
+    events: DataFrame,
+    types: tuple = ("view", "click", "purchase", "signup", "error"),
+) -> DataFrame:
+    """Wide daily activity matrix via the engine's native PIVOT: one
+    row per day, one count column per event type (explicit value
+    list — never the two-pass distinct-discovery form, which adds a
+    full scan and makes the schema data-dependent). Missing cells are
+    0. The BI-export / feature-matrix surface."""
+    out = (
+        events.select(
+            F.to_date("ts").cast("string").alias("day"), "event_type"
+        )
+        .groupBy("day")
+        .pivot("event_type", list(types))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0, list(types))

@@ -722,3 +722,20 @@ def sketch_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.hist_quantiles(
         _docs(spark, sf_dir), "n_chars", group_cols=("lang",)
     )
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON payload extraction + per-type integer aggregates
+    (ops/events.props_stats)."""
+    return events.props_stats(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native PIVOT with an explicit value list: daily activity
+    matrix, one count column per event type
+    (ops/events.pivot_daily_counts)."""
+    return events.pivot_daily_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )

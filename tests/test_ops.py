@@ -1419,3 +1419,40 @@ def test_hist_quantiles_bin_bounds(spark):
     assert (de.n, de.p50_bin, de.p50_est) == (1, 2, 7)
     # the upper-bound estimator never underestimates
     assert en.p50_est >= 1 and en.p99_est >= 1000
+
+
+def test_props_stats_null_payloads_drop(spark):
+    import datetime as dt
+    from shacl_rust_spark.ops import events as ev
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t, 1, "a", 0.0, '{"k": 10}'),
+        (2, t, 1, "a", 0.0, '{"k": 32}'),
+        (3, t, 1, "a", 0.0, '{"other": 5}'),   # no k → dropped
+        (4, t, 1, "b", 0.0, None),             # null payload → dropped
+        (5, t, 1, "b", 0.0, '{"k": 7}'),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    out = {r.event_type: (r.n_with_k, r.sum_k, r.min_k, r.max_k)
+           for r in ev.props_stats(e).collect()}
+    assert out == {"a": (2, 42, 10, 32), "b": (1, 7, 7, 7)}
+
+
+def test_pivot_fills_missing_cells(spark):
+    import datetime as dt
+    from shacl_rust_spark.ops import events as ev
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "view", 0.0),
+        (2, dt.datetime(2024, 1, 1), 1, "view", 0.0),
+        (3, dt.datetime(2024, 1, 2), 1, "click", 0.0),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    out = {r.day: r for r in ev.pivot_daily_counts(e).collect()}
+    assert (out["2024-01-01"].view, out["2024-01-01"].click) == (2, 0)
+    assert (out["2024-01-02"].view, out["2024-01-02"].click) == (0, 1)
+    assert out["2024-01-01"].purchase == 0  # absent type → 0, not null
