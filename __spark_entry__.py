@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_length_quantiles": O.sketch_length_quantiles,
         "events_json_stats": O.events_json_stats,
         "events_pivot": O.events_pivot,
+        "graph_copurchase": O.graph_copurchase,
+        "curation_profile": O.curation_profile,
         "rank_dsir": O.rank_dsir,
         "text_bpe_pairs": O.text_bpe_pairs,
         "cluster_kmeans": O.cluster_kmeans,
@@ -232,6 +234,37 @@ p AS MATERIALIZED (
   JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
   WHERE ni * 10000 >= (sa.n + sb.n - ni) * 8000)
 """
+
+
+_PROFILE_NUM = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PROFILE_STR = ("l_returnflag", "l_linestatus", "l_shipdate")
+
+
+def _profile_sql(table: str) -> str:
+    """Per-column UNION ALL restating ops/profile.profile_table's
+    one-pass aggregate — numeric min/max as DOUBLE, the rest as
+    engine-cast strings (see that module's typing note)."""
+    branches = []
+    for c in _PROFILE_NUM:
+        branches.append(f"""
+            SELECT '{c}' AS col_name, 1 AS is_numeric, count(*) AS n,
+                   count(*) - count({c}) AS n_null,
+                   count(DISTINCT {c}) AS n_distinct,
+                   COALESCE(CAST(MIN({c}) AS DOUBLE), 0.0) AS min_num,
+                   COALESCE(CAST(MAX({c}) AS DOUBLE), 0.0) AS max_num,
+                   '' AS min_str, '' AS max_str
+            FROM {table}""")
+    for c in _PROFILE_STR:
+        branches.append(f"""
+            SELECT '{c}' AS col_name, 0 AS is_numeric, count(*) AS n,
+                   count(*) - count({c}) AS n_null,
+                   count(DISTINCT {c}) AS n_distinct,
+                   0.0 AS min_num, 0.0 AS max_num,
+                   COALESCE(CAST(MIN({c}) AS VARCHAR), '') AS min_str,
+                   COALESCE(CAST(MAX({c}) AS VARCHAR), '') AS max_str
+            FROM {table}""")
+    return " UNION ALL ".join(branches)
 
 
 def _kcore_ctes(k: int, rounds: int) -> str:
@@ -1927,6 +1960,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN s USING (event_type)
             WHERE value * CAST(n AS DOUBLE) > 4.0 * sm
         """,
+        "graph_copurchase": """
+            WITH g AS (
+              SELECT DISTINCT l_orderkey AS gk, l_partkey AS item
+              FROM lineitem)
+            SELECT a.item AS item_a, b.item AS item_b,
+                   count(*) AS support
+            FROM g a JOIN g b ON a.gk = b.gk AND a.item < b.item
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "curation_profile": _profile_sql("lineitem"),
         "events_json_stats": """
             WITH e AS (
               SELECT event_type,

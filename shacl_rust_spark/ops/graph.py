@@ -319,3 +319,47 @@ def common_neighbors(
                          F.col("deg").alias("deg_v")), "v")
         .select("u", "v", "n_common", "deg_u", "deg_v")
     )
+
+
+def bipartite_project(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_group: int | None = None,
+) -> DataFrame:
+    """Project a bipartite (group, item) relation onto item-item
+    co-occurrence edges: (item_a, item_b, support) with item_a <
+    item_b and support = number of distinct groups containing both —
+    market-basket co-purchase graphs, author-collaboration graphs,
+    doc-term co-mention graphs all come from this one construction.
+
+    Plan: dedup (group, item), self-join WITHIN group (the quadratic
+    term is per-group — bounded groups ⇒ bounded work), count pairs.
+    `max_group` is the stop-group guard (same role as LSH's
+    stop-bucket removal): a group with g items emits g·(g−1)/2 pairs,
+    so one million-item group would dominate the job; dropping
+    super-groups bounds the pair stream and is stated, not silent —
+    the dropped groups are exactly the non-informative ones (a basket
+    containing everything co-occurs with everything)."""
+    g = (
+        df.select(F.col(group_col).alias("_g"),
+                  F.col(item_col).alias("_i"))
+        .where(F.col("_g").isNotNull() & F.col("_i").isNotNull())
+        .distinct()
+    )
+    if max_group is not None:
+        sizes = g.groupBy("_g").agg(F.count(F.lit(1)).alias("_sz"))
+        g = g.join(
+            sizes.where(F.col("_sz") <= max_group).select("_g"),
+            "_g", "left_semi",
+        )
+    pairs = (
+        g.select("_g", F.col("_i").alias("item_a"))
+        .join(g.select("_g", F.col("_i").alias("item_b")), "_g")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    return pairs

@@ -739,3 +739,25 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.pivot_daily_counts(
         spark.read.parquet(f"{sf_dir}/events.parquet")
     )
+
+
+def graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of lineitem (order, part) onto part-part
+    co-purchase edges with support >= 2 (ops/graph.bipartite_project)
+    — market-basket graph construction; the quadratic term is bounded
+    per order."""
+    from .ops import graph as g
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return g.bipartite_project(
+        li, "l_orderkey", "l_partkey", min_support=2
+    )
+
+
+def curation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan table profile of lineitem (ops/profile.profile_table):
+    per-column null/distinct/min/max — the expectations check before a
+    new table drop enters the pipeline."""
+    from .ops.profile import profile_table
+
+    return profile_table(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))

@@ -1456,3 +1456,44 @@ def test_pivot_fills_missing_cells(spark):
     assert (out["2024-01-01"].view, out["2024-01-01"].click) == (2, 0)
     assert (out["2024-01-02"].view, out["2024-01-02"].click) == (0, 1)
     assert out["2024-01-01"].purchase == 0  # absent type → 0, not null
+
+
+def test_bipartite_project_support_and_cap(spark):
+    from shacl_rust_spark.ops import graph
+
+    rows = [  # baskets: {1,2,3}, {1,2}, {9}, mega {4,5,6,7}
+        ("b1", 1), ("b1", 2), ("b1", 3), ("b1", 1),   # dup (b1,1)
+        ("b2", 1), ("b2", 2),
+        ("b3", 9),
+        ("m", 4), ("m", 5), ("m", 6), ("m", 7),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {(r.item_a, r.item_b): r.support
+           for r in graph.bipartite_project(
+               df, "basket", "item", min_support=2).collect()}
+    assert out == {(1, 2): 2}   # only pair in >= 2 baskets
+    # stop-group guard: dropping baskets larger than 3 removes the
+    # mega-basket's pairs even at min_support=1
+    out2 = {(r.item_a, r.item_b)
+            for r in graph.bipartite_project(
+                df, "basket", "item", min_support=1,
+                max_group=3).collect()}
+    assert (4, 5) not in out2 and (1, 2) in out2 and (2, 3) in out2
+
+
+def test_profile_table_sentinels_and_nulls(spark):
+    from shacl_rust_spark.ops.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, None), (None, "a", None)],
+        "k bigint, s string, dead string")
+    out = {r.col_name: r for r in profile_table(df).collect()}
+    k = out["k"]
+    assert (k.is_numeric, k.n, k.n_null, k.n_distinct) == (1, 3, 1, 2)
+    assert (k.min_num, k.max_num, k.min_str, k.max_str) == (
+        1.0, 2.0, "", "")
+    s = out["s"]
+    assert (s.is_numeric, s.n_null, s.min_str, s.max_str) == (
+        0, 1, "a", "x")
+    dead = out["dead"]   # all-NULL column → sentinels, n_null == n
+    assert (dead.n_null, dead.n_distinct, dead.min_str) == (3, 0, "")
