@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": O.events_pivot,
         "graph_copurchase": O.graph_copurchase,
         "curation_profile": O.curation_profile,
+        "olap_revenue_by_region": O.olap_revenue_by_region,
+        "dedup_snapshot_diff": O.dedup_snapshot_diff,
         "rank_dsir": O.rank_dsir,
         "text_bpe_pairs": O.text_bpe_pairs,
         "cluster_kmeans": O.cluster_kmeans,
@@ -1970,6 +1972,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "curation_profile": _profile_sql("lineitem"),
+        # integer centi-cents: ROUND(x*100) of the identical input
+        # double is the identical integer on both engines; revenue
+        # then sums as BIGINT (order-independent)
+        "olap_revenue_by_region": """
+            SELECT r_name, count(*) AS n_items,
+                   CAST(SUM(
+                     CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100, 0)
+                                   AS BIGINT))
+                   ) AS BIGINT) AS revenue_cc
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation   ON n_nationkey = c_nationkey
+            JOIN region   ON r_regionkey = n_regionkey
+            GROUP BY 1
+        """,
+        "dedup_snapshot_diff": """
+            WITH v1 AS (
+              SELECT doc_id, md5(text) AS f FROM documents
+              WHERE doc_id % 3 <> 0),
+            v2 AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                              ELSE text END) AS f
+              FROM documents WHERE doc_id % 5 <> 0)
+            SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+                   CASE WHEN v1.f IS NULL THEN 'added'
+                        WHEN v2.f IS NULL THEN 'removed'
+                        WHEN v1.f <> v2.f THEN 'changed' END AS status
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+            WHERE (CASE WHEN v1.f IS NULL THEN 'added'
+                        WHEN v2.f IS NULL THEN 'removed'
+                        WHEN v1.f <> v2.f THEN 'changed' END)
+                  IS NOT NULL
+        """,
         "events_json_stats": """
             WITH e AS (
               SELECT event_type,

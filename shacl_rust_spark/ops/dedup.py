@@ -460,3 +460,27 @@ def remove_duplicated_spans(
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, fingerprint: F.Column
+) -> DataFrame:
+    """Corpus version diff: (key, status) with status ∈ {'added',
+    'removed', 'changed'} between two snapshots, compared by a content
+    fingerprint (unchanged rows are omitted — at scale they are the
+    overwhelming majority and emitting them would make the diff
+    corpus-sized). ONE full-outer join on the key; fingerprints are
+    computed in the scan projections so each side is read once. The
+    ingest-audit op a versioned lake runs between drops."""
+    o = old.select(F.col(key).alias("_k"), fingerprint.alias("_fo"))
+    n = new.select(F.col(key).alias("_k"), fingerprint.alias("_fn"))
+    j = o.join(n, "_k", "full_outer")
+    status = (
+        F.when(F.col("_fo").isNull(), F.lit("added"))
+        .when(F.col("_fn").isNull(), F.lit("removed"))
+        .when(F.col("_fo") != F.col("_fn"), F.lit("changed"))
+    )
+    return (
+        j.select(F.col("_k").alias(key), status.alias("status"))
+        .where(F.col("status").isNotNull())
+    )

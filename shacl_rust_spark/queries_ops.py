@@ -761,3 +761,28 @@ def curation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.profile import profile_table
 
     return profile_table(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def olap_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema revenue rollup in integer centi-cents
+    (ops/olap.revenue_by_region): fact side shuffled once, dimension
+    chain broadcast by AQE."""
+    from .ops import olap
+
+    return olap.revenue_by_region(spark, sf_dir)
+
+
+def dedup_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff (ops/dedup.snapshot_diff): v1 = doc_id not
+    divisible by 3, v2 = doc_id not divisible by 5 with every
+    7-divisible doc's text amended — deterministic synthetic drop pair;
+    md5 fingerprints, one full-outer join, unchanged rows omitted."""
+    d = _docs(spark, sf_dir)
+    v1 = d.where(F.col("doc_id") % 3 != 0)
+    v2 = d.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    return dedup.snapshot_diff(v1, v2, "doc_id", F.md5("text"))

@@ -1497,3 +1497,41 @@ def test_profile_table_sentinels_and_nulls(spark):
         0, 1, "a", "x")
     dead = out["dead"]   # all-NULL column → sentinels, n_null == n
     assert (dead.n_null, dead.n_distinct, dead.min_str) == (3, 0, "")
+
+
+def test_snapshot_diff_three_states(spark):
+    o = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"])
+    n = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], ["doc_id", "text"])
+    out = {r.doc_id: r.status
+           for r in dedup.snapshot_diff(o, n, "doc_id",
+                                        F.md5("text")).collect()}
+    # 2 unchanged → omitted
+    assert out == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_revenue_rollup_integer_cents(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from shacl_rust_spark.ops import olap
+
+    d = str(tmp_path)
+    def w(name, cols, rows):
+        pq.write_table(pa.table({c: list(v) for c, v in
+                                 zip(cols, zip(*rows))}),
+                       f"{d}/{name}.parquet")
+    # one region/nation/customer; two orders; prices chosen so float
+    # summation error would be visible if revenue were not integer
+    w("region", ["r_regionkey", "r_name"], [(0, "EU")])
+    w("nation", ["n_nationkey", "n_regionkey"], [(0, 0)])
+    w("customer", ["c_custkey", "c_nationkey"], [(10, 0)])
+    w("orders", ["o_orderkey", "o_custkey"], [(100, 10), (101, 10)])
+    w("lineitem",
+      ["l_orderkey", "l_extendedprice", "l_discount"],
+      [(100, 10.01, 0.05), (101, 0.1, 0.0), (101, 0.2, 0.1)])
+    out = olap.revenue_by_region(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 1001*95 + 10*100 + 20*90 = 95095 + 1000 + 1800
+    assert (r.r_name, r.n_items, r.revenue_cc) == ("EU", 3, 97895)
