@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_profile": O.curation_profile,
         "olap_revenue_by_region": O.olap_revenue_by_region,
         "dedup_snapshot_diff": O.dedup_snapshot_diff,
+        "sketch_bloom_prefilter": O.sketch_bloom_prefilter,
         "rank_dsir": O.rank_dsir,
         "text_bpe_pairs": O.text_bpe_pairs,
         "cluster_kmeans": O.cluster_kmeans,
@@ -1988,6 +1989,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON n_nationkey = c_nationkey
             JOIN region   ON r_regionkey = n_regionkey
             GROUP BY 1
+        """,
+        # bloom accept set incl. deterministic false positives — md5
+        # bit positions, so both engines compute the identical filter
+        "sketch_bloom_prefilter": """
+            WITH dk AS (
+              SELECT doc_id, substr(text, 1, 40) AS k1 FROM documents),
+            kb AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5('bf' || k1), 1 + 8*i, 8))
+                       ::BIGINT % 4096 AS bit
+              FROM dk, generate_series(0, 2) gs(i)
+              WHERE doc_id % 2 = 0),
+            pb AS (
+              SELECT DISTINCT doc_id,
+                     ('0x' || substr(md5('bf' || k1), 1 + 8*i, 8))
+                       ::BIGINT % 4096 AS bit
+              FROM dk, generate_series(0, 2) gs(i)
+              WHERE doc_id % 2 = 1),
+            miss AS (
+              SELECT DISTINCT pb.doc_id
+              FROM pb LEFT JOIN kb ON pb.bit = kb.bit
+              WHERE kb.bit IS NULL)
+            SELECT doc_id FROM dk
+            WHERE doc_id % 2 = 1
+              AND doc_id NOT IN (SELECT doc_id FROM miss)
         """,
         "dedup_snapshot_diff": """
             WITH v1 AS (

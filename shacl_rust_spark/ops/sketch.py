@@ -209,3 +209,54 @@ def hist_quantiles(
                    " - CAST(1 AS BIGINT)"),
         )
     return out
+
+
+def bloom_prefilter(
+    keys: DataFrame,
+    key_col: F.Column,
+    probes: DataFrame,
+    probe_key: F.Column,
+    m: int = 4096,
+    k: int = 3,
+    salt: str = "bf",
+) -> DataFrame:
+    """Bloom-filter pre-join: returns the probe rows whose key MIGHT
+    be in `keys` (all k bits set), dropping the definite misses before
+    an expensive exact join — the classic shuffle-avoidance device for
+    joins where most probes miss (incremental dedup against a huge
+    seen-set, decontamination against an eval set).
+
+    Bits are md5-slice positions (the repo's engine-portable hash
+    idiom), so the filter — INCLUDING its false positives — is a
+    deterministic function of the key set, on any engine and any
+    partitioning; the DuckDB oracle reproduces the exact accept set.
+
+    This is the RELATIONAL twin of the broadcast-bitmap
+    implementation: the bit set is a ≤ m row frame (broadcasts far
+    below the autoBroadcastJoinThreshold), membership is "no probe
+    bit missing" = two anti-joins. At scale you aggregate the same
+    positions into a byte-array bitmap once and broadcast that; the
+    accept set is identical — this form is the one a SQL oracle can
+    restate."""
+    def bit_cols(col: F.Column) -> list:
+        h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+        return [
+            (F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10)
+             .cast("bigint") % m).alias("bit")
+            for i in range(k)
+        ]
+
+    key_bits = (
+        keys.select(F.explode(F.array(*bit_cols(key_col))).alias("bit"))
+        .distinct()
+    )
+    probe_bits = probes.select(
+        probe_key.alias("_pk"),
+        F.explode(F.array(*bit_cols(probe_key))).alias("bit"),
+    ).distinct()
+    missing = probe_bits.join(key_bits, "bit", "left_anti") \
+        .select("_pk").distinct()
+    return probes.join(
+        missing.withColumnRenamed("_pk", "_miss"),
+        probe_key == F.col("_miss"), "left_anti",
+    )

@@ -786,3 +786,20 @@ def dedup_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")),
     )
     return dedup.snapshot_diff(v1, v2, "doc_id", F.md5("text"))
+
+
+def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom pre-join filter
+    (ops/sketch.bloom_prefilter): odd doc_ids probe the even docs'
+    40-char-prefix key set through a 4096-bit / 3-hash filter; the
+    accept set (true hits + deterministic false positives) is
+    reproduced exactly by the oracle."""
+    d = _docs(spark, sf_dir)
+    key = F.substring("text", 1, 40)
+    seen = (d.where(F.col("doc_id") % 2 == 0)
+            .select(key.alias("k")).distinct())
+    probes = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", key.alias("k"))
+    out = sketch.bloom_prefilter(
+        seen, F.col("k"), probes, F.col("k"), m=4096, k=3)
+    return out.select("doc_id")

@@ -1535,3 +1535,25 @@ def test_revenue_rollup_integer_cents(spark, tmp_path):
     r = out[0]
     # 1001*95 + 10*100 + 20*90 = 95095 + 1000 + 1800
     assert (r.r_name, r.n_items, r.revenue_cc) == ("EU", 3, 97895)
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    from shacl_rust_spark.ops import sketch
+
+    keys = spark.createDataFrame(
+        [(f"key{i}",) for i in range(50)], ["k"])
+    probes = spark.createDataFrame(
+        [(i, f"key{i}") for i in range(50)]          # members
+        + [(1000 + i, f"other{i}") for i in range(200)],  # non-members
+        ["pid", "k"])
+    out = {r.pid for r in sketch.bloom_prefilter(
+        keys, F.col("k"), probes, F.col("k")).collect()}
+    # the one-sided guarantee: every true member passes
+    assert set(range(50)) <= out
+    # tiny filter load (150 of 4096 bits) → non-members mostly drop
+    fps = out - set(range(50))
+    assert len(fps) < 20
+    # deterministic: same accept set on a re-run
+    out2 = {r.pid for r in sketch.bloom_prefilter(
+        keys, F.col("k"), probes, F.col("k")).collect()}
+    assert out == out2
