@@ -137,10 +137,9 @@ def funnel(
     the upstream scan."""
     sidx = None
     for i, s in enumerate(steps):
-        c = F.when(F.col("event_type") == s, F.lit(i + 1))
-        sidx = c if sidx is None else sidx.when(
-            F.col("event_type") == s, F.lit(i + 1)
-        )
+        cond = F.col("event_type") == s
+        sidx = (F.when(cond, F.lit(i + 1)) if sidx is None
+                else sidx.when(cond, F.lit(i + 1)))
     # diffs/comparisons only → constant NTZ→LTZ offset cancels
     micros = F.unix_micros(F.col("ts").cast("timestamp"))
     per_user = (

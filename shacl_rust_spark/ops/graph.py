@@ -172,6 +172,25 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def _canon_undirected(edges: DataFrame) -> DataFrame:
+    """Canonical undirected simple-graph edges: (a, b) with a < b
+    after least/greatest normalization, self-loops and null endpoints
+    dropped, deduped — then MATERIALIZED (localCheckpoint), because
+    every consumer joins this frame against itself two or three times
+    and would otherwise replay the (possibly expensive) upstream per
+    branch (the shacl_equals reuse device)."""
+    return (
+        edges.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def triangles(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts over the UNDIRECTED simple graph of
     `edges(src, dst)` — (node, n_triangles) for every node in ≥ 1
@@ -188,19 +207,7 @@ def triangles(edges: DataFrame) -> DataFrame:
     AQE); wedge work is Σ deg², the textbook bound — at real scale
     the orientation can be switched to (degree, id) ordering for
     O(m^1.5) without changing this topology. No driver-side state."""
-    e = (
-        edges.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        # e feeds all three join branches: materialize the (possibly
-        # expensive) upstream once instead of three times — same
-        # checkpoint-reused-intermediates device as shacl_equals
-        .localCheckpoint(eager=True)
-    )
+    e = _canon_undirected(edges)
     wedges = e.join(
         e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
     )
@@ -229,16 +236,7 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
     broadcasts once it fits. Each round's edge set is checkpointed —
     bounded lineage, and the next round reads the materialization,
     not the replay."""
-    e = (
-        edges.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _canon_undirected(edges)
 
     def degs(ed):
         return (
@@ -279,16 +277,7 @@ def common_neighbors(
     semantics real candidate generation wants, and it bounds the
     output at nodes × k instead of the clique-quadratic pair count
     (deterministic order: n_common DESC, v ASC)."""
-    e = (
-        edges.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _canon_undirected(edges)
     adj = e.select(F.col("a").alias("node"), F.col("b").alias("nb")) \
         .unionByName(
             e.select(F.col("b").alias("node"), F.col("a").alias("nb")))
