@@ -694,7 +694,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded 6-round k-core peel at k=3 (ops/graph.k_core) over the
     Jaccard ≥ 0.8 near-dup pair graph — the dense-core extractor that
     separates tight template families from stray chain links; the
-    oracle unrolls the identical six integer peel rounds."""
+    oracle unrolls the identical six integer peel rounds. On both
+    gate corpora the peel CONVERGES within 6 rounds (round 7 is a
+    no-op, verified in DuckDB), so this equals the exact k-core here;
+    hypothesis shows long chains can need more rounds — the
+    bounded-round contract (tests/test_property.py)."""
     pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
     return graph.k_core(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),

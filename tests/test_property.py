@@ -332,3 +332,104 @@ def test_png_roundtrip_random_images_and_filters(w, h, seed, data):
     payload = multimodal.encode_png(w, h, pix, filters=filters)
     got = multimodal.decode_png(payload)
     assert got == (w, h, [[(v, v, v) for v in row] for row in pix])
+
+
+# --- round-3 batch ops vs pure-Python models ---------------------------
+
+
+def _funnel_greedy(evs, n_steps):
+    """The Spark HOF scan: greedy earliest-first over (t, eid, s)."""
+    r, lt = 0, None
+    for t, _eid, s in sorted(evs):
+        if s == r + 1 and (r == 0 or t > lt):
+            r, lt = r + 1, t
+    return r
+
+
+def _funnel_chain(evs, n_steps):
+    """The oracle's min-ts join chain."""
+    t_prev, reached = None, 0
+    for k in range(1, n_steps + 1):
+        cands = [t for (t, _e, s) in evs
+                 if s == k and (k == 1 or t > t_prev)]
+        if not cands:
+            break
+        t_prev, reached = min(cands), k
+    return reached
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50),
+                          st.integers(1, 3)), max_size=25))
+def test_funnel_greedy_equals_join_chain(evs):
+    """The two funnel formulations (Spark greedy HOF scan vs the
+    DuckDB oracle's min-ts join chain) agree on every stream,
+    including timestamp ties and out-of-order step arrivals."""
+    assert _funnel_greedy(evs, 3) == _funnel_chain(evs, 3)
+
+
+def _kcore_rounds(edges, k, rounds):
+    e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    for _ in range(rounds):
+        deg = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        e = {(a, b) for a, b in e if a in keep and b in keep}
+    deg = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                max_size=40), st.integers(2, 4))
+def test_bounded_kcore_converged_is_exact_else_monotone(edges, k):
+    """Where the peel converges within 6 rounds, the bounded-round
+    result IS the exact k-core (every survivor has degree ≥ k and
+    re-peeling is a no-op). Where it hasn't (a long chain peels one
+    node pair per round — hypothesis finds 13-node paths needing 7),
+    extra rounds only SHRINK the edge set (peeling is monotone), never
+    resurrect or flip — the documented bounded-round contract."""
+    out6 = _kcore_rounds(edges, k, 6)
+    out7 = _kcore_rounds(edges, k, 7)
+    if out6 == out7:
+        assert all(d >= k for d in out6.values()) or not out6
+    else:
+        assert set(out7) <= set(out6)
+        assert all(out7[n] <= out6[n] for n in out7)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(1, 60),
+                          st.integers(1, 3)), min_size=1, max_size=30),
+       st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                max_size=25))
+def test_funnel_and_kcore_spark_match_models(spark, evs, edges):
+    import datetime as dt
+
+    from shacl_rust_spark.ops import events as ev
+    from shacl_rust_spark.ops import graph
+
+    steps = ("view", "click", "purchase")
+    # unique event_ids; user 7 carries the whole stream
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, t), 7, steps[s - 1], 0.0)
+        for i, (t, _x, s) in enumerate(evs)
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    got = {r.step_idx: r.n_users for r in ev.funnel(e, steps).collect()}
+    want_r = _funnel_greedy([(t, i, s) for i, (t, _x, s)
+                             in enumerate(evs)], 3)
+    assert got == {i: 1 for i in range(1, want_r + 1)}
+
+    if edges:
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got_k = {r.node: r.degree
+                 for r in graph.k_core(df, k=2, rounds=6).collect()}
+        assert got_k == _kcore_rounds(edges, 2, 6)
