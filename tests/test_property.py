@@ -433,3 +433,21 @@ def test_funnel_and_kcore_spark_match_models(spark, evs, edges):
         got_k = {r.node: r.degree
                  for r in graph.k_core(df, k=2, rounds=6).collect()}
         assert got_k == _kcore_rounds(edges, 2, 6)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(1, 1 << 20), min_size=1, max_size=60),
+       st.sampled_from([50, 90, 99]))
+def test_hist_quantile_estimator_bound(vals, q):
+    """ops/sketch.hist_quantiles' estimator contract, on the pure
+    model: the reported upper-bound-of-bin is ≥ the true q-th order
+    statistic and < 2× it — the documented ≤2× relative error."""
+    import math
+
+    n = len(vals)
+    qval = sorted(vals)[math.ceil(q * n / 100) - 1]
+    # first bin whose cumulative count reaches ceil(q% · n) is the
+    # bin CONTAINING that order statistic
+    b = qval.bit_length() - 1
+    est = (1 << (b + 1)) - 1
+    assert qval <= est < 2 * qval
