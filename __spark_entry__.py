@@ -104,6 +104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": O.events_sessionize,
         "events_sessionize_stream": O.events_sessionize_stream,
         "events_asof": O.events_asof,
+        "events_gapfill": O.events_gapfill,
+        "graph_lpa": O.graph_lpa,
+        "graph_bfs": O.graph_bfs,
+        "olap_scd2": O.olap_scd2,
+        "olap_cdc_merge": O.olap_cdc_merge,
         "kg_pages": K.kg_pages,
         "kg_extract_text": K.kg_extract_text,
         "kg_mentions": K.kg_mentions,
@@ -293,6 +298,60 @@ def _kcore_ctes(k: int, rounds: int) -> str:
   SELECT node, count(*) AS degree FROM (
     SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) u
   GROUP BY 1""")
+
+
+_NB_CTE = """
+, nb AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM p
+  UNION ALL SELECT b AS node, a AS nbr FROM p)"""
+
+
+def _lpa_ctes(rounds: int) -> str:
+    """Unroll `rounds` synchronous label-propagation rounds over the
+    pair graph — the DuckDB twin of ops/graph.label_propagation
+    (mode of neighbor labels, ties to the smallest label). MATERIALIZED
+    per stage (DuckDB inlines plain CTEs at every reference)."""
+    parts = ["""
+  l0 AS MATERIALIZED (
+    SELECT DISTINCT node, node AS community FROM nb)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+  c{r} AS MATERIALIZED (
+    SELECT nb.node, l.community, count(*) AS cnt
+    FROM nb JOIN l{r - 1} l ON l.node = nb.nbr
+    GROUP BY 1, 2),
+  l{r} AS MATERIALIZED (
+    SELECT node, community FROM (
+      SELECT node, community,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY cnt DESC, community) AS rn
+      FROM c{r}) WHERE rn = 1)""")
+    return (_NB_CTE + "," + ",".join(parts)
+            + f" SELECT node, community FROM l{rounds}")
+
+
+def _bfs_ctes(max_hops: int) -> str:
+    """Unroll `max_hops` min-relaxation rounds from the
+    doc_id %% 7 = 0 seed set — the DuckDB twin of
+    ops/graph.bfs_distances (frontier BFS ≡ bounded min-relaxation
+    because BFS discovers each node at its minimal hop count).
+    Mod-7 seeds, NOT mod-10: the synthetic near-dup families stride
+    doc_id by 10, so a mod-10 seed set never expands."""
+    parts = ["""
+  b0 AS MATERIALIZED (
+    SELECT doc_id AS node, 0 AS dist FROM documents
+    WHERE doc_id % 7 = 0)"""]
+    for r in range(1, max_hops + 1):
+        parts.append(f"""
+  b{r} AS MATERIALIZED (
+    SELECT node, MIN(dist) AS dist FROM (
+      SELECT node, dist FROM b{r - 1}
+      UNION ALL
+      SELECT nb.nbr AS node, b.dist + 1 AS dist
+      FROM b{r - 1} b JOIN nb ON nb.node = b.node) u
+    GROUP BY 1)""")
+    return (_NB_CTE + "," + ",".join(parts)
+            + f" SELECT node, dist FROM b{max_hops}")
 
 
 def _kmeans_ctes(k: int, iters: int, dims: int = 64) -> tuple:
@@ -540,6 +599,98 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, count(*) AS n_triangles FROM x GROUP BY 1
         """,
         "graph_kcore": _WORDS_CTE + _PAIR_GRAPH_CTE + _kcore_ctes(3, 6),
+        "graph_lpa": _WORDS_CTE + _PAIR_GRAPH_CTE + _lpa_ctes(4),
+        "graph_bfs": _WORDS_CTE + _PAIR_GRAPH_CTE + _bfs_ctes(4),
+        # Kimball SCD2 from the per-customer status changelog; the
+        # open interval carries a sentinel (not NULL) so the
+        # cross-engine hash never meets NULL-vs-NaT stringification
+        "olap_scd2": """
+            WITH s AS (
+              SELECT o_custkey AS key, o_orderstatus AS attr,
+                     o_orderdate AS ts, o_orderkey AS tb
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+            v AS (
+              SELECT key, attr, ts,
+                     SUM(CASE WHEN prev IS NULL OR prev <> attr
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY key ORDER BY ts, tb
+                             ROWS UNBOUNDED PRECEDING) AS version
+              FROM (SELECT *, lag(attr) OVER (PARTITION BY key
+                                              ORDER BY ts, tb) AS prev
+                    FROM s)),
+            g AS (
+              SELECT key, version, MIN(attr) AS attr,
+                     MIN(ts) AS valid_from, count(*) AS n_rows
+              FROM v GROUP BY 1, 2)
+            SELECT key, attr, CAST(version AS BIGINT) AS version,
+                   valid_from,
+                   COALESCE(lead(valid_from)
+                              OVER (PARTITION BY key ORDER BY version),
+                            TIMESTAMP '9999-01-01') AS valid_to,
+                   CASE WHEN lead(valid_from)
+                              OVER (PARTITION BY key ORDER BY version)
+                        IS NULL THEN 1 ELSE 0 END AS is_current,
+                   CAST(n_rows AS BIGINT) AS n_rows
+            FROM g
+        """,
+        # MERGE-apply: latest (ts, event_id) changelog row per key
+        # wins; 'D' deletes, I/U upsert, untouched base passes through
+        "olap_cdc_merge": """
+            WITH base AS (
+              SELECT c_custkey AS key,
+                     CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bval
+              FROM customer),
+            chg AS (
+              SELECT user_id + 1 AS key,
+                     CAST(ROUND(COALESCE(value, 0) * 100, 0)
+                          AS BIGINT) AS cval,
+                     CASE WHEN event_type = 'error' THEN 'D'
+                          WHEN event_type = 'signup' THEN 'I'
+                          ELSE 'U' END AS op,
+                     ts, event_id
+              FROM events
+              WHERE event_type IN ('signup', 'purchase', 'error')),
+            latest AS (
+              SELECT key, cval, op FROM (
+                SELECT *, row_number()
+                         OVER (PARTITION BY key
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                FROM chg) WHERE rn = 1)
+            SELECT COALESCE(b.key, l.key) AS key,
+                   COALESCE(l.cval, b.bval) AS val,
+                   CASE WHEN l.op IS NULL THEN 'base'
+                        ELSE 'cdc' END AS src
+            FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+            WHERE l.op IS NULL OR l.op <> 'D'
+        """,
+        # per-user calendar spine + forward fill; day emits as
+        # TIMESTAMP (non-null by construction) for string parity
+        "events_gapfill": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                     count(*) AS n_events,
+                     CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0)
+                                   AS BIGINT)) AS BIGINT) AS day_cents
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1, 2),
+            spine AS (
+              SELECT user_id,
+                     unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                       AS day
+              FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                    FROM daily GROUP BY 1))
+            SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day,
+                   CASE WHEN d.n_events IS NOT NULL
+                        THEN 1 ELSE 0 END AS obs,
+                   COALESCE(d.n_events, 0) AS n_events,
+                   last_value(d.day_cents IGNORE NULLS)
+                     OVER (PARTITION BY s.user_id ORDER BY s.day
+                           ROWS UNBOUNDED PRECEDING) AS filled_cents
+            FROM spine s LEFT JOIN daily d
+              ON d.user_id = s.user_id AND d.day = s.day
+        """,
         "graph_common_neighbors": _WORDS_CTE + _PAIR_GRAPH_CTE + """
             , adj AS MATERIALIZED (
                 SELECT a AS node, b AS nb FROM p

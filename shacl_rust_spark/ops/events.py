@@ -319,3 +319,64 @@ def pivot_daily_counts(
         .agg(F.count(F.lit(1)))
     )
     return out.na.fill(0, list(types))
+
+
+def gapfill_daily(events: DataFrame) -> DataFrame:
+    """Per-user daily calendar spine with forward-filled activity:
+    one row per (user_id, day) for EVERY day in the user's observed
+    [first, last] event range — days with no events get obs=0 and
+    carry the last observed day's value forward. Returns (user_id,
+    day, obs, n_events, filled_cents): n_events is that day's count
+    (0 on gap days), filled_cents the forward-filled daily value sum
+    in integer cents. The time-series regularizer every downstream
+    ML feature join needs (models want a dense grid, logs are
+    sparse).
+
+    Plan: one groupBy collapses events to (user, day) partials; the
+    spine comes from `sequence()` + explode over each user's own
+    [min_day, max_day] — per-user range, NOT the global calendar
+    cross-join, so a one-day user costs one row and the spine is
+    bounded by Σ per-user spans. The forward fill is
+    last(ignorenulls) over the user-partitioned window — the same
+    key partitioning the groupBy produced. Day emits as TIMESTAMP
+    (non-null by construction) for exact cross-engine string parity."""
+    daily = (
+        events.where(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        .groupBy(
+            "user_id", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+                .cast("bigint")
+            ).alias("day_cents"),
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("_d0", "_d1")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            F.when(F.col("n_events").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0)).alias("obs"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("day_cents", ignorenulls=True).over(w)
+            .alias("filled_cents"),
+        )
+    )

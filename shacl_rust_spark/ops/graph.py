@@ -352,3 +352,109 @@ def bipartite_project(
         .where(F.col("support") >= min_support)
     )
     return pairs
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Bounded synchronous label propagation communities over the
+    undirected simple graph: every node starts labeled with itself;
+    each round it adopts its neighbors' most frequent label, ties
+    broken by the smallest label. Returns (node, community) after
+    `rounds` rounds. Unlike connected components (pipeline/cc.py,
+    min-label fixpoint) this splits a weakly-bridged component into
+    dense communities — the template-family splitter for near-dup
+    clusters that CC over-merges through one chance link.
+
+    Synchronous + deterministic tie-break means the result is a pure
+    function of the edge set (no vertex-order dependence, unlike the
+    classic async variant), which is what makes an unrolled-CTE
+    DuckDB oracle and a cross-engine hash compare possible; the
+    bounded-round contract is the same as k_core / kmeans /
+    fixed-point pagerank above.
+
+    Plan per round: adjacency join against the (node, label) frame
+    (node-cardinality), partial-agg count per (node, neighbor-label),
+    one row_number window to pick the mode — two shuffles of
+    node-scale data per round; the symmetric adjacency is built once
+    and checkpointed, never re-derived. Labels frame is checkpointed
+    per round (bounded lineage, no recursive plans)."""
+    e = _canon_undirected(edges)
+    adj = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(
+            e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("node").distinct().withColumn(
+        "community", F.col("node")
+    ).localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(
+        F.desc("cnt"), F.asc("community")
+    )
+    for _ in range(rounds):
+        labels = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "community"),
+                "nbr",
+            )
+            .groupBy("node", "community")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "community")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Multi-source BFS hop distances over the undirected simple
+    graph: (node, dist) for every node within `max_hops` hops of any
+    seed, dist = hops to the NEAREST seed (seeds themselves are 0).
+    The closure operator (engine/paths.py Kleene) answers *whether* a
+    node is reachable; this answers *how far* — propagation depth
+    from labeled exemplars, contamination radius, crawl frontier
+    scheduling.
+
+    Plan: classic frontier expansion — each round joins only the
+    LAST round's frontier (not the whole visited set) against the
+    checkpointed symmetric adjacency, anti-joins the visited set to
+    keep first-discovery distances, checkpoints the (strictly
+    shrinking) frontier. Work per round is O(edges touching the
+    frontier); the visited set is node-cardinality. Equivalent to
+    `max_hops` rounds of min-relaxation (the oracle's formulation)
+    because BFS discovers every node at its minimal hop count."""
+    e = _canon_undirected(edges)
+    adj = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(
+            e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            frontier.select("node")
+            .join(adj, "node")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(
+            eager=True
+        )
+    return visited

@@ -54,3 +54,128 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_rev").alias("revenue_cc"),
         )
     )
+
+
+def scd2_intervals(
+    changelog: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    end_sentinel: str = "9999-01-01",
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build: collapse a per-key
+    attribute changelog into validity intervals. Consecutive rows
+    (ordered by ts, then tiebreak) with the SAME attribute value merge
+    into one dimension row; a change opens a new version. Returns
+    (key, attr, version, valid_from, valid_to, is_current, n_rows)
+    with half-open intervals [valid_from, valid_to) and the sentinel
+    `end_sentinel` on the open (current) row — the sentinel instead of
+    NULL keeps the timestamp column non-nullable, so the cross-engine
+    hash compare never meets a NULL-vs-NaT stringification divergence.
+
+    This is the canonical warehouse dimension-history pattern (Kimball
+    SCD2): lag → change flag, running sum → version id, partial-agg
+    collapse per (key, version), lead → interval close. No joins, no
+    second scan of the changelog; the key-partitioned window shuffle
+    happens once and the (key, version) collapse is a superset-key
+    partial aggregation on top of it."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    versions = (
+        changelog.select(key_col, attr_col, ts_col, tiebreak_col)
+        .where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .withColumn(
+            "_chg",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("_prev") != F.col(attr_col)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("version", F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(key_col, "version")
+        .agg(
+            F.first(attr_col).alias("attr"),
+            F.min(ts_col).alias("valid_from"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    wv = Window.partitionBy(key_col).orderBy("version")
+    return (
+        versions.withColumn(
+            "valid_to",
+            F.coalesce(
+                F.lead("valid_from").over(wv),
+                F.lit(end_sentinel).cast("timestamp"),
+            ),
+        )
+        .withColumn(
+            "is_current",
+            F.when(
+                F.lead("valid_from").over(wv).isNull(), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .select(
+            F.col(key_col).alias("key"), "attr", "version",
+            "valid_from", "valid_to", "is_current", "n_rows",
+        )
+    )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changelog: DataFrame,
+    key_col: str = "key",
+    val_col: str = "val",
+    op_col: str = "op",
+    seq_cols: tuple = ("seq",),
+) -> DataFrame:
+    """Apply a CDC changelog (upsert/delete stream) onto a base
+    snapshot — the MERGE INTO semantics every incremental lakehouse
+    pipeline needs, as pure DataFrame ops. `changelog` rows carry
+    (key, val, op ∈ {'I','U','D'}, seq...); per key the HIGHEST
+    seq-ordered row wins (ties broken by later seq_cols). Result:
+    (key, val, src) — keys whose last op is D are deleted; I/U upsert
+    the changelog value (src='cdc'); untouched base keys pass through
+    (src='base'). I and U are both upserts (idempotent replay safety:
+    a resumed stream may re-deliver an insert for an existing key).
+
+    Plan: one window (row_number over key, seq DESC) reduces the
+    changelog to latest-per-key — a single shuffle of the changelog,
+    map-side nothing else; then one full-outer join against the base
+    on the key. At 100 TB the base is the big side: the join shuffles
+    each side once on the key (or zero times when both are bucketed
+    by key, which is how the snapshot should be stored — this
+    operator is exactly the compaction job's inner loop)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.desc(c) for c in seq_cols]
+    )
+    latest = (
+        changelog.where(F.col(key_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(key_col).alias("_k"),
+            F.col(val_col).alias("_cdc_val"),
+            F.col(op_col).alias("_op"),
+        )
+    )
+    b = base.select(
+        F.col(key_col).alias("_k"), F.col(val_col).alias("_base_val")
+    )
+    return (
+        b.join(latest, "_k", "full_outer")
+        .where(F.col("_op").isNull() | (F.col("_op") != F.lit("D")))
+        .select(
+            F.col("_k").alias("key"),
+            F.coalesce("_cdc_val", "_base_val").alias("val"),
+            F.when(F.col("_op").isNull(), F.lit("base"))
+            .otherwise(F.lit("cdc")).alias("src"),
+        )
+    )

@@ -807,3 +807,89 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sketch.bloom_prefilter(
         seen, F.col("k"), probes, F.col("k"), m=4096, k=3)
     return out.select("doc_id")
+
+
+def graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 4-round synchronous label-propagation communities
+    (ops/graph.label_propagation) over the Jaccard ≥ 0.8 near-dup
+    pair graph — splits CC's chance-bridged merges into dense
+    template families; the oracle unrolls the identical four
+    mode-with-min-tie-break rounds."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    return graph.label_propagation(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        rounds=4,
+    )
+
+
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (ops/graph.bfs_distances) from
+    the doc_id % 7 == 0 exemplar seeds over the Jaccard ≥ 0.8
+    near-dup pair graph, 4-hop horizon — distance-to-labeled-exemplar
+    for propagation-based labeling; the oracle is 4 unrolled
+    min-relaxation rounds (equal because BFS discovers every node at
+    its minimal hop count). Seeds are mod-7 because the synthetic
+    near-dup families stride doc_id by 10 — a mod-10 seed set's
+    neighbors are all seeds themselves (zero expansion); mod-7 cuts
+    across the families, so the gate actually exercises hops 1+."""
+    d = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(d, 0.8)
+    seeds = d.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    return graph.bfs_distances(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        seeds, max_hops=4,
+    )
+
+
+def olap_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 customer order-status dimension
+    (ops/olap.scd2_intervals): each customer's o_orderstatus
+    changelog (ordered by order date, orderkey tie-break) collapsed
+    into validity intervals with a 9999-01-01 open-end sentinel."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from .ops.olap import scd2_intervals
+
+    return scd2_intervals(
+        orders, "o_custkey", "o_orderstatus", "o_orderdate",
+        "o_orderkey",
+    )
+
+
+def olap_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE-apply (ops/olap.cdc_apply): the customer account
+    snapshot (balance in cents) upserted/deleted by a changelog
+    derived from the events stream — signup/purchase upsert the
+    event's value-in-cents under key user_id+1, error deletes;
+    latest (ts, event_id) per key wins."""
+    from .ops.olap import cdc_apply
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+        .alias("val"),
+    )
+    chg = ev.where(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select(
+        (F.col("user_id") + 1).alias("key"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+        .cast("bigint").alias("val"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U")).alias("op"),
+        "ts", "event_id",
+    )
+    return cdc_apply(
+        base, chg, key_col="key", val_col="val", op_col="op",
+        seq_cols=("ts", "event_id"),
+    )
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily grid with forward fill
+    (ops/events.gapfill_daily) over the events table."""
+    return events.gapfill_daily(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )

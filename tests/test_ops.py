@@ -1557,3 +1557,133 @@ def test_bloom_prefilter_no_false_negatives(spark):
     out2 = {r.pid for r in sketch.bloom_prefilter(
         keys, F.col("k"), probes, F.col("k")).collect()}
     assert out == out2
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    from shacl_rust_spark.ops import graph
+
+    # two triangles bridged by one edge: CC merges them into one
+    # component; LPA keeps each triangle its own community
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["src", "dst"],
+    )
+    out = {r.node: r.community
+           for r in graph.label_propagation(e, rounds=4).collect()}
+    assert len(out) == 6
+    left = {out[1], out[2], out[3]}
+    right = {out[4], out[5], out[6]}
+    # each triangle agrees internally and the two differ — the split
+    # CC cannot make (exact labels: 1, and 3 — the bridge endpoint's
+    # round-1 label leaks into the right triangle and wins there)
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    from shacl_rust_spark.ops import graph
+
+    # a path 1-2-3: node 2 sees labels {1, 3} once each → min wins
+    e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    out = {r.node: r.community
+           for r in graph.label_propagation(e, rounds=1).collect()}
+    assert out[2] == 1
+    # endpoints see exactly their single neighbor's label
+    assert out[1] == 2 and out[3] == 2
+
+
+def test_bfs_distances_min_hop_and_horizon(spark):
+    from shacl_rust_spark.ops import graph
+
+    # chain 1-2-3-4-5-6 with seed 1; a shortcut 1-4 makes 4 dist 1
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 4)],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = {r.node: r.dist
+           for r in graph.bfs_distances(e, seeds, max_hops=2).collect()}
+    # shortcut wins: 4 is at 1 hop, 5 at 2; 6 (3 hops) beyond horizon
+    assert out == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_bfs_distances_isolated_seed_kept(spark):
+    from shacl_rust_spark.ops import graph
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(9,), (1,)], ["node"])
+    out = {r.node: r.dist
+           for r in graph.bfs_distances(e, seeds, max_hops=3).collect()}
+    assert out == {9: 0, 1: 0, 2: 1}
+
+
+def test_scd2_intervals_collapse_and_sentinel(spark):
+    from shacl_rust_spark.ops.olap import scd2_intervals
+
+    rows = [
+        # key 1: A,A,B,A → three versions (run-collapse, not distinct)
+        (1, "A", "2020-01-01", 1), (1, "A", "2020-01-02", 2),
+        (1, "B", "2020-01-03", 3), (1, "A", "2020-01-04", 4),
+        # key 2: one row → single current version
+        (2, "Z", "2020-06-01", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, ["k", "attr", "ts", "tb"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(
+        (r.key, r.version, r.attr, str(r.valid_from)[:10],
+         str(r.valid_to)[:10], r.is_current, r.n_rows)
+        for r in scd2_intervals(df, "k", "attr", "ts", "tb").collect()
+    )
+    assert out == [
+        (1, 1, "A", "2020-01-01", "2020-01-03", 0, 2),
+        (1, 2, "B", "2020-01-03", "2020-01-04", 0, 1),
+        (1, 3, "A", "2020-01-04", "9999-01-01", 1, 1),
+        (2, 1, "Z", "2020-06-01", "9999-01-01", 1, 1),
+    ]
+
+
+def test_cdc_apply_last_op_wins(spark):
+    from shacl_rust_spark.ops.olap import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], ["key", "val"]
+    )
+    chg = spark.createDataFrame(
+        [
+            (2, 999, "U", 1), (2, 888, "D", 2),   # delete wins (later)
+            (3, 777, "D", 1), (3, 666, "U", 2),   # update wins (later)
+            (4, 555, "I", 1),                     # new key insert
+            (5, 444, "D", 1),                     # delete of absent key
+        ],
+        ["key", "val", "op", "seq"],
+    )
+    out = {(r.key, r.val, r.src) for r in cdc_apply(base, chg).collect()}
+    assert out == {
+        (1, 100, "base"), (3, 666, "cdc"), (4, 555, "cdc"),
+    }
+
+
+def test_gapfill_daily_dense_grid_and_ffill(spark):
+    from shacl_rust_spark.ops.events import gapfill_daily
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 10:00:00", "view", 1.0),
+            (2, 10, "2024-01-01 11:00:00", "view", 2.0),
+            (3, 10, "2024-01-04 09:00:00", "click", 5.0),
+            (4, 11, "2024-02-01 00:00:00", "view", None),
+        ],
+        ["event_id", "user_id", "ts", "event_type", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(
+        (r.user_id, str(r.day)[:10], r.obs, r.n_events, r.filled_cents)
+        for r in gapfill_daily(ev).collect()
+    )
+    assert out == [
+        (10, "2024-01-01", 1, 2, 300),   # 100 + 200 cents
+        (10, "2024-01-02", 0, 0, 300),   # gap day carries forward
+        (10, "2024-01-03", 0, 0, 300),
+        (10, "2024-01-04", 1, 1, 500),
+        (11, "2024-02-01", 1, 1, 0),     # null value → 0 cents
+    ]
