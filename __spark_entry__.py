@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs": O.graph_bfs,
         "olap_scd2": O.olap_scd2,
         "olap_cdc_merge": O.olap_cdc_merge,
+        "olap_zorder": O.olap_zorder,
+        "curation_split": O.curation_split,
         "kg_pages": K.kg_pages,
         "kg_extract_text": K.kg_extract_text,
         "kg_mentions": K.kg_mentions,
@@ -352,6 +354,16 @@ def _bfs_ctes(max_hops: int) -> str:
     GROUP BY 1)""")
     return (_NB_CTE + "," + ",".join(parts)
             + f" SELECT node, dist FROM b{max_hops}")
+
+
+def _zinterleave_sql(col: str, offset: int, bits: int = 16) -> str:
+    """SQL twin of ops/olap._interleave_bits: spread `bits` low bits
+    of `col` across even/odd positions (pure integer arithmetic, so
+    DuckDB and Spark agree bit-for-bit)."""
+    return " + ".join(
+        f"((({col} >> {i}) & 1) << {2 * i + offset})"
+        for i in range(bits)
+    )
 
 
 def _kmeans_ctes(k: int, iters: int, dims: int = 64) -> tuple:
@@ -663,6 +675,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'cdc' END AS src
             FROM base b FULL OUTER JOIN latest l ON b.key = l.key
             WHERE l.op IS NULL OR l.op <> 'D'
+        """,
+        # group-keyed split: thresholds are rate_threshold(0.8) and
+        # rate_threshold(0.8 + 0.1) — the identical md5-hex compare
+        # the Spark op evaluates, so every row agrees
+        "curation_split": """
+            SELECT doc_id, source,
+                   CASE WHEN substr(md5('split' || CAST(source AS
+                                   VARCHAR)), 1, 8) < 'cccccccc'
+                        THEN 'train'
+                        WHEN substr(md5('split' || CAST(source AS
+                                   VARCHAR)), 1, 8) < 'e6666666'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        # Morton interleave as pure integer arithmetic + ntile over
+        # the exact (zkey, event_id) total order
+        "olap_zorder": f"""
+            WITH e AS (
+              SELECT event_id, user_id,
+                     CAST(EXTRACT(hour FROM ts) * 60
+                          + EXTRACT(minute FROM ts) AS BIGINT)
+                       AS minute_of_day
+              FROM events),
+            z AS (
+              SELECT event_id,
+                     CAST({_zinterleave_sql('user_id', 0)}
+                          + {_zinterleave_sql('minute_of_day', 1)}
+                          AS BIGINT) AS zkey
+              FROM e)
+            SELECT event_id, zkey,
+                   ntile(16) OVER (ORDER BY zkey, event_id) AS file_id
+            FROM z
         """,
         # per-user calendar spine + forward fill; day emits as
         # TIMESTAMP (non-null by construction) for string parity
@@ -1854,6 +1899,17 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN generate_series(0, 3) gy(y)
               WHERE gx.x < png.w AND gy.y < png.h
               GROUP BY 1),
+            gif AS (SELECT doc_id, 1 + doc_id % 8 AS w, 1 + doc_id % 3 AS h
+                    FROM documents),
+            gpx AS (
+              SELECT gif.doc_id,
+                     3 * SUM((gif.doc_id + 2 * gx.x + 7 * gy.y) % 251)
+                     AS pixel_sum
+              FROM gif
+              CROSS JOIN generate_series(0, 7) gx(x)
+              CROSS JOIN generate_series(0, 2) gy(y)
+              WHERE gx.x < gif.w AND gy.y < gif.h
+              GROUP BY 1),
             wv AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
             ws AS (
               SELECT w.doc_id,
@@ -1878,6 +1934,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(png.doc_id % 251 AS BIGINT),
                    -1, -1, -1, -1, -1
             FROM png JOIN ppx USING (doc_id)
+            UNION ALL
+            SELECT gif.doc_id, 'gif',
+                   CAST(gif.w AS BIGINT), CAST(gif.h AS BIGINT),
+                   CAST(gpx.pixel_sum AS BIGINT),
+                   CAST(gif.doc_id % 251 AS BIGINT),
+                   -1, -1, -1, -1, -1
+            FROM gif JOIN gpx USING (doc_id)
             UNION ALL
             SELECT w.doc_id, 'wav', -1, -1, -1, -1,
                    8000, w.n, CAST(ws.sample_sum AS BIGINT),

@@ -6,9 +6,11 @@ feature-extract / resize / frame-sample as Arrow-batched pandas UDFs
 over mapInPandas. The Spark-side schema, batching, and partitioning are
 real and tested here, and so are the decode paths: uncompressed 24-bit
 BMP (header + bottom-up padded pixel rows), PNG (stdlib-zlib inflate +
-full scanline unfiltering with CRC-checked chunk walk), and 16-bit PCM
-WAV (RIFF chunk walk) decode in pure Python. Codecs that genuinely need
-external libraries (JPEG/MP3/real video) raise NotImplementedError
+full scanline unfiltering with CRC-checked chunk walk), GIF (real
+variable-width LZW with dictionary growth/reset, sub-block
+reassembly, color-table lookup), and 16-bit PCM WAV (RIFF chunk walk)
+decode in pure Python. Codecs that genuinely need external libraries
+(JPEG/MP3/real video — entropy coding + DCT) raise NotImplementedError
 where a deployment plugs Pillow/libvips/ffmpeg into the SAME
 mapInPandas slots.
 """
@@ -33,6 +35,8 @@ SNIFF_SCHEMA = StructType([
 _MAGIC = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
     (b"BM", "image/bmp"),
     (b"RIFF", "audio/wav"),
     (b"<html", "text/html"),
@@ -281,6 +285,194 @@ def decode_png(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]
     return width, height, rows
 
 
+# --- GIF (87a/89a, real variable-width LZW) --------------------------------
+# The third REAL compressed-image codec beside PNG: GIF's LZW is a
+# dictionary coder (no entropy stage), so it is implementable exactly in
+# pure Python — unlike JPEG/MP3/video, which stay behind the
+# NotImplementedError boundary. Bit packing is LSB-first; code width
+# grows 9→12 bits as the dictionary fills and resets on CLEAR.
+
+_GIF_MAX_CODE = 1 << 12
+
+
+def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+    """GIF-LZW encode: variable code width starting at
+    min_code_size+1, growing when the just-assigned code reaches the
+    width limit (the convention the canonical decoder below mirrors),
+    CLEAR emitted up front and whenever the dictionary hits 4096."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    acc = 0          # LSB-first bit accumulator
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return ({(i,): i for i in range(clear)}, eoi + 1,
+                min_code_size + 1)
+
+    table, next_code, code_size = fresh()
+    emit(clear, code_size)
+    w: tuple = ()
+    for k in indices:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        next_code += 1
+        w = (int(k),)
+        if next_code == _GIF_MAX_CODE:
+            emit(clear, code_size)
+            table, next_code, code_size = fresh()
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """Canonical GIF-LZW decode (the KwKwK special case included):
+    code width grows after the append that fills the current width,
+    capped at 12 bits until the encoder's CLEAR resets it."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    roots = [(i,) for i in range(clear)] + [(), ()]
+    table = list(roots)
+    code_size = min_code_size + 1
+    out: list[int] = []
+    acc = nbits = pos = 0
+    prev: tuple | None = None
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return out  # missing EOI: tolerate truncated stream
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(roots)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def encode_gif(
+    width: int, height: int, pixel_rows: list[list[int]]
+) -> bytes:
+    """Minimal GIF89a writer for fixtures: pixel_rows[y][x] is a 0-255
+    palette index into a 256-entry grayscale global color table
+    (index i → (i, i, i)), one non-interlaced image, real LZW data in
+    ≤255-byte sub-blocks."""
+    head = b"GIF89a" + struct.pack(
+        "<HHBBB", width, height, 0xF7, 0, 0
+    )  # 0xF7: GCT present, 8-bit color resolution, 256-entry table
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    flat = [p & 0xFF for row in pixel_rows for p in row]
+    lzw = _lzw_encode(8, flat)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i: i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return head + gct + desc + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """(width, height, rows) with pixels as (r, g, b), same shape as
+    decode_bmp/decode_png. Real pure-Python decode of the FIRST image:
+    header + logical screen descriptor, global/local color table,
+    extension-block skipping, sub-block reassembly, variable-width
+    LZW. Interlaced images raise NotImplementedError (Adam-style row
+    reordering — same honest boundary as interlaced PNG)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = [tuple(payload[pos + 3 * i: pos + 3 * i + 3])
+               for i in range(n)]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, width, height, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = [tuple(payload[pos + 3 * i: pos + 3 * i + 3])
+                      for i in range(n)]
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise NotImplementedError(
+                    "interlaced GIF images not supported"
+                )
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1: pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(mcs, bytes(data))
+            if len(idx) < width * height:
+                raise ValueError("GIF pixel data too short")
+            return width, height, [
+                [ct[idx[y * width + x]] for x in range(width)]
+                for y in range(height)
+            ]
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image")
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to (width, height, rows). BMP and PNG
     decode in pure Python (PNG via stdlib zlib); JPEG/WebP/... need
@@ -289,8 +481,10 @@ def decode_image(payload: bytes):
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
-        "only BMP and PNG decode without image codec libraries"
+        "only BMP, PNG, and GIF decode without image codec libraries"
     )
 
 
@@ -334,9 +528,12 @@ def decode_assets(
                 raw = bytes(payload)
                 row = dict.fromkeys(out)
                 row["doc_id"] = int(rid)
-                if raw[:2] == b"BM" or raw[:8] == _PNG_SIG:
+                if (raw[:2] == b"BM" or raw[:8] == _PNG_SIG
+                        or raw[:6] in (b"GIF87a", b"GIF89a")):
                     width, height, rows = decode_image(raw)
-                    row["kind"] = "bmp" if raw[:2] == b"BM" else "png"
+                    row["kind"] = ("bmp" if raw[:2] == b"BM"
+                                   else "png" if raw[:8] == _PNG_SIG
+                                   else "gif")
                     row["width"] = width
                     row["height"] = height
                     row["pixel_sum"] = sum(
@@ -359,12 +556,13 @@ def decode_assets(
 
 
 def synth_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic BMP + PNG + WAV fixture payloads per doc_id (three
-    rows per document, (doc_id, payload)): real encoded bytes so the
-    decode paths run end-to-end without codec libraries or external
-    data. The PNG scanline filters cycle through all five types
-    ((d + y) % 5 per row) so decoding exercises every unfilter branch
-    without changing the closed-form pixel oracle."""
+    """Deterministic BMP + PNG + GIF + WAV fixture payloads per doc_id
+    (four rows per document, (doc_id, payload)): real encoded bytes so
+    the decode paths run end-to-end without codec libraries or
+    external data. The PNG scanline filters cycle through all five
+    types ((d + y) % 5 per row) so decoding exercises every unfilter
+    branch, and the GIF rows run real variable-width LZW, all without
+    changing the closed-form pixel oracle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -384,6 +582,11 @@ def synth_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(encode_png(
                     pw, ph, ppix, filters=[(d + y) % 5 for y in range(ph)]
                 ))
+                gw, gh = 1 + d % 8, 1 + d % 3
+                gpix = [[(d + 2 * x + 7 * y) % 251 for x in range(gw)]
+                        for y in range(gh)]
+                ids.append(d)
+                payloads.append(encode_gif(gw, gh, gpix))
                 n = 64 + d % 32
                 samples = [((d * 7 + i) % 65536) - 32768 for i in range(n)]
                 ids.append(d)

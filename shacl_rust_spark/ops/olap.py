@@ -179,3 +179,54 @@ def cdc_apply(
             .otherwise(F.lit("cdc")).alias("src"),
         )
     )
+
+
+def _interleave_bits(col: F.Column, offset: int, bits: int) -> F.Column:
+    """Spread `bits` low bits of a non-negative int across even (offset
+    0) or odd (offset 1) positions — the Morton/Z-order interleave, as
+    a pure Column expression (whole-stage codegen, no UDF)."""
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        out = out + F.shiftleft(
+            F.shiftright(col.cast("bigint"), i).bitwiseAND(F.lit(1)),
+            2 * i + offset,
+        )
+    return out
+
+
+def zorder_layout(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    tiebreak_col: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> DataFrame:
+    """Z-order (Morton-curve) data-layout assignment: interleave the
+    low `bits` bits of two scan dimensions into one clustering key and
+    cut the key's global order into `n_files` equal file buckets.
+    Rows close in BOTH dimensions land in the same file, so a
+    predicate on EITHER column prunes most files — the multi-column
+    locality that one-column sort layouts cannot give, and the core
+    of how a 100 TB table keeps min/max file statistics selective for
+    two independent filter columns at once.
+
+    At scale the bucket cut is `repartitionByRange(zkey)` +
+    sortWithinPartitions at write time (sampled range boundaries, one
+    shuffle); here the assignment uses ntile over the exact global
+    order with a full (zkey, tiebreak) tie-break — the deterministic,
+    oracle-exact twin of that range partition (ntile and range
+    boundaries agree up to sampling, and EVERY engine computes ntile
+    identically on a total order). The zkey itself is pure integer
+    Column arithmetic — codegen'd, no shuffle beyond the cut."""
+    from pyspark.sql import Window
+
+    zkey = (
+        _interleave_bits(F.col(col_a), 0, bits)
+        + _interleave_bits(F.col(col_b), 1, bits)
+    ).alias("zkey")
+    w = Window.orderBy("zkey", tiebreak_col)
+    return (
+        df.select(F.col(tiebreak_col), zkey)
+        .withColumn("file_id", F.ntile(n_files).over(w))
+    )

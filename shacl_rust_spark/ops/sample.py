@@ -175,3 +175,37 @@ def stratified_sample(
         .where(F.col("sample_rank") <= n_per_stratum)
         .drop("_h", "_shard", "_lr")
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    weights: tuple = (0.8, 0.1, 0.1),
+    names: tuple = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the SPLIT is decided by
+    hashing the GROUP key (source/domain/url-host), never the row, so
+    every document of a group lands in the same split — near-duplicates
+    and templated siblings concentrate within groups, and a row-level
+    split would leak them across the train/eval boundary (the classic
+    contamination bug this operator exists to prevent). Deterministic
+    (md5 coordinate, same expression on any engine), stateless, and a
+    pure map — no shuffle, no sampling state to persist.
+
+    weights are cumulative-bucketed on the [0, 16^8) hex coordinate via
+    rate_threshold, so the group-level proportions are exact in
+    expectation and every engine computing md5 agrees on every row."""
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    h = sample_hash(F.col(group_col), salt)
+    acc = 0.0
+    expr = None
+    for w, name in zip(weights[:-1], names[:-1]):
+        acc += w
+        cond = h < F.lit(rate_threshold(acc))
+        expr = (F.when(cond, name) if expr is None
+                else expr.when(cond, name))
+    expr = (expr.otherwise(names[-1]) if expr is not None
+            else F.lit(names[-1]))
+    return df.withColumn("split", expr)

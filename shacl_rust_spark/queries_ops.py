@@ -310,14 +310,15 @@ def multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end binary decode: deterministic BMP + PNG + WAV payloads
-    are synthesized per document (ops/multimodal.synth_assets), then
-    decoded by the REAL pure-Python codecs (bottom-up BMP rows,
+    """End-to-end binary decode: deterministic BMP + PNG + GIF + WAV
+    payloads are synthesized per document (ops/multimodal.synth_assets),
+    then decoded by the REAL pure-Python codecs (bottom-up BMP rows,
     stdlib-zlib PNG inflate + unfiltering across all five filter types,
-    RIFF chunk walk) inside Arrow mapInPandas. The oracle recomputes
-    every metadata field (including the position-sensitive first_px /
-    first_sample) in closed form, so a row-order, padding, or
-    unfiltering bug in a decoder hash-mismatches."""
+    GIF variable-width LZW with dictionary growth, RIFF chunk walk)
+    inside Arrow mapInPandas. The oracle recomputes every metadata
+    field (including the position-sensitive first_px / first_sample)
+    in closed form, so a row-order, padding, unfiltering, or LZW
+    bit-packing bug in a decoder hash-mismatches."""
     assets = multimodal.synth_assets(_docs(spark, sf_dir))
     # Null numeric columns become float+NaN through pandas-based oracle
     # fetches, so the gate projection uses -1 sentinels for the fields
@@ -892,4 +893,31 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ops/events.gapfill_daily) over the events table."""
     return events.gapfill_daily(
         spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 train/val/test split keyed on the GROUP
+    (ops/sample.group_split): the md5 coordinate hashes `source`, so
+    near-duplicate / templated siblings (which concentrate within a
+    source) can never straddle the train-eval boundary."""
+    return sample.group_split(
+        _docs(spark, sf_dir), "source"
+    ).select("doc_id", "source", "split")
+
+
+def olap_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout assignment (ops/olap.zorder_layout) of the
+    events table on (user_id, minute-of-day): Morton-interleaved
+    clustering key + 16 ntile file buckets over the exact global
+    (zkey, event_id) order — the deterministic twin of
+    repartitionByRange at write time."""
+    from .ops.olap import zorder_layout
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id",
+        (F.hour("ts") * 60 + F.minute("ts")).alias("minute_of_day"),
+    )
+    return zorder_layout(
+        ev, "user_id", "minute_of_day", "event_id", n_files=16
     )

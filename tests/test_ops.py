@@ -221,19 +221,26 @@ def test_png_grayscale_color_type_0():
 
 
 def test_decode_assets_routes_png(spark):
-    """synth_assets now emits BMP + PNG + WAV per doc; decode_assets
-    routes each by magic and the PNG row matches the hand-computed
-    fixture formula (d=7: 2×4, pixel (7+5x+3y) % 251)."""
+    """synth_assets emits BMP + PNG + GIF + WAV per doc; decode_assets
+    routes each by magic; the PNG and GIF rows match the hand-computed
+    fixture formulas (d=7: PNG 2×4 pixel (7+5x+3y) % 251, GIF 8×2
+    pixel (7+2x+7y) % 251 through real LZW)."""
     docs = spark.createDataFrame([(7,)], "doc_id long")
     rows = multimodal.decode_assets(multimodal.synth_assets(docs)).collect()
     by_kind = {r.kind: r for r in rows}
-    assert set(by_kind) == {"bmp", "png", "wav"}
+    assert set(by_kind) == {"bmp", "png", "gif", "wav"}
     png = by_kind["png"]
     pw, ph = 1 + 7 % 6, 1 + 7 % 4
     want_sum = 3 * sum((7 + 5 * x + 3 * y) % 251
                        for x in range(pw) for y in range(ph))
     assert (png.width, png.height, png.first_px, png.pixel_sum) == (
         pw, ph, 7 % 251, want_sum)
+    gif = by_kind["gif"]
+    gw, gh = 1 + 7 % 8, 1 + 7 % 3
+    want_gsum = 3 * sum((7 + 2 * x + 7 * y) % 251
+                        for x in range(gw) for y in range(gh))
+    assert (gif.width, gif.height, gif.first_px, gif.pixel_sum) == (
+        gw, gh, 7 % 251, want_gsum)
 
 
 def test_embedding_lsh_hot_label_stays_bounded(spark):
@@ -1687,3 +1694,72 @@ def test_gapfill_daily_dense_grid_and_ffill(spark):
         (10, "2024-01-04", 1, 1, 500),
         (11, "2024-02-01", 1, 1, 0),     # null value → 0 cents
     ]
+
+
+def test_gif_lzw_roundtrip_and_dictionary_reset():
+    """Pure-Python GIF codec: LZW round-trips across dictionary
+    growth (9→12-bit codes) and the 4096-entry CLEAR reset; the full
+    container round-trips pixels through the grayscale palette."""
+    import random
+
+    rng = random.Random(11)
+    idx = [rng.randrange(251) for _ in range(60000)]  # forces resets
+    enc = multimodal._lzw_encode(8, idx)
+    assert multimodal._lzw_decode(8, enc) == idx
+    w, h = 37, 23
+    pix = [[rng.randrange(251) for _ in range(w)] for _ in range(h)]
+    ww, hh, rows = multimodal.decode_gif(multimodal.encode_gif(w, h, pix))
+    assert (ww, hh) == (w, h)
+    assert rows == [[(p, p, p) for p in r] for r in pix]
+
+
+def test_gif_kwkwk_case():
+    """The KwKwK special case: a run of identical pixels makes the
+    encoder emit a code the decoder has not defined yet."""
+    idx = [5] * 50
+    assert multimodal._lzw_decode(
+        8, multimodal._lzw_encode(8, idx)) == idx
+
+
+def test_group_split_no_leakage_and_determinism(spark):
+    from shacl_rust_spark.ops import sample as smp
+
+    d = spark.createDataFrame(
+        [(i, f"src{i % 9}", "t") for i in range(90)],
+        ["doc_id", "source", "text"],
+    )
+    out = smp.group_split(d, "source").select("doc_id", "source", "split")
+    rows = out.collect()
+    # every group maps to exactly one split (the leakage guarantee)
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_group.values())
+    # deterministic across invocations
+    again = {(r.doc_id, r.split)
+             for r in smp.group_split(d, "source")
+             .select("doc_id", "split").collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}
+
+
+def test_zorder_locality_and_buckets(spark):
+    from shacl_rust_spark.ops.olap import zorder_layout
+
+    rows = [(i, i % 8, (i * 3) % 8) for i in range(64)]
+    df = spark.createDataFrame(rows, ["rid", "ax", "ay"])
+    out = zorder_layout(df, "ax", "ay", "rid", n_files=4, bits=3)
+    got = {r.rid: (r.zkey, r.file_id) for r in out.collect()}
+    assert len(got) == 64
+    # closed-form Morton check
+    def morton(a, b):
+        z = 0
+        for i in range(3):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+    for rid, ax, ay in rows:
+        assert got[rid][0] == morton(ax, ay), rid
+    # ntile balance: 64 rows into 4 files of 16
+    from collections import Counter
+    sizes = Counter(f for (_, f) in got.values())
+    assert sorted(sizes.values()) == [16, 16, 16, 16]
