@@ -110,7 +110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_scd2": O.olap_scd2,
         "olap_cdc_merge": O.olap_cdc_merge,
         "olap_zorder": O.olap_zorder,
+        "olap_pit_join": O.olap_pit_join,
         "curation_split": O.curation_split,
+        "dedup_simhash_pairs": O.dedup_simhash_pairs,
         "kg_pages": K.kg_pages,
         "kg_extract_text": K.kg_extract_text,
         "kg_mentions": K.kg_mentions,
@@ -306,6 +308,65 @@ _NB_CTE = """
 , nb AS MATERIALIZED (
   SELECT a AS node, b AS nbr FROM p
   UNION ALL SELECT b AS node, a AS nbr FROM p)"""
+
+# simhash signature CTE chain (ends in `sig(doc_id, simhash)`) —
+# shared by the signature gate and the banded-pairs gate
+_SIMHASH_CTES = _WORDS_CTE + """
+            , h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS hi,
+                     CAST(('0x' || substr(md5(word), 9, 8)) AS BIGINT) AS lo
+              FROM w),
+            bits AS (
+              SELECT doc_id, gs.b AS b,
+                     SUM(CASE WHEN (CASE WHEN gs.b < 32
+                                         THEN (lo >> gs.b) & 1
+                                         ELSE (hi >> (gs.b - 32)) & 1 END) = 1
+                              THEN 1 ELSE -1 END) AS sb
+              FROM h CROSS JOIN generate_series(0, 63) gs(b) GROUP BY 1, 2),
+            sig AS (
+              SELECT doc_id,
+                   SUM(CASE WHEN sb <= 0 THEN 0
+                            WHEN b = 63 THEN -9223372036854775808
+                            ELSE (CAST(1 AS BIGINT) << b)
+                            END)::BIGINT AS simhash
+              FROM bits GROUP BY doc_id)
+"""
+
+# SCD2 CTE chain (ends in `dim(key, attr, version, valid_from,
+# valid_to, is_current, n_rows)`) — shared by the dimension-build
+# gate and the point-in-time join gate
+_SCD2_CTES = """
+            WITH s AS (
+              SELECT o_custkey AS key, o_orderstatus AS attr,
+                     o_orderdate AS ts, o_orderkey AS tb
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+            v AS (
+              SELECT key, attr, ts,
+                     SUM(CASE WHEN prev IS NULL OR prev <> attr
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY key ORDER BY ts, tb
+                             ROWS UNBOUNDED PRECEDING) AS version
+              FROM (SELECT *, lag(attr) OVER (PARTITION BY key
+                                              ORDER BY ts, tb) AS prev
+                    FROM s)),
+            g AS (
+              SELECT key, version, MIN(attr) AS attr,
+                     MIN(ts) AS valid_from, count(*) AS n_rows
+              FROM v GROUP BY 1, 2),
+            dim AS (
+              SELECT key, attr, CAST(version AS BIGINT) AS version,
+                     valid_from,
+                     COALESCE(lead(valid_from)
+                                OVER (PARTITION BY key ORDER BY version),
+                              TIMESTAMP '9999-01-01') AS valid_to,
+                     CASE WHEN lead(valid_from)
+                                OVER (PARTITION BY key ORDER BY version)
+                          IS NULL THEN 1 ELSE 0 END AS is_current,
+                     CAST(n_rows AS BIGINT) AS n_rows
+              FROM g)
+"""
 
 
 def _lpa_ctes(rounds: int) -> str:
@@ -616,35 +677,20 @@ def oracle_sql() -> dict[str, str]:
         # Kimball SCD2 from the per-customer status changelog; the
         # open interval carries a sentinel (not NULL) so the
         # cross-engine hash never meets NULL-vs-NaT stringification
-        "olap_scd2": """
-            WITH s AS (
-              SELECT o_custkey AS key, o_orderstatus AS attr,
-                     o_orderdate AS ts, o_orderkey AS tb
-              FROM orders
-              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
-            v AS (
-              SELECT key, attr, ts,
-                     SUM(CASE WHEN prev IS NULL OR prev <> attr
-                              THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY key ORDER BY ts, tb
-                             ROWS UNBOUNDED PRECEDING) AS version
-              FROM (SELECT *, lag(attr) OVER (PARTITION BY key
-                                              ORDER BY ts, tb) AS prev
-                    FROM s)),
-            g AS (
-              SELECT key, version, MIN(attr) AS attr,
-                     MIN(ts) AS valid_from, count(*) AS n_rows
-              FROM v GROUP BY 1, 2)
-            SELECT key, attr, CAST(version AS BIGINT) AS version,
-                   valid_from,
-                   COALESCE(lead(valid_from)
-                              OVER (PARTITION BY key ORDER BY version),
-                            TIMESTAMP '9999-01-01') AS valid_to,
-                   CASE WHEN lead(valid_from)
-                              OVER (PARTITION BY key ORDER BY version)
-                        IS NULL THEN 1 ELSE 0 END AS is_current,
-                   CAST(n_rows AS BIGINT) AS n_rows
-            FROM g
+        "olap_scd2": _SCD2_CTES + """
+            SELECT key, attr, version, valid_from, valid_to,
+                   is_current, n_rows
+            FROM dim
+        """,
+        # temporal-correctness join: the intervals partition each
+        # key's history, so every order hits exactly one dim row
+        "olap_pit_join": _SCD2_CTES + """
+            SELECT o.o_orderkey, o.o_custkey AS key,
+                   d.attr AS status_at, d.version
+            FROM orders o JOIN dim d
+              ON d.key = o.o_custkey
+             AND o.o_orderdate >= d.valid_from
+             AND o.o_orderdate < d.valid_to
         """,
         # MERGE-apply: latest (ts, event_id) changelog row per key
         # wins; 'D' deletes, I/U upsert, untouched base passes through
@@ -898,25 +944,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, MIN(reach) AS component
             FROM walk GROUP BY 1
         """,
-        "dedup_simhash": _WORDS_CTE + """
-            , h AS (
-              SELECT doc_id,
-                     CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS hi,
-                     CAST(('0x' || substr(md5(word), 9, 8)) AS BIGINT) AS lo
-              FROM w),
-            bits AS (
-              SELECT doc_id, gs.b AS b,
-                     SUM(CASE WHEN (CASE WHEN gs.b < 32
-                                         THEN (lo >> gs.b) & 1
-                                         ELSE (hi >> (gs.b - 32)) & 1 END) = 1
-                              THEN 1 ELSE -1 END) AS sb
-              FROM h CROSS JOIN generate_series(0, 63) gs(b) GROUP BY 1, 2)
-            SELECT doc_id,
-                   SUM(CASE WHEN sb <= 0 THEN 0
-                            WHEN b = 63 THEN -9223372036854775808
-                            ELSE (CAST(1 AS BIGINT) << b)
-                            END)::BIGINT AS simhash
-            FROM bits GROUP BY doc_id
+        "dedup_simhash": _SIMHASH_CTES + """
+            SELECT doc_id, simhash FROM sig
+        """,
+        # banding is pigeonhole-COMPLETE at hamming <= 3 with 4 bands
+        # (two signatures within 3 bits must share a full band), so
+        # the all-pairs Hamming filter is the exact oracle
+        "dedup_simhash_pairs": _SIMHASH_CTES + """
+            SELECT sa.doc_id AS a, sb.doc_id AS b,
+                   bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+            FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
         """,
         "dedup_embedding": """
             SELECT a.vec_id AS a, b.vec_id AS b

@@ -484,3 +484,80 @@ def snapshot_diff(
         j.select(F.col("_k").alias(key), status.alias("status"))
         .where(F.col("status").isNotNull())
     )
+
+
+def simhash_band_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by simhash Hamming distance: (a, b,
+    hamming) for every unordered doc pair with
+    Hamming(simhash_a, simhash_b) ≤ `max_hamming` — the scale path
+    for the simhash family (dedup_simhash computes signatures; this
+    turns them into pairs without an all-pairs join).
+
+    Banding uses the PIGEONHOLE guarantee (Manku et al.'s
+    simhash-blocking construction): split the 64-bit signature into
+    max_hamming+1 equal bands — two signatures within `max_hamming`
+    bits of each other MUST agree exactly on at least one band, so
+    the banded candidate join has recall 1.0 (deterministic, unlike
+    minhash banding's probabilistic recall), and the exact
+    bit_count(xor) rescore makes precision 1.0. 64 must divide evenly
+    (max_hamming ∈ {1, 3, 7, 15}).
+
+    Plan: one explode to (band, band_value) keys — band extraction is
+    `(sig >> 16·i) & 0xFFFF`, arithmetic-vs-logical-shift-proof
+    because the mask discards sign-extension — then a bucketed
+    self-join per (band, value), pair dedup across bands, and the
+    exact rescore. `max_bucket` (None = off, exact semantics — what
+    the oracle states) drops hotter buckets before the join: at
+    corpus scale a mega-cluster of identical signatures would emit
+    C(n,2) candidates from every band, and dropping its buckets is
+    the same stated recall sacrifice as LSH stop-bucket removal."""
+    n_bands = max_hamming + 1
+    if 64 % n_bands:
+        raise ValueError("max_hamming must be one of 1, 3, 7, 15")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sig = simhash64(docs)
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("simhash", width * i)
+                .bitwiseAND(F.lit(mask)).alias("v"),
+            )
+            for i in range(n_bands)
+        ])).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band", "bv.v")
+    if max_bucket is not None:
+        sizes = bands.groupBy("band", "v").agg(
+            F.count(F.lit(1)).alias("_sz")
+        )
+        bands = bands.join(
+            sizes.where(F.col("_sz") <= max_bucket)
+            .select("band", "v"),
+            ["band", "v"], "left_semi",
+        )
+    left = bands.select(
+        "band", "v", F.col("doc_id").alias("a"),
+        F.col("simhash").alias("_sa"),
+    )
+    right = bands.select(
+        "band", "v", F.col("doc_id").alias("b"),
+        F.col("simhash").alias("_sb"),
+    )
+    return (
+        left.join(right, ["band", "v"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "_sa", "_sb")
+        .dropDuplicates(["a", "b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -230,3 +230,38 @@ def zorder_layout(
         df.select(F.col(tiebreak_col), zkey)
         .withColumn("file_id", F.ntile(n_files).over(w))
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time dimension join: each fact row picks up the
+    SCD2 dimension row that was valid AT ITS OWN timestamp — key
+    equality plus half-open containment valid_from ≤ ts < valid_to.
+    This is the feature-store temporal-correctness join: joining
+    facts to the CURRENT dimension row leaks future attribute values
+    into training features, the same class of leakage group_split
+    prevents across examples, here prevented across time.
+
+    Plan: an equi-join on the key carries the interval predicate as a
+    join residual — the dimension has few rows per key (one per
+    version), so the per-key fan-in is interval-count bounded and the
+    SCD2 intervals partition time (each fact matches EXACTLY one
+    dimension row for its key when its ts falls inside the history).
+    At 100 TB both sides bucket by the key; the residual evaluates
+    within co-located buckets, never as a global range join."""
+    d = dim.select(
+        F.col(key_col).alias("_dk"),
+        *[c for c in dim.columns if c != key_col],
+    )
+    cond = (
+        (facts[key_col] == d["_dk"])
+        & (facts[ts_col] >= d[from_col])
+        & (facts[ts_col] < d[to_col])
+    )
+    return facts.join(d, cond, "inner").drop("_dk")

@@ -921,3 +921,36 @@ def olap_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout(
         ev, "user_id", "minute_of_day", "event_id", n_files=16
     )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-dup pairs at Hamming ≤ 3
+    (ops/dedup.simhash_band_pairs): 4-band pigeonhole candidate join
+    with exact bit_count(xor) rescore — recall is GUARANTEED (any two
+    signatures within 3 bits agree on a full 16-bit band), so the
+    all-pairs Hamming filter is the exact oracle."""
+    return dedup.simhash_band_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def olap_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join (ops/olap.pit_join): every order
+    row picks up its customer's order-status SCD2 interval valid AT
+    the order's own date — the temporal-correctness feature join;
+    the intervals partition each key's history, so each order matches
+    exactly one dimension row (row count == orders count)."""
+    from .ops.olap import pit_join, scd2_intervals
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = scd2_intervals(
+        orders, "o_custkey", "o_orderstatus", "o_orderdate",
+        "o_orderkey",
+    )
+    facts = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return pit_join(facts, dim).select(
+        "o_orderkey", "key",
+        F.col("attr").alias("status_at"), "version",
+    )

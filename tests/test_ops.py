@@ -1763,3 +1763,61 @@ def test_zorder_locality_and_buckets(spark):
     from collections import Counter
     sizes = Counter(f for (_, f) in got.values())
     assert sorted(sizes.values()) == [16, 16, 16, 16]
+
+
+def test_simhash_band_pairs_recall_and_rescore(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = _docs(spark, [
+        (1, "s", base),
+        (2, "s", base + " lambda"),       # near-dup: tiny hamming
+        (3, "s", base),                    # identical: hamming 0
+        (4, "s", "one two three four five six seven eight nine ten"),
+    ])
+    out = {(r.a, r.b): r.hamming
+           for r in dedup.simhash_band_pairs(d, max_hamming=3).collect()}
+    assert out[(1, 3)] == 0
+    # (on a 10-word doc one extra word flips MANY marginal-vote bits,
+    # so (1,2) may legitimately exceed hamming 3 — the parity check
+    # below is the real recall assertion)
+    assert all(4 not in p for p in out)
+    # exact parity with the all-pairs formulation (pigeonhole recall)
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash64(d).collect()}
+    want = {}
+    for a in sigs:
+        for b in sigs:
+            if a < b:
+                h = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+                if h <= 3:
+                    want[(a, b)] = h
+    assert out == want
+
+
+def test_simhash_band_pairs_stop_bucket_guard(spark):
+    # 40 identical docs: every band bucket is 40-deep; max_bucket=10
+    # drops them all (stated recall sacrifice), unguarded keeps C(40,2)
+    d = _docs(spark, [(i, "s", "same words everywhere always repeated")
+                      for i in range(40)])
+    full = dedup.simhash_band_pairs(d, max_hamming=3).count()
+    assert full == 40 * 39 // 2
+    capped = dedup.simhash_band_pairs(d, max_hamming=3, max_bucket=10)
+    assert capped.count() == 0
+
+
+def test_pit_join_interval_boundaries(spark):
+    from shacl_rust_spark.ops.olap import pit_join
+
+    dim = spark.createDataFrame(
+        [(1, "A", 1, "2020-01-01", "2020-02-01"),
+         (1, "B", 2, "2020-02-01", "9999-01-01")],
+        ["key", "attr", "version", "valid_from", "valid_to"],
+    ).withColumn("valid_from", F.col("valid_from").cast("timestamp")) \
+     .withColumn("valid_to", F.col("valid_to").cast("timestamp"))
+    facts = spark.createDataFrame(
+        [(10, 1, "2020-01-15"),   # inside A
+         (11, 1, "2020-02-01"),   # ON the boundary: half-open → B
+         (12, 1, "2019-12-31"),   # before history → no match
+         (13, 2, "2020-01-15")],  # unknown key → no match
+        ["fid", "key", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.fid: r.attr for r in pit_join(facts, dim).collect()}
+    assert out == {10: "A", 11: "B"}
