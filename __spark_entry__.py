@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_cdc_merge": O.olap_cdc_merge,
         "olap_zorder": O.olap_zorder,
         "olap_pit_join": O.olap_pit_join,
+        "olap_cdc_merge_stream": O.olap_cdc_merge_stream,
         "curation_split": O.curation_split,
         "dedup_simhash_pairs": O.dedup_simhash_pairs,
         "kg_pages": K.kg_pages,
@@ -331,6 +332,38 @@ _SIMHASH_CTES = _WORDS_CTE + """
                             ELSE (CAST(1 AS BIGINT) << b)
                             END)::BIGINT AS simhash
               FROM bits GROUP BY doc_id)
+"""
+
+# the CDC MERGE semantics: latest (ts, event_id) changelog row per
+# key wins, 'D' deletes, I/U upsert, untouched base passes through —
+# shared by the batch gate and its streaming-fold twin
+_CDC_MERGE_SQL = """
+            WITH base AS (
+              SELECT c_custkey AS key,
+                     CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bval
+              FROM customer),
+            chg AS (
+              SELECT user_id + 1 AS key,
+                     CAST(ROUND(COALESCE(value, 0) * 100, 0)
+                          AS BIGINT) AS cval,
+                     CASE WHEN event_type = 'error' THEN 'D'
+                          WHEN event_type = 'signup' THEN 'I'
+                          ELSE 'U' END AS op,
+                     ts, event_id
+              FROM events
+              WHERE event_type IN ('signup', 'purchase', 'error')),
+            latest AS (
+              SELECT key, cval, op FROM (
+                SELECT *, row_number()
+                         OVER (PARTITION BY key
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                FROM chg) WHERE rn = 1)
+            SELECT COALESCE(b.key, l.key) AS key,
+                   COALESCE(l.cval, b.bval) AS val,
+                   CASE WHEN l.op IS NULL THEN 'base'
+                        ELSE 'cdc' END AS src
+            FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+            WHERE l.op IS NULL OR l.op <> 'D'
 """
 
 # SCD2 CTE chain (ends in `dim(key, attr, version, valid_from,
@@ -694,34 +727,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # MERGE-apply: latest (ts, event_id) changelog row per key
         # wins; 'D' deletes, I/U upsert, untouched base passes through
-        "olap_cdc_merge": """
-            WITH base AS (
-              SELECT c_custkey AS key,
-                     CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bval
-              FROM customer),
-            chg AS (
-              SELECT user_id + 1 AS key,
-                     CAST(ROUND(COALESCE(value, 0) * 100, 0)
-                          AS BIGINT) AS cval,
-                     CASE WHEN event_type = 'error' THEN 'D'
-                          WHEN event_type = 'signup' THEN 'I'
-                          ELSE 'U' END AS op,
-                     ts, event_id
-              FROM events
-              WHERE event_type IN ('signup', 'purchase', 'error')),
-            latest AS (
-              SELECT key, cval, op FROM (
-                SELECT *, row_number()
-                         OVER (PARTITION BY key
-                               ORDER BY ts DESC, event_id DESC) AS rn
-                FROM chg) WHERE rn = 1)
-            SELECT COALESCE(b.key, l.key) AS key,
-                   COALESCE(l.cval, b.bval) AS val,
-                   CASE WHEN l.op IS NULL THEN 'base'
-                        ELSE 'cdc' END AS src
-            FROM base b FULL OUTER JOIN latest l ON b.key = l.key
-            WHERE l.op IS NULL OR l.op <> 'D'
-        """,
+        "olap_cdc_merge": _CDC_MERGE_SQL,
+        # the streaming twin folds ts-ordered micro-batches into a
+        # versioned snapshot; with in-order replay the fold equals the
+        # one-shot batch MERGE — the identical SQL is the oracle
+        "olap_cdc_merge_stream": _CDC_MERGE_SQL,
         # group-keyed split: thresholds are rate_threshold(0.8) and
         # rate_threshold(0.8 + 0.1) — the identical md5-hex compare
         # the Spark op evaluates, so every row agrees

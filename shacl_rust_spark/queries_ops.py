@@ -954,3 +954,14 @@ def olap_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "key",
         F.col("attr").alias("status_at"), "version",
     )
+
+
+def olap_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC fold (streaming/stream.cdc_apply_replay): the
+    customer snapshot upserted by the SAME events-derived changelog as
+    olap_cdc_merge, but applied as ts-ordered micro-batches through a
+    foreachBatch versioned-snapshot MERGE — in-order folding equals
+    the one-shot batch MERGE, which is the oracle."""
+    from .streaming.stream import cdc_apply_replay
+
+    return cdc_apply_replay(spark, sf_dir)

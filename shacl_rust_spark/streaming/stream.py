@@ -164,3 +164,129 @@ def attribution_replay(
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+def streaming_cdc_apply(
+    spark: SparkSession,
+    changelog_dir: str,
+    base: DataFrame,
+    out_dir: str,
+    key_col: str = "key",
+    val_col: str = "val",
+    op_col: str = "op",
+    seq_cols: tuple = ("ts", "event_id"),
+) -> DataFrame:
+    """Streaming twin of ops/olap.cdc_apply: maintain a keyed snapshot
+    under foreachBatch, merging each changelog micro-batch into the
+    current snapshot (latest-per-key within the batch, 'D' deletes,
+    I/U upsert, untouched keys pass through WITH their existing src —
+    the carried src column is what makes incremental application equal
+    the one-shot batch merge). Snapshots are versioned directories
+    (v0, v1, ...) — a reader never observes a half-written snapshot,
+    and the previous version stays readable during the write (the
+    same committed-snapshot discipline as pipeline/emit.py).
+
+    Equivalence contract (the gate's oracle): when micro-batches
+    arrive in non-decreasing seq order (a log replay / Kafka
+    partition-per-key guarantees per-key order), folding batches
+    left-to-right computes exactly cdc_apply(base, whole changelog) —
+    later batches override earlier ones just as higher seqs win
+    within one batch. Per-batch cost: one window over the batch +
+    one key-join against the snapshot; at scale the snapshot is
+    bucketed by key and the join is shuffle-free."""
+    from pyspark.sql import Window
+
+    schema = spark.read.parquet(changelog_dir).schema
+    base.select(
+        F.col(key_col), F.col(val_col), F.lit("base").alias("src")
+    ).write.mode("overwrite").parquet(f"{out_dir}/v0")
+    state = {"v": 0}
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession  # cloned session: build frames HERE
+        cur = s.read.parquet(f"{out_dir}/v{state['v']}")
+        w = Window.partitionBy(key_col).orderBy(
+            *[F.desc(c) for c in seq_cols]
+        )
+        latest = (
+            batch_df.where(F.col(key_col).isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                F.col(key_col).alias("_k"),
+                F.col(val_col).alias("_cv"),
+                F.col(op_col).alias("_op"),
+            )
+        )
+        merged = (
+            cur.withColumnRenamed(key_col, "_k")
+            .join(latest, "_k", "full_outer")
+            .where(F.col("_op").isNull() | (F.col("_op") != F.lit("D")))
+            .select(
+                F.col("_k").alias(key_col),
+                F.coalesce("_cv", F.col(val_col)).alias(val_col),
+                F.when(F.col("_op").isNull(), F.col("src"))
+                .otherwise(F.lit("cdc")).alias("src"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{out_dir}/v{state['v'] + 1}"
+        )
+        state["v"] += 1
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changelog_dir)
+        .writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", f"{out_dir}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{out_dir}/v{state['v']}")
+
+
+def cdc_apply_replay(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """Gate harness for streaming_cdc_apply: the customer snapshot
+    upserted/deleted by the events-derived changelog (the SAME
+    derivation as the batch gate olap_cdc_merge), replayed as
+    ascending-(ts, event_id) micro-batch chunks — so the one-shot
+    batch MERGE SQL is this query's exact oracle. The driver-side
+    chunk write is the replay FIXTURE, not the operator."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+        .alias("val"),
+    )
+    chg = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select(
+        (F.col("user_id") + 1).alias("key"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+        .cast("bigint").alias("val"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U")).alias("op"),
+        "ts", "event_id",
+    )
+    pdf = chg.toPandas().sort_values(["ts", "event_id"]) \
+        .reset_index(drop=True)
+    d = tempfile.mkdtemp(prefix="cdc_replay_")
+    out = tempfile.mkdtemp(prefix="cdc_state_")
+    step = (len(pdf) + n_chunks - 1) // n_chunks
+    for k, i in enumerate(range(0, len(pdf), step)):
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[i:i + step],
+                                 preserve_index=False),
+            f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
+    snap = streaming_cdc_apply(spark, d, base, out)
+    return snap.select("key", "val", "src")

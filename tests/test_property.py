@@ -451,3 +451,115 @@ def test_hist_quantile_estimator_bound(vals, q):
     b = qval.bit_length() - 1
     est = (1 << (b + 1)) - 1
     assert qval <= est < 2 * qval
+
+
+# --- GIF LZW codec -------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 255), max_size=400),
+       st.integers(2, 8))
+def test_gif_lzw_roundtrip_model(idx, mcs):
+    """Arbitrary index streams round-trip through the variable-width
+    GIF-LZW pair for every legal minimum code size (indices clamped
+    into the alphabet the code size allows)."""
+    from shacl_rust_spark.ops.multimodal import _lzw_decode, _lzw_encode
+
+    alphabet = 1 << mcs
+    idx = [i % alphabet for i in idx]
+    assert _lzw_decode(mcs, _lzw_encode(mcs, idx)) == idx
+
+
+# --- simhash banding -----------------------------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(-(2 ** 63), 2 ** 63 - 1),
+       st.sets(st.integers(0, 63), max_size=3))
+def test_simhash_pigeonhole_band_agreement(sig, flips):
+    """The theorem simhash_band_pairs' recall rests on: flip ≤ 3 bits
+    of any 64-bit signature and at least one of the four 16-bit bands
+    is untouched — AND the band extraction `(s >> 16i) & 0xFFFF` gives
+    identical results for arithmetic (Python on negatives) and logical
+    shift, because the mask discards sign-extension."""
+    other = sig
+    for b in flips:
+        other ^= 1 << b
+        if other >= 2 ** 63:        # wrap to two's-complement long
+            other -= 2 ** 64
+        elif other < -(2 ** 63):
+            other += 2 ** 64
+    bands_a = [(sig >> (16 * i)) & 0xFFFF for i in range(4)]
+    bands_b = [(other >> (16 * i)) & 0xFFFF for i in range(4)]
+    assert any(x == y for x, y in zip(bands_a, bands_b))
+    # shift-semantics proof: arithmetic >> then mask == logical
+    for s in (sig, other):
+        u = s & (2 ** 64 - 1)       # the logical (unsigned) view
+        for i in range(4):
+            assert ((s >> (16 * i)) & 0xFFFF) \
+                == ((u >> (16 * i)) & 0xFFFF)
+
+
+# --- bounded-round graph ops vs pure models ------------------------------
+
+def _model_bfs(edges, seeds, max_hops):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, max_hops + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = hop
+                    nxt.add(m)
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+def _model_lpa(edges, rounds):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    return labels
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+             min_size=1, max_size=30),
+    st.sets(st.integers(0, 12), min_size=1, max_size=3),
+    st.integers(1, 4),
+)
+def test_bfs_and_lpa_spark_match_models(spark, edges, seeds, rounds):
+    from shacl_rust_spark.ops import graph
+
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    sf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    got = {r.node: r.dist
+           for r in graph.bfs_distances(e, sf, max_hops=rounds)
+           .collect()}
+    clean = [(a, b) for a, b in edges if a != b]
+    assert got == _model_bfs(clean, seeds, rounds)
+
+    got_l = {r.node: r.community
+             for r in graph.label_propagation(e, rounds=rounds)
+             .collect()}
+    assert got_l == _model_lpa(edges, rounds)

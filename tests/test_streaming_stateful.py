@@ -190,3 +190,48 @@ def test_stream_stream_attribution_matches_batch_range_join(spark, tmp_path):
     out = attribution_replay(spark, f"{d}/events.parquet", n_chunks=3)
     got = {(r.click_id, r.view_id) for r in out.collect()}
     assert got == {(2, 1), (3, 1), (7, 6)}
+
+
+def test_streaming_cdc_fold_matches_batch_merge(spark, tmp_path):
+    """Cross-chunk orderings that distinguish a fold from a one-shot
+    merge: delete-then-reinsert, upsert-then-delete, and an untouched
+    base key keeping src='base' across batches where other keys
+    change. The fold over in-order chunks must equal cdc_apply."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from shacl_rust_spark.ops.olap import cdc_apply
+    from shacl_rust_spark.streaming.stream import streaming_cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], ["key", "val"])
+    chunk1 = [(1, 111, "D", 1, 1),   # delete base key...
+              (4, 444, "U", 1, 2),   # new key via update
+              (5, 555, "U", 1, 3)]
+    chunk2 = [(1, 122, "U", 2, 4),   # ...reinsert it later
+              (5, 0, "D", 2, 5)]     # delete the new key later
+    d = tmp_path / "cdc_chunks"
+    d.mkdir()
+    for i, rows in enumerate([chunk1, chunk2]):
+        pq.write_table(
+            pa.table({
+                "key": [r[0] for r in rows],
+                "val": [r[1] for r in rows],
+                "op": [r[2] for r in rows],
+                "ts": [r[3] for r in rows],
+                "event_id": [r[4] for r in rows],
+            }),
+            str(d / f"chunk-{i:03d}.parquet"))
+    snap = streaming_cdc_apply(
+        spark, str(d), base, str(tmp_path / "cdc_state"),
+        seq_cols=("ts", "event_id"))
+    got = {(r.key, r.val, r.src) for r in snap.collect()}
+    chg = spark.createDataFrame(
+        chunk1 + chunk2, ["key", "val", "op", "ts", "event_id"])
+    want = {(r.key, r.val, r.src)
+            for r in cdc_apply(base, chg,
+                               seq_cols=("ts", "event_id")).collect()}
+    assert got == want
+    assert got == {(1, 122, "cdc"), (2, 200, "base"), (3, 300, "base"),
+                   (4, 444, "cdc")}
