@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": O.events_gapfill,
         "graph_lpa": O.graph_lpa,
         "graph_bfs": O.graph_bfs,
+        "graph_modularity": O.graph_modularity,
+        "rank_rrf": O.rank_rrf,
         "olap_scd2": O.olap_scd2,
         "olap_cdc_merge": O.olap_cdc_merge,
         "olap_zorder": O.olap_zorder,
@@ -402,7 +404,7 @@ _SCD2_CTES = """
 """
 
 
-def _lpa_ctes(rounds: int) -> str:
+def _lpa_ctes(rounds: int, final: bool = True) -> str:
     """Unroll `rounds` synchronous label-propagation rounds over the
     pair graph — the DuckDB twin of ops/graph.label_propagation
     (mode of neighbor labels, ties to the smallest label). MATERIALIZED
@@ -422,8 +424,10 @@ def _lpa_ctes(rounds: int) -> str:
              row_number() OVER (PARTITION BY node
                                 ORDER BY cnt DESC, community) AS rn
       FROM c{r}) WHERE rn = 1)""")
-    return (_NB_CTE + "," + ",".join(parts)
-            + f" SELECT node, community FROM l{rounds}")
+    ctes = _NB_CTE + "," + ",".join(parts)
+    if not final:
+        return ctes
+    return ctes + f" SELECT node, community FROM l{rounds}"
 
 
 def _bfs_ctes(max_hops: int) -> str:
@@ -706,6 +710,80 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_kcore": _WORDS_CTE + _PAIR_GRAPH_CTE + _kcore_ctes(3, 6),
         "graph_lpa": _WORDS_CTE + _PAIR_GRAPH_CTE + _lpa_ctes(4),
+        # integer-exact Newman modularity of the LPA-4 partition:
+        # q_num = 4*m*e_in - deg_sum^2, Q = sum(q_num)/(4m^2)
+        "graph_modularity": _WORDS_CTE + _PAIR_GRAPH_CTE
+        + _lpa_ctes(4, final=False) + """
+            , deg AS MATERIALIZED (
+              SELECT node, count(*) AS deg FROM nb GROUP BY 1),
+            mm AS (SELECT count(*) AS m FROM p),
+            ein AS (
+              SELECT la.community, count(*) AS e_in
+              FROM p JOIN l4 la ON la.node = p.a
+                     JOIN l4 lb ON lb.node = p.b
+                     AND lb.community = la.community
+              GROUP BY 1),
+            dsum AS (
+              SELECT community, count(*) AS n_nodes,
+                     CAST(SUM(deg) AS BIGINT) AS deg_sum
+              FROM l4 JOIN deg USING (node) GROUP BY 1)
+            SELECT d.community, d.n_nodes,
+                   COALESCE(e.e_in, 0) AS e_in, d.deg_sum,
+                   4 * mm.m * COALESCE(e.e_in, 0)
+                   - d.deg_sum * d.deg_sum AS q_num
+            FROM dsum d LEFT JOIN ein e USING (community)
+            CROSS JOIN mm
+        """,
+        # RRF of two integer-deterministic retrievers; fusion kept as
+        # the exact rational (num, den) — no float ordering anywhere
+        "rank_rrf": r"""
+            WITH words AS (
+              SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +')) AS w
+                FROM documents
+              ) WHERE w <> ''
+            ),
+            tfq AS (
+              SELECT doc_id, w, count(*) AS tf FROM words
+              WHERE w IN ('join', 'data', 'spark') GROUP BY 1, 2
+            ),
+            a AS (
+              SELECT doc_id, row_number()
+                       OVER (ORDER BY s DESC, doc_id) AS rank
+              FROM (SELECT doc_id, SUM(tf) AS s FROM tfq GROUP BY 1)
+            ),
+            lens AS (
+              SELECT d.doc_id, coalesce(w.c, 0) AS dl
+              FROM documents d LEFT JOIN (
+                SELECT doc_id, count(*) AS c FROM words GROUP BY 1
+              ) w USING (doc_id)
+            ),
+            b AS (
+              SELECT doc_id, row_number()
+                       OVER (ORDER BY nm DESC, dl ASC, doc_id) AS rank
+              FROM (SELECT doc_id, count(*) AS nm FROM tfq GROUP BY 1) t
+              JOIN lens USING (doc_id) WHERE nm >= 2
+            ),
+            f AS (
+              SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                     COALESCE(a.rank, -1) AS rank_a,
+                     COALESCE(b.rank, -1) AS rank_b,
+                     CASE WHEN a.rank IS NOT NULL
+                               AND b.rank IS NOT NULL
+                          THEN (60 + a.rank) + (60 + b.rank)
+                          ELSE 1 END AS rrf_num,
+                     CASE WHEN a.rank IS NOT NULL
+                               AND b.rank IS NOT NULL
+                          THEN (60 + a.rank) * (60 + b.rank)
+                          WHEN a.rank IS NOT NULL THEN 60 + a.rank
+                          ELSE 60 + b.rank END AS rrf_den
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            )
+            SELECT doc_id, rank_a, rank_b, rrf_num, rrf_den,
+                   CAST(rrf_num AS DOUBLE) / rrf_den AS rrf
+            FROM f
+        """,
         "graph_bfs": _WORDS_CTE + _PAIR_GRAPH_CTE + _bfs_ctes(4),
         # Kimball SCD2 from the per-customer status changelog; the
         # open interval carries a sentinel (not NULL) so the

@@ -458,3 +458,58 @@ def bfs_distances(
             eager=True
         )
     return visited
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a community partition, INTEGER-EXACT:
+    per community c emit (community, n_nodes, e_in, deg_sum, q_num)
+    where q_num = 4·m·e_in − deg_sum², so the partition's modularity
+    is Q = Σ_c q_num / (4m²) — every emitted column is BIGINT (the
+    single float division is left to the consumer), the same
+    common-denominator device as the fixed-point PageRank. The
+    quality gate for label_propagation's output: compare partitions
+    by Σ q_num without ever ranking floats.
+
+    Plan: e_in is two node-cardinality joins of the canonical edge
+    set against the label frame (AQE broadcasts the labels when they
+    fit); deg_sum/n_nodes is one groupBy over labels ⋈ degrees. m is
+    one scalar count — a bounded driver round-trip like the closure
+    caps."""
+    e = _canon_undirected(edges)
+    m = e.count()
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    lab = labels.select(
+        F.col(labels.columns[0]).alias("node"),
+        F.col(labels.columns[1]).alias("community"),
+    )
+    ein = (
+        e.join(lab.select(F.col("node").alias("a"),
+                          F.col("community").alias("_ca")), "a")
+        .join(lab.select(F.col("node").alias("b"),
+                         F.col("community").alias("_cb")), "b")
+        .where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    dsum = (
+        lab.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("deg_sum"),
+        )
+    )
+    return (
+        dsum.join(ein, "community", "left")
+        .select(
+            "community", "n_nodes",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"),
+            "deg_sum",
+            (F.lit(4 * m) * F.coalesce("e_in", F.lit(0))
+             - F.col("deg_sum") * F.col("deg_sum")).alias("q_num"),
+        )
+    )

@@ -367,3 +367,51 @@ def postings(docs: DataFrame, min_df: int = 2) -> DataFrame:
             ).alias("postings"),
         )
     )
+
+
+def rrf_fuse(
+    ranks_a: DataFrame, ranks_b: DataFrame, k: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retriever rankings: per doc,
+    RRF(d) = Σ_lists 1/(k + rank_d). The industry-standard way to
+    merge heterogeneous retrievers (lexical + semantic, two indexes,
+    two scoring functions) without calibrating their score scales —
+    only RANKS enter, so wildly different score distributions fuse
+    cleanly.
+
+    Exactness: the fused score is kept as the EXACT RATIONAL
+    (rrf_num, rrf_den) — for two lists num = (k+ra)+(k+rb),
+    den = (k+ra)(k+rb); single-list docs contribute 1/(k+r) — so the
+    hash compare is integer-exact and the float `rrf` column is ONE
+    division of those integers (deterministic on any engine).
+    Missing-list ranks surface as -1 sentinels, never NULL ints
+    (pandas NULL-int → NaN-float stringification hazard).
+
+    Plan: one full-outer join on doc_id — both inputs are
+    ranking-sized (top-k or match-filtered), not corpus-sized."""
+    a = ranks_a.select(F.col("doc_id"), F.col("rank").alias("_ra"))
+    b = ranks_b.select(F.col("doc_id"), F.col("rank").alias("_rb"))
+    ka = (F.col("_ra") + F.lit(k)).cast("bigint")
+    kb = (F.col("_rb") + F.lit(k)).cast("bigint")
+    num = (
+        F.when(F.col("_ra").isNotNull() & F.col("_rb").isNotNull(),
+               ka + kb)
+        .otherwise(F.lit(1).cast("bigint"))
+    )
+    den = (
+        F.when(F.col("_ra").isNotNull() & F.col("_rb").isNotNull(),
+               ka * kb)
+        .when(F.col("_ra").isNotNull(), ka)
+        .otherwise(kb)
+    )
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("_ra", F.lit(-1)).alias("rank_a"),
+            F.coalesce("_rb", F.lit(-1)).alias("rank_b"),
+            num.alias("rrf_num"),
+            den.alias("rrf_den"),
+            (num.cast("double") / den.cast("double")).alias("rrf"),
+        )
+    )

@@ -965,3 +965,52 @@ def olap_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stream import cdc_apply_replay
 
     return cdc_apply_replay(spark, sf_dir)
+
+
+_RRF_TERMS = ("join", "data", "spark")
+
+
+def rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (ops/rank.rrf_fuse) of two
+    integer-deterministic retrievers over the 3-term query: retriever
+    A ranks matched docs by total query-term tf (recall-ish), stricter
+    retriever B only admits docs matching ≥2 distinct terms and ranks
+    by (n_matched desc, doc length asc) (precision-ish) — B's smaller
+    list exercises the single-list sentinel path. Integer rankings,
+    rational fusion ⇒ the hash compare never touches float ordering."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tf = rank._term_freqs(d).where(F.col("word").isin(*_RRF_TERMS))
+    wa = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    ranks_a = (
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("_s"))
+        .select("doc_id", F.row_number().over(wa).alias("rank"))
+    )
+    from .ops.text import word_array
+
+    lens = d.select(
+        "doc_id",
+        F.size(F.filter(word_array(), lambda w: w != "")).alias("_dl"),
+    )
+    wb = Window.orderBy(F.desc("_nm"), F.asc("_dl"), F.asc("doc_id"))
+    ranks_b = (
+        tf.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_nm"))
+        .where(F.col("_nm") >= 2)
+        .join(lens, "doc_id")
+        .select("doc_id", F.row_number().over(wb).alias("rank"))
+    )
+    return rank.rrf_fuse(ranks_a, ranks_b)
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Newman modularity (ops/graph.modularity) of the
+    4-round label-propagation partition over the Jaccard ≥ 0.8
+    near-dup pair graph — the quality score that closes the community
+    -detection loop: per community (n_nodes, e_in, deg_sum,
+    q_num = 4·m·e_in − deg_sum²), Q = Σ q_num / (4m²)."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    e = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    labels = graph.label_propagation(e, rounds=4)
+    return graph.modularity(e, labels)

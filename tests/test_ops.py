@@ -1821,3 +1821,43 @@ def test_pit_join_interval_boundaries(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = {r.fid: r.attr for r in pit_join(facts, dim).collect()}
     assert out == {10: "A", 11: "B"}
+
+
+def test_rrf_fuse_rational_exactness(spark):
+    from shacl_rust_spark.ops import rank as rk
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              ["doc_id", "rank"])
+    b = spark.createDataFrame([(2, 1), (9, 2)], ["doc_id", "rank"])
+    out = {r.doc_id: (r.rank_a, r.rank_b, r.rrf_num, r.rrf_den, r.rrf)
+           for r in rk.rrf_fuse(a, b, k=60).collect()}
+    # both lists: num=(60+2)+(60+1)=123, den=62*61=3782
+    assert out[2] == (2, 1, 123, 3782, 123 / 3782)
+    # single-list sentinels
+    assert out[1] == (1, -1, 1, 61, 1 / 61)
+    assert out[9] == (-1, 2, 1, 62, 1 / 62)
+    assert set(out) == {1, 2, 3, 9}
+
+
+def test_modularity_known_partitions(spark):
+    from shacl_rust_spark.ops import graph
+
+    # two disjoint triangles: the natural partition scores Q = 0.5,
+    # the all-in-one partition scores Q = 0 (textbook values)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)],
+        ["src", "dst"],
+    )
+    good = spark.createDataFrame(
+        [(n, n <= 3 and 1 or 4) for n in range(1, 7)],
+        ["node", "community"],
+    )
+    rows = graph.modularity(e, good).collect()
+    assert {(r.community, r.n_nodes, r.e_in, r.deg_sum, r.q_num)
+            for r in rows} == {(1, 3, 3, 6, 36), (4, 3, 3, 6, 36)}
+    m = 6
+    assert sum(r.q_num for r in rows) / (4 * m * m) == 0.5
+    bad = spark.createDataFrame([(n, 1) for n in range(1, 7)],
+                                ["node", "community"])
+    rows = graph.modularity(e, bad).collect()
+    assert sum(r.q_num for r in rows) == 0
