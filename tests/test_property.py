@@ -563,3 +563,75 @@ def test_bfs_and_lpa_spark_match_models(spark, edges, seeds, rounds):
              for r in graph.label_propagation(e, rounds=rounds)
              .collect()}
     assert got_l == _model_lpa(edges, rounds)
+
+
+# --- ETL-history ops vs pure models --------------------------------------
+
+def _model_scd2(rows):
+    """rows: (key, attr, ts:int, tb) → {(key, version, attr, from,
+    to, is_current, n_rows)} with to=None for the open interval."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, a, t, tb in rows:
+        by_key[k].append((t, tb, a))
+    out = set()
+    for k, rs in by_key.items():
+        rs.sort()
+        runs = []
+        for t, _tb, a in rs:
+            if runs and runs[-1][0] == a:
+                runs[-1][2] += 1
+            else:
+                runs.append([a, t, 1])
+        for i, (a, frm, n) in enumerate(runs):
+            to = runs[i + 1][1] if i + 1 < len(runs) else None
+            out.add((k, i + 1, a, frm, to, int(to is None), n))
+    return out
+
+
+def _model_cdc(base, chg):
+    state = {k: (v, "base") for k, v in base}
+    for k, v, op, _seq in sorted(chg, key=lambda r: r[3]):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = (v, "cdc")
+    return {(k, v, s) for k, (v, s) in state.items()}
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.sampled_from("AB"),
+                       st.integers(0, 20)),
+             min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 999),
+                       st.sampled_from(["I", "U", "D"])),
+             max_size=20),
+)
+def test_scd2_and_cdc_spark_match_models(spark, changelog, cdc_ops):
+    from pyspark.sql import functions as F
+    from shacl_rust_spark.ops.olap import cdc_apply, scd2_intervals
+
+    rows = [(k, a, t, i) for i, (k, a, t) in enumerate(changelog)]
+    df = spark.createDataFrame(rows, ["k", "attr", "t", "tb"]) \
+        .withColumn("ts", F.timestamp_seconds("t"))
+    got = set()
+    for r in scd2_intervals(df, "k", "attr", "ts", "tb").collect():
+        to = (None if str(r.valid_to).startswith("9999")
+              else int(r.valid_to.timestamp()))
+        got.add((r.key, r.version, r.attr,
+                 int(r.valid_from.timestamp()), to, r.is_current,
+                 r.n_rows))
+    assert got == _model_scd2(rows)
+
+    base = [(1, 100), (2, 200), (3, 300)]
+    chg = [(k, v, op, i) for i, (k, v, op) in enumerate(cdc_ops)]
+    bdf = spark.createDataFrame(base, ["key", "val"])
+    if chg:
+        cdf = spark.createDataFrame(chg, ["key", "val", "op", "seq"])
+        got_c = {(r.key, r.val, r.src)
+                 for r in cdc_apply(bdf, cdf,
+                                    seq_cols=("seq",)).collect()}
+        assert got_c == _model_cdc(base, chg)
