@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs": O.graph_bfs,
         "graph_modularity": O.graph_modularity,
         "rank_rrf": O.rank_rrf,
+        "text_collocations": O.text_collocations,
+        "olap_bucketed_join": O.olap_bucketed_join,
+        "curation_winsorize": O.curation_winsorize,
         "olap_scd2": O.olap_scd2,
         "olap_cdc_merge": O.olap_cdc_merge,
         "olap_zorder": O.olap_zorder,
@@ -733,6 +736,74 @@ def oracle_sql() -> dict[str, str]:
                    - d.deg_sum * d.deg_sum AS q_num
             FROM dsum d LEFT JOIN ein e USING (community)
             CROSS JOIN mm
+        """,
+        # order-statistic clip bounds: value at row ceil(p*n/100) in
+        # the per-language sort — integer selection end to end
+        "curation_winsorize": """
+            WITH r AS (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars, doc_id)
+                       AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents),
+            b AS (
+              SELECT lang,
+                     MAX(CASE WHEN rn = (5 * n + 99) // 100
+                              THEN n_chars END) AS lo,
+                     MAX(CASE WHEN rn = (95 * n + 99) // 100
+                              THEN n_chars END) AS hi
+              FROM r GROUP BY 1)
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   GREATEST(LEAST(d.n_chars, b.hi), b.lo) AS clipped,
+                   CASE WHEN d.n_chars < b.lo OR d.n_chars > b.hi
+                        THEN 1 ELSE 0 END AS was_clipped
+            FROM documents d JOIN b USING (lang)
+        """,
+        # the bucketing changes the PLAN, never the result — the plain
+        # join is the oracle
+        "olap_bucketed_join": """
+            SELECT c_nationkey, count(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY 1
+        """,
+        # PMI from exact integer counts; the float expression mirrors
+        # the Spark association order term-for-term, so the doubles
+        # and the top-k order are engine-identical
+        "text_collocations": r"""
+            WITH t AS (
+              SELECT string_split_regex(trim(text), ' +') AS l
+              FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i + 1])) AS bigram
+              FROM t WHERE len(l) >= 2),
+            pair AS (SELECT bigram, count(*) AS n_ab FROM bg
+                     GROUP BY 1),
+            uni AS (
+              SELECT w AS u, count(*) AS uc FROM (
+                SELECT unnest(string_split_regex(trim(text), ' +'))
+                  AS w
+                FROM documents) WHERE w <> '' GROUP BY 1),
+            tot AS (SELECT CAST(SUM(uc) AS DOUBLE) AS wt FROM uni),
+            btot AS (SELECT CAST(SUM(n_ab) AS DOUBLE) AS bt
+                     FROM pair)
+            SELECT p.bigram, CAST(p.n_ab AS BIGINT) AS n_ab,
+                   CAST(a.uc AS BIGINT) AS u_a,
+                   CAST(b.uc AS BIGINT) AS u_b,
+                   ln(((CAST(p.n_ab AS DOUBLE) * tot.wt) * tot.wt)
+                      / ((btot.bt * CAST(a.uc AS DOUBLE))
+                         * CAST(b.uc AS DOUBLE))) AS pmi
+            FROM pair p
+            JOIN uni a ON a.u = string_split(p.bigram, ' ')[1]
+            JOIN uni b ON b.u = string_split(p.bigram, ' ')[2]
+            CROSS JOIN tot CROSS JOIN btot
+            WHERE p.n_ab >= 3
+            ORDER BY pmi DESC, p.bigram LIMIT 100
         """,
         # RRF of two integer-deterministic retrievers; fusion kept as
         # the exact rational (num, den) — no float ordering anywhere

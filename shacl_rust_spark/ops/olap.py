@@ -265,3 +265,79 @@ def pit_join(
         & (facts[ts_col] < d[to_col])
     )
     return facts.join(d, cond, "inner").drop("_dk")
+
+
+def bucketed_join_revenue(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> DataFrame:
+    """The bucketed-layout co-located join, demonstrated end-to-end:
+    orders and customer are WRITTEN as bucketed+sorted tables on the
+    join key (one file per bucket via an explicit pre-repartition),
+    then joined — the scan partitioning satisfies the join's
+    distribution requirement, so the physical plan has NO Exchange on
+    either join side (PLANS.md carries the explain). This is the
+    storage-layout contract a 100 TB snapshot lives by: pay the
+    shuffle once at write time, never again on any key join —
+    cdc_apply's and pit_join's docstrings both point here.
+
+    Returns per-nation order revenue (nationkey, n_orders,
+    revenue_cents) — the aggregate after the join IS allowed to
+    shuffle (nation-cardinality); only the fact-sized join must not.
+    Tables are re-registered idempotently under temp paths; the
+    bucketed layout is the point, the table names are incidental."""
+    import tempfile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        .alias("price_c"),
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    for name, df, key in (
+        ("bj_orders", orders, "o_custkey"),
+        ("bj_customer", cust, "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.repartition(n_buckets, key)
+            .write.mode("overwrite")
+            .option("path", tempfile.mkdtemp(prefix=f"{name}_"))
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    # run the join on a CLONED session with auto-broadcast off (the
+    # pagerank/cc per-plan conf-scoping device — the caller's session
+    # keeps its thresholds): at gate scale Catalyst would broadcast
+    # the dimension, which is ALSO an exchange — the point here is
+    # the bucketed sort-merge join with no exchange at all, the plan
+    # a fact⋈fact join gets at 100 TB where nothing broadcasts.
+    from ..pipeline.cc import _clone_session
+
+    sess = _clone_session(spark)
+    restore = None
+    if sess is None:
+        sess = spark
+        restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = sess.table("bj_orders")
+        c = sess.table("bj_customer")
+        out = (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price_c").alias("revenue_cents"),
+            )
+        )
+        if restore is None:
+            return out
+        return out.localCheckpoint(eager=True)
+    finally:
+        if restore is not None:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", restore
+            )

@@ -404,3 +404,134 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
         (z >= 0).cast("int").alias("label"),
     )
+
+
+def collocations(
+    docs: DataFrame, min_count: int = 3, top_k: int = 100
+) -> DataFrame:
+    """Top collocations (statistically glued word pairs) by pointwise
+    mutual information: PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with
+    p(ab) over bigram slots (B) and p(a), p(b) over tokens (W) —
+    multiword-expression mining for tokenizer vocab curation and
+    corpus audits ("new york", "machine learning" score high; frequent
+    -but-independent pairs score ~0). Output: (bigram, n_ab, u_a, u_b,
+    pmi) for pairs seen ≥ min_count, top_k by (pmi desc, bigram asc).
+
+    Every count is an exact integer; pmi is ONE fixed-shape float
+    expression of those integers — ln((n_ab·W·W)/(B·u_a·u_b)) with
+    identical association order in the DuckDB oracle, so the doubles
+    (and therefore the top-k ORDER) are engine-identical, the same
+    guarantee tfidf/bm25 rely on. W and B are two bounded scalar
+    aggregates (the bounded-driver policy).
+
+    Plan: the bigram tf stream shuffles once on the bigram; unigram
+    counts are vocabulary-sized and join the (min_count-pruned,
+    ≪ vocabulary) pair table twice — AQE broadcasts them. min_count
+    prunes BEFORE the unigram joins; top-k is orderBy+limit
+    (TakeOrderedAndProject, per-partition partial top-k)."""
+    w = word_array()
+    base = docs.select(w.alias("_w"))
+    bgs = base.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_w) >= 2 THEN "
+                "transform(sequence(1, size(_w) - 1), "
+                " i -> concat(element_at(_w, i), ' ', "
+                "             element_at(_w, i + 1))) "
+                "ELSE cast(array() AS array<string>) END"
+            )
+        ).alias("bigram")
+    )
+    pair = bgs.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = (
+        docs.select(F.explode(w).alias("_u"))
+        .where(F.col("_u") != "")
+        .groupBy("_u")
+        .agg(F.count(F.lit(1)).alias("_uc"))
+    )
+    tot = uni.agg(
+        F.sum("_uc").alias("W"), F.lit(1).alias("_one")
+    ).collect()[0]
+    big_w = int(tot["W"])
+    b_tot = pair.agg(F.sum("n_ab")).collect()[0][0]
+    if not b_tot:
+        return docs.sparkSession.createDataFrame(
+            [], "bigram string, n_ab bigint, u_a bigint, "
+                "u_b bigint, pmi double"
+        )
+    pruned = pair.where(F.col("n_ab") >= min_count)
+    scored = (
+        pruned
+        .join(uni.select(F.col("_u").alias("_w1"),
+                         F.col("_uc").alias("u_a")),
+              F.substring_index("bigram", " ", 1) == F.col("_w1"))
+        .join(uni.select(F.col("_u").alias("_w2"),
+                         F.col("_uc").alias("u_b")),
+              F.substring_index("bigram", " ", -1) == F.col("_w2"))
+        .select(
+            "bigram", "n_ab", "u_a", "u_b",
+            F.log(
+                (F.col("n_ab").cast("double")
+                 * F.lit(float(big_w)) * F.lit(float(big_w)))
+                / (F.lit(float(b_tot))
+                   * F.col("u_a").cast("double")
+                   * F.col("u_b").cast("double"))
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(top_k)
+
+
+def winsorize_lengths(
+    docs: DataFrame, p_lo: int = 5, p_hi: int = 95
+) -> DataFrame:
+    """Per-language winsorization of document lengths at ORDER
+    STATISTICS, not interpolated percentiles: the clip bounds are the
+    values at sorted positions ceil(p·n/100) — pure integer
+    selection, so the bounds (and therefore every clip comparison)
+    are engine-exact, where interpolated quantiles are doubles whose
+    last-ulp placement can differ across engines exactly when a bound
+    lands next to an integer length. Output: (doc_id, lang, n_chars,
+    clipped, was_clipped) — the outlier-robust feature column every
+    length-based quality filter wants (a 10 MB page otherwise
+    dominates any mean/variance the filter computes).
+
+    Plan: one window shuffle on lang (row_number on the value order —
+    the value AT position k is permutation-invariant under ties) +
+    one lang-cardinality bounds join AQE broadcasts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select("doc_id", "lang", "n_chars").withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    n = ranked.groupBy("lang").agg(F.max("_rn").alias("_n"))
+    bounds = (
+        ranked.join(n, "lang")
+        .withColumn("_klo", F.floor((F.lit(p_lo) * F.col("_n")
+                                     + F.lit(99)) / F.lit(100)))
+        .withColumn("_khi", F.floor((F.lit(p_hi) * F.col("_n")
+                                     + F.lit(99)) / F.lit(100)))
+        .withColumn(
+            "_lo",
+            F.when(F.col("_rn") == F.col("_klo"), F.col("n_chars")),
+        )
+        .withColumn(
+            "_hi",
+            F.when(F.col("_rn") == F.col("_khi"), F.col("n_chars")),
+        )
+        .groupBy("lang")
+        .agg(F.max("_lo").alias("lo"), F.max("_hi").alias("hi"))
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(bounds, "lang")
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.greatest(F.least(F.col("n_chars"), F.col("hi")),
+                       F.col("lo")).alias("clipped"),
+            F.when((F.col("n_chars") < F.col("lo"))
+                   | (F.col("n_chars") > F.col("hi")), F.lit(1))
+            .otherwise(F.lit(0)).alias("was_clipped"),
+        )
+    )

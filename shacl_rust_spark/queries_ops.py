@@ -1014,3 +1014,29 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     labels = graph.label_propagation(e, rounds=4)
     return graph.modularity(e, labels)
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 PMI collocations (ops/text.collocations) at
+    min_count=3 — multiword-expression mining; counts are exact
+    integers, pmi is one fixed-shape float expression of them, so
+    even the top-k ORDER is engine-exact."""
+    return text.collocations(_docs(spark, sf_dir))
+
+
+def olap_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join (ops/olap.bucketed_join_revenue):
+    orders ⋈ customer with ZERO join-side Exchanges because both
+    tables are written bucketed+sorted on the key first — the
+    write-once/join-free layout contract; oracle = the plain join."""
+    from .ops.olap import bucketed_join_revenue
+
+    return bucketed_join_revenue(spark, sf_dir)
+
+
+def curation_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language order-statistic winsorization of document lengths
+    (ops/text.winsorize_lengths): clip bounds are the values at
+    sorted positions ceil(p·n/100) — integer selection, engine-exact
+    where interpolated quantiles are last-ulp floats."""
+    return text.winsorize_lengths(_docs(spark, sf_dir))

@@ -1861,3 +1861,62 @@ def test_modularity_known_partitions(spark):
                                 ["node", "community"])
     rows = graph.modularity(e, bad).collect()
     assert sum(r.q_num for r in rows) == 0
+
+
+def test_collocations_glued_pair_outranks_independent(spark):
+    # "new york" always adjacent; "the" is frequent but free-floating
+    rows = [(i, "s", "new york is big and the city of the state is "
+                     "fine the end here now") for i in range(4)]
+    d = _docs(spark, rows)
+    out = {r.bigram: (r.n_ab, r.u_a, r.u_b, r.pmi)
+           for r in text.collocations(d, min_count=3, top_k=50)
+           .collect()}
+    assert "new york" in out
+    n_ab, u_a, u_b, pmi = out["new york"]
+    assert (n_ab, u_a, u_b) == (4, 4, 4)
+    # every "the X" bigram scores strictly below the glued pair
+    for bg, (_, _, _, p) in out.items():
+        if bg.startswith("the "):
+            assert p < pmi
+
+
+def test_bucketed_join_no_join_side_exchange(spark, tmp_path):
+    from shacl_rust_spark.ops.olap import bucketed_join_revenue
+
+    df = bucketed_join_revenue(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    # the only repartitioning exchange is the nation-level aggregate;
+    # neither bucketed scan feeds one
+    assert plan.count("Exchange hashpartitioning") == 1
+    got = {(r.c_nationkey, r.n_orders, r.revenue_cents)
+           for r in df.collect()}
+    want = {(r.c_nationkey, r.n_orders, r.revenue_cents)
+            for r in spark.sql("""
+                SELECT c_nationkey, count(*) AS n_orders,
+                       SUM(CAST(ROUND(o_totalprice * 100, 0)
+                                AS BIGINT)) AS revenue_cents
+                FROM parquet.`/root/testdata/sf0.001/orders.parquet` o
+                JOIN parquet.`/root/testdata/sf0.001/customer.parquet` c
+                  ON c_custkey = o_custkey
+                GROUP BY 1""").collect()}
+    assert got == want
+
+
+def test_winsorize_order_statistic_bounds(spark):
+    # lang 'x': values 1..20 → lo = v[ceil(1)] = 1? no: p=5, n=20 →
+    # ceil(100/100)=1 → lo=1; hi at ceil(1900/100)=19 → 19
+    rows = [(i, "x", i) for i in range(1, 21)]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    out = {r.doc_id: (r.clipped, r.was_clipped)
+           for r in text.winsorize_lengths(d).collect()}
+    assert out[20] == (19, 1)
+    assert out[19] == (19, 0)
+    assert out[1] == (1, 0)
+    # all-equal group: lo == hi == the value, nothing clips
+    d2 = spark.createDataFrame([(i, "y", 7) for i in range(5)],
+                               ["doc_id", "lang", "n_chars"])
+    out2 = {(r.clipped, r.was_clipped)
+            for r in text.winsorize_lengths(d2).collect()}
+    assert out2 == {(7, 0)}
