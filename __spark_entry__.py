@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": O.text_collocations,
         "olap_bucketed_join": O.olap_bucketed_join,
         "curation_winsorize": O.curation_winsorize,
+        "olap_zorder_pruning": O.olap_zorder_pruning,
         "olap_scd2": O.olap_scd2,
         "olap_cdc_merge": O.olap_cdc_merge,
         "olap_zorder": O.olap_zorder,
@@ -897,6 +898,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Morton interleave as pure integer arithmetic + ntile over
         # the exact (zkey, event_id) total order
+        # quantile-coded interleave (raw widths are unequal — see the
+        # gate docstring), reduced to per-file min/max and
+        # probe-containment flags — the pruning ratio is hash-checked
+        "olap_zorder_pruning": f"""
+            WITH e AS (
+              SELECT event_id, user_id,
+                     CAST(EXTRACT(hour FROM ts) * 60
+                          + EXTRACT(minute FROM ts) AS BIGINT)
+                       AS minute_of_day
+              FROM events),
+            c AS (
+              SELECT event_id, user_id, minute_of_day,
+                     ntile(64) OVER (ORDER BY user_id, event_id) - 1
+                       AS a_code,
+                     ntile(64) OVER (ORDER BY minute_of_day,
+                                     event_id) - 1 AS b_code
+              FROM e),
+            z AS (
+              SELECT event_id, user_id, minute_of_day,
+                     CAST({_zinterleave_sql('a_code', 0, 6)}
+                          + {_zinterleave_sql('b_code', 1, 6)}
+                          AS BIGINT) AS zkey
+              FROM c),
+            f AS (
+              SELECT event_id, user_id, minute_of_day,
+                     ntile(16) OVER (ORDER BY zkey, event_id)
+                       AS file_id
+              FROM z)
+            SELECT file_id, count(*) AS n_rows,
+                   MIN(user_id) AS a_min, MAX(user_id) AS a_max,
+                   MIN(minute_of_day) AS b_min,
+                   MAX(minute_of_day) AS b_max,
+                   CASE WHEN MIN(user_id) <= 42
+                             AND MAX(user_id) >= 42
+                        THEN 1 ELSE 0 END AS hit_a,
+                   CASE WHEN MIN(minute_of_day) <= 600
+                             AND MAX(minute_of_day) >= 600
+                        THEN 1 ELSE 0 END AS hit_b
+            FROM f GROUP BY 1
+        """,
         "olap_zorder": f"""
             WITH e AS (
               SELECT event_id, user_id,

@@ -1040,3 +1040,30 @@ def curation_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted positions ceil(p·n/100) — integer selection, engine-exact
     where interpolated quantiles are last-ulp floats."""
     return text.winsorize_lengths(_docs(spark, sf_dir))
+
+
+def olap_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file min/max statistics of the QUANTILE-CODED Z-ordered
+    events layout (ops/olap.zorder_quantile_codes +
+    zorder_pruning_stats) with point-probe hit flags on both raw
+    dimensions (user_id = 42, minute_of_day = 600) — the measured
+    file-pruning ratio of the Morton layout, hash-checked via the
+    identical integer stats in the oracle. Quantile codes, not raw
+    values: the raw interleave degenerates into a minute-of-day sort
+    (its 11 bits out-rank user_id's 8) and the user probe hits every
+    file — the classic unequal-width Z-order pitfall, kept out of the
+    layout by rank-coding each dimension first."""
+    from .ops.olap import zorder_pruning_stats, zorder_quantile_codes
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id",
+        (F.hour("ts") * 60 + F.minute("ts")).alias("minute_of_day"),
+    )
+    coded = zorder_quantile_codes(
+        ev, "user_id", "minute_of_day", "event_id", bits=6
+    )
+    return zorder_pruning_stats(
+        coded, "user_id", "minute_of_day", "event_id",
+        probe_a=42, probe_b=600, n_files=16, bits=6,
+        code_a="a_code", code_b="b_code",
+    )

@@ -1920,3 +1920,21 @@ def test_winsorize_order_statistic_bounds(spark):
     out2 = {(r.clipped, r.was_clipped)
             for r in text.winsorize_lengths(d2).collect()}
     assert out2 == {(7, 0)}
+
+
+def test_zorder_pruning_stats_cluster_both_dims(spark):
+    from shacl_rust_spark.ops.olap import zorder_pruning_stats
+
+    # 8x8 grid, one row per cell: with 4 files over the Morton order,
+    # each file is a 4x4 quadrant -> a point probe on EITHER single
+    # dimension hits exactly 2 of the 4 files
+    rows = [(8 * a + b, a, b) for a in range(8) for b in range(8)]
+    df = spark.createDataFrame(rows, ["rid", "ax", "ay"])
+    out = zorder_pruning_stats(
+        df, "ax", "ay", "rid", probe_a=3, probe_b=5,
+        n_files=4, bits=3,
+    ).collect()
+    assert len(out) == 4
+    assert sum(r.hit_a for r in out) == 2
+    assert sum(r.hit_b for r in out) == 2
+    assert all(r.n_rows == 16 for r in out)
