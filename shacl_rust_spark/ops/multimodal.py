@@ -343,10 +343,25 @@ def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+def _lzw_decode(
+    min_code_size: int, data: bytes, max_out: int | None = None
+) -> list[int]:
     """Canonical GIF-LZW decode (the KwKwK special case included):
     code width grows after the append that fills the current width,
-    capped at 12 bits until the encoder's CLEAR resets it."""
+    capped at 12 bits until the encoder's CLEAR resets it.
+
+    `max_out` bounds the output length (the caller knows the image's
+    pixel count): on CORRUPT input — notably a garbage stream with a
+    tiny min code size — dictionary entries grow linearly, so
+    unbounded decode is quadratic in the stream length before any
+    post-hoc length check can fire (a decode bomb, found by fuzzing).
+    Decoding stops the moment the cap is reached."""
+    if not 1 <= min_code_size <= 11:
+        # code widths run min+1 .. 12 bits, so mcs above 11 is not
+        # representable — and a corrupt byte here would otherwise ask
+        # for a 2^mcs-entry root table (the fuzzer's other decode
+        # bomb: mcs=200 ⇒ 2^200 roots)
+        raise ValueError(f"bad LZW min code size {min_code_size}")
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     roots = [(i,) for i in range(clear)] + [(), ()]
     table = list(roots)
@@ -354,7 +369,7 @@ def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
     out: list[int] = []
     acc = nbits = pos = 0
     prev: tuple | None = None
-    while True:
+    while max_out is None or len(out) < max_out:
         while nbits < code_size:
             if pos >= len(data):
                 return out  # missing EOI: tolerate truncated stream
@@ -412,6 +427,16 @@ def encode_gif(
 
 
 def decode_gif(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Robust wrapper: truncation-induced IndexError/struct.error
+    surface as ValueError, the one corrupt-payload contract
+    decode_assets' quarantine variant can rely on."""
+    try:
+        return _decode_gif(payload)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"truncated or corrupt GIF: {ex}") from ex
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """(width, height, rows) with pixels as (r, g, b), same shape as
     decode_bmp/decode_png. Real pure-Python decode of the FIRST image:
     header + logical screen descriptor, global/local color table,
@@ -455,11 +480,14 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]
             mcs = payload[pos]
             pos += 1
             data = bytearray()
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
                 ln = payload[pos]
                 data += payload[pos + 1: pos + 1 + ln]
                 pos += 1 + ln
-            idx = _lzw_decode(mcs, bytes(data))
+            if pos >= len(payload):
+                raise ValueError("truncated GIF data sub-blocks")
+            idx = _lzw_decode(mcs, bytes(data),
+                              max_out=width * height)
             if len(idx) < width * height:
                 raise ValueError("GIF pixel data too short")
             return width, height, [

@@ -1938,3 +1938,35 @@ def test_zorder_pruning_stats_cluster_both_dims(spark):
     assert sum(r.hit_a for r in out) == 2
     assert sum(r.hit_b for r in out) == 2
     assert all(r.n_rows == 16 for r in out)
+
+
+def test_gif_decoder_corrupt_input_contract():
+    """Corrupt/truncated GIFs must raise ValueError or
+    NotImplementedError — never IndexError/struct.error and never a
+    decode bomb. Fuzzing found two bombs this test pins closed: a
+    corrupt LZW min-code-size byte requesting a 2^mcs root table, and
+    quadratic LZW output growth before the pixel-count check (now
+    capped at width*height)."""
+    import random
+    import time
+
+    rng = random.Random(3)
+    good = multimodal.encode_gif(
+        5, 4, [[rng.randrange(251) for _ in range(5)]
+               for _ in range(4)])
+    t0 = time.time()
+    payloads = [good[:cut] for cut in range(1, len(good))]
+    for _ in range(1500):
+        b = bytearray(good)
+        for _ in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        payloads.append(bytes(b))
+    for _ in range(800):
+        payloads.append(b"GIF89a" + bytes(
+            rng.randrange(256) for _ in range(rng.randrange(0, 80))))
+    for p in payloads:
+        try:
+            multimodal.decode_gif(p)
+        except (ValueError, NotImplementedError):
+            pass
+    assert time.time() - t0 < 30  # bombs would blow this budget
