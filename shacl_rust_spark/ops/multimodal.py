@@ -67,7 +67,15 @@ def encode_bmp(width: int, height: int, pixel_rows: list[list[int]]) -> bytes:
 def decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """(width, height, rows) with rows[0] = TOP row, pixels as (r, g, b).
     Handles the bottom-up storage order and row padding; only
-    uncompressed 24-bit BI_RGB is supported."""
+    uncompressed 24-bit BI_RGB is supported. Truncation/corruption
+    surfaces as ValueError (same contract as decode_gif)."""
+    try:
+        return _decode_bmp(payload)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"truncated or corrupt BMP: {ex}") from ex
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
@@ -108,7 +116,15 @@ def encode_wav_pcm16(rate: int, samples: list[int]) -> bytes:
 
 def decode_wav(payload: bytes) -> tuple[int, list[int]]:
     """(sample_rate, samples) via a proper RIFF chunk walk; only
-    mono 16-bit PCM is supported."""
+    mono 16-bit PCM is supported. Truncation/corruption surfaces as
+    ValueError (same contract as decode_gif)."""
+    try:
+        return _decode_wav(payload)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"truncated or corrupt WAV: {ex}") from ex
+
+
+def _decode_wav(payload: bytes) -> tuple[int, list[int]]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, rate, samples = 12, None, None
@@ -210,6 +226,17 @@ def encode_png(
 
 
 def decode_png(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Robust wrapper: truncation/corruption (struct, zlib, slicing)
+    surfaces as ValueError — same contract as decode_gif."""
+    import zlib
+
+    try:
+        return _decode_png(payload)
+    except (IndexError, struct.error, zlib.error) as ex:
+        raise ValueError(f"truncated or corrupt PNG: {ex}") from ex
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """(width, height, rows) with pixels as (r, g, b) — same shape as
     decode_bmp. Real stdlib-zlib decode: chunk walk with CRC
     verification, IDAT concatenation, and full unfiltering (filter

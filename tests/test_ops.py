@@ -1970,3 +1970,37 @@ def test_gif_decoder_corrupt_input_contract():
         except (ValueError, NotImplementedError):
             pass
     assert time.time() - t0 < 30  # bombs would blow this budget
+
+
+def test_all_decoders_corrupt_input_contract():
+    """BMP/PNG/WAV share decode_gif's corrupt-payload contract:
+    truncations and random corruption raise ValueError or
+    NotImplementedError only (struct.error / zlib.error / IndexError
+    are converted at the wrapper)."""
+    import random
+
+    rng = random.Random(5)
+    goods = {
+        "bmp": (multimodal.encode_bmp(
+            5, 4, [[rng.randrange(251) for _ in range(5)]
+                   for _ in range(4)]), multimodal.decode_bmp),
+        "png": (multimodal.encode_png(
+            5, 4, [[rng.randrange(251) for _ in range(5)]
+                   for _ in range(4)], filters=[0, 1, 2, 3]),
+            multimodal.decode_png),
+        "wav": (multimodal.encode_wav_pcm16(
+            8000, [rng.randrange(-32768, 32768) for _ in range(64)]),
+            multimodal.decode_wav),
+    }
+    for kind, (good, dec) in goods.items():
+        cases = [good[:cut] for cut in range(1, len(good))]
+        for _ in range(600):
+            b = bytearray(good)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            cases.append(bytes(b))
+        for c in cases:
+            try:
+                dec(c)
+            except (ValueError, NotImplementedError):
+                pass
