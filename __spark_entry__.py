@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_zorder": O.olap_zorder,
         "olap_pit_join": O.olap_pit_join,
         "olap_cdc_merge_stream": O.olap_cdc_merge_stream,
+        "olap_cdc_merge_ooo": O.olap_cdc_merge_ooo,
         "curation_split": O.curation_split,
         "dedup_simhash_pairs": O.dedup_simhash_pairs,
         "kg_pages": K.kg_pages,
@@ -882,6 +883,7 @@ def oracle_sql() -> dict[str, str]:
         # versioned snapshot; with in-order replay the fold equals the
         # one-shot batch MERGE — the identical SQL is the oracle
         "olap_cdc_merge_stream": _CDC_MERGE_SQL,
+        "olap_cdc_merge_ooo": _CDC_MERGE_SQL,
         # group-keyed split: thresholds are rate_threshold(0.8) and
         # rate_threshold(0.8 + 0.1) — the identical md5-hex compare
         # the Spark op evaluates, so every row agrees

@@ -967,6 +967,17 @@ def olap_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_apply_replay(spark, sf_dir)
 
 
+def olap_cdc_merge_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order streaming CDC fold (streaming/stream.
+    cdc_apply_ooo_replay): the same changelog as olap_cdc_merge but
+    micro-batches delivered in a scrambled order — the seq-guarded
+    tombstone merge must still converge to the one-shot batch MERGE,
+    which is the oracle."""
+    from .streaming.stream import cdc_apply_ooo_replay
+
+    return cdc_apply_ooo_replay(spark, sf_dir)
+
+
 _RRF_TERMS = ("join", "data", "spark")
 
 

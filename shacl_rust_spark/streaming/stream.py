@@ -247,6 +247,106 @@ def streaming_cdc_apply(
     return spark.read.parquet(f"{out_dir}/v{state['v']}")
 
 
+def streaming_cdc_apply_ooo(
+    spark: SparkSession,
+    changelog_dir: str,
+    base: DataFrame,
+    out_dir: str,
+    key_col: str = "key",
+    val_col: str = "val",
+    op_col: str = "op",
+    seq_cols: tuple = ("ts", "event_id"),
+) -> DataFrame:
+    """Out-of-order-safe streaming CDC merge — the production
+    hardening of streaming_cdc_apply, which requires per-key
+    in-order micro-batches. This variant drops that requirement:
+    the snapshot carries each key's winning seq tuple, and an
+    incoming change is applied ONLY when its seq is strictly greater
+    than the stored one (equal seq = redelivery, kept idempotent).
+    Deletes cannot physically drop the row — a late-arriving stale
+    upsert would resurrect it — so they become TOMBSTONES (_del=true,
+    seq retained) that the read view filters out; a compaction pass
+    may purge tombstones older than the source's max replay lag.
+
+    Equivalence contract: for seq tuples unique per key, folding
+    micro-batches in ANY delivery order computes exactly
+    cdc_apply(base, whole changelog). Per-batch cost is unchanged:
+    one window over the batch + one key-join against the snapshot
+    (shuffle-free when the snapshot is bucketed by key); the only
+    overhead vs the in-order fold is the seq struct column and the
+    tombstone rows awaiting compaction."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    schema = spark.read.parquet(changelog_dir).schema
+    seq_t = T.StructType(
+        [T.StructField(c, schema[c].dataType) for c in seq_cols]
+    )
+    base.select(
+        F.col(key_col), F.col(val_col), F.lit("base").alias("src"),
+        F.lit(False).alias("_del"),
+        F.lit(None).cast(seq_t).alias("_seq"),
+    ).write.mode("overwrite").parquet(f"{out_dir}/v0")
+    state = {"v": 0}
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession  # cloned session: build frames HERE
+        cur = s.read.parquet(f"{out_dir}/v{state['v']}")
+        w = Window.partitionBy(key_col).orderBy(
+            *[F.desc(c) for c in seq_cols]
+        )
+        latest = (
+            batch_df.where(F.col(key_col).isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                F.col(key_col).alias("_k"),
+                F.col(val_col).alias("_cv"),
+                F.col(op_col).alias("_op"),
+                F.struct(*[F.col(c) for c in seq_cols]).alias("_cseq"),
+            )
+        )
+        wins = F.col("_op").isNotNull() & (
+            F.col("_seq").isNull() | (F.col("_cseq") > F.col("_seq"))
+        )
+        merged = (
+            cur.withColumnRenamed(key_col, "_k")
+            .join(latest, "_k", "full_outer")
+            .select(
+                F.col("_k").alias(key_col),
+                F.when(wins, F.col("_cv")).otherwise(F.col(val_col))
+                .alias(val_col),
+                F.when(wins, F.lit("cdc")).otherwise(F.col("src"))
+                .alias("src"),
+                F.when(wins, F.col("_op") == F.lit("D"))
+                .otherwise(F.coalesce("_del", F.lit(False)))
+                .alias("_del"),
+                F.when(wins, F.col("_cseq")).otherwise(F.col("_seq"))
+                .alias("_seq"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{out_dir}/v{state['v'] + 1}"
+        )
+        state["v"] += 1
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changelog_dir)
+        .writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", f"{out_dir}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{out_dir}/v{state['v']}")
+        .where(~F.col("_del"))
+        .select(key_col, val_col, "src")
+    )
+
+
 def cdc_apply_replay(
     spark: SparkSession, sf_dir: str, n_chunks: int = 4
 ) -> DataFrame:
@@ -289,4 +389,57 @@ def cdc_apply_replay(
                                  preserve_index=False),
             f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
     snap = streaming_cdc_apply(spark, d, base, out)
+    return snap.select("key", "val", "src")
+
+
+def cdc_apply_ooo_replay(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """Gate harness for streaming_cdc_apply_ooo: the SAME
+    events-derived changelog as olap_cdc_merge, split into ascending
+    seq chunks but DELIVERED in a scrambled fixed order (file mtimes
+    force the file source to replay chunk 2, 0, 3, 1, ...) — stale
+    seqs arrive after newer ones, late deletes after reinserts. The
+    one-shot batch MERGE SQL is still the exact oracle because the
+    seq-guarded tombstone merge is delivery-order-invariant."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+        .alias("val"),
+    )
+    chg = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select(
+        (F.col("user_id") + 1).alias("key"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+        .cast("bigint").alias("val"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U")).alias("op"),
+        "ts", "event_id",
+    )
+    pdf = chg.toPandas().sort_values(["ts", "event_id"]) \
+        .reset_index(drop=True)
+    d = tempfile.mkdtemp(prefix="cdc_ooo_replay_")
+    out = tempfile.mkdtemp(prefix="cdc_ooo_state_")
+    step = (len(pdf) + n_chunks - 1) // n_chunks
+    chunks = [pdf.iloc[i:i + step] for i in range(0, len(pdf), step)]
+    # fixed scramble: odd-index chunks first reversed, then evens —
+    # for 4 chunks this is [3, 1, 0, 2]: newest seqs land early
+    order = [i for i in range(len(chunks) - 1, -1, -1) if i % 2 == 1] \
+        + [i for i in range(len(chunks)) if i % 2 == 0]
+    for pos, k in enumerate(order):
+        p = f"{d}/chunk-{k:03d}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(chunks[k], preserve_index=False),
+            p, coerce_timestamps="us")
+        os.utime(p, (1_000_000 + pos, 1_000_000 + pos))
+    snap = streaming_cdc_apply_ooo(spark, d, base, out)
     return snap.select("key", "val", "src")

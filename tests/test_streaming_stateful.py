@@ -235,3 +235,65 @@ def test_streaming_cdc_fold_matches_batch_merge(spark, tmp_path):
     assert got == want
     assert got == {(1, 122, "cdc"), (2, 200, "base"), (3, 300, "base"),
                    (4, 444, "cdc")}
+
+
+def _write_cdc_chunks(tmp_path, name, chunks):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    for pos, rows in enumerate(chunks):
+        p = str(d / f"chunk-{pos:03d}.parquet")
+        pq.write_table(
+            pa.table({
+                "key": [r[0] for r in rows],
+                "val": [r[1] for r in rows],
+                "op": [r[2] for r in rows],
+                "ts": [r[3] for r in rows],
+                "event_id": [r[4] for r in rows],
+            }), p)
+        os.utime(p, (1_000_000 + pos, 1_000_000 + pos))
+    return str(d)
+
+
+def test_streaming_cdc_ooo_fold_is_order_invariant(spark, tmp_path):
+    """The seq-guarded tombstone merge must converge to the one-shot
+    batch merge for EVERY delivery order of the same chunks — the
+    scenarios that break a naive fold: a stale upsert arriving after
+    the delete that supersedes it (must NOT resurrect the key), a
+    stale delete arriving after the reinsert that supersedes it (must
+    NOT kill it), and a redelivered duplicate (idempotent)."""
+    from itertools import permutations
+
+    from shacl_rust_spark.ops.olap import cdc_apply
+    from shacl_rust_spark.streaming.stream import streaming_cdc_apply_ooo
+
+    base = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], ["key", "val"])
+    all_rows = [
+        (1, 111, "U", 1, 1),   # stale upsert of key 1...
+        (1, 0, "D", 2, 2),     # ...superseded by this delete
+        (2, 0, "D", 1, 3),     # stale delete of key 2...
+        (2, 222, "U", 2, 4),   # ...superseded by this reinsert
+        (4, 444, "I", 1, 5),   # new key
+        (4, 444, "I", 1, 5),   # exact redelivery (at-least-once)
+    ]
+    chg = spark.createDataFrame(
+        all_rows, ["key", "val", "op", "ts", "event_id"])
+    want = {(r.key, r.val, r.src)
+            for r in cdc_apply(base, chg,
+                               seq_cols=("ts", "event_id")).collect()}
+    assert want == {(3, 300, "base"), (2, 222, "cdc"),
+                    (4, 444, "cdc")}
+    splits = [all_rows[0:2], all_rows[2:4], all_rows[4:6]]
+    for pi, perm in enumerate(permutations(range(3))):
+        d = _write_cdc_chunks(
+            tmp_path, f"ooo_{pi}", [splits[i] for i in perm])
+        snap = streaming_cdc_apply_ooo(
+            spark, d, base, str(tmp_path / f"ooo_state_{pi}"),
+            seq_cols=("ts", "event_id"))
+        got = {(r.key, r.val, r.src) for r in snap.collect()}
+        assert got == want, f"order {perm} diverged: {got}"
