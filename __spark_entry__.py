@@ -119,6 +119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_pit_join": O.olap_pit_join,
         "olap_cdc_merge_stream": O.olap_cdc_merge_stream,
         "olap_cdc_merge_ooo": O.olap_cdc_merge_ooo,
+        "olap_cube": O.olap_cube,
+        "olap_mv_incremental": O.olap_mv_incremental,
+        "curation_gopher": O.curation_gopher,
+        "events_heavy_hitters": O.events_heavy_hitters,
+        "rank_eval": O.rank_eval,
         "curation_split": O.curation_split,
         "dedup_simhash_pairs": O.dedup_simhash_pairs,
         "kg_pages": K.kg_pages,
@@ -884,6 +889,99 @@ def oracle_sql() -> dict[str, str]:
         # one-shot batch MERGE — the identical SQL is the oracle
         "olap_cdc_merge_stream": _CDC_MERGE_SQL,
         "olap_cdc_merge_ooo": _CDC_MERGE_SQL,
+        # native CUBE: all four grouping sets in one pass, integer
+        # centi-cent revenue; DuckDB SUM(BIGINT) is HUGEINT → cast
+        "olap_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                     AS gid,
+                   count(*) AS n_rows,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        # incremental MV fold == one-shot recompute because the sums
+        # accumulate in exact DECIMAL (order-independent addition)
+        "olap_mv_incremental": """
+            SELECT event_type,
+                   CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # Gopher rules: every threshold cross-multiplied to integers;
+        # '...' runs counted by non-overlapping replace-shrinkage, so
+        # both engines count greedily left-to-right
+        "curation_gopher": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '')) AS n_words,
+                     length(regexp_replace(text, '\s+', '', 'g'))
+                       AS n_word_chars,
+                     (length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '...', '')))
+                       / 3 AS n_sym,
+                     (CASE WHEN len(regexp_extract_all(text, '\bthe\b'))
+                           > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN len(regexp_extract_all(text, '\ba\b'))
+                           > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN len(regexp_extract_all(text, '\bof\b'))
+                           > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN len(regexp_extract_all(text, '\band\b'))
+                           > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN len(regexp_extract_all(text, '\bto\b'))
+                           > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN len(regexp_extract_all(text, '\bin\b'))
+                           > 0 THEN 1 ELSE 0 END) AS n_stop
+              FROM documents)
+            SELECT doc_id, n_words,
+                   (n_words >= 20 AND n_words <= 80) AS r_words,
+                   (3 * n_words <= n_word_chars
+                    AND n_word_chars <= 10 * n_words) AS r_mwl,
+                   (100 * n_sym <= 10 * n_words) AS r_symbol,
+                   (n_stop >= 2) AS r_stop,
+                   ((n_words >= 20 AND n_words <= 80)
+                    AND (3 * n_words <= n_word_chars
+                         AND n_word_chars <= 10 * n_words)
+                    AND (100 * n_sym <= 10 * n_words)
+                    AND (n_stop >= 2)) AS keep
+            FROM c
+        """,
+        # exact top-k per group: rank ties broken by the smaller
+        # user_id, so the row set is engine-deterministic
+        "events_heavy_hitters": """
+            WITH c AS (SELECT event_type, user_id, count(*) AS n_events
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT *, row_number()
+                         OVER (PARTITION BY event_type
+                               ORDER BY n_events DESC, user_id ASC)
+                         AS rank
+                  FROM c)
+            SELECT event_type, user_id, n_events, rank
+            FROM r WHERE rank <= 3
+        """,
+        # rank-of-first-relevant: every ordering key is an integer
+        # (tf desc, doc_id asc), so the rank is engine-exact
+        "rank_eval": """
+            WITH tf AS (
+              SELECT doc_id, word, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +'))
+                         AS word
+                FROM documents) u
+              WHERE word IN ('join', 'data', 'spark') GROUP BY 1, 2),
+            r AS (SELECT word, tf, doc_id, (doc_id % 13 = 0) AS rel,
+                         row_number()
+                           OVER (PARTITION BY word
+                                 ORDER BY tf DESC, doc_id ASC) AS rank
+                  FROM tf)
+            SELECT word AS term, count(*) AS n_ranked,
+                   min(CASE WHEN rel THEN rank END) AS first_rel_rank
+            FROM r GROUP BY 1
+        """,
         # group-keyed split: thresholds are rate_threshold(0.8) and
         # rate_threshold(0.8 + 0.1) — the identical md5-hex compare
         # the Spark op evaluates, so every row agrees

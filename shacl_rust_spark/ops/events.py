@@ -235,6 +235,31 @@ def rollup_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def heavy_hitters(events: DataFrame, k: int = 3) -> DataFrame:
+    """(event_type, user_id, n_events, rank): the exact top-k heaviest
+    users per event type, ties to the smaller user_id. Two-level plan:
+    the groupBy is the only full shuffle of the fact table (map-side
+    combined), and the per-type rank window rides the resulting
+    (event_type)-clustered data with the rn ≤ k WindowGroupLimit
+    pushed below its exchange — each map task forwards at most k rows
+    per type, so the window stage moves O(types·k) rows regardless of
+    user cardinality. The sketch twin for when even the (type, user)
+    aggregate won't fit is count-min (ops/sketch.py); this is the
+    exact formulation."""
+    from pyspark.sql import Window
+
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def value_outliers(events: DataFrame, factor: int = 4) -> DataFrame:
     """Events whose value exceeds `factor` × their type's mean value —
     the per-stream anomaly gate. The mean is never materialized as a

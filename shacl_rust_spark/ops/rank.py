@@ -76,6 +76,36 @@ def tfidf_topk(docs: DataFrame, k: int = 3, min_df: int = 2) -> DataFrame:
     )
 
 
+def first_relevant_rank(docs: DataFrame, terms: tuple) -> DataFrame:
+    """(term, n_ranked, first_rel_rank): the retrieval-eval primitive
+    behind MRR/recall@k — for each query term, rank every doc
+    containing it by (tf desc, doc_id asc) and report the rank of the
+    first doc whose boolean `rel` label is true (NULL when no relevant
+    doc ranks). Everything that decides order is an integer, so the
+    ranking is engine-exact; MRR itself is the consumer's trivial
+    avg(1/first_rel_rank) over this frame. One explode+groupBy scan
+    for tf, one window partitioned by term over the term-filtered
+    postings (terms are a tiny IN-list → the filter prunes before the
+    window shuffle)."""
+    from pyspark.sql import Window
+
+    tf = _term_freqs(docs.select("doc_id", "text"))
+    labels = docs.select("doc_id", "rel")
+    hits = tf.where(F.col("word").isin(*terms)).join(labels, "doc_id")
+    w = Window.partitionBy("word").orderBy(
+        F.desc("tf"), F.asc("doc_id")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .groupBy(F.col("word").alias("term"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ranked"),
+            F.min(F.when(F.col("rel"), F.col("rank")))
+            .alias("first_rel_rank"),
+        )
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],

@@ -75,6 +75,79 @@ def quality_scores(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     )
 
 
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_words: int = 80,
+    min_mwl: int = 3,
+    max_mwl: int = 10,
+    max_symbol_pct: int = 10,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """(doc_id, n_words, r_words, r_mwl, r_symbol, r_stop, keep): the
+    Gopher-style document-format filter (Rae et al. 2021 §A1.1) as one
+    pure-Column scan — four independent rules plus the conjunction,
+    every threshold cross-multiplied to integer form so no float ratio
+    is ever compared:
+
+      r_words : min_words ≤ n_words ≤ max_words
+      r_mwl   : mean word length in [min_mwl, max_mwl], tested as
+                min_mwl·n_words ≤ n_word_chars ≤ max_mwl·n_words
+      r_symbol: symbol-to-word ratio ('#' chars + '...' runs) ≤
+                max_symbol_pct %, tested as 100·n_sym ≤ pct·n_words
+      r_stop  : at least min_stopwords DISTINCT stopwords present
+
+    Word-count bounds are calibrated to the synthetic corpus (10-99
+    words/doc); the paper's 50/100k bounds are a parameter swap. No
+    shuffle: the filter is embarrassingly parallel and belongs fused
+    into the first post-extract scan at corpus scale."""
+    n_words = F.size(
+        F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    )
+    # chars belonging to words = total minus all whitespace
+    n_word_chars = F.length(F.regexp_replace("text", r"\s+", ""))
+    n_hash = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("#"))
+    )
+    n_ellipsis = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    n_sym = (n_hash + n_ellipsis).cast("bigint")
+    n_distinct_stop = None
+    for wrd in STOPWORDS:
+        hit = (_count_word(F.col("text"), wrd) > 0).cast("int")
+        n_distinct_stop = (
+            hit if n_distinct_stop is None else n_distinct_stop + hit
+        )
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_word_chars.alias("n_word_chars"),
+        n_sym.alias("n_sym"),
+        n_distinct_stop.alias("n_distinct_stop"),
+    )
+    r_words = (F.col("n_words") >= min_words) & (
+        F.col("n_words") <= max_words
+    )
+    r_mwl = (
+        F.lit(min_mwl) * F.col("n_words") <= F.col("n_word_chars")
+    ) & (F.col("n_word_chars") <= F.lit(max_mwl) * F.col("n_words"))
+    r_symbol = (
+        F.lit(100) * F.col("n_sym")
+        <= F.lit(max_symbol_pct) * F.col("n_words")
+    )
+    r_stop = F.col("n_distinct_stop") >= min_stopwords
+    return out.select(
+        "doc_id", "n_words",
+        r_words.alias("r_words"),
+        r_mwl.alias("r_mwl"),
+        r_symbol.alias("r_symbol"),
+        r_stop.alias("r_stop"),
+        (r_words & r_mwl & r_symbol & r_stop).alias("keep"),
+    )
+
+
 def lang_id(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """(doc_id, predicted_lang): argmax of per-language marker counts,
     ties and all-zero → 'und'. Deterministic tie-break: language list

@@ -1078,3 +1078,50 @@ def olap_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_a=42, probe_b=600, n_files=16, bits=6,
         code_a="a_code", code_b="b_code",
     )
+
+
+def curation_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style four-rule format filter (ops/text.gopher_rules):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    and distinct-stopword floor, every threshold integer-exact."""
+    return text.gopher_rules(_docs(spark, sf_dir))
+
+
+def olap_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native CUBE over (l_returnflag, l_linestatus) with grouping_id
+    (ops/olap.cube_revenue) — all four grouping sets in one shuffle."""
+    from .ops import olap
+
+    return olap.cube_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 heaviest users per event type
+    (ops/events.heavy_hitters), ties to the smaller user_id."""
+    return events.heavy_hitters(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), k=3
+    )
+
+
+def rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-of-first-relevant per query term
+    (ops/rank.first_relevant_rank) — the MRR ingredient, integer-exact
+    ranking by (tf desc, doc_id asc); relevance label is the
+    deterministic doc_id % 13 == 0 slice."""
+    d = _docs(spark, sf_dir).withColumn(
+        "rel", F.col("doc_id") % 13 == 0
+    )
+    return rank.first_relevant_rank(d, _RRF_TERMS)
+
+
+def olap_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (streaming/stream.streaming_mv_incremental): the (event_type, day)
+    count/sum MV folded over micro-batch replays of the events table;
+    the full-table GROUP BY recompute is the oracle — exact-DECIMAL
+    accumulation makes the fold order-independent."""
+    from .streaming.stream import mv_incremental_replay
+
+    return mv_incremental_replay(spark, sf_dir)

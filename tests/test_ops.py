@@ -2004,3 +2004,80 @@ def test_all_decoders_corrupt_input_contract():
                 dec(c)
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_gopher_rules_each_rule_fires_independently(spark):
+    """One doc per failure mode: too short, too long, mean word length
+    out of both bounds, symbol-laden (# and ...), stopword-free — and
+    one passing doc. Each rule must flip exactly for its doc."""
+    from shacl_rust_spark.ops.text import gopher_rules
+
+    good = "the quick brown fox jumps over a lazy dog and then " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, good),                          # keep
+            (2, "the dog and cat ran off"),     # too short
+            (3, "the of " + "word " * 200),     # too long
+            (4, "the of " + "ab " * 30),        # mwl < 3
+            (5, "the of " + "x" * 400 + " y"),  # mwl > 10
+            (6, good + " ###" * 20 + " ... ... ..."),   # symbols
+            (7, "zebra quokka lemur " * 10),    # no stopwords
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert got[1].keep
+    assert not got[2].r_words and got[2].r_mwl
+    assert not got[3].r_words
+    assert not got[4].r_mwl and got[4].r_words
+    assert not got[5].r_mwl
+    assert not got[6].r_symbol and got[6].r_words
+    assert not got[7].r_stop and got[7].r_words
+    for i in range(2, 8):
+        assert not got[i].keep
+
+
+def test_heavy_hitters_ties_and_k(spark):
+    from shacl_rust_spark.ops.events import heavy_hitters
+
+    rows = [("a", u) for u in [1, 1, 1, 2, 2, 3, 3, 4]] + \
+        [("b", u) for u in [9]]
+    ev = spark.createDataFrame(rows, ["event_type", "user_id"])
+    got = {(r.event_type, r.user_id, r.n_events, r.rank)
+           for r in heavy_hitters(ev, k=2).collect()}
+    # type a: user 1 (3 events) then the 2-2 tie broken to user 2
+    assert got == {("a", 1, 3, 1), ("a", 2, 2, 2), ("b", 9, 1, 1)}
+
+
+def test_first_relevant_rank_window_and_nulls(spark):
+    from shacl_rust_spark.ops.rank import first_relevant_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data data data", False),
+            (2, "data data", True),    # first relevant at rank 2
+            (3, "data", True),
+            (4, "join", False),        # term with no relevant doc
+        ],
+        ["doc_id", "text", "rel"],
+    )
+    got = {r.term: (r.n_ranked, r.first_rel_rank)
+           for r in first_relevant_rank(docs, ("data", "join")).collect()}
+    assert got == {"data": (3, 2), "join": (1, None)}
+
+
+def test_cube_revenue_grouping_sets(spark):
+    from shacl_rust_spark.ops.olap import cube_revenue
+
+    li = spark.createDataFrame(
+        [("A", "F", 1.0), ("A", "O", 2.0), ("R", "F", 4.0)],
+        ["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+    got = {(r.l_returnflag, r.l_linestatus, r.gid): (r.n_rows,
+                                                     r.rev_cents)
+           for r in cube_revenue(li).collect()}
+    assert got[("A", "F", 0)] == (1, 100)
+    assert got[("A", None, 1)] == (2, 300)     # flag subtotal
+    assert got[(None, "F", 2)] == (2, 500)     # status subtotal
+    assert got[(None, None, 3)] == (3, 700)    # grand total
+    assert len(got) == 3 + 2 + 2 + 1

@@ -297,3 +297,46 @@ def test_streaming_cdc_ooo_fold_is_order_invariant(spark, tmp_path):
             seq_cols=("ts", "event_id"))
         got = {(r.key, r.val, r.src) for r in snap.collect()}
         assert got == want, f"order {perm} diverged: {got}"
+
+
+def test_streaming_mv_incremental_fold_equals_recompute(spark, tmp_path):
+    """Folding micro-batch partial aggregates into the MV must equal
+    the one-shot GROUP BY recompute, in either chunk order — exact
+    DECIMAL accumulation makes the fold order-independent."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from shacl_rust_spark.streaming.stream import streaming_mv_incremental
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("click", t, 0.1), ("click", t, 0.2),
+        ("view", t + dt.timedelta(days=1), 0.3),
+        ("click", t + dt.timedelta(days=1), None),
+    ]
+    chunks = [rows[:2], rows[2:]]
+    want = {("click", "2024-01-01", 2, 0.3),
+            ("view", "2024-01-02", 1, 0.3),
+            ("click", "2024-01-02", 1, None)}
+    for oi, order in enumerate([(0, 1), (1, 0)]):
+        d = tmp_path / f"mv_src_{oi}"
+        d.mkdir()
+        for pos, ci in enumerate(order):
+            p = str(d / f"chunk-{pos:03d}.parquet")
+            pq.write_table(pa.table({
+                "event_type": [r[0] for r in chunks[ci]],
+                "ts": pa.array([r[1] for r in chunks[ci]],
+                               type=pa.timestamp("us")),
+                "value": [r[2] for r in chunks[ci]],
+            }), p)
+            import os
+            os.utime(p, (1_000_000 + pos, 1_000_000 + pos))
+        mv = streaming_mv_incremental(
+            spark, str(d), str(tmp_path / f"mv_out_{oi}"))
+        got = {(r.event_type, r.day, r.n_events,
+                round(r.sum_value, 6) if r.sum_value is not None
+                else None)
+               for r in mv.collect()}
+        assert got == want, f"order {order}: {got}"
