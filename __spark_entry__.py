@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_gopher": O.curation_gopher,
         "events_heavy_hitters": O.events_heavy_hitters,
         "rank_eval": O.rank_eval,
+        "text_bpe_train": O.text_bpe_train,
         "curation_split": O.curation_split,
         "dedup_simhash_pairs": O.dedup_simhash_pairs,
         "kg_pages": K.kg_pages,
@@ -618,6 +619,57 @@ def _pagerank_oracle(iterations: int = 6, damping_pct: int = 85,
         + f"\nSELECT node, rank AS rank_scaled FROM r{iterations}"
         + "\nORDER BY rank DESC, node LIMIT 100"
     )
+
+
+def _bpe_train_sql(rounds: int = 5) -> str:
+    """Unrolled BPE trainer: w0 = wrapped (word, freq) vocabulary;
+    each round r materializes pair counts p{r}, the argmax b{r}
+    (ties to the lexicographically smaller chr(1)-joined pair — the
+    identical composite key the Spark side orders by), and the merged
+    vocabulary w{r}. Every stage is AS MATERIALIZED: DuckDB inlines
+    plain CTEs at every reference and an unrolled loop explodes
+    exponentially without it."""
+    ctes = [r"""
+            w0 AS MATERIALIZED (
+              SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS s,
+                     count(*) AS freq
+              FROM (SELECT unnest(string_split_regex(trim(text), ' +'))
+                      AS w FROM documents) u
+              WHERE w <> '' GROUP BY w)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+            p{r} AS MATERIALIZED (
+              SELECT pr, SUM(freq) AS cnt FROM (
+                SELECT freq,
+                       unnest(list_transform(
+                         generate_series(1, len(l) - 1),
+                         i -> l[i] || chr(1) || l[i + 1])) AS pr
+                FROM (SELECT freq,
+                             string_split(substr(s, 2, length(s) - 2),
+                                          ')(') AS l
+                      FROM w{r - 1}) q
+                WHERE len(l) > 1) x
+              GROUP BY pr),
+            b{r} AS MATERIALIZED (
+              SELECT pr, cnt FROM p{r}
+              ORDER BY cnt DESC, pr ASC LIMIT 1),
+            w{r} AS MATERIALIZED (
+              SELECT replace(s,
+                       '(' || replace(pr, chr(1), ')(') || ')',
+                       '(' || replace(pr, chr(1), '') || ')') AS s,
+                     freq
+              FROM w{r - 1}, b{r})""")
+        # noqa: the cross join against the 1-row argmax is the merge
+    finals = [
+        f"""SELECT {r} AS round,
+                   split_part(pr, chr(1), 1) AS left_sym,
+                   split_part(pr, chr(1), 2) AS right_sym,
+                   replace(pr, chr(1), '') AS merged,
+                   CAST(cnt AS BIGINT) AS pair_count FROM b{r}"""
+        for r in range(1, rounds + 1)
+    ]
+    return ("WITH " + ",".join(ctes) + "\n"
+            + "\nUNION ALL ".join(finals))
 
 
 def _sent_thr() -> str:
@@ -2524,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.gk = b.gk AND a.item < b.item
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
+        "text_bpe_train": _bpe_train_sql(5),
         "curation_profile": _profile_sql("lineitem"),
         # integer centi-cents: ROUND(x*100) of the identical input
         # double is the identical integer on both engines; revenue

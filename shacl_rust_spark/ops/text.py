@@ -439,6 +439,85 @@ def bpe_pair_counts(docs: DataFrame, top_k: int = 50) -> DataFrame:
     )
 
 
+def bpe_train_merges(docs: DataFrame, rounds: int = 5) -> DataFrame:
+    """(round, left_sym, right_sym, merged, pair_count): `rounds`
+    iterations of actual BPE merge TRAINING (Sennrich et al. 2016) —
+    each round counts adjacent-symbol pairs over the evolving
+    vocabulary, merges the argmax pair (ties to the lexicographically
+    smaller pair), and rewrites every word's symbol sequence before
+    the next round. Extends bpe_pair_counts (the one-step counter) to
+    the full trainer loop.
+
+    Scale shape: after ONE corpus scan builds the (word, freq)
+    vocabulary table, every round runs on the VOCABULARY (Heaps-law
+    millions of rows at 100 TB, never the corpus): one explode +
+    groupBy per round, one collected argmax row per round (the same
+    bounded-driver policy as pagerank's n/m scalars), and a pure-
+    Column replace to apply the merge. The vocabulary frame is
+    re-checkpointed each round so the plan stays flat.
+
+    Symbol sequences are framed as "(s1)(s2)...": replace of
+    "(a)(b)" → "(ab)" is non-overlapping left-to-right in every
+    engine AND adjacent matches share no characters, so "(a)(a)(a)(a)"
+    merges to "(aa)(aa)" — exactly BPE's greedy left-to-right pass (a
+    space-separated framing would silently skip the second pair).
+    Charter: the framing chars '(' ')' must not occur in the alphabet
+    (true for the corpus; a production trainer swaps in control
+    bytes). Pair occurrences within a word are counted overlapping
+    ("aaa" has two (a,a)), the standard trainer convention."""
+    vocab = (
+        docs.select(F.explode(word_array()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.regexp_replace("w", "(.)", r"($1)").alias("s"), "freq"
+        )
+    )
+    cur = vocab.localCheckpoint(eager=True)
+    out = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            cur.select(
+                "freq",
+                F.expr(
+                    r"split(substring(s, 2, length(s) - 2),"
+                    r" '\\)\\(')"
+                ).alias("_arr"),
+            )
+            .where(F.size("_arr") > 1)
+            .select(
+                "freq",
+                F.explode(F.expr(
+                    "transform(sequence(1, size(_arr) - 1), i -> "
+                    "concat(element_at(_arr, i), char(1), "
+                    "element_at(_arr, i + 1)))"
+                )).alias("pr"),
+            )
+            .groupBy("pr")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("pr")).limit(1) \
+            .collect()
+        if not best:
+            break
+        left, right = best[0]["pr"].split("\x01")
+        out.append((r, left, right, left + right,
+                    int(best[0]["cnt"])))
+        cur = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f"({left})({right})"), F.lit(f"({left}{right})"),
+            ).alias("s"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return docs.sparkSession.createDataFrame(
+        out,
+        "round int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+
+
 # fixed fastText-style weights for the logistic quality gate: length,
 # stopword density, punctuation density. Frozen here (not trained) so
 # the op is deterministic; a production pipeline would drop in its own.

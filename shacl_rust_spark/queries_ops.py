@@ -1125,3 +1125,12 @@ def olap_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stream import mv_incremental_replay
 
     return mv_incremental_replay(spark, sf_dir)
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five rounds of real BPE merge training
+    (ops/text.bpe_train_merges): per-round argmax pair over the
+    evolving vocabulary, merges applied between rounds; the oracle is
+    the identical five-stage unrolled loop in SQL (each stage
+    MATERIALIZED — DuckDB inlines plain CTEs at every reference)."""
+    return text.bpe_train_merges(_docs(spark, sf_dir), rounds=5)

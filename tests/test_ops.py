@@ -2081,3 +2081,31 @@ def test_cube_revenue_grouping_sets(spark):
     assert got[(None, "F", 2)] == (2, 500)     # status subtotal
     assert got[(None, None, 3)] == (3, 700)    # grand total
     assert len(got) == 3 + 2 + 2 + 1
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    """Hand-run BPE on a 3-word corpus, including the greedy
+    left-to-right overlap case: 'aaaa' must become (aa)(aa) after the
+    (a,a) merge, so round 2's top pair is (aa, aa), not (a, aaa)."""
+    from shacl_rust_spark.ops.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa low"), (2, "aaaa low lower")],
+        ["doc_id", "text"],
+    )
+    # freqs: aaaa×3, low×2, lower×1
+    # round 1 pairs: (a,a)=3·3=9, (l,o)=3, (o,w)=3, (w,e)=1, (e,r)=1
+    # → merge (a,a); aaaa → (aa)(aa)
+    # round 2: (aa,aa)=3, (l,o)=3, (o,w)=3 → tie broken lexicographic:
+    #   'aa\x01aa' < 'l\x01o' < 'o\x01w' → merge (aa,aa)
+    # round 3: (l,o)=3, (o,w)=3 → merge (l,o); low → (lo)(w)
+    # round 4: (lo,w)=3 → merge (lo,w)
+    got = [(r.round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+           for r in bpe_train_merges(docs, rounds=4)
+           .orderBy("round").collect()]
+    assert got == [
+        (1, "a", "a", "aa", 9),
+        (2, "aa", "aa", "aaaa", 3),
+        (3, "l", "o", "lo", 3),
+        (4, "lo", "w", "low", 3),
+    ]
