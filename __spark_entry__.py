@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": O.events_heavy_hitters,
         "rank_eval": O.rank_eval,
         "text_bpe_train": O.text_bpe_train,
+        "kg_link_graph": O.kg_link_graph,
         "curation_split": O.curation_split,
         "dedup_simhash_pairs": O.dedup_simhash_pairs,
         "kg_pages": K.kg_pages,
@@ -2577,6 +2578,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "text_bpe_train": _bpe_train_sql(5),
+        # the oracle rebuilds the identical link-bearing HTML from
+        # orders and runs the same href-regex + host extraction; hosts
+        # are lowercased on both sides (already lowercase here)
+        "kg_link_graph": r"""
+            WITH p AS (
+              SELECT 'http://ex' || (o_custkey % 100) || '.test/o'
+                       || o_orderkey AS url,
+                     '<html><body><p>x</p><a href="http://ex'
+                     || ((o_custkey + 1) % 100) || '.test/x"></a>'
+                     || '<a href="http://ex' || ((o_custkey + 7) % 100)
+                     || '.test/y"></a>'
+                     || CASE WHEN o_orderkey % 3 = 0
+                             THEN '<a href="http://docs.test/z"></a>'
+                             ELSE '' END
+                     || '<a href="/rel"></a>'
+                     || '<a href="mailto:a@b.test"></a></body></html>'
+                       AS html
+              FROM orders),
+            l AS (
+              SELECT lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS src_host,
+                     lower(regexp_extract(unnest(
+                       regexp_extract_all(html, 'href="([^"]*)"', 1)),
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS dst_host
+              FROM p)
+            SELECT src_host, dst_host, count(*) AS n_links
+            FROM l WHERE dst_host <> '' GROUP BY 1, 2
+        """,
         "curation_profile": _profile_sql("lineitem"),
         # integer centi-cents: ROUND(x*100) of the identical input
         # double is the identical integer on both engines; revenue

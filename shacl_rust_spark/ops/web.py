@@ -52,6 +52,38 @@ def domain_of(url: Column) -> Column:
     return F.regexp_extract(host_of(url), r"([^.]+\.[^.]+)$", 1)
 
 
+def host_link_graph(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_host, dst_host, n_links): the hyperlink host graph
+    extracted from raw page HTML — the web-graph construction step a
+    Common-Crawl pipeline runs before any host-level ranking. href
+    values come out of the decoded bytes with one JVM-side
+    regexp_extract_all (no Python in the loop); hrefs without an
+    absolute scheme://host (relative links, mailto:, javascript:)
+    yield an empty host and are dropped. Plan: one page scan + explode
+    + one groupBy keyed by the host PAIR — hosts are bounded
+    cardinality vs pages, so the aggregate output is graph-sized, and
+    the map-side combine collapses each page's repeated links before
+    the shuffle. Head-host skew (everyone links to the same CDN) is
+    the same salted two-stage pattern as pipeline/link.py when it
+    bites; lowercase-host canonicalization rides in host_of."""
+    hrefs = F.regexp_extract_all(
+        F.decode(F.col(html_col), "UTF-8"),
+        F.lit(r'href="([^"]*)"'), 1,
+    )
+    return (
+        pages.select(
+            host_of(F.col(url_col)).alias("src_host"),
+            F.explode(hrefs).alias("_href"),
+        )
+        .select("src_host", host_of(F.col("_href")).alias("dst_host"))
+        .where(F.col("dst_host") != "")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
 def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """(domain, n_pages, n_hosts) — the audit aggregate behind cap
     decisions. One partial-aggregating groupBy."""

@@ -1134,3 +1134,35 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical five-stage unrolled loop in SQL (each stage
     MATERIALIZED — DuckDB inlines plain CTEs at every reference)."""
     return text.bpe_train_merges(_docs(spark, sf_dir), rounds=5)
+
+
+def kg_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink host graph (ops/web.host_link_graph) over a
+    deterministic link-bearing crawl synthesized from orders: each
+    page at ex{c%100}.test carries absolute links to ex{(c+1)%100}
+    and ex{(c+7)%100}, every third page links docs.test, and one
+    relative + one mailto: link per page must be dropped. The oracle
+    rebuilds the identical HTML strings in SQL and runs the same
+    href-regex extraction."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = F.col("o_custkey").cast("bigint")
+    ok = F.col("o_orderkey").cast("bigint")
+    h = lambda e: F.concat(  # noqa: E731
+        F.lit("http://ex"), e.cast("string"), F.lit(".test")
+    )
+    html = F.concat(
+        F.lit('<html><body><p>x</p><a href="'),
+        h((c + 1) % 100), F.lit('/x"></a><a href="'),
+        h((c + 7) % 100), F.lit('/y"></a>'),
+        F.when(ok % 3 == 0,
+               F.lit('<a href="http://docs.test/z"></a>'))
+        .otherwise(F.lit("")),
+        F.lit('<a href="/rel"></a>'
+              '<a href="mailto:a@b.test"></a></body></html>'),
+    )
+    pages = o.select(
+        F.concat(h(c % 100), F.lit("/o"), ok.cast("string"))
+        .alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return web.host_link_graph(pages)

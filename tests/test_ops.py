@@ -2109,3 +2109,22 @@ def test_bpe_train_merges_hand_computed(spark):
         (3, "l", "o", "lo", 3),
         (4, "lo", "w", "low", 3),
     ]
+
+
+def test_host_link_graph_drops_hostless_and_aggregates(spark):
+    from shacl_rust_spark.ops.web import host_link_graph
+
+    html1 = (b'<a href="http://B.test/x"></a><a href="http://b.test/y">'
+             b'</a><a href="/rel"></a><a href="mailto:a@b"></a>'
+             b'<a href="javascript:void(0)"></a>')
+    html2 = b'<a href="https://c.test:8443/z"></a>'
+    pages = spark.createDataFrame(
+        [("http://A.test/1", bytearray(html1)),
+         ("http://a.test/2", bytearray(html2))],
+        "url string, html binary",
+    )
+    got = {(r.src_host, r.dst_host, r.n_links)
+           for r in host_link_graph(pages).collect()}
+    # mixed-case hosts canonicalize; relative/mailto/javascript drop;
+    # the two b.test links from one page aggregate to n_links=2
+    assert got == {("a.test", "b.test", 2), ("a.test", "c.test", 1)}
