@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": O.rank_eval,
         "text_bpe_train": O.text_bpe_train,
         "kg_link_graph": O.kg_link_graph,
+        "kg_host_pagerank": O.kg_host_pagerank,
         "curation_split": O.curation_split,
         "dedup_simhash_pairs": O.dedup_simhash_pairs,
         "kg_pages": K.kg_pages,
@@ -620,6 +621,36 @@ def _pagerank_oracle(iterations: int = 6, damping_pct: int = 85,
         + f"\nSELECT node, rank AS rank_scaled FROM r{iterations}"
         + "\nORDER BY rank DESC, node LIMIT 100"
     )
+
+
+# deterministic link-bearing crawl (kg_link_graph's fixture) rebuilt
+# in SQL: p = pages with the identical HTML strings, l = the same
+# href-regex + host extraction the Spark operator runs
+_LINK_CTES = r"""
+            WITH p AS (
+              SELECT 'http://ex' || (o_custkey % 100) || '.test/o'
+                       || o_orderkey AS url,
+                     '<html><body><p>x</p><a href="http://ex'
+                     || ((o_custkey + 1) % 100) || '.test/x"></a>'
+                     || '<a href="http://ex' || ((o_custkey + 7) % 100)
+                     || '.test/y"></a>'
+                     || CASE WHEN o_orderkey % 3 = 0
+                             THEN '<a href="http://docs.test/z"></a>'
+                             ELSE '' END
+                     || '<a href="/rel"></a>'
+                     || '<a href="mailto:a@b.test"></a></body></html>'
+                       AS html
+              FROM orders),
+            l AS (
+              SELECT lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS src_host,
+                     lower(regexp_extract(unnest(
+                       regexp_extract_all(html, 'href="([^"]*)"', 1)),
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS dst_host
+              FROM p)
+"""
 
 
 def _bpe_train_sql(rounds: int = 5) -> str:
@@ -2581,33 +2612,20 @@ def oracle_sql() -> dict[str, str]:
         # the oracle rebuilds the identical link-bearing HTML from
         # orders and runs the same href-regex + host extraction; hosts
         # are lowercased on both sides (already lowercase here)
-        "kg_link_graph": r"""
-            WITH p AS (
-              SELECT 'http://ex' || (o_custkey % 100) || '.test/o'
-                       || o_orderkey AS url,
-                     '<html><body><p>x</p><a href="http://ex'
-                     || ((o_custkey + 1) % 100) || '.test/x"></a>'
-                     || '<a href="http://ex' || ((o_custkey + 7) % 100)
-                     || '.test/y"></a>'
-                     || CASE WHEN o_orderkey % 3 = 0
-                             THEN '<a href="http://docs.test/z"></a>'
-                             ELSE '' END
-                     || '<a href="/rel"></a>'
-                     || '<a href="mailto:a@b.test"></a></body></html>'
-                       AS html
-              FROM orders),
-            l AS (
-              SELECT lower(regexp_extract(url,
-                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
-                       AS src_host,
-                     lower(regexp_extract(unnest(
-                       regexp_extract_all(html, 'href="([^"]*)"', 1)),
-                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
-                       AS dst_host
-              FROM p)
+        "kg_link_graph": _LINK_CTES + """
             SELECT src_host, dst_host, count(*) AS n_links
             FROM l WHERE dst_host <> '' GROUP BY 1, 2
         """,
+        # fixed-point-integer PageRank over the DISTINCT host pairs of
+        # the extracted hyperlink graph — link extraction chained into
+        # host-level ranking, both halves already oracle-checked alone
+        "kg_host_pagerank": _pagerank_oracle(
+            edges_cte=(
+                "edges AS (SELECT DISTINCT src_host AS src, "
+                "dst_host AS dst FROM l WHERE dst_host <> '')"
+            ),
+            prefix=_LINK_CTES,
+        ),
         "curation_profile": _profile_sql("lineitem"),
         # integer centi-cents: ROUND(x*100) of the identical input
         # double is the identical integer on both engines; revenue

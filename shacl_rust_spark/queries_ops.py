@@ -1166,3 +1166,17 @@ def kg_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(html, "UTF-8").alias("html"),
     )
     return web.host_link_graph(pages)
+
+
+def kg_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank over the extracted hyperlink graph — link
+    extraction (ops/web.host_link_graph) chained into the fixed-point-
+    integer ranking (ops/graph.pagerank), the Common-Crawl host-rank
+    recipe. Edges are the distinct host pairs; 6 iterations; ties to
+    the lexicographically smaller host."""
+    g = kg_link_graph(spark, sf_dir)
+    edges = g.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    pr = graph.pagerank(edges, iterations=6)
+    return pr.orderBy(F.desc("rank_scaled"), "node").limit(100)
