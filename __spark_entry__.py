@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": O.text_bpe_train,
         "kg_link_graph": O.kg_link_graph,
         "kg_host_pagerank": O.kg_host_pagerank,
+        "curation_url_canonical": O.curation_url_canonical,
         "curation_split": O.curation_split,
         "dedup_simhash_pairs": O.dedup_simhash_pairs,
         "kg_pages": K.kg_pages,
@@ -2626,6 +2627,27 @@ def oracle_sql() -> dict[str, str]:
             ),
             prefix=_LINK_CTES,
         ),
+        # the canonical side is a CLOSED-FORM derivation, verifying the
+        # canonicalizer's semantics independently of its implementation
+        "curation_url_canonical": """
+            SELECT CASE WHEN o_orderkey % 4 = 0
+                        THEN 'HTTP://' ELSE 'http://' END
+                || CASE WHEN o_orderkey % 2 = 0 THEN 'EX' ELSE 'ex' END
+                || (o_custkey % 100) || '.test'
+                || CASE WHEN o_orderkey % 5 = 0 THEN ':80' ELSE '' END
+                || '/o' || o_orderkey
+                || CASE WHEN o_orderkey % 3 = 0
+                        THEN '?utm_source=feed&b=2&a=1'
+                        WHEN o_orderkey % 3 = 1 THEN '?a=1&b=2'
+                        ELSE '' END
+                || CASE WHEN o_orderkey % 7 = 0 THEN '#sec' ELSE '' END
+                   AS url,
+                   'http://ex' || (o_custkey % 100) || '.test/o'
+                || o_orderkey
+                || CASE WHEN o_orderkey % 3 IN (0, 1)
+                        THEN '?a=1&b=2' ELSE '' END AS canonical_url
+            FROM orders
+        """,
         "curation_profile": _profile_sql("lineitem"),
         # integer centi-cents: ROUND(x*100) of the identical input
         # double is the identical integer on both engines; revenue

@@ -41,6 +41,31 @@ def normalize_url(url: Column) -> Column:
     return F.concat(head, tail)
 
 
+_TRACKING_RE = "^(utm_|fbclid|gclid|msclkid)"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Full crawl-dedup canonicalization: normalize_url's surgery
+    (fragment, case, default port, trailing slash) PLUS query-string
+    handling — tracking parameters (utm_*, fbclid, gclid, msclkid)
+    dropped, surviving parameters sorted lexicographically so
+    ?b=2&a=1 and ?a=1&b=2 collapse to one key. Pure-Column split /
+    filter / array_sort / join — no UDF, no shuffle; this is the key
+    expression a URL-level dedup groups by before any content stage
+    touches payloads."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    base = normalize_url(F.regexp_replace(no_frag, r"\?.*$", ""))
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    ))
+    return F.when(
+        F.size(params) > 0,
+        F.concat(base, F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(base)
+
+
 def host_of(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, _HOST_RE, 1))
 

@@ -1180,3 +1180,31 @@ def kg_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = graph.pagerank(edges, iterations=6)
     return pr.orderBy(F.desc("rank_scaled"), "node").limit(100)
+
+
+def curation_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization (ops/web.canonicalize_url) over a
+    deterministic messy-URL corpus from orders: scheme/host case,
+    default :80 port, utm tracking params, unsorted query params, and
+    fragments all collapse. The oracle derives the canonical form in
+    CLOSED FORM (not by re-running the canonicalizer), so it verifies
+    the semantics independently."""
+    ok = F.col("o_orderkey")
+    c = (F.col("o_custkey") % 100).cast("string")
+    url = F.concat(
+        F.when(ok % 4 == 0, F.lit("HTTP://")).otherwise(
+            F.lit("http://")),
+        F.when(ok % 2 == 0, F.lit("EX")).otherwise(F.lit("ex")), c,
+        F.lit(".test"),
+        F.when(ok % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/o"), ok.cast("string"),
+        F.when(ok % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(ok % 3 == 1, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+        F.when(ok % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    p = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        url.alias("url")
+    )
+    return p.select(
+        "url", web.canonicalize_url(F.col("url")).alias("canonical_url")
+    )

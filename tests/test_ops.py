@@ -2128,3 +2128,25 @@ def test_host_link_graph_drops_hostless_and_aggregates(spark):
     # mixed-case hosts canonicalize; relative/mailto/javascript drop;
     # the two b.test links from one page aggregate to n_links=2
     assert got == {("a.test", "b.test", 2), ("a.test", "c.test", 1)}
+
+
+def test_canonicalize_url_edge_cases(spark):
+    from shacl_rust_spark.ops.web import canonicalize_url
+
+    cases = [
+        ("HTTPS://Ex.TEST:443/a?z=1&fbclid=xyz&a=2#frag",
+         "https://ex.test/a?a=2&z=1"),
+        ("http://ex.test:8080/a?utm_source=x",     # non-default port
+         "http://ex.test:8080/a"),                 # survives
+        ("http://ex.test/?utm_campaign=1",         # all params dropped,
+         "http://ex.test"),                        # slash-only path too
+        ("http://ex.test/a?flag&b=1",              # bare param kept
+         "http://ex.test/a?b=1&flag"),
+        ("http://ex.test/a", "http://ex.test/a"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    from pyspark.sql import functions as F
+    got = [r.c for r in
+           df.select(canonicalize_url(F.col("url")).alias("c"))
+           .collect()]
+    assert got == [w for _, w in cases]
