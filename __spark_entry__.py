@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_graph": O.kg_link_graph,
         "kg_host_pagerank": O.kg_host_pagerank,
         "curation_url_canonical": O.curation_url_canonical,
+        "multimodal_ahash": O.multimodal_ahash,
         "curation_split": O.curation_split,
         "dedup_simhash_pairs": O.dedup_simhash_pairs,
         "kg_pages": K.kg_pages,
@@ -2627,6 +2628,39 @@ def oracle_sql() -> dict[str, str]:
             ),
             prefix=_LINK_CTES,
         ),
+        # every hash bit recomputed in closed form from the pixel
+        # formula; the mean compare is the cross-multiplied integer
+        # px·n ≥ Σpx on both sides
+        "multimodal_ahash": """
+            WITH b AS (SELECT doc_id, 1 + doc_id % 7 AS w,
+                              1 + doc_id % 5 AS h
+                       FROM documents),
+            s AS (
+              SELECT b.doc_id, b.w, b.h,
+                     SUM((b.doc_id + gx.x + 2 * gy.y) % 251) AS psum
+              FROM b
+              CROSS JOIN generate_series(0, 6) gx(x)
+              CROSS JOIN generate_series(0, 4) gy(y)
+              WHERE gx.x < b.w AND gy.y < b.h
+              GROUP BY 1, 2, 3),
+            bits AS (
+              SELECT s.doc_id, s.w, s.h,
+                     gy.y * s.w + gx.x AS i,
+                     CASE WHEN ((s.doc_id + gx.x + 2 * gy.y) % 251)
+                               * (s.w * s.h) >= s.psum
+                          THEN 1 ELSE 0 END AS bit
+              FROM s
+              CROSS JOIN generate_series(0, 6) gx(x)
+              CROSS JOIN generate_series(0, 4) gy(y)
+              WHERE gx.x < s.w AND gy.y < s.h)
+            SELECT doc_id, CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(SUM(bit) AS BIGINT) AS n_ones,
+                   CAST(SUM(bit * (CAST(1 AS BIGINT)
+                                   << (w * h - 1 - i))) AS BIGINT)
+                     AS ahash
+            FROM bits GROUP BY 1, 2, 3
+        """,
         # the canonical side is a CLOSED-FORM derivation, verifying the
         # canonicalizer's semantics independently of its implementation
         "curation_url_canonical": """

@@ -726,6 +726,57 @@ AUDIO_FEATURES_SCHEMA = StructType([
 AUDIO_WINDOW = 16
 
 
+AHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("width", LongType(), False),
+    StructField("height", LongType(), False),
+    StructField("n_ones", LongType(), False),
+    StructField("ahash", LongType(), False),
+])
+
+
+def image_ahash(
+    assets: DataFrame, id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual average-hash per BMP image inside Arrow mapInPandas —
+    the image near-dup dedup key (bit i = 1 iff pixel i is at or above
+    the image mean, packed row-major MSB-first). The mean compare is
+    the cross-multiplied integer form px·n ≥ Σpx, so no float mean is
+    ever computed and the hash is engine-exact. Non-BMP payloads pass
+    over (the asset stream mixes modalities). A production pipeline
+    downsamples to a fixed 8×8 grid first (the fixtures are already
+    ≤ 7×5) and then dedups by exact hash match or simhash-style banded
+    Hamming join — the same scale path as dedup_simhash_pairs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AHASH_SCHEMA.fields}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if raw[:2] != b"BM":
+                    continue
+                w, h, rows = decode_bmp(raw)
+                n = w * h
+                psum = sum(px[0] for row in rows for px in row)
+                a = ones = 0
+                for row in rows:
+                    for px in row:
+                        bit = 1 if px[0] * n >= psum else 0
+                        a = (a << 1) | bit
+                        ones += bit
+                out["doc_id"].append(int(rid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_ones"].append(ones)
+                out["ahash"].append(a)
+            yield pd.DataFrame(out)
+
+    return assets.select(id_col, payload_col).mapInPandas(
+        run, AHASH_SCHEMA
+    )
+
+
 def audio_features(
     assets: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:

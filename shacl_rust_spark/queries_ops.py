@@ -1208,3 +1208,12 @@ def curation_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "url", web.canonicalize_url(F.col("url")).alias("canonical_url")
     )
+
+
+def multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (ops/multimodal.image_ahash) over the
+    decoded synthetic BMPs: the oracle recomputes every bit of the
+    hash in closed form from the pixel formula, so a decode, mean, or
+    bit-packing bug mismatches."""
+    assets = multimodal.synth_assets(_docs(spark, sf_dir))
+    return multimodal.image_ahash(assets)
