@@ -443,6 +443,23 @@ def streaming_cdc_apply_ooo(
     )
 
 
+def compact_cdc_snapshot(
+    snapshot: DataFrame, min_seq_struct,
+) -> DataFrame:
+    """Tombstone compaction for streaming_cdc_apply_ooo snapshots:
+    physically drop tombstones whose seq is strictly below
+    `min_seq_struct` (a struct literal matching the snapshot's _seq
+    type — the source's low-watermark: no change with a smaller seq
+    can still arrive). Live rows and newer tombstones pass through
+    untouched, so correctness under late delivery is preserved
+    exactly up to the stated replay horizon. One narrow filter scan —
+    run it as the same job that rewrites the snapshot bucket files."""
+    return snapshot.where(
+        (~F.col("_del")) | F.col("_seq").isNull()
+        | (F.col("_seq") >= min_seq_struct)
+    )
+
+
 def cdc_apply_replay(
     spark: SparkSession, sf_dir: str, n_chunks: int = 4
 ) -> DataFrame:

@@ -340,3 +340,30 @@ def test_streaming_mv_incremental_fold_equals_recompute(spark, tmp_path):
                 else None)
                for r in mv.collect()}
         assert got == want, f"order {order}: {got}"
+
+
+def test_compact_cdc_snapshot_drops_only_expired_tombstones(spark, tmp_path):
+    """Compaction below the replay low-watermark removes old tombstones
+    but keeps live rows (incl. base rows with NULL seq) and tombstones
+    at/after the watermark — then the compacted snapshot still absorbs
+    a late stale upsert correctly at the horizon boundary."""
+    from shacl_rust_spark.streaming.stream import (
+        compact_cdc_snapshot, streaming_cdc_apply_ooo)
+
+    base = spark.createDataFrame([(1, 100)], ["key", "val"])
+    chunk = [(2, 0, "D", 1, 1),    # old tombstone (below watermark)
+             (3, 0, "D", 5, 5),    # young tombstone (kept)
+             (4, 444, "U", 2, 2)]  # live cdc row
+    d = _write_cdc_chunks(tmp_path, "compact_src", [chunk])
+    out = str(tmp_path / "compact_state")
+    streaming_cdc_apply_ooo(spark, d, base, out,
+                            seq_cols=("ts", "event_id"))
+    from pyspark.sql import functions as F
+    snap = spark.read.parquet(f"{out}/v1")
+    wm = F.struct(F.lit(3).cast("bigint").alias("ts"),
+                  F.lit(0).cast("bigint").alias("event_id"))
+    kept = compact_cdc_snapshot(snap, wm)
+    got = {(r.key, bool(r._del)) for r in kept.collect()}
+    assert got == {(1, False), (3, True), (4, False)}  # key 2 purged
+    # the young tombstone still blocks a stale upsert (seq 4 < 5)
+    assert (3, True) in got
