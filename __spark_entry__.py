@@ -129,6 +129,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_host_pagerank": O.kg_host_pagerank,
         "curation_url_canonical": O.curation_url_canonical,
         "multimodal_ahash": O.multimodal_ahash,
+        "text_bpe_encode": O.text_bpe_encode,
+        "text_readability": O.text_readability,
+        "graph_hits": O.graph_hits,
+        "kg_anchor_text": O.kg_anchor_text,
+        "crawl_schedule": O.crawl_schedule,
+        "crawl_robots": O.crawl_robots,
         "curation_split": O.curation_split,
         "dedup_simhash_pairs": O.dedup_simhash_pairs,
         "kg_pages": K.kg_pages,
@@ -655,17 +661,20 @@ _LINK_CTES = r"""
 """
 
 
-def _bpe_train_sql(rounds: int = 5) -> str:
-    """Unrolled BPE trainer: w0 = wrapped (word, freq) vocabulary;
-    each round r materializes pair counts p{r}, the argmax b{r}
-    (ties to the lexicographically smaller chr(1)-joined pair — the
-    identical composite key the Spark side orders by), and the merged
-    vocabulary w{r}. Every stage is AS MATERIALIZED: DuckDB inlines
-    plain CTEs at every reference and an unrolled loop explodes
-    exponentially without it."""
-    ctes = [r"""
+def _bpe_ctes(rounds: int, carry_word: bool) -> str:
+    """Shared unrolled-BPE CTE chain: w0 = wrapped (word, freq)
+    vocabulary; each round r materializes pair counts p{r}, the argmax
+    b{r} (ties to the lexicographically smaller chr(1)-joined pair —
+    the identical composite key the Spark side orders by), and the
+    merged vocabulary w{r}. With carry_word the raw word rides through
+    every merge stage (the encode oracle reads it back out). Every
+    stage is AS MATERIALIZED: DuckDB inlines plain CTEs at every
+    reference and an unrolled loop explodes exponentially without
+    it."""
+    wsel = "w, " if carry_word else ""
+    ctes = [rf"""
             w0 AS MATERIALIZED (
-              SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS s,
+              SELECT {wsel}regexp_replace(w, '(.)', '(\1)', 'g') AS s,
                      count(*) AS freq
               FROM (SELECT unnest(string_split_regex(trim(text), ' +'))
                       AS w FROM documents) u
@@ -688,12 +697,18 @@ def _bpe_train_sql(rounds: int = 5) -> str:
               SELECT pr, cnt FROM p{r}
               ORDER BY cnt DESC, pr ASC LIMIT 1),
             w{r} AS MATERIALIZED (
-              SELECT replace(s,
+              SELECT {wsel}replace(s,
                        '(' || replace(pr, chr(1), ')(') || ')',
                        '(' || replace(pr, chr(1), '') || ')') AS s,
                      freq
               FROM w{r - 1}, b{r})""")
         # noqa: the cross join against the 1-row argmax is the merge
+    return ",".join(ctes)
+
+
+def _bpe_train_sql(rounds: int = 5) -> str:
+    """Unrolled BPE trainer (see _bpe_ctes): emits the per-round
+    argmax merges."""
     finals = [
         f"""SELECT {r} AS round,
                    split_part(pr, chr(1), 1) AS left_sym,
@@ -702,8 +717,61 @@ def _bpe_train_sql(rounds: int = 5) -> str:
                    CAST(cnt AS BIGINT) AS pair_count FROM b{r}"""
         for r in range(1, rounds + 1)
     ]
-    return ("WITH " + ",".join(ctes) + "\n"
+    return ("WITH " + _bpe_ctes(rounds, carry_word=False) + "\n"
             + "\nUNION ALL ".join(finals))
+
+
+def _bpe_encode_sql(rounds: int = 5) -> str:
+    """Unrolled BPE ENCODE oracle: the trainer CTE chain with the raw
+    word carried through, read out of the final vocabulary w{rounds}
+    as the space-joined symbol sequence."""
+    toks = r"regexp_extract_all(s, '\(([^)]*)\)', 1)"
+    return (
+        "WITH " + _bpe_ctes(rounds, carry_word=True) + f"""
+        SELECT w AS word, CAST(freq AS BIGINT) AS freq,
+               array_to_string({toks}, ' ') AS tokens,
+               CAST(len({toks}) AS BIGINT) AS n_tokens
+        FROM w{rounds}"""
+    )
+
+
+def _hits_oracle(iterations: int = 3) -> str:
+    """Unrolled integer HITS over the link-fixture host graph:
+    h0 = 1 everywhere; each round materializes the authority
+    half-step (sum of in-neighbor hubs) then the hub half-step (sum
+    of out-neighbor authorities), both COALESCEd to 0 over the full
+    node set — the exact frames the Spark loop checkpoints."""
+    ctes = [
+        """edges AS MATERIALIZED (
+             SELECT DISTINCT src_host AS src, dst_host AS dst
+             FROM l WHERE dst_host <> '')""",
+        """nodes AS MATERIALIZED (
+             SELECT src AS node FROM edges
+             UNION SELECT dst FROM edges)""",
+        "h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""a{k} AS MATERIALIZED (
+             SELECT n.node,
+                    CAST(COALESCE(x.a, 0) AS BIGINT) AS a
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst AS node, SUM(h.h) AS a
+               FROM edges e JOIN h{k - 1} h ON e.src = h.node
+               GROUP BY 1) x ON n.node = x.node)""")
+        ctes.append(f"""h{k} AS MATERIALIZED (
+             SELECT n.node,
+                    CAST(COALESCE(x.h, 0) AS BIGINT) AS h
+             FROM nodes n LEFT JOIN (
+               SELECT e.src AS node, SUM(a.a) AS h
+               FROM edges e JOIN a{k} a ON e.dst = a.node
+               GROUP BY 1) x ON n.node = x.node)""")
+    return (
+        _LINK_CTES.rstrip() + ",\n" + ",\n".join(ctes)
+        + f"""
+        SELECT a.node, a.a AS authority, h.h AS hub
+        FROM a{iterations} a JOIN h{iterations} h ON a.node = h.node
+        ORDER BY authority DESC, hub DESC, a.node LIMIT 100"""
+    )
 
 
 def _sent_thr() -> str:
@@ -2611,6 +2679,129 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "text_bpe_train": _bpe_train_sql(5),
+        "text_bpe_encode": _bpe_encode_sql(5),
+        # exact-rational Flesch: the same min-1 clamps, the same
+        # sentence/vowel-group regexes, and the integer cross-multiplied
+        # score formula — no float crosses the engine boundary
+        "text_readability": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(greatest(1, CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), ' +'))
+                       END) AS BIGINT) AS w,
+                     CAST(greatest(1, len(regexp_extract_all(text,
+                       '[.!?]+(\s+|$)'))) AS BIGINT) AS s,
+                     CAST(COALESCE(list_sum(list_transform(
+                       string_split_regex(trim(text), ' +'),
+                       x -> CASE WHEN x = '' THEN 0
+                            ELSE greatest(1, len(regexp_extract_all(
+                                   lower(x), '[aeiouy]+'))) END)), 0)
+                       AS BIGINT) AS syl
+              FROM documents)
+            SELECT doc_id, s AS n_sentences, w AS n_words,
+                   syl AS n_syllables,
+                   CAST(206835 * s * w - 1015 * w * w
+                        - 84600 * syl * s AS BIGINT) AS fre_num,
+                   CAST(1000 * s * w AS BIGINT) AS fre_den
+            FROM f
+        """,
+        "graph_hits": _hits_oracle(3),
+        # the oracle rebuilds the identical anchor-bearing HTML and
+        # runs the same tag/href/anchor regexes + the same top-k window
+        "kg_anchor_text": """
+            WITH p AS (
+              SELECT '<html><body><a href="http://ex'
+                     || ((o_custkey + 1) % 100)
+                     || '.test/x">buy widget ' || (o_orderkey % 5)
+                     || '</a><a href="http://ex'
+                     || ((o_custkey + 7) % 100)
+                     || '.test/y">cheap widget</a>'
+                     || CASE WHEN o_orderkey % 3 = 0
+                             THEN '<a href="http://docs.test/z">'
+                                  || 'read the docs</a>'
+                             ELSE '' END
+                     || '<a href="/rel">skip me</a>'
+                     || '<a href="mailto:a@b.test">mail me</a>'
+                     || '</body></html>' AS html
+              FROM orders),
+            t AS (
+              SELECT unnest(regexp_extract_all(html,
+                       '<a href="[^"]*"[^>]*>[^<]*</a>')) AS tag
+              FROM p),
+            a AS (
+              SELECT lower(regexp_extract(
+                       regexp_extract(tag, 'href="([^"]*)"', 1),
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS dst_host,
+                     regexp_extract(tag, '>([^<]*)</a>', 1) AS anchor
+              FROM t),
+            c AS (
+              SELECT dst_host, term, count(*) AS n_anchors FROM (
+                SELECT dst_host,
+                       unnest(string_split_regex(
+                         trim(lower(anchor)), ' +')) AS term
+                FROM a WHERE dst_host <> '') x
+              WHERE term <> '' GROUP BY 1, 2)
+            SELECT dst_host, term, n_anchors, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY dst_host
+                ORDER BY n_anchors DESC, term ASC) AS rank
+              FROM c) r
+            WHERE rank <= 5
+        """,
+        "crawl_schedule": """
+            WITH u AS (
+              SELECT 'http://ex' || (o_custkey % 100) || '.test/o'
+                       || o_orderkey AS url,
+                     'ex' || (o_custkey % 100) || '.test' AS host
+              FROM orders)
+            SELECT host, url,
+                   CAST(row_number() OVER (
+                     PARTITION BY host ORDER BY url) - 1
+                     AS BIGINT) AS wave,
+                   CAST((row_number() OVER (
+                     PARTITION BY host ORDER BY url) - 1) * 500
+                     AS BIGINT) AS scheduled_ms
+            FROM u
+        """,
+        # longest-prefix robots matching with the identical
+        # deterministic tiebreak chain; unmatched urls default-allow
+        "crawl_robots": """
+            WITH u AS (
+              SELECT 'http://ex' || (o_custkey % 100) || '.test/o'
+                       || o_orderkey AS url,
+                     'ex' || (o_custkey % 100) || '.test' AS host,
+                     '/o' || o_orderkey AS path
+              FROM orders),
+            r AS (
+              SELECT 'ex' || i || '.test' AS host,
+                     '/o1' AS path_prefix, 0 AS allow
+              FROM range(100) t(i)
+              UNION ALL
+              SELECT 'ex' || i || '.test', '/o12', 1
+              FROM range(100) t(i) WHERE i % 3 = 0
+              UNION ALL
+              SELECT 'ex' || i || '.test', '/', 0
+              FROM range(100) t(i) WHERE i % 5 = 0),
+            m AS (
+              SELECT u.url, u.host, r.path_prefix, r.allow,
+                     (r.path_prefix IS NOT NULL
+                      AND starts_with(u.path, r.path_prefix))
+                       AS matched
+              FROM u LEFT JOIN r ON u.host = r.host)
+            SELECT url, host,
+                   CASE WHEN matched THEN path_prefix END
+                     AS matched_prefix,
+                   CAST(CASE WHEN matched THEN allow ELSE 1 END
+                     AS BIGINT) AS allowed
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY url ORDER BY matched DESC,
+                  length(COALESCE(path_prefix, '')) DESC,
+                  COALESCE(allow, 0) DESC, path_prefix ASC) AS rn
+              FROM m) x
+            WHERE rn = 1
+        """,
         # the oracle rebuilds the identical link-bearing HTML from
         # orders and runs the same href-regex + host extraction; hosts
         # are lowercased on both sides (already lowercase here)

@@ -150,6 +150,98 @@ def pagerank(
     return ranks
 
 
+def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """edges(src, dst) → (node, authority, hub) after ``iterations``
+    rounds of UNNORMALIZED integer HITS (Kleinberg 1999):
+
+        h⁰(u) = 1;  aᵏ(v) = Σ_{u→v} hᵏ⁻¹(u);  hᵏ(u) = Σ_{u→v} aᵏ(v).
+
+    The textbook per-step L2 normalization only rescales — rankings
+    are scale-invariant — so it is dropped to keep every value BIGINT
+    and the result bit-identical across engines and partitionings
+    (pagerank's fixed-point-integer device). Values grow like
+    (d_max²)^k, so iterations stays small (the gate uses 3; deep
+    iteration at scale is the float+normalize variant, deliberately
+    not this oracle-exact one). Duplicate/null edges are dropped —
+    set semantics, same as pagerank.
+
+    Scale shape: the edge list is checkpointed once per join key
+    (by src for the authority half-step, by dst for the hub half-step)
+    and never re-scanned; each half-step shuffles only the
+    node-cardinality score frame. AQE off on a cloned session so the
+    static co-partitioning isn't coalesced away mid-loop.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    spark = edges.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = _clean_edges(edges).localCheckpoint(eager=True)
+
+    loop_spark = _clone_session(spark)
+    if loop_spark is not None:
+        loop_spark.conf.set("spark.sql.adaptive.enabled", "false")
+        edges = _rebind(edges, loop_spark)
+        aqe_was = None
+    else:
+        loop_spark = spark
+        aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        e_src = edges.repartition(n_parts, "src") \
+            .localCheckpoint(eager=True)
+        e_dst = edges.repartition(n_parts, "dst") \
+            .localCheckpoint(eager=True)
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .dropDuplicates(["node"])
+            .repartition(n_parts, "node")
+            .localCheckpoint(eager=True)
+        )
+        hub = nodes.withColumn("h", F.lit(1).cast("bigint"))
+        auth = None
+        for _ in range(iterations):
+            inflow = (
+                e_src.join(hub, e_src["src"] == hub["node"])
+                .groupBy("dst")
+                .agg(F.sum("h").alias("a"))
+            )
+            auth = (
+                nodes.join(inflow, nodes["node"] == inflow["dst"],
+                           "left")
+                .select(
+                    "node",
+                    F.coalesce("a", F.lit(0)).cast("bigint").alias("a"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            outflow = (
+                e_dst.join(auth, e_dst["dst"] == auth["node"])
+                .groupBy("src")
+                .agg(F.sum("a").alias("h"))
+            )
+            hub = (
+                nodes.join(outflow, nodes["node"] == outflow["src"],
+                           "left")
+                .select(
+                    "node",
+                    F.coalesce("h", F.lit(0)).cast("bigint").alias("h"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        if aqe_was is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    out = auth.join(hub, "node").select(
+        "node",
+        F.col("a").alias("authority"),
+        F.col("h").alias("hub"),
+    )
+    if out.sparkSession is not spark:
+        out = _rebind(out, spark)
+    return out
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """edges(src, dst) → (node, out_degree, in_degree) over the
     deduplicated edge set; nodes appearing only on one side report 0

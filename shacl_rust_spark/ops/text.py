@@ -518,6 +518,98 @@ def bpe_train_merges(docs: DataFrame, rounds: int = 5) -> DataFrame:
     )
 
 
+def bpe_encode(docs: DataFrame, rounds: int = 5) -> DataFrame:
+    """(word, freq, tokens, n_tokens): the tokenizer-APPLY step —
+    encode the corpus VOCABULARY with the first ``rounds`` trained BPE
+    merges (bpe_train_merges), replayed in training order. Encoding at
+    the vocabulary level is the scale statement: BPE application is a
+    pure word→tokens function, so a 100 TB corpus tokenizes by
+    encoding the Heaps-law-sized distinct-word table once and
+    broadcast-joining the result back onto documents — never by
+    running the merge loop per document.
+
+    The merge replay is the identical framed-string surgery the
+    trainer uses ("(a)(b)" → "(ab)", greedy left-to-right — see
+    bpe_train_merges for why the framing makes overlap semantics
+    engine-exact); the merges arrive as `rounds` collected scalar rows
+    (bounded-driver policy) and compile into one chained
+    pure-Column replace — no Python in the encode scan. `tokens` is
+    the space-joined symbol sequence, `n_tokens` its length."""
+    merges = [
+        (m["left_sym"], m["right_sym"], m["merged"])
+        for m in bpe_train_merges(docs, rounds).orderBy("round")
+        .collect()
+    ]
+    s = F.regexp_replace("w", "(.)", r"($1)")
+    for left, right, merged in merges:
+        s = F.replace(
+            s, F.lit(f"({left})({right})"), F.lit(f"({merged})")
+        )
+    toks = F.expr(r"regexp_extract_all(_s, '\\(([^)]*)\\)', 1)")
+    return (
+        docs.select(F.explode(word_array()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.col("w").alias("word"), "freq", s.alias("_s"))
+        .select(
+            "word", "freq",
+            F.array_join(toks, " ").alias("tokens"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_sentences, n_words, n_syllables, fre_num, fre_den):
+    Flesch reading ease per document as an EXACT RATIONAL —
+    fre = 206.835 − 1.015·(W/S) − 84.6·(Syl/W), emitted as the
+    integer pair (fre_num, fre_den) with
+
+        fre_num = 206835·S·W − 1015·W² − 84600·Syl·S
+        fre_den = 1000·S·W
+
+    so fre = fre_num/fre_den in FRE points and no float ever crosses
+    the engine boundary (same device as rank_rrf's exact rationals).
+    S counts terminal-punctuation runs followed by whitespace/end
+    (split_sentences' regex, min 1); W is the word_array count;
+    syllables are vowel-group runs [aeiouy]+ per lower-cased word,
+    min 1 per word (the standard heuristic — "rhythm" has no vowel
+    letter but one spoken syllable). Everything is one pure-Column
+    scan — the per-word syllable sum is an aggregate HOF over the
+    split array, no explode, no shuffle."""
+    # word_array never emits empty tokens mid-array (run-collapsing
+    # split), so the only empty-token case is fully-blank text — no
+    # filter lambda needed (PySpark 4.1 cross-contaminates lambda
+    # variables when several land in one projection; see link.py).
+    n_words = F.greatest(
+        F.lit(1),
+        F.when(F.trim(F.col("text")) == "", F.lit(0))
+        .otherwise(F.size(word_array())),
+    ).cast("bigint")
+    n_sentences = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(r"[.!?]+(\s+|$)"), 0
+        )),
+    ).cast("bigint")
+    n_syllables = F.expr(
+        "aggregate(split(trim(text), ' +'), 0L, (acc, w) -> acc +"
+        " CASE WHEN w = '' THEN 0L ELSE greatest(1L, size("
+        r"regexp_extract_all(lower(w), '[aeiouy]+', 0))) END)"
+    ).cast("bigint")
+    s, w, syl = n_sentences, n_words, n_syllables
+    return docs.select(
+        "doc_id",
+        s.alias("n_sentences"),
+        w.alias("n_words"),
+        syl.alias("n_syllables"),
+        (F.lit(206835) * s * w - F.lit(1015) * w * w
+         - F.lit(84600) * syl * s).cast("bigint").alias("fre_num"),
+        (F.lit(1000) * s * w).cast("bigint").alias("fre_den"),
+    )
+
+
 # fixed fastText-style weights for the logistic quality gate: length,
 # stopword density, punctuation density. Frozen here (not trained) so
 # the op is deterministic; a production pipeline would drop in its own.

@@ -109,6 +109,145 @@ def host_link_graph(
     )
 
 
+def anchor_text_terms(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    top_k: int = 5,
+) -> DataFrame:
+    """(dst_host, term, n_anchors, rank): anchor-text terms aggregated
+    per link TARGET host — the classic web-search relevance signal
+    (anchor text describes the page it points AT, not the page it sits
+    on), and at corpus scale the cheapest per-host description table a
+    KG pipeline gets for free from the crawl. One JVM-side
+    regexp_extract_all pulls whole <a> tags out of the decoded bytes;
+    href-host and anchor text come off each exploded tag with two more
+    regexes (no Python anywhere). Terms are lower-cased
+    whitespace-split anchor words; the aggregate is keyed by
+    (dst_host, term) — bounded by hosts × vocabulary, graph-sized, so
+    map-side combine collapses per-page repeats before the shuffle.
+    The top-k cut is one window per dst_host ordered by
+    (n_anchors desc, term asc) — deterministic; CDN-style head hosts
+    skewing the window get the same salted two-stage treatment as
+    pipeline/link.py when it bites."""
+    from pyspark.sql import Window
+
+    tags = F.regexp_extract_all(
+        F.decode(F.col(html_col), "UTF-8"),
+        F.lit(r'<a href="[^"]*"[^>]*>[^<]*</a>'), 0,
+    )
+    anchors = (
+        pages.select(F.explode(tags).alias("_tag"))
+        .select(
+            host_of(
+                F.regexp_extract("_tag", r'href="([^"]*)"', 1)
+            ).alias("dst_host"),
+            F.regexp_extract("_tag", r">([^<]*)</a>", 1)
+            .alias("_anchor"),
+        )
+        .where(F.col("dst_host") != "")
+    )
+    counts = (
+        anchors.select(
+            "dst_host",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("_anchor"))), " +")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("dst_host", "term")
+        .agg(F.count(F.lit(1)).alias("n_anchors"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.desc("n_anchors"), F.asc("term")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def crawl_schedule(
+    pages: DataFrame, delay_ms: int = 1000, url_col: str = "url"
+) -> DataFrame:
+    """(host, url, wave, scheduled_ms): per-host politeness scheduling
+    — the fetch planner every crawler runs before hitting the network.
+    URLs of one host are serialized `delay_ms` apart (wave = 0-based
+    position within the host, ordered by URL so reruns schedule
+    identically); different hosts proceed in parallel, which is
+    exactly the one window partitionBy(host) this compiles to — the
+    shuffle key is the natural parallelism unit of polite crawling.
+    No global sequence column on purpose: a total fetch order is a
+    SinglePartition sort (olap_zorder's documented cut); writers
+    instead partition output by wave and let each wave's files be
+    fetched concurrently."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("url")
+    return (
+        pages.select(
+            F.col(url_col).alias("url"),
+            host_of(F.col(url_col)).alias("host"),
+        )
+        .withColumn(
+            "wave", (F.row_number().over(w) - 1).cast("bigint")
+        )
+        .withColumn(
+            "scheduled_ms",
+            (F.col("wave") * F.lit(delay_ms)).cast("bigint"),
+        )
+    )
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """urls(url) × rules(host, path_prefix, allow) →
+    (url, host, matched_prefix, allowed): RFC 9309 robots.txt rule
+    matching — among the url's host's rules whose path_prefix is a
+    string prefix of the url path, the LONGEST wins; on equal length
+    Allow beats Disallow; a url with no matching rule (or no rules at
+    all) is allowed. The rules frame is the parsed per-host robots
+    corpus — millions of rows at crawl scale but tiny next to the URL
+    frontier, so it broadcasts: one broadcast left join keyed by host,
+    then one window per url picks the winning rule
+    (matched desc, prefix length desc, allow desc, prefix asc —
+    fully deterministic). Root path normalizes to '/' so bare
+    http://host matches '/' rules."""
+    from pyspark.sql import Window
+
+    path = F.regexp_replace(
+        F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""
+    )
+    u = urls.select(
+        "url",
+        host_of(F.col("url")).alias("host"),
+        F.when(path == "", F.lit("/")).otherwise(path).alias("_path"),
+    )
+    j = u.join(F.broadcast(rules), "host", "left").withColumn(
+        "_matched",
+        F.col("path_prefix").isNotNull()
+        & F.col("_path").startswith(F.col("path_prefix")),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.desc("_matched"),
+        F.desc(F.length(F.coalesce("path_prefix", F.lit("")))),
+        F.desc(F.coalesce("allow", F.lit(False))),
+        F.asc("path_prefix"),
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "url", "host",
+            F.when(F.col("_matched"), F.col("path_prefix"))
+            .alias("matched_prefix"),
+            F.when(
+                F.col("_matched"),
+                F.col("allow").cast("int"),
+            ).otherwise(F.lit(1)).alias("allowed"),
+        )
+    )
+
+
 def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """(domain, n_pages, n_hosts) — the audit aggregate behind cap
     decisions. One partial-aggregating groupBy."""

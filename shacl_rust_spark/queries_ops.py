@@ -1217,3 +1217,127 @@ def multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-packing bug mismatches."""
     assets = multimodal.synth_assets(_docs(spark, sf_dir))
     return multimodal.image_ahash(assets)
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY (ops/text.bpe_encode): the five trained merges
+    (text_bpe_train's loop, already oracle-checked) replayed in
+    training order over the corpus vocabulary — one chained
+    pure-Column replace, encoding the distinct-word table once instead
+    of the corpus (the Heaps-law scale statement). The oracle extends
+    the unrolled trainer SQL with the word carried through every merge
+    stage and reads the final vocabulary's symbol sequences."""
+    return text.bpe_encode(_docs(spark, sf_dir), rounds=5)
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease (ops/text.readability) as exact rationals —
+    sentence/word/vowel-group counts are integers on both engines and
+    the score crosses as (fre_num, fre_den), so no float ever decides
+    the hash."""
+    return text.readability(_docs(spark, sf_dir))
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized integer HITS (ops/graph.hits, 3 rounds) over the
+    distinct host pairs of the extracted hyperlink graph — hubs =
+    pages that link well, authorities = pages linked FROM good hubs,
+    the complement of kg_host_pagerank on the same edges. The oracle
+    unrolls all six half-steps as materialized SQL stages."""
+    g = kg_link_graph(spark, sf_dir)
+    edges = g.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    h = graph.hits(edges, iterations=3)
+    return h.orderBy(
+        F.desc("authority"), F.desc("hub"), "node"
+    ).limit(100)
+
+
+def kg_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target-host anchor-text aggregation
+    (ops/web.anchor_text_terms) over an anchor-bearing deterministic
+    crawl from orders: each page anchors its ex{(c+1)%100} link with
+    "buy widget {ok%5}", its ex{(c+7)%100} link with "cheap widget",
+    and every third page labels docs.test "read the docs"; relative
+    and mailto links carry text that must be dropped with them. The
+    oracle rebuilds the identical HTML and tag regexes in SQL."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = F.col("o_custkey").cast("bigint")
+    ok = F.col("o_orderkey").cast("bigint")
+    h = lambda e: F.concat(  # noqa: E731
+        F.lit("http://ex"), e.cast("string"), F.lit(".test")
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        h((c + 1) % 100), F.lit('/x">buy widget '),
+        (ok % 5).cast("string"), F.lit('</a><a href="'),
+        h((c + 7) % 100), F.lit('/y">cheap widget</a>'),
+        F.when(ok % 3 == 0,
+               F.lit('<a href="http://docs.test/z">read the docs</a>'))
+        .otherwise(F.lit("")),
+        F.lit('<a href="/rel">skip me</a>'
+              '<a href="mailto:a@b.test">mail me</a></body></html>'),
+    )
+    pages = o.select(
+        F.concat(h(c % 100), F.lit("/o"), ok.cast("string"))
+        .alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return web.anchor_text_terms(pages, top_k=5)
+
+
+def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness scheduling (ops/web.crawl_schedule) over
+    the deterministic crawl frontier from orders: URLs of one host
+    serialize 500 ms apart, hosts proceed in parallel — one window
+    keyed by host, the natural parallelism unit."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = F.col("o_custkey").cast("bigint")
+    ok = F.col("o_orderkey").cast("bigint")
+    pages = o.select(
+        F.concat(
+            F.lit("http://ex"), (c % 100).cast("string"),
+            F.lit(".test/o"), ok.cast("string"),
+        ).alias("url")
+    )
+    return web.crawl_schedule(pages, delay_ms=500)
+
+
+def crawl_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt rule matching (ops/web.robots_filter):
+    longest-prefix wins, Allow beats Disallow on length ties, no
+    match => allowed. The frontier is the orders-derived URL corpus;
+    the parsed rules corpus is deterministic per host ex{k}.test:
+    every host disallows /o1, every third host re-allows /o12 (the
+    longer override), every fifth host disallows / (so only its /o1*
+    URLs escape up to the more specific rules)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = F.col("o_custkey").cast("bigint")
+    ok = F.col("o_orderkey").cast("bigint")
+    urls = o.select(
+        F.concat(
+            F.lit("http://ex"), (c % 100).cast("string"),
+            F.lit(".test/o"), ok.cast("string"),
+        ).alias("url")
+    )
+    k = spark.range(100).select(
+        F.concat(F.lit("ex"), F.col("id").cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.col("id"),
+    )
+    rules = (
+        k.select("host", F.lit("/o1").alias("path_prefix"),
+                 F.lit(False).alias("allow"))
+        .unionByName(
+            k.where(F.col("id") % 3 == 0).select(
+                "host", F.lit("/o12").alias("path_prefix"),
+                F.lit(True).alias("allow"))
+        )
+        .unionByName(
+            k.where(F.col("id") % 5 == 0).select(
+                "host", F.lit("/").alias("path_prefix"),
+                F.lit(False).alias("allow"))
+        )
+    )
+    return web.robots_filter(urls, rules)

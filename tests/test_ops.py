@@ -2150,3 +2150,125 @@ def test_canonicalize_url_edge_cases(spark):
            df.select(canonicalize_url(F.col("url")).alias("c"))
            .collect()]
     assert got == [w for _, w in cases]
+
+
+def test_bpe_encode_hand_computed(spark):
+    """Encode the trainer test's corpus with its own 4 merges:
+    aaaa → one token after (a,a)+(aa,aa); lower → low e r (the 'low'
+    merge fires inside the longer word)."""
+    from shacl_rust_spark.ops.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa low"), (2, "aaaa low lower")],
+        ["doc_id", "text"],
+    )
+    got = {(r.word, r.freq, r.tokens, r.n_tokens)
+           for r in bpe_encode(docs, rounds=4).collect()}
+    assert got == {
+        ("aaaa", 3, "aaaa", 1),
+        ("low", 2, "low", 1),
+        ("lower", 1, "low e r", 3),
+    }
+
+
+def test_hits_hand_computed(spark):
+    """1→3, 2→3, 3→4 (one edge duplicated — set semantics), 2 rounds:
+    a²(3)=h¹(1)+h¹(2)=4, a²(4)=h¹(3)=1; h²(1)=h²(2)=a²(3)=4,
+    h²(3)=a²(4)=1, h²(4)=0."""
+    from shacl_rust_spark.ops.graph import hits
+
+    edges = spark.createDataFrame(
+        [("1", "3"), ("1", "3"), ("2", "3"), ("3", "4")],
+        ["src", "dst"],
+    )
+    got = {(r.node, r.authority, r.hub)
+           for r in hits(edges, iterations=2).collect()}
+    assert got == {
+        ("1", 0, 4), ("2", 0, 4), ("3", 4, 1), ("4", 1, 0),
+    }
+
+
+def test_readability_hand_computed(spark):
+    """'The cat sat. It ran!': 5 words, 2 sentences, 5 vowel groups;
+    'Mmm hmm': vowel-less words clamp to 1 syllable, sentence count
+    clamps to 1."""
+    from shacl_rust_spark.ops.text import readability
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. It ran!"), (2, "Mmm hmm")],
+        ["doc_id", "text"],
+    )
+    got = {(r.doc_id, r.n_sentences, r.n_words, r.n_syllables,
+            r.fre_num, r.fre_den)
+           for r in readability(docs).collect()}
+    assert got == {
+        (1, 2, 5, 5,
+         206835 * 2 * 5 - 1015 * 25 - 84600 * 5 * 2, 10000),
+        (2, 1, 2, 2,
+         206835 * 1 * 2 - 1015 * 4 - 84600 * 2 * 1, 2000),
+    }
+
+
+def test_anchor_text_terms_aggregates_by_target(spark):
+    """Anchor terms credit the TARGET host (case-folded), relative
+    links drop with their text, and the top-k window cuts by
+    (count desc, term asc)."""
+    from shacl_rust_spark.ops.web import anchor_text_terms
+
+    html = (b'<a href="http://B.test/x">Buy Cheap</a>'
+            b'<a href="/rel">Skip</a>'
+            b'<a href="http://b.test/y">buy now</a>')
+    pages = spark.createDataFrame(
+        [("http://a.test/1", bytearray(html))],
+        "url string, html binary",
+    )
+    got = {(r.dst_host, r.term, r.n_anchors, r.rank)
+           for r in anchor_text_terms(pages, top_k=2).collect()}
+    assert got == {("b.test", "buy", 2, 1), ("b.test", "cheap", 1, 2)}
+
+
+def test_crawl_schedule_serializes_per_host(spark):
+    from shacl_rust_spark.ops.web import crawl_schedule
+
+    pages = spark.createDataFrame(
+        [("http://a.test/1",), ("http://a.test/2",),
+         ("http://b.test/1",)],
+        ["url"],
+    )
+    got = {(r.host, r.url, r.wave, r.scheduled_ms)
+           for r in crawl_schedule(pages, delay_ms=500).collect()}
+    assert got == {
+        ("a.test", "http://a.test/1", 0, 0),
+        ("a.test", "http://a.test/2", 1, 500),
+        ("b.test", "http://b.test/1", 0, 0),
+    }
+
+
+def test_robots_filter_longest_prefix_and_ties(spark):
+    """Longest prefix wins (/pq allow over /p disallow); equal-length
+    duplicate rules resolve allow-over-disallow; no match (or no rules
+    at all) defaults to allowed; bare host normalizes to '/'."""
+    from shacl_rust_spark.ops.web import robots_filter
+
+    urls = spark.createDataFrame(
+        [("http://a.test/pq1",), ("http://a.test/p2",),
+         ("http://a.test/q7",), ("http://a.test/z",),
+         ("http://b.test",), ("http://c.test/x",)],
+        ["url"],
+    )
+    rules = spark.createDataFrame(
+        [("a.test", "/p", False), ("a.test", "/pq", True),
+         ("a.test", "/q", True), ("a.test", "/q", False),
+         ("b.test", "/", False)],
+        ["host", "path_prefix", "allow"],
+    )
+    got = {(r.url, r.matched_prefix, r.allowed)
+           for r in robots_filter(urls, rules).collect()}
+    assert got == {
+        ("http://a.test/pq1", "/pq", 1),
+        ("http://a.test/p2", "/p", 0),
+        ("http://a.test/q7", "/q", 1),
+        ("http://a.test/z", None, 1),
+        ("http://b.test", "/", 0),
+        ("http://c.test/x", None, 1),
+    }
