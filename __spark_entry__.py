@@ -135,6 +135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_anchor_text": O.kg_anchor_text,
         "crawl_schedule": O.crawl_schedule,
         "crawl_robots": O.crawl_robots,
+        "graph_scc": O.graph_scc,
+        "events_active_users": O.events_active_users,
+        "curation_url_dedup": O.curation_url_dedup,
+        "multimodal_vad": O.multimodal_vad,
         "curation_split": O.curation_split,
         "dedup_simhash_pairs": O.dedup_simhash_pairs,
         "kg_pages": K.kg_pages,
@@ -2748,6 +2752,115 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY n_anchors DESC, term ASC) AS rank
               FROM c) r
             WHERE rank <= 5
+        """,
+        # recursive closure + mutual-pair min — the exact semantics
+        # the Spark doubling loop computes
+        "graph_scc": _LINK_CTES.replace(
+            "WITH p", "WITH RECURSIVE p", 1).rstrip() + """,
+            edges AS MATERIALIZED (
+              SELECT DISTINCT src_host AS src, dst_host AS dst
+              FROM l WHERE dst_host <> ''),
+            nodes AS MATERIALIZED (
+              -- DISTINCT over UNION ALL: under WITH RECURSIVE,
+              -- DuckDB treats a bare UNION CTE body as a recursive
+              -- anchor/step pair and skips the dedup
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges) q),
+            reach AS (
+              SELECT src AS u, dst AS v FROM edges
+              UNION
+              SELECT r.u, e.dst AS v
+              FROM reach r JOIN edges e ON r.v = e.src),
+            m AS MATERIALIZED (
+              SELECT r1.u AS node, MIN(r1.v) AS mn
+              FROM reach r1
+              JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+              GROUP BY 1)
+            SELECT n.node,
+                   LEAST(n.node, COALESCE(m.mn, n.node)) AS scc_id
+            FROM nodes n LEFT JOIN m ON n.node = m.node
+        """,
+        # trailing-window distinct stated as the range join the
+        # contribution-explode plan is equivalent to
+        "events_active_users": """
+            WITH du AS (
+              SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            obs AS (SELECT DISTINCT day FROM du),
+            dau AS (
+              SELECT day, count(DISTINCT user_id) AS dau
+              FROM du GROUP BY 1),
+            wau AS (
+              SELECT o.day, count(DISTINCT du.user_id) AS wau
+              FROM du JOIN obs o
+                ON o.day >= du.day
+               AND o.day < du.day + INTERVAL 7 DAY
+              GROUP BY 1)
+            SELECT day, dau, wau FROM dau JOIN wau USING (day)
+        """,
+        "curation_url_dedup": """
+            WITH u AS (
+              SELECT CASE WHEN o_orderkey % 4 = 0
+                          THEN 'HTTP://' ELSE 'http://' END
+                  || CASE WHEN o_orderkey % 2 = 0
+                          THEN 'EX' ELSE 'ex' END
+                  || (o_custkey % 100) || '.test'
+                  || CASE WHEN o_orderkey % 5 = 0
+                          THEN ':80' ELSE '' END
+                  || '/p' || (o_orderkey % 40)
+                  || CASE WHEN o_orderkey % 3 = 0
+                          THEN '?utm_source=feed&b=2&a=1'
+                          WHEN o_orderkey % 3 = 1 THEN '?a=1&b=2'
+                          ELSE '' END
+                  || CASE WHEN o_orderkey % 7 = 0
+                          THEN '#sec' ELSE '' END AS url,
+                     'http://ex' || (o_custkey % 100) || '.test/p'
+                  || (o_orderkey % 40)
+                  || CASE WHEN o_orderkey % 3 IN (0, 1)
+                          THEN '?a=1&b=2' ELSE '' END
+                     AS canonical_url
+              FROM orders)
+            SELECT canonical_url, count(*) AS n_variants,
+                   min(url) AS kept_url
+            FROM u GROUP BY 1 HAVING count(*) > 1
+        """,
+        # every frame energy recomputed in closed form from the PCM
+        # sample formula; activity is the cross-multiplied integer
+        # mean compare; segments are the same run-length key
+        "multimodal_vad": """
+            WITH d AS (
+              SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
+            s AS (
+              -- fixed-bound series + WHERE i < n (DuckDB's
+              -- generate_series takes no lateral column args;
+              -- n is at most 64 + 31 = 95)
+              SELECT doc_id, i,
+                     ((doc_id * 7 + i) % 65536) - 32768 AS v
+              FROM d CROSS JOIN generate_series(0, 95) g(i)
+              WHERE i < n),
+            f AS (
+              SELECT doc_id, i // 16 AS frame, SUM(v * v) AS energy
+              FROM s GROUP BY 1, 2 HAVING count(*) = 16),
+            t AS (
+              SELECT doc_id, SUM(energy) AS tot, COUNT(*) AS nf
+              FROM f GROUP BY 1),
+            a AS (
+              SELECT f.doc_id, f.frame, f.energy
+              FROM f JOIN t ON f.doc_id = t.doc_id
+              WHERE f.energy * t.nf >= t.tot),
+            g AS (
+              SELECT doc_id, frame, energy,
+                     frame - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY frame) AS grp
+              FROM a)
+            SELECT doc_id,
+                   CAST(MIN(frame) AS BIGINT) AS seg_start,
+                   CAST(MAX(frame) AS BIGINT) AS seg_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_frames,
+                   CAST(SUM(energy) AS BIGINT) AS seg_energy
+            FROM g GROUP BY doc_id, grp
         """,
         "crawl_schedule": """
             WITH u AS (

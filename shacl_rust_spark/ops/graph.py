@@ -242,6 +242,76 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
     return out
 
 
+def scc(edges: DataFrame, max_pairs: int = 2_000_000) -> DataFrame:
+    """edges(src, dst) → (node, scc_id): strongly connected components
+    of the DIRECTED graph; scc_id is the lexicographically smallest
+    member of each component (a node outside any cycle is its own
+    component). Computed as mutual reachability over the transitive
+    closure — built by ITERATIVE DOUBLING (reach ⋈ reach per round, so
+    #rounds = ⌈log₂ diameter⌉, each round one join + dedup with a
+    localCheckpoint to keep the plan flat).
+
+    Charter: this is the bounded-verify formulation (the same cap
+    policy as engine/dataset.py's closure caps and the quadratic
+    jaccard/containment verify paths) — the closure is pair-quadratic
+    in the worst case, so it raises past ``max_pairs`` instead of
+    silently running a 100 TB cross product. At corpus scale the
+    production algorithm is forward-backward pivot partitioning
+    (Fleischer et al.'s FW-BW: pick a pivot, SCC = fwd-reach ∩
+    bwd-reach, recurse on the three remainders — each piece built with
+    the SAME frontier-BFS machinery as shacl_path_kleene_dist), which
+    never materializes all-pairs reachability; the gate states the
+    exact semantics that algorithm must reproduce."""
+    edges = _clean_edges(edges).localCheckpoint(eager=True)
+    reach = edges
+    n_reach = reach.count()
+    while True:
+        grown = (
+            reach.alias("a")
+            .join(
+                reach.alias("b"), F.col("a.dst") == F.col("b.src")
+            )
+            .select(F.col("a.src"), F.col("b.dst"))
+            .unionByName(reach)
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        n_grown = grown.count()
+        if n_grown > max_pairs:
+            raise ValueError(
+                f"transitive closure exceeded max_pairs={max_pairs}; "
+                "use the FW-BW decomposition for graphs this dense"
+            )
+        if n_grown == n_reach:
+            break
+        reach, n_reach = grown, n_grown
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates(["node"])
+    )
+    mutual = (
+        reach.alias("f")
+        .join(
+            reach.alias("g"),
+            (F.col("f.src") == F.col("g.dst"))
+            & (F.col("f.dst") == F.col("g.src")),
+        )
+        .select(
+            F.col("f.src").alias("node"),
+            F.col("f.dst").alias("other"),
+        )
+        .groupBy("node")
+        .agg(F.min("other").alias("min_other"))
+    )
+    return nodes.join(mutual, "node", "left").select(
+        "node",
+        F.least(
+            F.col("node"), F.coalesce("min_other", F.col("node"))
+        ).alias("scc_id"),
+    )
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """edges(src, dst) → (node, out_degree, in_degree) over the
     deduplicated edge set; nodes appearing only on one side report 0

@@ -823,6 +823,95 @@ def audio_features(
     )
 
 
+FRAME_ENERGY_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("frame", LongType(), False),   # 0-based full-window idx
+    StructField("energy", LongType(), False),  # Σ s² inside the window
+])
+
+
+def audio_frame_energies(
+    assets: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, frame, energy): per-AUDIO_WINDOW frame energies of
+    every WAV payload — decode stays in the Arrow mapInPandas kernel
+    (the numpy reshape-square-sum over PCM), everything AFTER the
+    frame table is DataFrame algebra. Non-WAV payloads pass over;
+    the trailing partial window is dropped (audio_features'
+    convention)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids: list[int] = []
+            frames: list[int] = []
+            energies: list[int] = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if raw[:4] != b"RIFF":
+                    continue
+                _, samples = decode_audio(raw)
+                s = np.asarray(samples, dtype=np.int64)
+                n_full = len(s) // AUDIO_WINDOW
+                win = (
+                    (s[: n_full * AUDIO_WINDOW] ** 2)
+                    .reshape(n_full, AUDIO_WINDOW).sum(axis=1)
+                )
+                ids.extend([int(rid)] * n_full)
+                frames.extend(range(n_full))
+                energies.extend(int(e) for e in win)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame": frames, "energy": energies}
+            )
+
+    return assets.select(id_col, payload_col).mapInPandas(
+        run, FRAME_ENERGY_SCHEMA
+    )
+
+
+def audio_vad_segments(assets: DataFrame) -> DataFrame:
+    """(doc_id, seg_start, seg_end, n_frames, seg_energy): energy-
+    threshold voice-activity segments per WAV — a frame is ACTIVE iff
+    its energy is at least the file's mean frame energy, compared
+    cross-multiplied (energy·n_frames ≥ Σenergy, the ahash integer
+    device — no float mean), and consecutive active frames merge into
+    segments via the run-length grouping key frame − row_number().
+
+    Plan shape: the Arrow kernel emits the frame table
+    (audio_frame_energies); ONE exchange on doc_id then serves the
+    mean (window sum), the activity filter, the run-length window,
+    and the final groupBy — the segment key (doc_id, grp) is a
+    superset of the doc_id partitioning so no second shuffle appears.
+    This is the batch twin of the streaming state-store pattern
+    (applyInPandasWithState sessionization) for bounded per-file
+    signals."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    f = audio_frame_energies(assets)
+    wdoc = Window.partitionBy("doc_id")
+    wrun = Window.partitionBy("doc_id").orderBy("frame")
+    active = (
+        f.withColumn("_tot", F.sum("energy").over(wdoc))
+        .withColumn("_nf", F.count(F.lit(1)).over(wdoc))
+        .where(F.col("energy") * F.col("_nf") >= F.col("_tot"))
+    )
+    runs = active.withColumn(
+        "_grp", F.col("frame") - F.row_number().over(wrun)
+    )
+    return (
+        runs.groupBy("doc_id", "_grp")
+        .agg(
+            F.min("frame").alias("seg_start"),
+            F.max("frame").alias("seg_end"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("energy").alias("seg_energy"),
+        )
+        .drop("_grp")
+    )
+
+
 # --- deterministic fake video container ------------------------------------
 # "FVID" + u32 frame count, then per frame u32 size + BMP bytes. A real
 # deployment swaps ffmpeg/pyav into the same decode slot; the container

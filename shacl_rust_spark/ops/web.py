@@ -66,6 +66,29 @@ def canonicalize_url(url: Column) -> Column:
     ).otherwise(base)
 
 
+def url_dedup_groups(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(canonical_url, n_variants, kept_url): URL-level duplicate
+    groups — canonicalize_url as the grouping key, deterministic
+    survivor = lexicographically smallest raw variant, only groups
+    with ≥2 variants emitted (the dedup decision table a crawl
+    pipeline joins back as an anti-join). One scan + one groupBy on
+    the canonical key; the agg output is bounded by duplicate groups,
+    tiny next to the frontier, and both aggregates combine
+    map-side."""
+    return (
+        pages.select(
+            F.col(url_col).alias("url"),
+            canonicalize_url(F.col(url_col)).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("url").alias("kept_url"),
+        )
+        .where(F.col("n_variants") > 1)
+    )
+
+
 def host_of(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, _HOST_RE, 1))
 

@@ -1341,3 +1341,64 @@ def crawl_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return web.robots_filter(urls, rules)
+
+
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (ops/graph.scc, mutual-reach
+    formulation with the doubling closure) over the hyperlink host
+    graph: the +1-mod-100 ring makes ex0..ex99 one giant SCC while
+    docs.test (no out-links) stays a singleton — the shape that
+    distinguishes SCC from undirected CC. Oracle: DuckDB recursive
+    closure + mutual join."""
+    g = kg_link_graph(spark, sf_dir)
+    edges = g.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return graph.scc(edges)
+
+
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU per observed day
+    (ops/events.active_users): the contribution-explode formulation —
+    a sliding COUNT(DISTINCT) doesn't decompose as a window function,
+    so each (user, day) is exploded onto the 7 days it supports and
+    re-aggregated; the oracle states the same window as a range
+    join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.active_users(ev, window_days=7)
+
+
+def curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level duplicate groups (ops/web.url_dedup_groups) over a
+    deliberately colliding messy-URL corpus (path keyed by ok%40, so
+    scheme/host case, :80, utm params, param order, and fragments
+    fold many raw variants onto each canonical). The oracle derives
+    the canonical key in closed form and groups identically."""
+    ok = F.col("o_orderkey")
+    c = (F.col("o_custkey") % 100).cast("string")
+    url = F.concat(
+        F.when(ok % 4 == 0, F.lit("HTTP://")).otherwise(
+            F.lit("http://")),
+        F.when(ok % 2 == 0, F.lit("EX")).otherwise(F.lit("ex")), c,
+        F.lit(".test"),
+        F.when(ok % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p"), (ok % 40).cast("string"),
+        F.when(ok % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(ok % 3 == 1, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+        F.when(ok % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    p = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        url.alias("url")
+    )
+    return web.url_dedup_groups(p)
+
+
+def multimodal_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity segments
+    (ops/multimodal.audio_vad_segments) over the synthetic WAVs: the
+    Arrow kernel computes real decoded frame energies, the DataFrame
+    layer does the mean threshold (cross-multiplied integers) and
+    run-length merge; the oracle recomputes every frame energy in
+    closed form from the PCM sample formula."""
+    assets = multimodal.synth_assets(_docs(spark, sf_dir))
+    return multimodal.audio_vad_segments(assets)

@@ -2272,3 +2272,93 @@ def test_robots_filter_longest_prefix_and_ties(spark):
         ("http://b.test", "/", 0),
         ("http://c.test/x", None, 1),
     }
+
+
+def test_scc_rings_and_tails(spark):
+    """1⇄2 and 3⇄4 are two SCCs; 2→3 connects them weakly (same
+    undirected CC, different SCCs); 5 hangs off a cycle so it is its
+    own singleton."""
+    from shacl_rust_spark.ops.graph import scc
+
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "1"), ("2", "3"),
+         ("3", "4"), ("4", "3"), ("4", "5")],
+        ["src", "dst"],
+    )
+    got = {(r.node, r.scc_id) for r in scc(edges).collect()}
+    assert got == {
+        ("1", "1"), ("2", "1"), ("3", "3"), ("4", "3"), ("5", "5"),
+    }
+
+
+def test_scc_cap_raises(spark):
+    from shacl_rust_spark.ops.graph import scc
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(str(i), str((i + 1) % 6)) for i in range(6)], ["src", "dst"]
+    )
+    with pytest.raises(ValueError, match="max_pairs"):
+        scc(edges, max_pairs=10)
+
+
+def test_active_users_trailing_window(spark):
+    """u1/u2 on day 1, u1 again on day 3: dau counts the day, wau
+    folds day-1 users into day 3's trailing week."""
+    from datetime import datetime
+    from shacl_rust_spark.ops.events import active_users
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 8), 10),
+         (2, datetime(2024, 1, 1, 9), 20),
+         (3, datetime(2024, 1, 3, 7), 10),
+         (4, datetime(2024, 1, 3, 23), 10)],
+        ["event_id", "ts", "user_id"],
+    )
+    got = {(str(r.day), r.dau, r.wau)
+           for r in active_users(ev, window_days=7).collect()}
+    assert got == {
+        ("2024-01-01 00:00:00", 2, 2),
+        ("2024-01-03 00:00:00", 1, 2),
+    }
+
+
+def test_url_dedup_groups_collapses_variants(spark):
+    from shacl_rust_spark.ops.web import url_dedup_groups
+
+    pages = spark.createDataFrame(
+        [("HTTP://Ex.test:80/a?b=2&a=1#frag",),
+         ("http://ex.test/a?a=1&b=2",),
+         ("http://ex.test/solo",)],
+        ["url"],
+    )
+    got = {(r.canonical_url, r.n_variants, r.kept_url)
+           for r in url_dedup_groups(pages).collect()}
+    assert got == {
+        ("http://ex.test/a?a=1&b=2", 2,
+         "HTTP://Ex.test:80/a?b=2&a=1#frag"),
+    }
+
+
+def test_audio_vad_segments_runs_merge(spark):
+    """Frames 0-1 loud, frame 2 silent: the two active frames merge
+    into one segment; a lone loud frame stays a 1-frame segment."""
+    from shacl_rust_spark.ops.multimodal import (
+        AUDIO_WINDOW, audio_vad_segments, encode_wav_pcm16,
+    )
+
+    loud = [1000] * AUDIO_WINDOW
+    quiet = [1] * AUDIO_WINDOW
+    wav1 = encode_wav_pcm16(8000, loud + loud + quiet)
+    wav2 = encode_wav_pcm16(8000, quiet + loud + quiet)
+    assets = spark.createDataFrame(
+        [(1, bytearray(wav1)), (2, bytearray(wav2))],
+        "doc_id long, payload binary",
+    )
+    got = {(r.doc_id, r.seg_start, r.seg_end, r.n_frames, r.seg_energy)
+           for r in audio_vad_segments(assets).collect()}
+    e_loud = 1000 * 1000 * AUDIO_WINDOW
+    assert got == {
+        (1, 0, 1, 2, 2 * e_loud),
+        (2, 1, 1, 1, e_loud),
+    }
