@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": O.crawl_schedule,
         "crawl_robots": O.crawl_robots,
         "graph_scc": O.graph_scc,
+        "olap_compaction": O.olap_compaction,
+        "kg_microdata": O.kg_microdata,
         "events_active_users": O.events_active_users,
         "curation_url_dedup": O.curation_url_dedup,
         "multimodal_vad": O.multimodal_vad,
@@ -2752,6 +2754,45 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY n_anchors DESC, term ASC) AS rank
               FROM c) r
             WHERE rank <= 5
+        """,
+        # size-desc start-offset bucketing: the same prefix-sum window
+        "olap_compaction": """
+            WITH fl AS (
+              SELECT l_linestatus AS part,
+                     l_orderkey % 500 AS file_id,
+                     CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT))
+                       AS BIGINT) AS bytes
+              FROM lineitem GROUP BY 1, 2),
+            s AS (
+              SELECT part, file_id, bytes,
+                     CAST(COALESCE(SUM(bytes) OVER (
+                       PARTITION BY part
+                       ORDER BY bytes DESC, file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS strt
+              FROM fl)
+            SELECT part, file_id, bytes, strt // 2500 AS bucket
+            FROM s
+        """,
+        # identical JSON text rebuilt, read back via JSON paths; the
+        # block-less fourth page must drop out on both engines
+        "kg_microdata": """
+            WITH p AS (
+              SELECT 'http://ex' || (p_partkey % 100) || '.test/p'
+                       || p_partkey AS url,
+                     CASE WHEN p_partkey % 4 != 0 THEN
+                       '{"@type": "Product", "name": "part '
+                       || p_partkey || '", "offers": {"price": '
+                       || CAST(ROUND(p_retailprice * 100, 0)
+                               AS BIGINT) || '}}'
+                     ELSE '' END AS j
+              FROM part)
+            SELECT url,
+                   json_extract_string(j, '$."@type"') AS item_type,
+                   json_extract_string(j, '$.name') AS item_name,
+                   CAST(json_extract_string(j, '$.offers.price')
+                     AS BIGINT) AS price
+            FROM p WHERE j <> ''
         """,
         # recursive closure + mutual-pair min — the exact semantics
         # the Spark doubling loop computes

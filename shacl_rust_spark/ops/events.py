@@ -431,6 +431,9 @@ def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
             F.date_trunc("day", "ts").alias("day"), "user_id"
         )
         .dropDuplicates(["day", "user_id"])
+        # three consumers (dau, observed days, the explode) — without
+        # this the full event scan + distinct re-runs per branch
+        .localCheckpoint(eager=True)
     )
     obs = du.select("day").dropDuplicates(["day"])
     dau = du.groupBy("day").agg(

@@ -448,3 +448,42 @@ def zorder_pruning_stats(
             .otherwise(F.lit(0)).alias("hit_b"),
         )
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    part_col: str = "part",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """(part, file_id, bytes, bucket): the small-file compaction
+    planner every lakehouse maintenance job runs — within each table
+    partition, lay the files out in (bytes desc, file_id) order and
+    cut the stream into ~``target_bytes`` rewrite groups by STARTING
+    offset (bucket = start_offset DIV target). Size-descending order
+    front-loads big files so most groups land within one file of the
+    target; the start-offset rule (not a running best-fit) is chosen
+    because it is a pure prefix sum two engines compute identically —
+    true first-fit-decreasing is order-sequential state that has no
+    deterministic set formulation.
+
+    One window per partition key over a METADATA-sized input (one row
+    per data file — millions of rows for a petabyte table, never data-
+    sized); partitions plan independently and in parallel, which is
+    also how the rewrite executes."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.desc(bytes_col), F.asc(file_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(bytes_col).over(w), F.lit(0))
+    return files.select(
+        part_col, file_col, bytes_col,
+        start.cast("bigint").alias("_start"),
+    ).select(
+        part_col, file_col, bytes_col,
+        F.expr(f"_start DIV {int(target_bytes)}").alias("bucket"),
+    )

@@ -1402,3 +1402,59 @@ def multimodal_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form from the PCM sample formula."""
     assets = multimodal.synth_assets(_docs(spark, sf_dir))
     return multimodal.audio_vad_segments(assets)
+
+
+def olap_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (ops/olap.compaction_plan) over
+    a synthetic per-partition file manifest built from lineitem
+    (part = linestatus, file_id = orderkey mod 500, bytes = the
+    file's integral quantity sum): size-descending start-offset
+    bucketing at target 2500 — the deterministic set formulation of
+    bin packing both engines compute identically."""
+    from .ops import olap
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    files = (
+        li.groupBy(
+            F.col("l_linestatus").alias("part"),
+            (F.col("l_orderkey") % 500).alias("file_id"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("bigint"))
+            .cast("bigint").alias("bytes")
+        )
+    )
+    return olap.compaction_plan(files, target_bytes=2500)
+
+
+def kg_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD extraction (ops/web.extract_structured_data)
+    over a deterministic product-page crawl from part: three of every
+    four pages embed an ld+json Product block (name + integer-cent
+    offer price); the fourth has none and must drop out. The oracle
+    rebuilds the identical JSON text and reads it back with DuckDB's
+    JSON path functions."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pk = F.col("p_partkey").cast("bigint")
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+    block = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type": "Product", "name": "part '),
+        pk.cast("string"),
+        F.lit('", "offers": {"price": '),
+        cents.cast("string"),
+        F.lit("}}</script>"),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(pk % 4 != 0, block).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = p.select(
+        F.concat(
+            F.lit("http://ex"), (pk % 100).cast("string"),
+            F.lit(".test/p"), pk.cast("string"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return web.extract_structured_data(pages)

@@ -2362,3 +2362,38 @@ def test_audio_vad_segments_runs_merge(spark):
         (1, 0, 1, 2, 2 * e_loud),
         (2, 1, 1, 1, e_loud),
     }
+
+
+def test_compaction_plan_start_offset_buckets(spark):
+    """Sizes [10,7,3,2] at target 10: starts 0/10/17/20 → buckets
+    0/1/1/2; a second partition plans independently."""
+    from shacl_rust_spark.ops.olap import compaction_plan
+
+    files = spark.createDataFrame(
+        [("A", 1, 10), ("A", 2, 7), ("A", 3, 3), ("A", 4, 2),
+         ("B", 9, 1)],
+        ["part", "file_id", "bytes"],
+    )
+    got = {(r.part, r.file_id, r.bucket)
+           for r in compaction_plan(files, target_bytes=10).collect()}
+    assert got == {
+        ("A", 1, 0), ("A", 2, 1), ("A", 3, 1), ("A", 4, 2),
+        ("B", 9, 0),
+    }
+
+
+def test_extract_structured_data_block_and_blockless(spark):
+    from shacl_rust_spark.ops.web import extract_structured_data
+
+    h1 = (b'<html><head><script type="application/ld+json">'
+          b'{"@type": "Book", "name": "moby", '
+          b'"offers": {"price": 999}}</script></head></html>')
+    h2 = b"<html><head></head><body>no block</body></html>"
+    pages = spark.createDataFrame(
+        [("http://a.test/1", bytearray(h1)),
+         ("http://a.test/2", bytearray(h2))],
+        "url string, html binary",
+    )
+    got = {(r.url, r.item_type, r.item_name, r.price)
+           for r in extract_structured_data(pages).collect()}
+    assert got == {("http://a.test/1", "Book", "moby", 999)}
