@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": O.events_anomaly,
         "graph_triangles": O.graph_triangles,
         "events_attribution_stream": O.events_attribution_stream,
+        "events_attribution_stream_outer":
+            O.events_attribution_stream_outer,
         "events_transitions": O.events_transitions,
         "graph_kcore": O.graph_kcore,
         "graph_common_neighbors": O.graph_common_neighbors,
@@ -138,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": O.graph_scc,
         "olap_compaction": O.olap_compaction,
         "kg_microdata": O.kg_microdata,
+        "crawl_sitemap": O.crawl_sitemap,
+        "graph_assortativity": O.graph_assortativity,
+        "text_stem": O.text_stem,
         "events_active_users": O.events_active_users,
         "curation_url_dedup": O.curation_url_dedup,
         "multimodal_vad": O.multimodal_vad,
@@ -2755,6 +2760,87 @@ def oracle_sql() -> dict[str, str]:
               FROM c) r
             WHERE rank <= 5
         """,
+        # same <loc> regex + NOT EXISTS against the frontier; the
+        # relative loc drops on the empty-host filter both sides
+        "crawl_sitemap": """
+            WITH p AS (
+              SELECT 'http://ex' || (o_custkey % 100) || '.test'
+                       AS base,
+                     o_orderkey AS ok
+              FROM orders),
+            x AS (
+              SELECT '<urlset><url><loc>' || base || '/o' || ok
+                     || '</loc></url><url><loc>' || base || '/n' || ok
+                     || '</loc></url>'
+                     || CASE WHEN ok % 4 = 0
+                             THEN '<url><loc>/rel</loc></url>'
+                             ELSE '' END
+                     || '</urlset>' AS xml
+              FROM p),
+            locs AS (
+              SELECT DISTINCT unnest(regexp_extract_all(xml,
+                       '<loc>([^<]*)</loc>', 1)) AS loc
+              FROM x),
+            f AS (SELECT base || '/o' || ok AS url FROM p)
+            SELECT lower(regexp_extract(loc,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                     AS host,
+                   loc
+            FROM locs l
+            WHERE lower(regexp_extract(loc,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) <> ''
+              AND NOT EXISTS (SELECT 1 FROM f WHERE f.url = l.loc)
+        """,
+        # identical integer Pearson components over the same degrees
+        "graph_assortativity": _LINK_CTES + """
+            , edges AS (
+              SELECT DISTINCT src_host AS src, dst_host AS dst
+              FROM l WHERE dst_host <> ''),
+            od AS (SELECT src, count(*) AS x FROM edges GROUP BY 1),
+            id_ AS (SELECT dst, count(*) AS y FROM edges GROUP BY 1),
+            xy AS (
+              SELECT od.x, id_.y FROM edges e
+              JOIN od ON e.src = od.src
+              JOIN id_ ON e.dst = id_.dst)
+            SELECT CAST(count(*) AS BIGINT) AS m,
+                   CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y)
+                     AS BIGINT) AS num,
+                   CAST(count(*) * SUM(x * x) - SUM(x) * SUM(x)
+                     AS BIGINT) AS den_x,
+                   CAST(count(*) * SUM(y * y) - SUM(y) * SUM(y)
+                     AS BIGINT) AS den_y
+            FROM xy
+        """,
+        # the CASE chain mirrors s_stem rule-for-rule
+        "text_stem": """
+            WITH v AS (
+              SELECT word, count(*) AS n FROM (
+                SELECT unnest(string_split_regex(trim(text), ' +'))
+                  AS word FROM documents) u
+              WHERE word <> '' GROUP BY 1),
+            s AS (
+              -- suffix selects the branch; the exception list means
+              -- 'unchanged', never 'fall through' (see ops/text.s_stem)
+              SELECT CASE
+                WHEN regexp_matches(word, 'ies$') THEN
+                  CASE WHEN NOT regexp_matches(word, '(aies|eies)$')
+                       THEN regexp_replace(word, 'ies$', 'y')
+                       ELSE word END
+                WHEN regexp_matches(word, 'es$') THEN
+                  CASE WHEN NOT regexp_matches(word,
+                                               '(aes|ees|oes)$')
+                       THEN regexp_replace(word, 's$', '')
+                       ELSE word END
+                WHEN regexp_matches(word, 's$') THEN
+                  CASE WHEN NOT regexp_matches(word, '(us|ss)$')
+                       THEN regexp_replace(word, 's$', '')
+                       ELSE word END
+                ELSE word END AS stem, n
+              FROM v)
+            SELECT stem, CAST(SUM(n) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_forms
+            FROM s GROUP BY 1
+        """,
         # size-desc start-offset bucketing: the same prefix-sum window
         "olap_compaction": """
             WITH fl AS (
@@ -3125,6 +3211,21 @@ def oracle_sql() -> dict[str, str]:
              AND c.event_type = 'click' AND v.event_type = 'view'
              AND c.ts >= v.ts
              AND c.ts <= v.ts + INTERVAL 30 MINUTE
+        """,
+        # the batch LEFT range join the flushed replay must equal;
+        # nullable click columns cross as VARCHAR (NULL-safe through
+        # the pandas bridge, unlike BIGINT→NaN / TIMESTAMP→NaT)
+        "events_attribution_stream_outer": """
+            SELECT v.event_id AS view_id, v.user_id,
+                   v.ts AS view_ts, v.value AS view_value,
+                   CAST(c.event_id AS VARCHAR) AS click_id_s,
+                   CAST(c.ts AS VARCHAR) AS click_ts_s
+            FROM events v LEFT JOIN events c
+              ON v.user_id = c.user_id
+             AND c.event_type = 'click'
+             AND c.ts >= v.ts
+             AND c.ts <= v.ts + INTERVAL 30 MINUTE
+            WHERE v.event_type = 'view'
         """,
         "kg_pages": _KG_CTE + """
             SELECT url, 'en' AS lang, text,

@@ -675,3 +675,45 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
              - F.col("deg_sum") * F.col("deg_sum")).alias("q_num"),
         )
     )
+
+
+def assortativity_terms(edges: DataFrame) -> DataFrame:
+    """One row of exact-integer Pearson components for DIRECTED
+    out-in degree assortativity (Newman 2002; the out-in variant):
+    per edge u→v, x = outdeg(u), y = indeg(v);
+
+        r = (m·Σxy − Σx·Σy) / √((m·Σx² − (Σx)²) · (m·Σy² − (Σy)²))
+
+    emitted as (m, num, den_x, den_y) with num = m·Σxy − Σx·Σy,
+    den_x = m·Σx² − (Σx)², den_y = m·Σy² − (Σy)² — the square root
+    belongs to the consumer, so no float ever crosses the engine
+    boundary (the rank_rrf/modularity device). Plan: degrees are two
+    node-sized aggregates joined back onto the edge list (AQE
+    broadcasts them against a big edge side), then ONE global
+    single-row aggregate — partial-aggregated map-side, constant
+    output."""
+    edges = _clean_edges(edges)
+    outd = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    ind = edges.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    xy = edges.join(outd, "src").join(ind, "dst")
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    return agg.select(
+        F.col("m").cast("bigint").alias("m"),
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint").alias("num"),
+        (F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx"))
+        .cast("bigint").alias("den_x"),
+        (F.col("m") * F.col("sy2") - F.col("sy") * F.col("sy"))
+        .cast("bigint").alias("den_y"),
+    )

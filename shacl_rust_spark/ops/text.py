@@ -779,3 +779,61 @@ def winsorize_lengths(
             .otherwise(F.lit(0)).alias("was_clipped"),
         )
     )
+
+
+def s_stem(word: F.Column) -> F.Column:
+    """Harman's S-stemmer (1991) — the three-rule plural stripper IR
+    pipelines use when Porter is overkill: IES→Y (unless preceded by
+    a/e), drop ES (unless preceded by a/e/o... i.e. only for -Ces
+    where the e belongs to the suffix), drop final S (unless -US/-SS).
+    Pure nested CASE on string suffixes. The branch is selected by
+    the SUFFIX alone; each rule's exception list means 'leave the
+    word unchanged', NOT 'fall through to the next rule' — 'goes'
+    takes the -es branch and stays 'goes', it does not fall through
+    to the -s rule (the reading under which the exception lists
+    actually protect anything)."""
+    return (
+        F.when(
+            word.rlike("ies$"),
+            F.when(
+                ~word.rlike("(aies|eies)$"),
+                F.regexp_replace(word, "ies$", "y"),
+            ).otherwise(word),
+        )
+        .when(
+            word.rlike("es$"),
+            F.when(
+                ~word.rlike("(aes|ees|oes)$"),
+                F.regexp_replace(word, "s$", ""),
+            ).otherwise(word),
+        )
+        .when(
+            word.rlike("s$"),
+            F.when(
+                ~word.rlike("(us|ss)$"),
+                F.regexp_replace(word, "s$", ""),
+            ).otherwise(word),
+        )
+        .otherwise(word)
+    )
+
+
+def stemmed_vocabulary(docs: DataFrame) -> DataFrame:
+    """(stem, n_words, n_forms): the corpus vocabulary folded through
+    the S-stemmer — n_words = total occurrences, n_forms = distinct
+    surface forms per stem. One scan + one vocabulary groupBy + one
+    stem groupBy (both map-side combined, both vocabulary-sized)."""
+    vocab = (
+        docs.select(F.explode(word_array()).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        vocab.select(s_stem(F.col("word")).alias("stem"), "n", "word")
+        .groupBy("stem")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.count(F.lit(1)).alias("n_forms"),
+        )
+    )

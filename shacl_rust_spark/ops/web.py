@@ -336,3 +336,31 @@ def extract_structured_data(
             .alias("price"),
         )
     )
+
+
+def sitemap_discovery(
+    pages: DataFrame,
+    frontier: DataFrame,
+    html_col: str = "html",
+) -> DataFrame:
+    """(host, loc): URLs found in sitemap <loc> entries that are NOT
+    already in the crawl frontier — the discovery step a crawler runs
+    on every sitemap fetch. One regexp_extract_all over the decoded
+    bytes, a distinct, and a LEFT ANTI join against the frontier
+    keyed by the full URL (the frontier side is the big one at crawl
+    scale; the anti join shuffles both on the URL key once — or rides
+    an existing frontier bucketing, the olap_bucketed_join contract).
+    Relative <loc> values (no scheme://host) are dropped — sitemaps
+    require absolute URLs."""
+    locs = F.regexp_extract_all(
+        F.decode(F.col(html_col), "UTF-8"),
+        F.lit(r"<loc>([^<]*)</loc>"), 1,
+    )
+    found = (
+        pages.select(F.explode(locs).alias("loc"))
+        .where(host_of(F.col("loc")) != "")
+        .dropDuplicates(["loc"])
+    )
+    return found.join(
+        frontier.select(F.col("url").alias("loc")), "loc", "left_anti"
+    ).select(host_of(F.col("loc")).alias("host"), "loc")

@@ -1458,3 +1458,65 @@ def kg_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(html, "UTF-8").alias("html"),
     )
     return web.extract_structured_data(pages)
+
+
+def events_attribution_stream_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join
+    (streaming/stream.attribution_outer_replay): views ⋈ clicks within
+    a 30-minute horizon PLUS eviction-driven null rows for unconverted
+    views — the replay appends a sentinel past every view's horizon so
+    the final watermark flushes the tail, making the full replay equal
+    the batch left range join (the oracle). Nullable click columns
+    cross as strings (the NULL-through-pandas device)."""
+    from .streaming.stream import attribution_outer_replay
+
+    return attribution_outer_replay(spark, f"{sf_dir}/events.parquet")
+
+
+def crawl_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap URL discovery (ops/web.sitemap_discovery): each host's
+    sitemap lists one already-known URL (/o{ok}, in the frontier), one
+    new URL (/n{ok}) and — every fourth page — a relative <loc> that
+    must drop; only the new absolute URLs survive the frontier
+    anti-join. Oracle: same regex + NOT EXISTS."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = (F.col("o_custkey") % 100).cast("string")
+    ok = F.col("o_orderkey").cast("bigint")
+    base = F.concat(F.lit("http://ex"), c, F.lit(".test"))
+    xml = F.concat(
+        F.lit("<urlset><url><loc>"),
+        base, F.lit("/o"), ok.cast("string"),
+        F.lit("</loc></url><url><loc>"),
+        base, F.lit("/n"), ok.cast("string"),
+        F.lit("</loc></url>"),
+        F.when(ok % 4 == 0,
+               F.lit("<url><loc>/rel</loc></url>"))
+        .otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    pages = o.select(F.encode(xml, "UTF-8").alias("html"))
+    frontier = o.select(
+        F.concat(base, F.lit("/o"), ok.cast("string")).alias("url")
+    )
+    return web.sitemap_discovery(pages, frontier)
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Pearson components for out-in degree
+    assortativity (ops/graph.assortativity_terms) over the hyperlink
+    host graph: (m, num, den_x, den_y) with r = num/√(den_x·den_y)
+    left to the consumer — no float crosses the engine boundary."""
+    g = kg_link_graph(spark, sf_dir)
+    edges = g.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return graph.assortativity_terms(edges)
+
+
+def text_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-stemmer vocabulary fold (ops/text.stemmed_vocabulary):
+    Harman's three plural rules collapse surface forms onto stems;
+    the oracle mirrors the CASE chain byte-for-byte."""
+    return text.stemmed_vocabulary(_docs(spark, sf_dir))

@@ -166,6 +166,145 @@ def attribution_replay(
     return out
 
 
+def streaming_attribution_join_outer(
+    views: DataFrame, clicks: DataFrame,
+    horizon: str = "30 minutes", delay: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view paired with
+    its horizon-window clicks, PLUS a null row for every view that
+    gets none — the unconverted-impression stream, which the inner
+    join (streaming_attribution_join) structurally cannot produce.
+
+    The hard semantics is WHEN the null row may be emitted: only once
+    the watermark passes view_ts + horizon can the engine prove no
+    matching click is still coming, so unmatched views are emitted by
+    state eviction, not by data arrival. Consequence: at end-of-input
+    the tail of the view stream sits below the final watermark
+    forever — a replay that must equal the batch left join appends a
+    sentinel event past max_ts + horizon + delay to flush it
+    (attribution_outer_replay does exactly that, then filters the
+    sentinel back out). State bounds are the inner join's: both
+    stores evict at the watermark ± horizon.
+
+    The nullable click columns are emitted as STRINGS (click_id_s,
+    click_ts_s): a NULL BIGINT/TIMESTAMP round-trips through the
+    oracle's pandas bridge as NaN/NaT, a NULL VARCHAR stays NULL —
+    the same cross-engine-NULL device as the ROLLUP calendar keys."""
+    v = (
+        views.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+    )
+    c = (
+        clicks.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("_cu"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    return (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("_cu"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts")
+               <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+            "leftOuter",
+        )
+        .select(
+            "view_id", "user_id", "view_ts", "view_value",
+            F.col("click_id").cast("string").alias("click_id_s"),
+            F.col("click_ts").cast("string").alias("click_ts_s"),
+        )
+    )
+
+
+def attribution_outer_replay(
+    spark: SparkSession, events_path: str, n_chunks: int = 4
+) -> DataFrame:
+    """Replay harness for the LEFT OUTER interval join: the events
+    table as two in-order streams plus one sentinel chunk (a view and
+    a click at max_ts + 2 h, user_id −1) whose only purpose is to
+    push the final watermark past every real view's horizon so the
+    eviction-driven null rows all emit; sentinel rows are filtered
+    back out. Result equals the batch left range join — the DuckDB
+    oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = child
+
+    pdf = spark.read.parquet(events_path).toPandas()
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    flush_ts = pdf["ts"].max() + pd.Timedelta(hours=2)
+    sentinel = pd.DataFrame({
+        "event_id": [-1, -2],
+        "ts": [flush_ts, flush_ts],
+        "user_id": [-1, -1],
+        "event_type": ["view", "click"],
+    })
+    for col in pdf.columns:
+        if col not in sentinel.columns:
+            sentinel[col] = None
+    sentinel = sentinel[list(pdf.columns)].astype(pdf.dtypes.to_dict())
+    d = tempfile.mkdtemp(prefix="attr_outer_replay_")
+    try:
+        step = (len(pdf) + n_chunks - 1) // n_chunks
+        for k, i in enumerate(range(0, len(pdf), step)):
+            pq.write_table(
+                pa.Table.from_pandas(pdf.iloc[i:i + step],
+                                     preserve_index=False),
+                f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
+        pq.write_table(
+            pa.Table.from_pandas(sentinel, preserve_index=False),
+            f"{d}/chunk-{n_chunks + 1:03d}.parquet",
+            coerce_timestamps="us")
+        schema = spark.read.parquet(d).schema
+
+        def src():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+
+        joined = streaming_attribution_join_outer(
+            src().where(F.col("event_type") == "view"),
+            src().where(F.col("event_type") == "click"),
+        )
+        name = "attr_outer_replay_" + uuid.uuid4().hex[:8]
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .where(F.col("user_id") >= 0)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def streaming_cdc_apply(
     spark: SparkSession,
     changelog_dir: str,

@@ -2397,3 +2397,49 @@ def test_extract_structured_data_block_and_blockless(spark):
     got = {(r.url, r.item_type, r.item_name, r.price)
            for r in extract_structured_data(pages).collect()}
     assert got == {("http://a.test/1", "Book", "moby", 999)}
+
+
+def test_sitemap_discovery_anti_join_and_relative_drop(spark):
+    from shacl_rust_spark.ops.web import sitemap_discovery
+
+    xml = (b"<urlset><url><loc>http://a.test/known</loc></url>"
+           b"<url><loc>http://a.test/new</loc></url>"
+           b"<url><loc>/relative</loc></url>"
+           b"<url><loc>http://b.test/other</loc></url></urlset>")
+    pages = spark.createDataFrame(
+        [(bytearray(xml),)], "html binary")
+    frontier = spark.createDataFrame(
+        [("http://a.test/known",)], ["url"])
+    got = {(r.host, r.loc)
+           for r in sitemap_discovery(pages, frontier).collect()}
+    assert got == {("a.test", "http://a.test/new"),
+                   ("b.test", "http://b.test/other")}
+
+
+def test_assortativity_terms_hand_computed(spark):
+    """Star 1→2,1→3 plus 2→3: edges (x=outdeg(src), y=indeg(dst)) are
+    (2,1),(2,2),(1,2): m=3, Σxy=8, Σx=5, Σy=5, Σx²=9, Σy²=9 →
+    num=24−25=−1, den_x=27−25=2, den_y=2."""
+    from shacl_rust_spark.ops.graph import assortativity_terms
+
+    edges = spark.createDataFrame(
+        [("1", "2"), ("1", "3"), ("2", "3")], ["src", "dst"]
+    )
+    r = assortativity_terms(edges).collect()[0]
+    assert (r.m, r.num, r.den_x, r.den_y) == (3, -1, 2, 2)
+
+
+def test_s_stem_rules(spark):
+    from shacl_rust_spark.ops.text import s_stem
+
+    cases = [
+        # exception lists leave the word unchanged (no fall-through)
+        ("cities", "city"), ("eies", "eies"),
+        ("batches", "batche"), ("goes", "goes"),
+        ("cats", "cat"), ("glass", "glass"),      # s  / guard
+        ("virus", "virus"), ("dog", "dog"),
+    ]
+    df = spark.createDataFrame([(w,) for w, _ in cases], ["w"])
+    got = [r.s for r in df.select(s_stem(F.col("w")).alias("s"))
+           .collect()]
+    assert got == [want for _, want in cases]

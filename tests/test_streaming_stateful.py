@@ -367,3 +367,39 @@ def test_compact_cdc_snapshot_drops_only_expired_tombstones(spark, tmp_path):
     assert got == {(1, False), (3, True), (4, False)}  # key 2 purged
     # the young tombstone still blocks a stale upsert (seq 4 < 5)
     assert (3, True) in got
+
+
+def test_stream_stream_attribution_outer_emits_null_rows(spark, tmp_path):
+    """The left-outer variant must additionally emit null rows for
+    the never-clicked view AND for the out-of-horizon-only view —
+    including a TAIL view whose horizon extends past the last real
+    event (only the sentinel flush can evict it)."""
+    import datetime as dt
+    import os
+
+    from shacl_rust_spark.streaming.stream import (
+        attribution_outer_replay,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 5.0, "{}"),                       # clicked
+        (2, t0 + dt.timedelta(minutes=10), 1, "click", 0.0, "{}"),
+        (3, t0, 2, "view", 7.0, "{}"),                       # never
+        # user 3: click arrives 31 min later — outside horizon
+        (4, t0, 3, "view", 1.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=31), 3, "click", 0.0, "{}"),
+        # tail view: last real event, nothing after it
+        (6, t0 + dt.timedelta(minutes=40), 4, "view", 2.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value", "props"])
+    d = str(tmp_path / "attr_outer_events")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   f"{d}/events.parquet", coerce_timestamps="us")
+    out = attribution_outer_replay(spark, f"{d}/events.parquet",
+                                   n_chunks=3)
+    got = {(r.view_id, r.click_id_s) for r in out.collect()}
+    assert got == {(1, "2"), (3, None), (4, None), (6, None)}
