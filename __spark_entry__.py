@@ -708,12 +708,18 @@ def _bpe_ctes(rounds: int, carry_word: bool) -> str:
               SELECT pr, cnt FROM p{r}
               ORDER BY cnt DESC, pr ASC LIMIT 1),
             w{r} AS MATERIALIZED (
-              SELECT {wsel}replace(s,
-                       '(' || replace(pr, chr(1), ')(') || ')',
-                       '(' || replace(pr, chr(1), '') || ')') AS s,
+              SELECT {wsel}CASE WHEN b.pr IS NULL THEN s
+                       ELSE replace(s,
+                         '(' || replace(b.pr, chr(1), ')(') || ')',
+                         '(' || replace(b.pr, chr(1), '') || ')')
+                       END AS s,
                      freq
-              FROM w{r - 1}, b{r})""")
-        # noqa: the cross join against the 1-row argmax is the merge
+              FROM w{r - 1} LEFT JOIN b{r} b ON TRUE)""")
+        # LEFT JOIN against the 1-row argmax (not a cross join): a
+        # corpus that exhausts its mergeable pairs before `rounds`
+        # leaves b{r} empty, and the vocabulary must carry through
+        # unchanged — a cross join would empty every later stage,
+        # diverging from the Spark encoder, which just stops merging
     return ",".join(ctes)
 
 

@@ -234,7 +234,10 @@ def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
     then one window per url picks the winning rule
     (matched desc, prefix length desc, allow desc, prefix asc —
     fully deterministic). Root path normalizes to '/' so bare
-    http://host matches '/' rules."""
+    http://host matches '/' rules. Output is a DECISION TABLE keyed
+    by DISTINCT url (made explicit with dropDuplicates): a frontier
+    with repeated urls collapses here — consumers needing per-row
+    verdicts join this table back on url."""
     from pyspark.sql import Window
 
     path = F.regexp_replace(
@@ -244,7 +247,7 @@ def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
         "url",
         host_of(F.col("url")).alias("host"),
         F.when(path == "", F.lit("/")).otherwise(path).alias("_path"),
-    )
+    ).dropDuplicates(["url"])
     j = u.join(F.broadcast(rules), "host", "left").withColumn(
         "_matched",
         F.col("path_prefix").isNotNull()

@@ -105,19 +105,39 @@ def streaming_attribution_join(
     )
 
 
-def attribution_replay(
-    spark: SparkSession, events_path: str, n_chunks: int = 4
+def _attribution_chunk_replay(
+    spark: SparkSession,
+    events_path: str,
+    n_chunks: int,
+    join_fn,
+    out_schema: str,
+    sentinel: bool = False,
 ) -> DataFrame:
-    """Gate harness for the stream-stream join: replay the events
-    table as two in-order streams (views / clicks filtered from the
-    same ascending-ts chunk files) through streaming_attribution_join
-    and return the joined pairs — equal to the batch range join, the
-    DuckDB oracle. The driver-side chunk write is the replay FIXTURE,
-    not the operator (production sources are Kafka topics)."""
+    """Shared chunked-replay scaffold for the attribution joins:
+    replay the events table as two in-order streams (views / clicks
+    filtered from the same ascending-ts chunk files) through
+    ``join_fn`` and return the sink contents. The driver-side chunk
+    write is the replay FIXTURE, not the operator (production sources
+    are Kafka topics). Empty input short-circuits to an empty frame
+    of ``out_schema`` (the chunking loop can't run on zero rows).
+
+    With ``sentinel`` a watermark-flush pair (view + click at
+    max_ts + 2 h, user_id −1) is appended INSIDE the final chunk —
+    never as its own file: FileStreamSource orders initial files by
+    modification time with millisecond granularity, so a separate
+    back-to-back-written sentinel file could TIE with the last data
+    chunk and be processed first, jumping the watermark past the
+    unprocessed tail and mass-dropping it as late. Inside the final
+    chunk the sentinel cannot precede the data it shares a batch
+    with, and the watermark only advances after that batch. Sentinel
+    rows are filtered back out NULL-safely (a NULL user_id row is
+    real data and must survive the filter, matching the batch
+    oracle)."""
     import shutil
     import tempfile
     import uuid
 
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -130,13 +150,28 @@ def attribution_replay(
 
     pdf = spark.read.parquet(events_path).toPandas()
     pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    if len(pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    step = (len(pdf) + n_chunks - 1) // n_chunks
+    chunks = [pdf.iloc[i:i + step] for i in range(0, len(pdf), step)]
+    if sentinel:
+        flush_ts = pdf["ts"].max() + pd.Timedelta(hours=2)
+        s = pd.DataFrame({
+            "event_id": [-1, -2],
+            "ts": [flush_ts, flush_ts],
+            "user_id": [-1, -1],
+            "event_type": ["view", "click"],
+        })
+        for col in pdf.columns:
+            if col not in s.columns:
+                s[col] = None
+        s = s[list(pdf.columns)].astype(pdf.dtypes.to_dict())
+        chunks[-1] = pd.concat([chunks[-1], s], ignore_index=True)
     d = tempfile.mkdtemp(prefix="attr_replay_")
     try:
-        step = (len(pdf) + n_chunks - 1) // n_chunks
-        for k, i in enumerate(range(0, len(pdf), step)):
+        for k, ch in enumerate(chunks):
             pq.write_table(
-                pa.Table.from_pandas(pdf.iloc[i:i + step],
-                                     preserve_index=False),
+                pa.Table.from_pandas(ch, preserve_index=False),
                 f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
         schema = spark.read.parquet(d).schema
 
@@ -147,7 +182,7 @@ def attribution_replay(
                 .parquet(d)
             )
 
-        joined = streaming_attribution_join(
+        joined = join_fn(
             src().where(F.col("event_type") == "view"),
             src().where(F.col("event_type") == "click"),
         )
@@ -160,10 +195,28 @@ def attribution_replay(
             .start()
         )
         q.awaitTermination()
-        out = spark.table(name).localCheckpoint(eager=True)
+        out = spark.table(name)
+        if sentinel:
+            out = out.where(
+                F.coalesce(F.col("user_id") >= 0, F.lit(True))
+            )
+        out = out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+def attribution_replay(
+    spark: SparkSession, events_path: str, n_chunks: int = 4
+) -> DataFrame:
+    """Gate harness for the INNER stream-stream join — equal to the
+    batch range join, the DuckDB oracle (see
+    _attribution_chunk_replay for the scaffold)."""
+    return _attribution_chunk_replay(
+        spark, events_path, n_chunks, streaming_attribution_join,
+        "click_id long, user_id long, click_ts timestamp, "
+        "view_id long, view_ts timestamp, view_value double",
+    )
 
 
 def streaming_attribution_join_outer(
@@ -234,75 +287,17 @@ def attribution_outer_replay(
     a click at max_ts + 2 h, user_id −1) whose only purpose is to
     push the final watermark past every real view's horizon so the
     eviction-driven null rows all emit; sentinel rows are filtered
-    back out. Result equals the batch left range join — the DuckDB
-    oracle."""
-    import shutil
-    import tempfile
-    import uuid
-
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    child = spark.newSession()
-    child.conf.set("spark.sql.shuffle.partitions", "8")
-    spark = child
-
-    pdf = spark.read.parquet(events_path).toPandas()
-    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-    flush_ts = pdf["ts"].max() + pd.Timedelta(hours=2)
-    sentinel = pd.DataFrame({
-        "event_id": [-1, -2],
-        "ts": [flush_ts, flush_ts],
-        "user_id": [-1, -1],
-        "event_type": ["view", "click"],
-    })
-    for col in pdf.columns:
-        if col not in sentinel.columns:
-            sentinel[col] = None
-    sentinel = sentinel[list(pdf.columns)].astype(pdf.dtypes.to_dict())
-    d = tempfile.mkdtemp(prefix="attr_outer_replay_")
-    try:
-        step = (len(pdf) + n_chunks - 1) // n_chunks
-        for k, i in enumerate(range(0, len(pdf), step)):
-            pq.write_table(
-                pa.Table.from_pandas(pdf.iloc[i:i + step],
-                                     preserve_index=False),
-                f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
-        pq.write_table(
-            pa.Table.from_pandas(sentinel, preserve_index=False),
-            f"{d}/chunk-{n_chunks + 1:03d}.parquet",
-            coerce_timestamps="us")
-        schema = spark.read.parquet(d).schema
-
-        def src():
-            return (
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(d)
-            )
-
-        joined = streaming_attribution_join_outer(
-            src().where(F.col("event_type") == "view"),
-            src().where(F.col("event_type") == "click"),
-        )
-        name = "attr_outer_replay_" + uuid.uuid4().hex[:8]
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = (
-            spark.table(name)
-            .where(F.col("user_id") >= 0)
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return out
+    back out NULL-safely. Result equals the batch left range join —
+    the DuckDB oracle. The sentinel rides INSIDE the final chunk (see
+    _attribution_chunk_replay: a separate sentinel file can tie on
+    modification time with the last data chunk and be replayed first,
+    watermark-dropping the tail)."""
+    return _attribution_chunk_replay(
+        spark, events_path, n_chunks, streaming_attribution_join_outer,
+        "view_id long, user_id long, view_ts timestamp, "
+        "view_value double, click_id_s string, click_ts_s string",
+        sentinel=True,
+    )
 
 
 def streaming_cdc_apply(

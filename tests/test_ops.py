@@ -2443,3 +2443,41 @@ def test_s_stem_rules(spark):
     got = [r.s for r in df.select(s_stem(F.col("w")).alias("s"))
            .collect()]
     assert got == [want for _, want in cases]
+
+
+def test_bpe_encode_merge_exhaustion_matches_oracle(spark):
+    """A corpus whose pairs exhaust after one merge: the Spark encoder
+    stops merging; the unrolled SQL oracle must carry the vocabulary
+    through the empty later rounds instead of emptying (the LEFT JOIN
+    against the empty argmax)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    from shacl_rust_spark.ops.text import bpe_encode
+
+    docs = spark.createDataFrame([(1, "ab ab")], ["doc_id", "text"])
+    got = {(r.word, r.freq, r.tokens, r.n_tokens)
+           for r in bpe_encode(docs, rounds=5).collect()}
+    assert got == {("ab", 2, "ab", 1)}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1 AS doc_id, "
+                "'ab ab' AS text")
+    orows = set(map(tuple, con.execute(
+        entry._bpe_encode_sql(5)).fetchall()))
+    assert orows == {("ab", 2, "ab", 1)}
+
+
+def test_robots_filter_duplicate_urls_collapse(spark):
+    from shacl_rust_spark.ops.web import robots_filter
+
+    urls = spark.createDataFrame(
+        [("http://a.test/p1",), ("http://a.test/p1",)], ["url"])
+    rules = spark.createDataFrame(
+        [("a.test", "/p", False)], ["host", "path_prefix", "allow"])
+    out = robots_filter(urls, rules).collect()
+    assert len(out) == 1 and out[0].allowed == 0

@@ -403,3 +403,62 @@ def test_stream_stream_attribution_outer_emits_null_rows(spark, tmp_path):
                                    n_chunks=3)
     got = {(r.view_id, r.click_id_s) for r in out.collect()}
     assert got == {(1, "2"), (3, None), (4, None), (6, None)}
+
+
+def test_attribution_replays_empty_input(spark, tmp_path):
+    """Zero-row events must short-circuit to empty frames (the
+    chunking loop can't run on zero rows), for both replay variants."""
+    import os
+
+    from shacl_rust_spark.streaming.stream import (
+        attribution_outer_replay, attribution_replay,
+    )
+
+    pdf = pd.DataFrame(
+        {"event_id": pd.Series([], dtype="int64"),
+         "ts": pd.Series([], dtype="datetime64[us]"),
+         "user_id": pd.Series([], dtype="int64"),
+         "event_type": pd.Series([], dtype="object"),
+         "value": pd.Series([], dtype="float64"),
+         "props": pd.Series([], dtype="object")})
+    d = str(tmp_path / "attr_empty")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   f"{d}/events.parquet", coerce_timestamps="us")
+    assert attribution_replay(spark, f"{d}/events.parquet").count() == 0
+    out = attribution_outer_replay(spark, f"{d}/events.parquet")
+    assert out.count() == 0
+    assert out.columns == ["view_id", "user_id", "view_ts",
+                           "view_value", "click_id_s", "click_ts_s"]
+
+
+def test_attribution_outer_null_user_survives_sentinel_filter(
+    spark, tmp_path
+):
+    """A NULL-user view is real data: the batch left join emits it
+    with null click columns, so the sentinel filter must be NULL-safe
+    and keep it."""
+    import datetime as dt
+    import os
+
+    from shacl_rust_spark.streaming.stream import (
+        attribution_outer_replay,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    pdf = pd.DataFrame(
+        [(1, t0, 7.0, 1.0, "view", "{}"),
+         (2, t0, None, 5.0, "view", "{}")],
+        columns=["event_id", "ts", "user_id", "value",
+                 "event_type", "props"])
+    pdf = pdf[["event_id", "ts", "user_id", "event_type",
+               "value", "props"]]
+    d = str(tmp_path / "attr_nulluser")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   f"{d}/events.parquet", coerce_timestamps="us")
+    out = attribution_outer_replay(spark, f"{d}/events.parquet",
+                                   n_chunks=1)
+    got = {(r.view_id, r.user_id, r.click_id_s)
+           for r in out.collect()}
+    assert got == {(1, 7, None), (2, None, None)}
