@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap": O.crawl_sitemap,
         "graph_assortativity": O.graph_assortativity,
         "text_stem": O.text_stem,
+        "dedup_sentences": O.dedup_sentences,
+        "text_skipgrams": O.text_skipgrams,
+        "rank_precision": O.rank_precision,
         "events_active_users": O.events_active_users,
         "curation_url_dedup": O.curation_url_dedup,
         "multimodal_vad": O.multimodal_vad,
@@ -1983,6 +1986,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, sent_id, sentence,
                    len(string_split_regex(sentence, ' +')) AS n_words
             FROM s WHERE sentence <> ''
+        """,
+        # same sentence split + sample as text_sentences, grouped on
+        # the sentence hash; boilerplate = present in ≥2 distinct urls
+        "dedup_sentences": _KG_CTE + f"""
+            , pg AS (
+              SELECT url, text FROM opage
+              UNION ALL
+              SELECT url, text FROM dpage
+            ),
+            sampled AS (
+              SELECT url, text FROM pg
+              WHERE substr(md5('sent' || url), 1, 8)
+                      < '{_sent_thr()}'
+            ),
+            segs AS (
+              SELECT url,
+                     regexp_split_to_array(text,
+                       '[.!?]+(\\s+|$)') AS a
+              FROM sampled
+            ),
+            ex AS (
+              SELECT url,
+                     unnest(generate_series(1, len(a))) AS i, a
+              FROM segs
+            ),
+            s AS (
+              SELECT url, trim(a[i]) AS sentence FROM ex
+            )
+            SELECT md5(sentence) AS sent_hash,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   min(url) AS canonical_doc,
+                   min(sentence) AS sentence
+            FROM s WHERE sentence <> ''
+            GROUP BY 1 HAVING count(DISTINCT url) >= 2
+        """,
+        # identical pair multiset, stated as a per-document
+        # list-comprehension flatten instead of the banded self-join
+        "text_skipgrams": """
+            WITH d AS (
+              SELECT string_split_regex(trim(text), ' +') AS l
+              FROM documents WHERE trim(text) <> ''),
+            p AS (
+              SELECT unnest(flatten(list_transform(
+                       generate_series(1, len(l)), i ->
+                       list_transform(
+                         list_filter(
+                           generate_series(greatest(1, i - 2),
+                                           least(len(l), i + 2)),
+                           j -> j != i),
+                         j -> l[i] || chr(1) || l[j])))) AS pr
+              FROM d)
+            SELECT split_part(pr, chr(1), 1) AS center,
+                   split_part(pr, chr(1), 2) AS context,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "rank_precision": """
+            WITH tf AS (
+              SELECT doc_id, word, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +'))
+                         AS word
+                FROM documents) u
+              WHERE word IN ('join', 'data', 'spark') GROUP BY 1, 2),
+            r AS (
+              SELECT word, doc_id,
+                     row_number() OVER (PARTITION BY word
+                       ORDER BY tf DESC, doc_id ASC) AS rn
+              FROM tf)
+            SELECT word AS term, CAST(5 AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_ranked,
+                   CAST(SUM(CASE WHEN rn <= 5 AND doc_id % 13 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_rel_at_k
+            FROM r GROUP BY 1
         """,
         # DSIR importance weights: string md5-prefix buckets (no int
         # conversion), integer counts in, closed-form floats out

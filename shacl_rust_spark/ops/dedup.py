@@ -561,3 +561,35 @@ def simhash_band_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def duplicated_sentences(docs: DataFrame, min_docs: int = 2) -> DataFrame:
+    """(sent_hash, n_docs, n_occurrences, canonical_doc, sentence):
+    sentences appearing in ≥ ``min_docs`` DISTINCT documents — the
+    CCNet paragraph-dedup decision table (CCNet dedups at
+    paragraph/sentence granularity BEFORE document-level near-dup, so
+    boilerplate shared across sites — cookie banners, nav footers —
+    dies even when the surrounding documents differ). Sentence
+    boundaries come from ops/text.split_sentences' regex (the shared
+    sentence contract, unlike dedup_spans' fixed-n word windows);
+    canonical_doc is the smallest containing doc_id and `sentence`
+    rides along for the removal join. One explode + one md5-keyed
+    groupBy with map-side combine (occurrences collapse per doc
+    first is NOT done — n_occurrences counts total repeats, the
+    cross-doc count is count_distinct); output is bounded by
+    duplicated sentences, tiny vs the corpus."""
+    from .text import split_sentences
+
+    s = split_sentences(docs).select(
+        "doc_id", "sentence", F.md5("sentence").alias("sent_hash")
+    )
+    return (
+        s.groupBy("sent_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.min("sentence").alias("sentence"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

@@ -445,3 +445,34 @@ def rrf_fuse(
             (num.cast("double") / den.cast("double")).alias("rrf"),
         )
     )
+
+
+def precision_at_k(docs: DataFrame, terms: tuple, k: int = 5) -> DataFrame:
+    """(term, k, n_ranked, n_rel_at_k): exact-integer precision@k per
+    query term — rank docs by (tf desc, doc_id asc) (the engine-exact
+    ordering first_relevant_rank uses), count relevant among the top
+    min(k, n_ranked). P@k = n_rel_at_k / k stays with the consumer —
+    the integer numerator is the cross-engine-safe part. One term
+    explode + one rank window per term + one aggregate; the rn ≤ k
+    predicate gets the WindowGroupLimit map-side cut."""
+    from pyspark.sql import Window
+
+    tf = _term_freqs(docs).where(F.col("word").isin(*terms))
+    w = Window.partitionBy("word").orderBy(
+        F.desc("tf"), F.asc("doc_id")
+    )
+    ranked = tf.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("word").alias("term"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ranked"),
+            F.sum(
+                F.when(
+                    (F.col("rn") <= k) & (F.col("doc_id") % 13 == 0),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_rel_at_k"),
+        )
+        .select("term", F.lit(k).cast("bigint").alias("k"),
+                "n_ranked", "n_rel_at_k")
+    )

@@ -837,3 +837,38 @@ def stemmed_vocabulary(docs: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_forms"),
         )
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame, window: int = 2, min_count: int = 2
+) -> DataFrame:
+    """(center, context, n): word co-occurrence counts within a
+    ±``window`` token distance — the word2vec/GloVe preprocessing
+    sweep. Formulated as posexplode + a self-join on
+    (doc_id, |i−j| ≤ window, i ≠ j): the join is position-banded, so
+    each token pairs with at most 2·window others — output is linear
+    in corpus tokens, never quadratic. The join key is doc_id
+    (positions filter after the hash match); at corpus scale both
+    sides are the SAME exploded frame, checkpointed once and shuffled
+    once on doc_id, and the (center, context) aggregate map-side
+    combines. min_count prunes the long tail (standard word2vec
+    practice) and keeps the output vocabulary²-bounded in practice."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(word_array()).alias("pos", "w"),
+    ).where(F.col("w") != "").localCheckpoint(eager=True)
+    a = toks.select(
+        "doc_id", F.col("pos").alias("i"), F.col("w").alias("center")
+    )
+    b = toks.select(
+        "doc_id", F.col("pos").alias("j"), F.col("w").alias("context")
+    )
+    pairs = a.join(b, "doc_id").where(
+        (F.abs(F.col("i") - F.col("j")) <= window)
+        & (F.col("i") != F.col("j"))
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )

@@ -1520,3 +1520,38 @@ def text_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     Harman's three plural rules collapse surface forms onto stems;
     the oracle mirrors the CASE chain byte-for-byte."""
     return text.stemmed_vocabulary(_docs(spark, sf_dir))
+
+
+def dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sentence-granularity dedup
+    (ops/dedup.duplicated_sentences) over the 2% page sample (real
+    multi-sentence prose — text_sentences' corpus): sentences present
+    in ≥2 distinct pages are cross-site boilerplate and come out as a
+    decision table with the smallest containing url as canonical."""
+    from .pipeline import pages as pages_mod
+
+    p = pages_mod.pages(spark, sf_dir).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    p = p.where(
+        sample.sample_hash(F.col("doc_id"), "sent") <
+        F.lit(sample.rate_threshold(0.02))
+    )
+    return dedup.duplicated_sentences(p, min_docs=2)
+
+
+def text_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±2-window skip-gram co-occurrence counts
+    (ops/text.skipgram_pairs) — the word2vec/GloVe preprocessing
+    sweep; position-banded self-join, linear in corpus tokens. The
+    oracle states the identical pair multiset as a per-document
+    list-comprehension flatten."""
+    return text.skipgram_pairs(_docs(spark, sf_dir), window=2,
+                               min_count=2)
+
+
+def rank_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer precision@5 per query term
+    (ops/rank.precision_at_k): relevant = doc_id % 13 == 0 (the
+    rank_eval slice), ranking by (tf desc, doc_id asc)."""
+    return rank.precision_at_k(_docs(spark, sf_dir), _RRF_TERMS, k=5)

@@ -2481,3 +2481,54 @@ def test_robots_filter_duplicate_urls_collapse(spark):
         [("a.test", "/p", False)], ["host", "path_prefix", "allow"])
     out = robots_filter(urls, rules).collect()
     assert len(out) == 1 and out[0].allowed == 0
+
+
+def test_duplicated_sentences_cross_doc_boilerplate(spark):
+    """'Same footer.' appears in docs 1 and 2 (twice in doc 1 —
+    n_occurrences counts repeats, n_docs distinct docs); unique
+    sentences never emit."""
+    from shacl_rust_spark.ops.dedup import duplicated_sentences
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta. Same footer. Same footer."),
+         (2, "Gamma delta. Same footer."),
+         (3, "Totally unique.")],
+        ["doc_id", "text"],
+    )
+    got = {(r.n_docs, r.n_occurrences, r.canonical_doc, r.sentence)
+           for r in duplicated_sentences(docs).collect()}
+    assert got == {(2, 3, 1, "Same footer")}
+
+
+def test_skipgram_pairs_window_and_mincount(spark):
+    """'a b c a b': ±2 window — (a,b) occurs at (1,2),(1,5 is dist 4
+    no),(4,5),(2,1)... directed pairs; min_count=2 keeps only pairs
+    seen twice."""
+    from shacl_rust_spark.ops.text import skipgram_pairs
+
+    docs = spark.createDataFrame([(1, "a b c a b")],
+                                 ["doc_id", "text"])
+    got = {(r.center, r.context, r.n)
+           for r in skipgram_pairs(docs, window=2, min_count=2)
+           .collect()}
+    # positions: a1 b2 c3 a4 b5, ±2 window:
+    # (a,b): (1,2),(4,5),(4,2) → 3; symmetric (b,a) → 3
+    # (a,c): (1,3),(4,3) → 2;  (c,a): → 2
+    # (b,c): (2,3),(5,3) → 2;  (c,b): → 2
+    # (a,a)/(b,b): distance 3 — outside the window
+    assert got == {
+        ("a", "b", 3), ("a", "c", 2), ("b", "a", 3),
+        ("b", "c", 2), ("c", "a", 2), ("c", "b", 2),
+    }
+
+
+def test_precision_at_k_counts_relevant_in_topk(spark):
+    from shacl_rust_spark.ops.rank import precision_at_k
+
+    rows = [(i, f"hit {'hit ' * (20 - i)}") for i in range(1, 15)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # ranking by tf desc, doc_id asc → docs 1..5 are top-5;
+    # relevant (doc_id % 13 == 0) = doc 13 only, ranked 13th → 0@5
+    r = {r.term: (r.k, r.n_ranked, r.n_rel_at_k)
+         for r in precision_at_k(docs, ("hit",), k=5).collect()}
+    assert r == {"hit": (5, 14, 0)}
