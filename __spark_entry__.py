@@ -146,6 +146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sentences": O.dedup_sentences,
         "text_skipgrams": O.text_skipgrams,
         "rank_precision": O.rank_precision,
+        "multimodal_scenes": O.multimodal_scenes,
+        "olap_pricing_summary": O.olap_pricing_summary,
+        "kg_cooccurrence": O.kg_cooccurrence,
         "events_active_users": O.events_active_users,
         "curation_url_dedup": O.curation_url_dedup,
         "multimodal_vad": O.multimodal_vad,
@@ -2042,6 +2045,94 @@ def oracle_sql() -> dict[str, str]:
                    split_part(pr, chr(1), 2) AS context,
                    CAST(count(*) AS BIGINT) AS n
             FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        # per-pixel |Δ| between consecutive frames is 3, or 248 at the
+        # mod-251 wrap; cut = above-mean pair diff, cross-multiplied
+        "multimodal_scenes": """
+            WITH b AS (
+              SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,
+                     4 + doc_id % 5 AS nf
+              FROM documents),
+            pd AS (
+              SELECT b.doc_id, gf.f,
+                     3 * SUM(CASE WHEN (b.doc_id + 3 * gf.f + gx.x
+                                        + 2 * gy.y) % 251 < 3
+                                  THEN 248 ELSE 3 END) AS diff
+              FROM b
+              CROSS JOIN generate_series(1, 7) gf(f)
+              CROSS JOIN generate_series(0, 6) gx(x)
+              CROSS JOIN generate_series(0, 4) gy(y)
+              WHERE gf.f < b.nf AND gx.x < b.w AND gy.y < b.h
+              GROUP BY 1, 2),
+            t AS (
+              SELECT doc_id, SUM(diff) AS tot, COUNT(*) AS np
+              FROM pd GROUP BY 1),
+            c AS (
+              SELECT pd.doc_id, pd.f,
+                     CASE WHEN t.tot > 0
+                               AND pd.diff * t.np >= t.tot
+                          THEN 1 ELSE 0 END AS cut
+              FROM pd JOIN t ON pd.doc_id = t.doc_id),
+            sc AS (
+              SELECT doc_id, f AS frame,
+                     SUM(cut) OVER (PARTITION BY doc_id
+                                    ORDER BY f) AS scene_id
+              FROM c),
+            pf AS (
+              SELECT doc_id, 0 AS frame, 0 AS scene_id FROM b
+              UNION ALL
+              SELECT doc_id, frame, scene_id FROM sc)
+            SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+                   CAST(MIN(frame) AS BIGINT) AS start_frame,
+                   CAST(MAX(frame) AS BIGINT) AS end_frame,
+                   CAST(COUNT(*) AS BIGINT) AS n_frames
+            FROM pf GROUP BY doc_id, scene_id
+        """,
+        # TPC-H Q1 with every money value in integer centi-cents
+        "olap_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT))
+                     AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS sum_base_cc,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                       AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100, 0)
+                       AS BIGINT))) AS BIGINT) AS sum_disc_cc,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                       AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100, 0)
+                       AS BIGINT))
+                     * (100 + CAST(ROUND(l_tax * 100, 0)
+                       AS BIGINT))) AS BIGINT) AS sum_charge_cc,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        # same-page surface pairing over the mention oracle's rows
+        "kg_cooccurrence": _KG_CTE + """
+            , m AS (
+              SELECT url, 'Order-' || o AS subj_surface,
+                     subj_surface AS obj_surface FROM opage
+              UNION ALL
+              SELECT url, subj_surface, nation_surface FROM opage
+              UNION ALL
+              SELECT url, 'Client-' || k, 'Customer#' || k
+              FROM opage WHERE o % 5 = 0
+              UNION ALL
+              SELECT url, 'Client2-' || k, 'Client-' || k
+              FROM opage WHERE o % 25 = 0),
+            s AS (
+              SELECT DISTINCT url, surface FROM (
+                SELECT url, subj_surface AS surface FROM m
+                UNION ALL
+                SELECT url, obj_surface FROM m) q)
+            SELECT a.surface AS ent_a, b.surface AS ent_b,
+                   count(*) AS n_pages
+            FROM s a JOIN s b
+              ON a.url = b.url AND a.surface < b.surface
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "rank_precision": """
             WITH tf AS (

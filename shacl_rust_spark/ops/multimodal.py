@@ -975,6 +975,99 @@ def sample_frames(
     return videos.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
 
 
+FRAME_DIFF_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("frame", LongType(), False),  # f ≥ 1 (diff to f−1)
+    StructField("diff", LongType(), False),   # Σ |p_f − p_{f−1}| (rgb)
+])
+
+
+def video_frame_diffs(
+    videos: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, frame, diff): sum of absolute per-channel pixel
+    differences between consecutive decoded frames of each FVID
+    container — the raw signal under scene-cut detection. Decode and
+    the numpy frame-pair subtraction stay inside the Arrow kernel;
+    everything after the per-pair scalar is DataFrame algebra
+    (video_scenes). One row per consecutive pair (frame ≥ 1)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids: list[int] = []
+            frames_o: list[int] = []
+            diffs: list[int] = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = decode_fvid(bytes(payload))
+                prev = None
+                for i, fb in enumerate(frames):
+                    _, _, rows = decode_bmp(fb)
+                    arr = np.asarray(rows, dtype=np.int64)
+                    if prev is not None:
+                        ids.append(int(rid))
+                        frames_o.append(i)
+                        diffs.append(int(np.abs(arr - prev).sum()))
+                    prev = arr
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame": frames_o, "diff": diffs}
+            )
+
+    return videos.select(id_col, payload_col).mapInPandas(
+        run, FRAME_DIFF_SCHEMA
+    )
+
+
+def video_scenes(videos: DataFrame) -> DataFrame:
+    """(doc_id, scene_id, start_frame, end_frame, n_frames): scene
+    segmentation per video — a cut lands before frame f when the
+    consecutive-frame difference is at least the video's mean pair
+    difference, compared cross-multiplied (diff·n_pairs ≥ Σdiffs, the
+    VAD/ahash integer device; an all-identical video has Σdiffs = 0
+    and the tot > 0 guard yields one scene). scene_id is the running
+    cut count (frame 0 always opens scene 0), one window per video;
+    the final per-scene groupBy keys on a superset of the doc_id
+    partitioning so the plan carries ONE exchange. Scene boundaries
+    are the video twin of audio_vad_segments' run-length merge."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = video_frame_diffs(videos)
+    wdoc = Window.partitionBy("doc_id")
+    word = Window.partitionBy("doc_id").orderBy("frame")
+    cuts = (
+        d.withColumn("_tot", F.sum("diff").over(wdoc))
+        .withColumn("_np", F.count(F.lit(1)).over(wdoc))
+        .withColumn(
+            "_cut",
+            (
+                (F.col("_tot") > 0)
+                & (F.col("diff") * F.col("_np") >= F.col("_tot"))
+            ).cast("int"),
+        )
+        .withColumn("scene_id", F.sum("_cut").over(word))
+    )
+    # frame 0 (no diff row) always belongs to scene 0
+    first = (
+        videos.select(F.col("doc_id"))
+        .withColumn("frame", F.lit(0).cast("bigint"))
+        .withColumn("scene_id", F.lit(0).cast("bigint"))
+    )
+    per_frame = first.unionByName(
+        cuts.select("doc_id", "frame",
+                    F.col("scene_id").cast("bigint").alias("scene_id"))
+    )
+    return (
+        per_frame.groupBy("doc_id", "scene_id")
+        .agg(
+            F.min("frame").alias("start_frame"),
+            F.max("frame").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+    )
+
+
 def synth_videos(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic FVID fixture per doc_id: 4 + d%5 frames of the
     BMP fixture pattern shifted by 3×frame index."""

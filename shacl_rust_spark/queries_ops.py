@@ -1555,3 +1555,75 @@ def rank_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ops/rank.precision_at_k): relevant = doc_id % 13 == 0 (the
     rank_eval slice), ranking by (tf desc, doc_id asc)."""
     return rank.precision_at_k(_docs(spark, sf_dir), _RRF_TERMS, k=5)
+
+
+def multimodal_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut segmentation (ops/multimodal.video_scenes) over the
+    synthetic FVID videos: consecutive-frame absolute pixel
+    differences in the Arrow kernel, the above-mean cut test as
+    cross-multiplied integers and the running cut count as scene_id
+    in DataFrame algebra. The oracle recomputes every pair diff in
+    closed form from the frame pixel formula (per-pixel |Δ| is 3, or
+    248 at the mod-251 wrap)."""
+    videos = multimodal.synth_videos(_docs(spark, sf_dir))
+    return multimodal.video_scenes(videos)
+
+
+def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q1 pricing summary in integer centi-cents: per
+    (returnflag, linestatus), quantity / base / discounted /
+    discounted+taxed sums and row counts over shipdate ≤ 1998-09-02 —
+    the canonical one-scan-one-shuffle OLAP aggregate, every money
+    value ROUND(×100) so both engines sum identical BIGINTs."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    price_cc = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc = F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    tax = F.lit(100) + F.round(F.col("l_tax") * 100, 0).cast("bigint")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("bigint"))
+            .cast("bigint").alias("sum_qty"),
+            F.sum(price_cc).cast("bigint").alias("sum_base_cc"),
+            F.sum(price_cc * disc).cast("bigint").alias("sum_disc_cc"),
+            F.sum(price_cc * disc * tax).cast("bigint")
+            .alias("sum_charge_cc"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-surface co-occurrence graph (same-page pairing over the
+    mention detector's output — the KG edge-candidate sweep that
+    complements the explicit sameAs links): distinct (page, surface)
+    from both mention slots, within-page pairs (a < b), kept when
+    seen on ≥2 pages. The copurchase plan shape: per-page entity
+    counts are bounded, so the self-join is page-banded and the
+    aggregate is graph-sized."""
+    from . import queries_kg as K
+
+    m = K.kg_mentions(spark, sf_dir)
+    s = (
+        m.select("url", F.col("subj_surface").alias("surface"))
+        .unionByName(
+            m.select("url", F.col("obj_surface").alias("surface"))
+        )
+        .dropDuplicates(["url", "surface"])
+    )
+    pairs = (
+        s.alias("a")
+        .join(s.alias("b"), "url")
+        .where(F.col("a.surface") < F.col("b.surface"))
+        .select(
+            F.col("a.surface").alias("ent_a"),
+            F.col("b.surface").alias("ent_b"),
+        )
+    )
+    return (
+        pairs.groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .where(F.col("n_pages") >= 2)
+    )

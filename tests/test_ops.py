@@ -2532,3 +2532,29 @@ def test_precision_at_k_counts_relevant_in_topk(spark):
     r = {r.term: (r.k, r.n_ranked, r.n_rel_at_k)
          for r in precision_at_k(docs, ("hit",), k=5).collect()}
     assert r == {"hit": (5, 14, 0)}
+
+
+def test_video_scenes_cut_on_above_mean_diff(spark):
+    """Frames A,A,B: pair diffs (0, 570) — only the A→B jump is a
+    cut, so scenes are [0,1] and [2]; an all-identical video has
+    tot=0 and must stay ONE scene (no everything-is-a-cut
+    degenerate)."""
+    from shacl_rust_spark.ops.multimodal import (
+        encode_bmp, encode_fvid, video_scenes,
+    )
+
+    a = encode_bmp(1, 1, [[10]])
+    b = encode_bmp(1, 1, [[200]])
+    v1 = encode_fvid([a, a, b])
+    v2 = encode_fvid([a, a, a])
+    videos = spark.createDataFrame(
+        [(1, bytearray(v1)), (2, bytearray(v2))],
+        "doc_id long, payload binary",
+    )
+    got = {(r.doc_id, r.scene_id, r.start_frame, r.end_frame,
+            r.n_frames)
+           for r in video_scenes(videos).collect()}
+    assert got == {
+        (1, 0, 0, 1, 2), (1, 1, 2, 2, 1),
+        (2, 0, 0, 2, 3),
+    }
