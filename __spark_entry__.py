@@ -149,6 +149,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_scenes": O.multimodal_scenes,
         "olap_pricing_summary": O.olap_pricing_summary,
         "kg_cooccurrence": O.kg_cooccurrence,
+        "kg_redirects": O.kg_redirects,
+        "kg_rdfs_entailment": O.kg_rdfs_entailment,
+        "kg_truth_discovery": O.kg_truth_discovery,
+        "events_dedup_stream": O.events_dedup_stream,
+        "olap_salted_join": O.olap_salted_join,
+        "olap_grouping_sets": O.olap_grouping_sets,
         "events_active_users": O.events_active_users,
         "curation_url_dedup": O.curation_url_dedup,
         "multimodal_vad": O.multimodal_vad,
@@ -3817,5 +3823,133 @@ def oracle_sql() -> dict[str, str]:
               SELECT '{SH}HasValueConstraintComponent'
                 FROM orders WHERE o_orderstatus <> 'O'
             ) v GROUP BY component
+        """,
+        # independent chain walk (per-hop recursion) vs the Spark
+        # side's pointer doubling
+        "kg_redirects": """
+            WITH RECURSIVE e AS (
+              SELECT 'http://r.test/p' || p_partkey AS url,
+                     'http://r.test/p' || (p_partkey - 1) AS target
+              FROM part WHERE p_partkey % 8 != 0),
+            walk AS (
+              SELECT url, target AS cur, 1 AS hops FROM e
+              UNION ALL
+              SELECT w.url, e.target, w.hops + 1
+              FROM walk w JOIN e ON w.cur = e.url)
+            SELECT w.url, w.cur AS final_url, CAST(w.hops AS BIGINT)
+                     AS hops, 'true' AS resolved
+            FROM walk w LEFT JOIN e t ON w.cur = t.url
+            WHERE t.url IS NULL
+        """,
+        # the six RDFS rules, stratified exactly like ops/ontology.py:
+        # recursive CTEs for the two schema closures, joins for the
+        # instance rules, one big UNION dedup at the end
+        "kg_rdfs_entailment": """
+            WITH RECURSIVE base AS (
+              SELECT 'C' || i AS s, 'sco' AS p, 'C' || (i - 1) AS o
+              FROM range(1, 10) t(i)
+              UNION ALL
+              SELECT 'q' || i, 'spo', 'q' || (i - 1)
+              FROM range(1, 5) t(i)
+              UNION ALL SELECT 'q0', 'domain', 'C5'
+              UNION ALL SELECT 'q0', 'range', 'C7'
+              UNION ALL
+              SELECT 'e' || p_partkey, 'type', 'C' || (p_partkey % 10)
+              FROM part
+              UNION ALL
+              SELECT 'x' || (l_orderkey % 200),
+                     'q' || (l_suppkey % 5),
+                     'y' || (l_partkey % 100)
+              FROM lineitem),
+            t AS MATERIALIZED (SELECT DISTINCT s, p, o FROM base),
+            sco AS (
+              SELECT s AS child, o AS parent FROM t WHERE p = 'sco'
+              UNION
+              SELECT c.child, e.o
+              FROM sco c JOIN t e ON e.p = 'sco' AND c.parent = e.s),
+            spo AS (
+              SELECT s AS child, o AS parent FROM t WHERE p = 'spo'
+              UNION
+              SELECT c.child, e.o
+              FROM spo c JOIN t e ON e.p = 'spo' AND c.parent = e.s),
+            facts AS (
+              SELECT s, p, o FROM t
+              WHERE p NOT IN ('type','sco','spo','domain','range')),
+            facts_all AS MATERIALIZED (
+              SELECT DISTINCT s, p, o FROM (
+                SELECT s, p, o FROM facts
+                UNION ALL
+                SELECT f.s, sp.parent, f.o
+                FROM facts f JOIN spo sp ON f.p = sp.child) q),
+            types_all AS MATERIALIZED (
+              SELECT DISTINCT s, 'type' AS p, o FROM (
+                SELECT s, o FROM t WHERE p = 'type'
+                UNION ALL
+                SELECT f.s, d.o
+                FROM facts_all f
+                JOIN t d ON d.p = 'domain' AND f.p = d.s
+                UNION ALL
+                SELECT f.o AS s, r.o
+                FROM facts_all f
+                JOIN t r ON r.p = 'range' AND f.p = r.s) q)
+            SELECT DISTINCT s, p, o FROM (
+              SELECT s, p, o FROM t
+              UNION ALL SELECT s, p, o FROM facts_all
+              UNION ALL SELECT child, 'spo', parent FROM spo
+              UNION ALL SELECT child, 'sco', parent FROM sco
+              UNION ALL SELECT s, p, o FROM types_all
+              UNION ALL
+              SELECT ty.s, 'type', sc.parent
+              FROM types_all ty JOIN sco sc ON ty.o = sc.child) q
+        """,
+        "kg_truth_discovery": """
+            WITH claims AS (
+              SELECT DISTINCT 'e' || (l_orderkey % 300) AS s,
+                     'attr' || (l_linenumber % 3) AS p,
+                     'v' || (l_partkey % 7) AS o,
+                     'src' || (l_suppkey % 11) AS source
+              FROM lineitem),
+            votes AS (
+              SELECT s, p, o, count(*) AS votes
+              FROM claims GROUP BY 1, 2, 3),
+            r AS (
+              SELECT s, p, o, votes,
+                     count(*) OVER (PARTITION BY s, p)
+                       AS n_candidates,
+                     row_number() OVER (PARTITION BY s, p
+                       ORDER BY votes DESC, o ASC) AS rn
+              FROM votes)
+            SELECT s, p, o, votes, n_candidates FROM r WHERE rn = 1
+        """,
+        # the stream's exactly-once output == the batch DISTINCT ==
+        # the original table (event_ids are unique in the fixture)
+        "events_dedup_stream": """
+            SELECT event_id, user_id, event_type FROM events
+        """,
+        # the UNSALTED join: the salt explode + (k, salt) join +
+        # salt-dropping re-aggregate must be value-identical to it
+        "olap_salted_join": """
+            WITH fact AS (
+              SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+                          ELSE l_orderkey % 97 END AS k,
+                     CAST(l_quantity AS BIGINT) AS v
+              FROM lineitem),
+            dim AS (
+              SELECT i AS k, 'grp' || (i % 5) AS attr
+              FROM range(0, 100) t(i))
+            SELECT attr, count(*) AS n_rows,
+                   CAST(sum(v) AS BIGINT) AS total_v
+            FROM fact JOIN dim USING (k)
+            GROUP BY attr
+        """,
+        "olap_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                     AS gid,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(ROUND(l_extendedprice * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """,
     }

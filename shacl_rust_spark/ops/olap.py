@@ -487,3 +487,58 @@ def compaction_plan(
         part_col, file_col, bytes_col,
         F.expr(f"_start DIV {int(target_bytes)}").alias("bucket"),
     )
+
+
+def salted_join_agg(
+    fact: DataFrame, dim: DataFrame, n_salts: int = 8
+) -> DataFrame:
+    """fact(k, salt, v) ⋈ dim(k, attr) with the DIMENSION side exploded
+    into n_salts shards — the skew-mitigation join for the case AQE's
+    broadcast/skew rescue can't apply (both sides too big to
+    broadcast, storage not bucketed): every fact row carries a
+    deterministic salt in [0, n_salts), the dim replicates each key
+    across all salts, and the join key becomes (k, salt), splitting a
+    hot key's rows across n_salts reducers instead of one straggler
+    task. Replication multiplies the small side by n_salts — the
+    standard trade (Beyond-AQE manual salting; AQE skew-join splits
+    post-shuffle files and can't help a first-shuffle hot key whose
+    map output all hashes to one partition).
+
+    The aggregate after the join re-groups WITHOUT the salt, so the
+    result is bit-identical to the unsalted join — which is exactly
+    what the gate's oracle states in plain SQL."""
+    dim_s = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return (
+        fact.join(dim_s, ["k", "salt"])
+        .groupBy("attr")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").alias("total_v"),
+        )
+    )
+
+
+def grouping_sets_revenue(lineitem: DataFrame) -> DataFrame:
+    """Non-hierarchical GROUPING SETS ((returnflag), (linestatus)) over
+    lineitem — the sets cube/rollup can't express (cube emits 4
+    groupings, rollup a prefix chain; a report wanting exactly the two
+    one-dimensional margins uses GROUPING SETS and scans the fact
+    ONCE: Spark plans a single Expand + one aggregate, vs two scans +
+    a union for the naive twin). gid disambiguates the NULL rows
+    (grouping_id bit per grouped-out column, same contract as
+    cube_revenue)."""
+    sess = lineitem.sparkSession
+    lineitem.select(
+        "l_returnflag", "l_linestatus",
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+    ).createOrReplaceTempView("gs_lineitem")
+    return sess.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                 AS gid,
+               count(*) AS n_rows, sum(price_c) AS revenue_cents
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)

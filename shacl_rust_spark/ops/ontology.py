@@ -1,0 +1,145 @@
+"""RDFS entailment materialization over raw (s, p, o) triple tables.
+
+KG-construction pipelines materialize the RDFS closure once at emit
+time so every downstream consumer (SHACL validation included — the
+engine's targetClass subclass closure, engine/dataset.py:91-135, is the
+rdfs9/11 special case) reads plain triples instead of re-deriving
+hierarchy walks. This module implements the five core entailment rules
+over DataFrames:
+
+- rdfs5  (subPropertyOf transitivity)
+- rdfs7  (property inheritance: x p y ∧ p ⊑ q ⇒ x q y)
+- rdfs2  (domain: p domain C ∧ x p y ⇒ x type C)
+- rdfs3  (range:  p range C ∧ x p y ⇒ y type C)
+- rdfs11 (subClassOf transitivity)
+- rdfs9  (class inheritance: x type C ∧ C ⊑ D ⇒ x type D)
+
+evaluated in their natural stratification (property closure → inferred
+facts → domain/range types → class closure → inherited types) — each
+rule feeds only later strata, so one pass is the fixpoint; no loop over
+rules is needed.
+
+Scale shape: the SCHEMA side (subClassOf/subPropertyOf/domain/range
+edges) is ontology-sized — thousands of rows against 10^12 facts — so
+every rule is a BROADCAST join against the fact table; the only
+shuffles are the final dedups. The two transitive closures run on the
+schema edges alone (iterative doubling, ⌈log₂ depth⌉ rounds,
+checkpointed), never on instance data, and are capped like the other
+bounded-verify closures (engine/dataset.py cap policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+SUB_CLASS_OF = RDFS + "subClassOf"
+SUB_PROPERTY_OF = RDFS + "subPropertyOf"
+DOMAIN = RDFS + "domain"
+RANGE = RDFS + "range"
+
+
+def _pairs_closure(edges: DataFrame, max_pairs: int = 2_000_000) -> DataFrame:
+    """Transitive closure of (child, parent) edges by iterative
+    doubling — ontology hierarchies are shallow (depth < 30), so this
+    converges in < 5 rounds; capped because closure is pair-quadratic
+    on pathological inputs."""
+    reach = edges.dropDuplicates(["child", "parent"]).where(
+        F.col("child").isNotNull() & F.col("parent").isNotNull()
+    ).localCheckpoint(eager=True)
+    n = reach.count()
+    while True:
+        grown = (
+            reach.alias("a")
+            .join(reach.alias("b"),
+                  F.col("a.parent") == F.col("b.child"))
+            .select(F.col("a.child").alias("child"),
+                    F.col("b.parent").alias("parent"))
+            .unionByName(reach)
+            .dropDuplicates(["child", "parent"])
+            .localCheckpoint(eager=True)
+        )
+        m = grown.count()
+        if m > max_pairs:
+            raise ValueError(
+                f"schema closure exceeded max_pairs={max_pairs}"
+            )
+        if m == n:
+            return grown
+        reach, n = grown, m
+
+
+def rdfs_closure(
+    triples: DataFrame,
+    *,
+    type_iri: str = RDF_TYPE,
+    sco_iri: str = SUB_CLASS_OF,
+    spo_iri: str = SUB_PROPERTY_OF,
+    domain_iri: str = DOMAIN,
+    range_iri: str = RANGE,
+    max_pairs: int = 2_000_000,
+) -> DataFrame:
+    """(s, p, o) → the RDFS entailment closure (input ∪ everything the
+    six rules derive), deduplicated. Reflexive rdfs9/11 pairs (C ⊑ C)
+    are NOT emitted — only strict derivations, matching what a
+    materializing reasoner adds to the store."""
+    t = triples.select(
+        F.col("s").cast("string").alias("s"),
+        F.col("p").cast("string").alias("p"),
+        F.col("o").cast("string").alias("o"),
+    ).localCheckpoint(eager=True)
+
+    def schema_pairs(pred: str) -> DataFrame:
+        return t.where(F.col("p") == pred).select(
+            F.col("s").alias("child"), F.col("o").alias("parent"))
+
+    spo = _pairs_closure(schema_pairs(spo_iri), max_pairs)
+    sco = _pairs_closure(schema_pairs(sco_iri), max_pairs)
+    # rdfs5 / rdfs11: the closure pairs themselves, as triples
+    spo_triples = spo.select(
+        F.col("child").alias("s"), F.lit(spo_iri).alias("p"),
+        F.col("parent").alias("o"))
+    sco_triples = sco.select(
+        F.col("child").alias("s"), F.lit(sco_iri).alias("p"),
+        F.col("parent").alias("o"))
+
+    schema_preds = (type_iri, sco_iri, spo_iri, domain_iri, range_iri)
+    facts = t.where(~F.col("p").isin(*schema_preds))
+    # rdfs7: broadcast the (property, super-property) closure
+    inherited = facts.join(
+        F.broadcast(spo), facts["p"] == spo["child"]
+    ).select("s", F.col("parent").alias("p"), "o")
+    facts_all = facts.unionByName(inherited).dropDuplicates(
+        ["s", "p", "o"]).localCheckpoint(eager=True)
+
+    dom = t.where(F.col("p") == domain_iri).select(
+        F.col("s").alias("d_p"), F.col("o").alias("d_c"))
+    rng = t.where(F.col("p") == range_iri).select(
+        F.col("s").alias("r_p"), F.col("o").alias("r_c"))
+    # rdfs2 / rdfs3 over the rdfs7-saturated fact set
+    dom_types = facts_all.join(
+        F.broadcast(dom), facts_all["p"] == dom["d_p"]
+    ).select("s", F.lit(type_iri).alias("p"), F.col("d_c").alias("o"))
+    rng_types = facts_all.join(
+        F.broadcast(rng), facts_all["p"] == rng["r_p"]
+    ).select(F.col("o").alias("s"), F.lit(type_iri).alias("p"),
+             F.col("r_c").alias("o"))
+
+    types = (
+        t.where(F.col("p") == type_iri)
+        .unionByName(dom_types).unionByName(rng_types)
+        .dropDuplicates(["s", "p", "o"]).localCheckpoint(eager=True)
+    )
+    # rdfs9: broadcast the class closure against the saturated types
+    super_types = types.join(
+        F.broadcast(sco), types["o"] == sco["child"]
+    ).select("s", "p", F.col("parent").alias("o"))
+
+    return (
+        t.unionByName(facts_all).unionByName(spo_triples)
+        .unionByName(sco_triples).unionByName(types)
+        .unionByName(super_types)
+        .dropDuplicates(["s", "p", "o"])
+    )

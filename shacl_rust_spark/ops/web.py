@@ -367,3 +367,66 @@ def sitemap_discovery(
     return found.join(
         frontier.select(F.col("url").alias("loc")), "loc", "left_anti"
     ).select(host_of(F.col("loc")).alias("host"), "loc")
+
+
+def resolve_redirects(
+    redirects: DataFrame, max_doublings: int = 16
+) -> DataFrame:
+    """(url, final_url, hops): follow an HTTP redirect map (url ->
+    target, at most one outgoing edge per url) to its terminal —
+    the canonical-URL resolution a crawler runs before frontier
+    insertion and dedup.
+
+    Chain-following is the textbook pointer-jumping problem: a naive
+    per-hop join needs L rounds for length-L chains, so this runs
+    POINTER DOUBLING — each round joins the current pointer table with
+    itself (f(x) <- f(f(x)), hops added), reaching terminals in
+    ceil(log2 L) rounds. Every round is one equi-join shuffled on the
+    pointer key, checkpointed so the lineage stays flat; at 10^12 urls
+    that's ~40 shuffles for chains up to a trillion hops — chains in
+    real crawl data are < 30 hops, i.e. 5 rounds. Rows whose pointer
+    has no outgoing edge are terminal; a redirect CYCLE never
+    terminates and is cut off at max_doublings with resolved=false
+    (browsers give up after ~20 hops for the same reason).
+    """
+    cur = (
+        redirects.select(
+            F.col("url").cast("string").alias("url"),
+            F.col("target").cast("string").alias("ptr"),
+            F.lit(1).alias("hops"),
+            F.lit(False).alias("done"),
+        )
+        .where(F.col("url").isNotNull() & F.col("ptr").isNotNull())
+        .dropDuplicates(["url"])
+        .localCheckpoint(eager=True)
+    )
+    base = cur.select(F.col("url").alias("j_url"),
+                      F.col("ptr").alias("j_ptr"),
+                      F.col("hops").alias("j_hops"))
+    for _ in range(max_doublings):
+        # done rows point at a terminal (ptr has no out-edge) — the
+        # left join keeps them fixed, so one loop handles both.
+        nxt = (
+            cur.join(base, cur["ptr"] == base["j_url"], "left")
+            .select(
+                "url",
+                F.coalesce("j_ptr", "ptr").alias("ptr"),
+                (F.col("hops")
+                 + F.coalesce("j_hops", F.lit(0))).alias("hops"),
+                F.col("j_url").isNull().alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # base doubles too: f(f(x)) composed with itself next round
+        base = nxt.select(F.col("url").alias("j_url"),
+                          F.col("ptr").alias("j_ptr"),
+                          F.col("hops").alias("j_hops"))
+        cur = nxt
+        if cur.where(~F.col("done")).isEmpty():
+            break
+    return cur.select(
+        "url",
+        F.col("ptr").alias("final_url"),
+        F.col("hops").cast("long").alias("hops"),
+        F.col("done").alias("resolved"),
+    )

@@ -1627,3 +1627,144 @@ def kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pages"))
         .where(F.col("n_pages") >= 2)
     )
+
+
+def kg_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling
+    (ops/web.resolve_redirects) over a synthetic redirect map with
+    chains up to 7 hops: part p_i 301s to p_{i-1} unless i % 8 == 0
+    (the terminal), so the doubling loop needs 3 rounds where a
+    per-hop join would need 7. The oracle follows the same edges with
+    a recursive CTE — an independent chain walk, not the doubling."""
+    from .ops import web
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    edges = p.where(F.col("p_partkey") % 8 != 0).select(
+        F.concat(F.lit("http://r.test/p"),
+                 F.col("p_partkey").cast("string")).alias("url"),
+        F.concat(F.lit("http://r.test/p"),
+                 (F.col("p_partkey") - 1).cast("string")).alias("target"),
+    )
+    return web.resolve_redirects(edges).select(
+        "url", "final_url", "hops",
+        F.col("resolved").cast("string").alias("resolved"),
+    )
+
+
+def kg_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full RDFS entailment materialization (ops/ontology.rdfs_closure:
+    rdfs2/3/5/7/9/11) over a synthetic ontology + instance mix: a
+    9-deep subClassOf CHAIN (forces >3 closure-doubling rounds), a
+    4-deep subPropertyOf chain whose root carries domain+range, typed
+    instances from part, and property facts from lineitem. The oracle
+    states the same stratified rules with recursive CTEs for the two
+    closures. Short prefixed names stand in for the full IRIs (the
+    rule engine takes the vocabulary as parameters)."""
+    from .ops import ontology
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cls = spark.range(1, 10).select(
+        F.concat(F.lit("C"), F.col("id").cast("string")).alias("s"),
+        F.lit("sco").alias("p"),
+        F.concat(F.lit("C"), (F.col("id") - 1).cast("string")).alias("o"))
+    props = spark.range(1, 5).select(
+        F.concat(F.lit("q"), F.col("id").cast("string")).alias("s"),
+        F.lit("spo").alias("p"),
+        F.concat(F.lit("q"), (F.col("id") - 1).cast("string")).alias("o"))
+    dom_rng = spark.range(1).select(
+        F.lit("q0").alias("s"), F.lit("domain").alias("p"),
+        F.lit("C5").alias("o")
+    ).unionByName(spark.range(1).select(
+        F.lit("q0").alias("s"), F.lit("range").alias("p"),
+        F.lit("C7").alias("o")))
+    types = p.select(
+        F.concat(F.lit("e"), F.col("p_partkey").cast("string")).alias("s"),
+        F.lit("type").alias("p"),
+        F.concat(F.lit("C"), (F.col("p_partkey") % 10).cast("string"))
+        .alias("o"))
+    facts = li.select(
+        F.concat(F.lit("x"),
+                 (F.col("l_orderkey") % 200).cast("string")).alias("s"),
+        F.concat(F.lit("q"),
+                 (F.col("l_suppkey") % 5).cast("string")).alias("p"),
+        F.concat(F.lit("y"),
+                 (F.col("l_partkey") % 100).cast("string")).alias("o"))
+    triples = cls.unionByName(props).unionByName(dom_rng) \
+        .unionByName(types).unionByName(facts) \
+        .dropDuplicates(["s", "p", "o"])
+    return ontology.rdfs_closure(
+        triples, type_iri="type", sco_iri="sco", spo_iri="spo",
+        domain_iri="domain", range_iri="range")
+
+
+def kg_truth_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote conflicting-claim resolution (ops/fuse
+    .majority_vote) over a synthetic multi-source claim table:
+    lineitem rows assert entity attributes with per-source
+    disagreement (object drawn from l_partkey % 7, source from
+    l_suppkey), duplicate same-source claims collapse to one vote,
+    ties break to the smallest object. The oracle restates the vote +
+    window in SQL."""
+    from .ops import fuse
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    claims = li.select(
+        F.concat(F.lit("e"),
+                 (F.col("l_orderkey") % 300).cast("string")).alias("s"),
+        F.concat(F.lit("attr"),
+                 (F.col("l_linenumber") % 3).cast("string")).alias("p"),
+        F.concat(F.lit("v"),
+                 (F.col("l_partkey") % 7).cast("string")).alias("o"),
+        F.concat(F.lit("src"),
+                 (F.col("l_suppkey") % 11).cast("string")).alias("source"))
+    return fuse.majority_vote(claims)
+
+
+def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup gate
+    (streaming/stateful.dedup_replay → streaming_dedup_events): every
+    third event is re-delivered at-least-once one minute later, the
+    union replays as ascending-ts micro-batches, and
+    dropDuplicatesWithinWatermark must emit exactly the original
+    table — the oracle is the batch DISTINCT (= the events table
+    itself, event_ids being unique)."""
+    from .streaming.stateful import dedup_replay
+
+    return dedup_replay(spark, f"{sf_dir}/events.parquet")
+
+
+def olap_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (ops/olap.salted_join_agg): 90% of lineitem
+    rows hash to ONE foreign key (k=0) — the head-entity shape that
+    makes an unsalted first shuffle put 90% of the fact on a single
+    reducer. The fact carries salt = l_linenumber % 8, the dim
+    explodes across all 8 salts, the join keys on (k, salt), and the
+    post-join re-aggregate drops the salt — so the oracle is the
+    PLAIN unsalted join + group-by."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 97).alias("k"),
+        (F.col("l_linenumber") % 8).cast("int").alias("salt"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("grp"), (F.col("id") % 5).cast("string"))
+        .alias("attr"),
+    )
+    from .ops import olap
+
+    return olap.salted_join_agg(fact, dim, n_salts=8)
+
+
+def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS one-scan margins (ops/olap.grouping_sets_revenue):
+    the two one-dimensional rollups cube/rollup can't express as a
+    pair, computed with a single Expand + aggregate over one lineitem
+    scan; gid disambiguates the NULL dimension rows."""
+    from .ops import olap
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return olap.grouping_sets_revenue(li)

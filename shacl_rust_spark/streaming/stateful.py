@@ -368,3 +368,57 @@ def streaming_dedup_events(
         .withWatermark("ts", delay)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
+
+
+def dedup_replay(spark, events_path: str, n_chunks: int = 4) -> DataFrame:
+    """Gate harness for streaming_dedup_events: inject an at-least-once
+    duplicate (all columns identical, ts +1 minute) for every
+    event_id % 3 == 0 row, replay the union as ascending-ts chunk
+    files (one per micro-batch), and return the stream's emitted rows
+    — which must be exactly one row per original event_id, the batch
+    DISTINCT. The global ts sort makes the check deterministic AND
+    keeps every duplicate inside the watermark horizon by
+    construction: when a duplicate (ts0+1m) lands in a later batch,
+    the previous batch's max ts is ≤ ts0+1m (sorted chunks), so the
+    watermark is ≤ ts0+1m−30m, strictly before the key's ts0+30m
+    eviction point. ts is projected OUT of the result because which
+    twin is emitted within a single micro-batch is engine-order
+    dependent; every other column is identical on both twins.
+
+    The driver-side toPandas/chunk-write is the REPLAY FIXTURE, not
+    the operator (same charter as sessionize_replay_closed)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = child
+
+    pdf = (
+        spark.read.parquet(events_path)
+        .select("event_id", "ts", "user_id", "event_type")
+        .toPandas()
+    )
+    dups = pdf[pdf["event_id"] % 3 == 0].copy()
+    dups["ts"] = dups["ts"] + pd.Timedelta(minutes=1)
+    both = pd.concat([pdf, dups], ignore_index=True)
+    both = both.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    d = tempfile.mkdtemp(prefix="dedup_replay_")
+    try:
+        step = (len(both) + n_chunks - 1) // n_chunks
+        for k, i in enumerate(range(0, len(both), step)):
+            pq.write_table(
+                pa.Table.from_pandas(both.iloc[i:i + step],
+                                     preserve_index=False),
+                f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
+        name = "dedup_replay_" + uuid.uuid4().hex[:8]
+        out = run_events_stream_once(spark, d, streaming_dedup_events,
+                                     name)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out.select("event_id", "user_id", "event_type")

@@ -2558,3 +2558,82 @@ def test_video_scenes_cut_on_above_mean_diff(spark):
         (1, 0, 0, 1, 2), (1, 1, 2, 2, 1),
         (2, 0, 0, 2, 3),
     }
+
+
+def test_resolve_redirects_chain_and_cycle(spark):
+    """p1→p2→p3 (terminal p3, hops 2 and 1), plus a 2-cycle c1↔c2
+    that must come back resolved=False instead of looping forever."""
+    edges = spark.createDataFrame(
+        [("p1", "p2"), ("p2", "p3"), ("c1", "c2"), ("c2", "c1")],
+        ["url", "target"],
+    )
+    got = {(r.url, r.final_url, r.hops, r.resolved)
+           for r in web.resolve_redirects(edges, max_doublings=4)
+           .collect()}
+    assert ("p1", "p3", 2, True) in got
+    assert ("p2", "p3", 1, True) in got
+    cyc = {r for r in got if r[0] in ("c1", "c2")}
+    assert all(not r[3] for r in cyc) and len(cyc) == 2
+
+
+def test_rdfs_closure_rules(spark):
+    """Each of the six rules derives its planted triple: spo chain
+    q2⊑q1⊑q0 (rdfs5 q2⊑q0), fact x q2 y inherits to q1,q0 (rdfs7),
+    q0's domain/range type x:CA, y:CB (rdfs2/3), CA⊑CC⊑CD closure
+    (rdfs11) and x typed up the chain (rdfs9)."""
+    from shacl_rust_spark.ops import ontology
+
+    t = spark.createDataFrame(
+        [("q2", "spo", "q1"), ("q1", "spo", "q0"),
+         ("q0", "domain", "CA"), ("q0", "range", "CB"),
+         ("CA", "sco", "CC"), ("CC", "sco", "CD"),
+         ("x", "q2", "y")],
+        ["s", "p", "o"],
+    )
+    got = {(r.s, r.p, r.o) for r in ontology.rdfs_closure(
+        t, type_iri="type", sco_iri="sco", spo_iri="spo",
+        domain_iri="domain", range_iri="range").collect()}
+    for want in [("q2", "spo", "q0"),               # rdfs5
+                 ("x", "q1", "y"), ("x", "q0", "y"),  # rdfs7
+                 ("x", "type", "CA"),                # rdfs2
+                 ("y", "type", "CB"),                # rdfs3
+                 ("CA", "sco", "CD"),                # rdfs11
+                 ("x", "type", "CC"), ("x", "type", "CD")]:  # rdfs9
+        assert want in got, want
+    # no reflexive C⊑C noise
+    assert not any(s == o and p == "sco" for s, p, o in got)
+
+
+def test_majority_vote_dedups_sources_and_breaks_ties(spark):
+    """src1 asserting v2 twice counts once, so v1 (2 distinct
+    sources) wins; on the tied predicate the lexicographically
+    smaller object wins."""
+    from shacl_rust_spark.ops import fuse
+
+    claims = spark.createDataFrame(
+        [("e", "a", "v1", "src1"), ("e", "a", "v1", "src2"),
+         ("e", "a", "v2", "src3"), ("e", "a", "v2", "src3"),
+         ("e", "b", "w2", "src1"), ("e", "b", "w1", "src2")],
+        ["s", "p", "o", "source"],
+    )
+    got = {(r.s, r.p, r.o, r.votes, r.n_candidates)
+           for r in fuse.majority_vote(claims).collect()}
+    assert got == {("e", "a", "v1", 2, 2), ("e", "b", "w1", 1, 2)}
+
+
+def test_salted_join_agg_equals_unsalted(spark):
+    """The salt explode + (k, salt) join + salt-dropping aggregate
+    must reproduce the plain join exactly, hot key included."""
+    from shacl_rust_spark.ops import olap
+
+    fact = spark.createDataFrame(
+        [(0, i % 3, 10 + i) for i in range(9)] + [(1, 0, 5)],
+        ["k", "salt", "v"],
+    )
+    dim = spark.createDataFrame(
+        [(0, "hot"), (1, "cold")], ["k", "attr"])
+    got = {(r.attr, r.n_rows, r.total_v)
+           for r in olap.salted_join_agg(fact, dim, n_salts=3)
+           .collect()}
+    assert got == {("hot", 9, sum(10 + i for i in range(9))),
+                   ("cold", 1, 5)}
