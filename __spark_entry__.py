@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_entailment": O.kg_rdfs_entailment,
         "kg_truth_discovery": O.kg_truth_discovery,
         "events_dedup_stream": O.events_dedup_stream,
+        "text_hashed_features": O.text_hashed_features,
+        "text_kn_bigram": O.text_kn_bigram,
+        "graph_closeness": O.graph_closeness,
         "olap_salted_join": O.olap_salted_join,
         "olap_grouping_sets": O.olap_grouping_sets,
         "events_active_users": O.events_active_users,
@@ -496,6 +499,30 @@ def _bfs_ctes(max_hops: int) -> str:
     GROUP BY 1)""")
     return (_NB_CTE + "," + ",".join(parts)
             + f" SELECT node, dist FROM b{max_hops}")
+
+
+def _closeness_ctes(max_hops: int) -> str:
+    """Per-seed lift of _bfs_ctes: unrolled min-relaxation keyed by
+    (seed, node) from the doc_id %% 31 = 0 seed sample, aggregated to
+    integer closeness terms — the DuckDB twin of
+    ops/graph.closeness_terms."""
+    parts = ["""
+  c0 AS MATERIALIZED (
+    SELECT doc_id AS seed, doc_id AS node, 0 AS dist FROM documents
+    WHERE doc_id % 31 = 0)"""]
+    for r in range(1, max_hops + 1):
+        parts.append(f"""
+  c{r} AS MATERIALIZED (
+    SELECT seed, node, MIN(dist) AS dist FROM (
+      SELECT seed, node, dist FROM c{r - 1}
+      UNION ALL
+      SELECT b.seed, nb.nbr AS node, b.dist + 1 AS dist
+      FROM c{r - 1} b JOIN nb ON nb.node = b.node) u
+    GROUP BY 1, 2)""")
+    return (_NB_CTE + "," + ",".join(parts) + f"""
+  SELECT seed, count(*) AS n_reached,
+         CAST(sum(dist) AS BIGINT) AS dist_sum
+  FROM c{max_hops} WHERE dist > 0 GROUP BY 1""")
 
 
 def _zinterleave_sql(col: str, offset: int, bits: int = 16) -> str:
@@ -3926,6 +3953,49 @@ def oracle_sql() -> dict[str, str]:
         "events_dedup_stream": """
             SELECT event_id, user_id, event_type FROM events
         """,
+        # the md5 bucket recomputed in closed form (hex-prefix cast)
+        "text_hashed_features": r"""
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT)
+                        % 64 AS BIGINT) AS bucket,
+                   count(*) AS tf
+            FROM (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), ' +')) AS w
+              FROM documents) u
+            WHERE w <> ''
+            GROUP BY 1, 2
+        """,
+        # the same integer-rational KN formula over independently
+        # derived bigram/continuation counts
+        "text_kn_bigram": r"""
+            WITH t AS (
+              SELECT string_split_regex(trim(text), ' +') AS a
+              FROM documents),
+            bg AS (
+              SELECT a[i] AS w1, a[i + 1] AS w2
+              FROM t, unnest(generate_series(1, len(a) - 1)) u(i)),
+            lm AS MATERIALIZED (
+              SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+            nbt AS (SELECT count(*) AS nb FROM lm),
+            heads AS (
+              SELECT w1, sum(c12) AS c1, count(*) AS n1_fwd
+              FROM lm GROUP BY 1),
+            tails AS (
+              SELECT w2, count(*) AS n1_bwd FROM lm GROUP BY 1)
+            SELECT l.w1, l.w2, l.c12,
+                   CAST((4 * l.c12 - 3) * nbt.nb
+                        + 3 * h.n1_fwd * tl.n1_bwd AS BIGINT)
+                     AS kn_num,
+                   CAST(4 * h.c1 * nbt.nb AS BIGINT) AS kn_den
+            FROM lm l
+            CROSS JOIN nbt
+            JOIN heads h ON h.w1 = l.w1
+            JOIN tails tl ON tl.w2 = l.w2
+            WHERE l.c12 >= 4
+        """,
+        "graph_closeness":
+            _WORDS_CTE + _PAIR_GRAPH_CTE + _closeness_ctes(4),
         # the UNSALTED join: the salt explode + (k, salt) join +
         # salt-dropping re-aggregate must be value-identical to it
         "olap_salted_join": """

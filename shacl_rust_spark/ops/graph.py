@@ -717,3 +717,65 @@ def assortativity_terms(edges: DataFrame) -> DataFrame:
         (F.col("m") * F.col("sy2") - F.col("sy") * F.col("sy"))
         .cast("bigint").alias("den_y"),
     )
+
+
+def closeness_terms(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Horizon-bounded closeness centrality TERMS for a seed set:
+    (seed, n_reached, dist_sum) over the undirected simple graph,
+    where n_reached counts nodes within max_hops of the seed
+    (seed excluded) and dist_sum is the integer sum of their hop
+    distances — closeness itself is the consumer's trivial
+    n_reached/dist_sum (or harmonic variants), kept as exact integer
+    terms so two engines hash identically (the fixed-point PageRank
+    policy).
+
+    Plan: the bfs_distances frontier loop lifted to carry the seed
+    key — visited is (seed, node, dist), each round joins only the
+    last frontier against the checkpointed adjacency and anti-joins
+    visited on (seed, node). Work per round is O(frontier ⋈ edges);
+    exact all-sources closeness is quadratic by nature, so the seed
+    set IS the cap (sampled-pivot closeness — Eppstein-Wang — is the
+    stated estimator at corpus scale, same machinery over O(log n /
+    ε²) sampled seeds)."""
+    e = _canon_undirected(edges)
+    adj = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(
+            e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("seed"))
+        .where(F.col("seed").isNotNull())
+        .distinct()
+        .select("seed", F.col("seed").alias("node"),
+                F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            frontier.select("seed", "node")
+            .join(adj, "node")
+            .select("seed", F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"),
+                  ["seed", "node"], "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(
+            eager=True
+        )
+    return (
+        visited.where(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("dist").cast("long").alias("dist_sum"),
+        )
+    )

@@ -476,3 +476,73 @@ def precision_at_k(docs: DataFrame, terms: tuple, k: int = 5) -> DataFrame:
         .select("term", F.lit(k).cast("bigint").alias("k"),
                 "n_ranked", "n_rel_at_k")
     )
+
+
+def kneser_ney_bigram(docs: DataFrame, min_count: int = 4) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities with the classic
+    d = 3/4 discount, as EXACT RATIONALS — (w1, w2, c12, kn_num,
+    kn_den) where P(w2|w1) = kn_num / kn_den:
+
+        P = max(c12 − 3/4, 0)/c1 + (3/(4·c1))·N1+(w1·)·N1+(·w2)/NB
+
+    multiplied through by 4·c1·NB (NB = distinct bigram types):
+
+        kn_num = (4·c12 − 3)·NB + 3·N1+(w1·)·N1+(·w2)
+        kn_den = 4·c1·NB
+
+    Every term is an integer count, so the fraction is bit-identical
+    on any engine — the same no-float-ever-compared device as the
+    fixed-point PageRank; consumers divide at the edge. The
+    continuation counts N1+ are what distinguish KN from add-α: a
+    w2 seen after many DIFFERENT heads gets backoff mass even when
+    c(w1,w2) = 0 (here only observed bigrams are emitted, where the
+    discount term is positive — c12 ≥ 1 ⇒ 4·c12 − 3 ≥ 1).
+
+    Plan: one corpus scan → bigram LM table (n-gram-vocab-sized);
+    head totals and both continuation counts derive from the LM
+    table itself (group-bys on its two key halves, no second corpus
+    scan); NB is one scalar aggregate (bounded driver-side scalar,
+    the unigram-LM policy). Output is filtered to c12 ≥ min_count —
+    the LM-pruning threshold, applied AFTER the statistics so the
+    probabilities are those of the unpruned model."""
+    w = word_array()
+    base = docs.select("doc_id", w.alias("_w"))
+    bgs = base.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_w) >= 2 THEN "
+                "transform(sequence(1, size(_w) - 1), "
+                " i -> concat(element_at(_w, i), ' ', "
+                "             element_at(_w, i + 1))) "
+                "ELSE cast(array() AS array<string>) END"
+            )
+        ).alias("bg"),
+    )
+    lm = (
+        bgs.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .select(
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+            "c12",
+        )
+        .localCheckpoint(eager=True)
+    )
+    nb = lm.count()
+    heads = lm.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).alias("n1_fwd"),
+    )
+    tails = lm.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    return (
+        lm.where(F.col("c12") >= min_count)
+        .join(heads, "w1")
+        .join(tails, "w2")
+        .select(
+            "w1", "w2", "c12",
+            ((4 * F.col("c12") - 3) * F.lit(nb)
+             + 3 * F.col("n1_fwd") * F.col("n1_bwd"))
+            .cast("long").alias("kn_num"),
+            (4 * F.col("c1") * F.lit(nb)).cast("long").alias("kn_den"),
+        )
+    )

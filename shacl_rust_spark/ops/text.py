@@ -872,3 +872,31 @@ def skipgram_pairs(
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= min_count)
     )
+
+
+def hashed_features(docs: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Hashing-trick term features (Weinberger et al. 2009): every
+    token maps to bucket = (first 32 bits of md5(token)) mod
+    n_buckets, and the doc's feature vector is the per-bucket tf —
+    (doc_id, bucket, tf), sparse rows. The fixed-width feature space
+    is what makes linear classifiers trainable over 10^12 docs: no
+    vocabulary table to build, broadcast, or keep consistent across
+    runs, and the transform is one stateless scan (explode + group on
+    (doc_id, bucket) — the shuffle key includes doc_id, so a hot
+    bucket never concentrates on one reducer). md5 rather than
+    xxhash64/murmur because it is the hash both engines compute
+    identically — the DuckDB oracle restates the bucket in closed
+    form; a production job would swap in xxhash64 (same plan, faster
+    hash)."""
+    toks = docs.select(
+        "doc_id", F.explode(word_array()).alias("w")
+    ).where(F.col("w") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

@@ -1768,3 +1768,36 @@ def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return olap.grouping_sets_revenue(li)
+
+
+def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sparse term features (ops/text.hashed_features):
+    64 md5-derived buckets, per-doc tf — the vocabulary-free
+    featurization for corpus-scale linear models; oracle recomputes
+    the md5 bucket in closed form."""
+    return text.hashed_features(_docs(spark, sf_dir), n_buckets=64)
+
+
+def text_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM with d=3/4 as exact rationals
+    (ops/rank.kneser_ney_bigram): kn_num/kn_den in integer counts
+    only, continuation counts included — the smoothing estimator
+    KenLM-style quality filters use; emitted for bigrams with
+    c12 ≥ 4, statistics over the unpruned model."""
+    return rank.kneser_ney_bigram(_docs(spark, sf_dir), min_count=4)
+
+
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizon-4 closeness centrality terms
+    (ops/graph.closeness_terms) for the doc_id % 31 == 0 seed sample
+    over the Jaccard ≥ 0.8 near-dup pair graph — integer
+    (n_reached, dist_sum) per seed; the oracle unrolls 4 per-seed
+    min-relaxation rounds (the per-seed lift of graph_bfs's
+    oracle)."""
+    d = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(d, 0.8)
+    seeds = d.where(F.col("doc_id") % 31 == 0).select("doc_id")
+    return graph.closeness_terms(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        seeds, max_hops=4,
+    )

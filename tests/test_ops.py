@@ -2637,3 +2637,33 @@ def test_salted_join_agg_equals_unsalted(spark):
            .collect()}
     assert got == {("hot", 9, sum(10 + i for i in range(9))),
                    ("cold", 1, 5)}
+
+
+def test_closeness_terms_path_graph(spark):
+    """Path a-b-c-d with seeds {a, c}, horizon 2: a reaches b(1),
+    c(2) → (2, 3); c reaches b(1), d(1), a(2) → (3, 4)."""
+    from shacl_rust_spark.ops import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("c",)], ["node"])
+    got = {(r.seed, r.n_reached, r.dist_sum)
+           for r in graph.closeness_terms(edges, seeds, max_hops=2)
+           .collect()}
+    assert got == {("a", 2, 3), ("c", 3, 4)}
+
+
+def test_kneser_ney_bigram_exact_rational(spark):
+    """Corpus 'a b a b c': bigrams (a b)x?, doc-local — with docs
+    ['a b', 'a b', 'c b'] the LM is {(a,b):2, (c,b):1}, NB=2,
+    heads: a→(c1=2,n1=1), c→(1,1); tails: b→n1_bwd=2. For (a,b):
+    num=(8−3)·2+3·1·2=16, den=4·2·2=16 → P=1 (all of a's mass
+    continues to b, and b is the only continuation anywhere)."""
+    from shacl_rust_spark.ops import rank as rk
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a b"), (2, "s", "a b"), (3, "s", "c b")],
+        ["doc_id", "source", "text"])
+    got = {(r.w1, r.w2, r.c12, r.kn_num, r.kn_den)
+           for r in rk.kneser_ney_bigram(docs, min_count=1).collect()}
+    assert got == {("a", "b", 2, 16, 16), ("c", "b", 1, 8, 8)}
