@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_entailment": O.kg_rdfs_entailment,
         "kg_truth_discovery": O.kg_truth_discovery,
         "events_dedup_stream": O.events_dedup_stream,
+        "kg_warc": O.kg_warc,
+        "multimodal_ahash_pairs": O.multimodal_ahash_pairs,
         "text_hashed_features": O.text_hashed_features,
         "text_kn_bigram": O.text_kn_bigram,
         "graph_closeness": O.graph_closeness,
@@ -361,6 +363,39 @@ _NB_CTE = """
 
 # simhash signature CTE chain (ends in `sig(doc_id, simhash)`) —
 # shared by the signature gate and the banded-pairs gate
+# average-hash from the synthetic BMP pixel formula, factored so the
+# signature gate and the banded near-dup pairs gate share it
+_AHASH_CTES = """
+            WITH b AS (SELECT doc_id, 1 + doc_id % 7 AS w,
+                              1 + doc_id % 5 AS h
+                       FROM documents),
+            s AS (
+              SELECT b.doc_id, b.w, b.h,
+                     SUM((b.doc_id + gx.x + 2 * gy.y) % 251) AS psum
+              FROM b
+              CROSS JOIN generate_series(0, 6) gx(x)
+              CROSS JOIN generate_series(0, 4) gy(y)
+              WHERE gx.x < b.w AND gy.y < b.h
+              GROUP BY 1, 2, 3),
+            bits AS (
+              SELECT s.doc_id, s.w, s.h,
+                     gy.y * s.w + gx.x AS i,
+                     CASE WHEN ((s.doc_id + gx.x + 2 * gy.y) % 251)
+                               * (s.w * s.h) >= s.psum
+                          THEN 1 ELSE 0 END AS bit
+              FROM s
+              CROSS JOIN generate_series(0, 6) gx(x)
+              CROSS JOIN generate_series(0, 4) gy(y)
+              WHERE gx.x < s.w AND gy.y < s.h),
+            ah AS MATERIALIZED (
+              SELECT doc_id, w, h,
+                     CAST(SUM(bit) AS BIGINT) AS n_ones,
+                     CAST(SUM(bit * (CAST(1 AS BIGINT)
+                                     << (w * h - 1 - i))) AS BIGINT)
+                       AS ahash
+              FROM bits GROUP BY 1, 2, 3)
+"""
+
 _SIMHASH_CTES = _WORDS_CTE + """
             , h AS (
               SELECT doc_id,
@@ -3271,35 +3306,28 @@ def oracle_sql() -> dict[str, str]:
         # every hash bit recomputed in closed form from the pixel
         # formula; the mean compare is the cross-multiplied integer
         # px·n ≥ Σpx on both sides
-        "multimodal_ahash": """
-            WITH b AS (SELECT doc_id, 1 + doc_id % 7 AS w,
-                              1 + doc_id % 5 AS h
-                       FROM documents),
-            s AS (
-              SELECT b.doc_id, b.w, b.h,
-                     SUM((b.doc_id + gx.x + 2 * gy.y) % 251) AS psum
-              FROM b
-              CROSS JOIN generate_series(0, 6) gx(x)
-              CROSS JOIN generate_series(0, 4) gy(y)
-              WHERE gx.x < b.w AND gy.y < b.h
-              GROUP BY 1, 2, 3),
-            bits AS (
-              SELECT s.doc_id, s.w, s.h,
-                     gy.y * s.w + gx.x AS i,
-                     CASE WHEN ((s.doc_id + gx.x + 2 * gy.y) % 251)
-                               * (s.w * s.h) >= s.psum
-                          THEN 1 ELSE 0 END AS bit
-              FROM s
-              CROSS JOIN generate_series(0, 6) gx(x)
-              CROSS JOIN generate_series(0, 4) gy(y)
-              WHERE gx.x < s.w AND gy.y < s.h)
+        "multimodal_ahash": _AHASH_CTES + """
             SELECT doc_id, CAST(w AS BIGINT) AS width,
-                   CAST(h AS BIGINT) AS height,
-                   CAST(SUM(bit) AS BIGINT) AS n_ones,
-                   CAST(SUM(bit * (CAST(1 AS BIGINT)
-                                   << (w * h - 1 - i))) AS BIGINT)
-                     AS ahash
-            FROM bits GROUP BY 1, 2, 3
+                   CAST(h AS BIGINT) AS height, n_ones, ahash
+            FROM ah
+        """,
+        # same-geometry pairs, band condition stated arithmetically
+        # (some ⌈n/4⌉-bit xor band is all-zero), exact Hamming ≤ 5
+        "multimodal_ahash_pairs": _AHASH_CTES + """
+            , g AS (
+              SELECT x.doc_id AS a, y.doc_id AS b,
+                     xor(x.ahash, y.ahash) AS d,
+                     x.w * x.h AS n,
+                     (x.w * x.h + 3) // 4 AS bw
+              FROM ah x JOIN ah y
+                ON x.w = y.w AND x.h = y.h AND x.doc_id < y.doc_id)
+            SELECT a, b, CAST(bit_count(d) AS BIGINT) AS hamming
+            FROM g
+            WHERE bit_count(d) <= 5
+              AND ((d >> (0 * bw)) & ((CAST(1 AS BIGINT) << bw) - 1) = 0
+                OR (d >> (1 * bw)) & ((CAST(1 AS BIGINT) << bw) - 1) = 0
+                OR (d >> (2 * bw)) & ((CAST(1 AS BIGINT) << bw) - 1) = 0
+                OR (d >> (3 * bw)) & ((CAST(1 AS BIGINT) << bw) - 1) = 0)
         """,
         # the canonical side is a CLOSED-FORM derivation, verifying the
         # canonicalizer's semantics independently of its implementation
@@ -3952,6 +3980,15 @@ def oracle_sql() -> dict[str, str]:
         # the original table (event_ids are unique in the fixture)
         "events_dedup_stream": """
             SELECT event_id, user_id, event_type FROM events
+        """,
+        # closed-form record fields from the fixture HTML: a walker
+        # misalignment corrupts every later record's md5
+        "kg_warc": _LINK_CTES + """
+            SELECT url, 'response' AS rec_type,
+                   CAST(octet_length(encode(html)) AS BIGINT)
+                     AS content_length,
+                   md5(html) AS payload_md5
+            FROM p
         """,
         # the md5 bucket recomputed in closed form (hex-prefix cast)
         "text_hashed_features": r"""

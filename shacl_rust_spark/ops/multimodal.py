@@ -1116,3 +1116,57 @@ def sniff_binary(pages: DataFrame, payload_col: str = "html") -> DataFrame:
             })
 
     return pages.select("url", payload_col).mapInPandas(run, SNIFF_SCHEMA)
+
+
+def ahash_near_dup_pairs(
+    hashes: DataFrame, n_bands: int = 4, max_hamming: int = 5
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs over image_ahash output — the
+    simhash-banding recipe applied to perceptual hashes: candidates
+    must share at least one exact band of the n = w·h-bit hash
+    (band width ⌈n/n_bands⌉), then rescore by exact Hamming distance
+    (bit_count of xor) and keep pairs ≤ max_hamming. Only
+    same-geometry images compare (hashes of different w×h aren't
+    commensurable; a production pipeline normalizes to 8×8 first, so
+    geometry is constant and the group key disappears).
+
+    Recall contract (same statement as dedup_simhash_pairs): the
+    pigeonhole guarantees every pair with hamming ≤ n_bands − 1
+    shares a band; pairs between n_bands and max_hamming are found
+    iff their differing bits cluster — the standard banding trade.
+    Scale shape: candidate generation is the (geometry, band,
+    band_val) bucket join — never all-pairs; the rescore runs on
+    candidates only."""
+    from pyspark.sql import functions as F
+
+    h = hashes.select(
+        "doc_id", "width", "height", "ahash",
+        (F.col("width") * F.col("height")).cast("int").alias("_n"),
+    ).withColumn(
+        "_bw", F.expr(f"cast(ceil(_n / {n_bands}) as int)")
+    )
+    bands = h.withColumn(
+        "band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
+    ).withColumn(
+        "bval",
+        F.expr("(ahash >> (band * _bw)) & ((1L << _bw) - 1)"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a"), "width", "height", "band",
+        "bval", F.col("ahash").alias("_ha"))
+    b = bands.select(
+        F.col("doc_id").alias("b"), "width", "height", "band",
+        "bval", F.col("ahash").alias("_hb"))
+    cand = (
+        a.join(b, ["width", "height", "band", "bval"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "_ha", "_hb")
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr("cast(bit_count(_ha ^ _hb) as bigint)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

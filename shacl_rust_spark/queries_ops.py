@@ -1136,14 +1136,12 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_train_merges(_docs(spark, sf_dir), rounds=5)
 
 
-def kg_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperlink host graph (ops/web.host_link_graph) over a
-    deterministic link-bearing crawl synthesized from orders: each
-    page at ex{c%100}.test carries absolute links to ex{(c+1)%100}
-    and ex{(c+7)%100}, every third page links docs.test, and one
-    relative + one mailto: link per page must be dropped. The oracle
-    rebuilds the identical HTML strings in SQL and runs the same
-    href-regex extraction."""
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic link-bearing crawl fixture shared by
+    kg_link_graph and kg_warc: (url, html binary) synthesized from
+    orders — each page at ex{c%100}.test links ex{(c+1)%100} and
+    ex{(c+7)%100}, every third page links docs.test, plus one
+    relative and one mailto: link."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = F.col("o_custkey").cast("bigint")
     ok = F.col("o_orderkey").cast("bigint")
@@ -1160,12 +1158,19 @@ def kg_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<a href="/rel"></a>'
               '<a href="mailto:a@b.test"></a></body></html>'),
     )
-    pages = o.select(
+    return o.select(
         F.concat(h(c % 100), F.lit("/o"), ok.cast("string"))
         .alias("url"),
         F.encode(html, "UTF-8").alias("html"),
     )
-    return web.host_link_graph(pages)
+
+
+def kg_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink host graph (ops/web.host_link_graph) over the
+    deterministic link-bearing crawl fixture (_link_pages). The
+    oracle rebuilds the identical HTML strings in SQL and runs the
+    same href-regex extraction."""
+    return web.host_link_graph(_link_pages(spark, sf_dir))
 
 
 def kg_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1801,3 +1806,31 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         seeds, max_hops=4,
     )
+
+
+def kg_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC archive round-trip (ops/warc): the crawl fixture is
+    serialized into one multi-record WARC-style file per host (pure
+    binary Column concat), then parsed back by the offset-driven
+    record walker inside Arrow mapInPandas — the Common-Crawl
+    ingestion step. The oracle derives (url, type, byte length,
+    payload md5) in closed form from the fixture HTML; a record
+    misalignment in the walker corrupts every subsequent record's
+    md5."""
+    from .ops import warc
+
+    files = warc.to_warc_files(_link_pages(spark, sf_dir))
+    return warc.parse_warc(files)
+
+
+def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image detection
+    (ops/multimodal.ahash_near_dup_pairs): perceptual average-hashes
+    banded into 4 chunks, bucket-joined within identical geometry,
+    exact-Hamming rescored at ≤ 5 bits — image dedup for a
+    multimodal training corpus. The oracle recomputes the hashes
+    from the pixel formula and states the band condition
+    arithmetically (some xor band == 0) over same-geometry pairs."""
+    assets = multimodal.synth_assets(_docs(spark, sf_dir))
+    return multimodal.ahash_near_dup_pairs(
+        multimodal.image_ahash(assets), n_bands=4, max_hamming=5)

@@ -2667,3 +2667,72 @@ def test_kneser_ney_bigram_exact_rational(spark):
     got = {(r.w1, r.w2, r.c12, r.kn_num, r.kn_den)
            for r in rk.kneser_ney_bigram(docs, min_count=1).collect()}
     assert got == {("a", "b", 2, 16, 16), ("c", "b", 1, 8, 8)}
+
+
+def test_warc_roundtrip_payload_with_header_bytes(spark):
+    """A payload that CONTAINS 'WARC/1.0' and CRLFCRLF must not
+    desynchronize the offset-driven walker — only Content-Length
+    delimits records."""
+    import hashlib
+
+    from shacl_rust_spark.ops import warc
+
+    evil = b"x\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\ny"
+    pages = spark.createDataFrame(
+        [("http://h.test/a", bytearray(b"hello")),
+         ("http://h.test/b", bytearray(evil)),
+         ("http://i.test/c", bytearray(b""))],
+        "url string, html binary",
+    )
+    out = {(r.url, r.rec_type, r.content_length, r.payload_md5)
+           for r in warc.parse_warc(warc.to_warc_files(pages))
+           .collect()}
+    assert out == {
+        ("http://h.test/a", "response", 5,
+         hashlib.md5(b"hello").hexdigest()),
+        ("http://h.test/b", "response", len(evil),
+         hashlib.md5(evil).hexdigest()),
+        ("http://i.test/c", "response", 0,
+         hashlib.md5(b"").hexdigest()),
+    }
+
+
+def test_warc_truncated_record_raises(spark):
+    import pytest
+
+    from shacl_rust_spark.ops import warc
+
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: u\r\nContent-Length: 10\r\n\r\nshort")
+    files = spark.createDataFrame(
+        [(bytearray(bad),)], "warc binary")
+    with pytest.raises(Exception, match="truncated|ValueError"):
+        warc.parse_warc(files).collect()
+
+
+def test_ahash_near_dup_pairs_bands_and_rescore(spark):
+    """16-bit hashes, 4 bands of 4: (1,2) differ in 1 bit of band 0
+    → kept (hamming 1); (1,3) differ in 1 bit of EVERY band →
+    candidates never share a band, dropped even though hamming 4 ≤ 5;
+    (1,4) differ in 6 clustered bits → shares bands but fails the
+    rescore. Geometry mismatch (5) never compares."""
+    from shacl_rust_spark.ops import multimodal as mm
+
+    h1 = 0b1010101010101010
+    rows = [
+        (1, 4, 4, 8, h1),
+        (2, 4, 4, 8, h1 ^ 0b1),                 # band 0, 1 bit
+        (3, 4, 4, 8, h1 ^ 0b1000100010001000),  # 1 bit per band
+        (4, 4, 4, 8, h1 ^ 0b111111),            # 6 bits, bands 0-1
+        (5, 2, 4, 4, h1),                       # other geometry
+    ]
+    hashes = spark.createDataFrame(
+        rows, "doc_id long, width long, height long, n_ones long, "
+              "ahash long")
+    got = {(r.a, r.b, r.hamming)
+           for r in mm.ahash_near_dup_pairs(
+               hashes, n_bands=4, max_hamming=5).collect()}
+    assert (1, 2, 1) in got
+    assert all(not (p[0] == 1 and p[1] == 3) for p in got)
+    assert all(not (p[0] == 1 and p[1] == 4) for p in got)
+    assert all(5 not in (p[0], p[1]) for p in got)
