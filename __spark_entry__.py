@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_truth_discovery": O.kg_truth_discovery,
         "events_dedup_stream": O.events_dedup_stream,
         "kg_warc": O.kg_warc,
+        "crawl_cdx": O.crawl_cdx,
+        "events_windowed_stream": O.events_windowed_stream,
         "multimodal_ahash_pairs": O.multimodal_ahash_pairs,
         "text_hashed_features": O.text_hashed_features,
         "text_kn_bigram": O.text_kn_bigram,
@@ -3989,6 +3991,40 @@ def oracle_sql() -> dict[str, str]:
                      AS content_length,
                    md5(html) AS payload_md5
             FROM p
+        """,
+        # closed-form per-host record offsets: rec_length from the
+        # header grammar, offset = running sum in url order
+        "crawl_cdx": _LINK_CTES + """
+            , r AS (
+              SELECT url,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS host,
+                     octet_length(encode(html)) AS n
+              FROM p),
+            spans AS (
+              SELECT url, host,
+                     74 + length(url) + length(CAST(n AS VARCHAR)) + n
+                       AS rec_length
+              FROM r)
+            SELECT array_to_string(
+                     list_reverse(string_split(host, '.')), ',')
+                     || ')' || regexp_replace(regexp_replace(url,
+                          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
+                          '#.*$', '') AS surt,
+                   url, host,
+                   CAST(SUM(rec_length) OVER (PARTITION BY host
+                          ORDER BY url ROWS UNBOUNDED PRECEDING)
+                        - rec_length AS BIGINT) AS offset,
+                   CAST(rec_length AS BIGINT) AS rec_length
+            FROM spans
+        """,
+        # append mode must emit each closed window exactly once ==
+        # the batch tumbling-window group-by
+        "events_windowed_stream": """
+            SELECT date_trunc('hour', ts) AS win_start, event_type,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         # the md5 bucket recomputed in closed form (hex-prefix cast)
         "text_hashed_features": r"""

@@ -37,6 +37,8 @@ WARC_RECORD_SCHEMA = StructType([
     StructField("rec_type", StringType()),
     StructField("content_length", LongType()),
     StructField("payload_md5", StringType()),
+    StructField("offset", LongType()),
+    StructField("rec_length", LongType()),
 ])
 
 
@@ -83,21 +85,30 @@ def to_warc_files(
     )
 
 
-def parse_warc(files: DataFrame, file_col: str = "warc") -> DataFrame:
+def parse_warc(
+    files: DataFrame, file_col: str = "warc", keep: tuple = ()
+) -> DataFrame:
     """Archive blobs → one row per record: (url, rec_type,
-    content_length, payload_md5). The walk is offset-driven — header
-    block up to the first CRLFCRLF, then exactly Content-Length
-    payload bytes, then the record separator — so payloads containing
-    'WARC/1.0' or CRLFCRLF never desynchronize it. payload_md5 stands
-    in for the payload column in the gate (hash-comparable); the
-    production variant yields the payload bytes themselves."""
+    content_length, payload_md5, offset, rec_length) plus any `keep`
+    passthrough columns (e.g. the archive id, so a CDX index can name
+    which file an offset points into). The walk is offset-driven —
+    header block up to the first CRLFCRLF, then exactly
+    Content-Length payload bytes, then the record separator — so
+    payloads containing 'WARC/1.0' or CRLFCRLF never desynchronize
+    it; offset/rec_length are the record's byte span in the archive,
+    the pair a range-request replay needs. payload_md5 stands in for
+    the payload column in the gate (hash-comparable); the production
+    variant yields the payload bytes themselves."""
+    schema = StructType(
+        [f for f in files.select(*keep).schema.fields]
+        + WARC_RECORD_SCHEMA.fields
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {
-                f.name: [] for f in WARC_RECORD_SCHEMA.fields
-            }
-            for blob in pdf[file_col]:
+            out: dict[str, list] = {f.name: [] for f in schema.fields}
+            for row in pdf.itertuples(index=False):
+                blob = getattr(row, file_col)
                 b = bytes(blob)
                 i = 0
                 while i < len(b):
@@ -126,7 +137,11 @@ def parse_warc(files: DataFrame, file_col: str = "warc") -> DataFrame:
                     out["content_length"].append(n)
                     out["payload_md5"].append(
                         hashlib.md5(payload).hexdigest())
+                    out["offset"].append(i)
+                    out["rec_length"].append(j + 8 + n - i)
+                    for k in keep:
+                        out[k].append(getattr(row, k))
                     i = j + 8 + n
             yield pd.DataFrame(out)
 
-    return files.select(file_col).mapInPandas(run, WARC_RECORD_SCHEMA)
+    return files.select(*keep, file_col).mapInPandas(run, schema)

@@ -430,3 +430,19 @@ def resolve_redirects(
         F.col("hops").cast("long").alias("hops"),
         F.col("done").alias("resolved"),
     )
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key: host labels
+    reversed and comma-joined, then ')' and the path — the CDX index
+    sort key web archives use so one registrable domain's records are
+    contiguous (test,example)/page. Pure Column string surgery."""
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    path = F.regexp_replace(
+        F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+        r"#.*$", "")
+    return F.concat(
+        F.concat_ws(",", F.reverse(F.split(host, r"\."))),
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+    )

@@ -1820,7 +1820,8 @@ def kg_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import warc
 
     files = warc.to_warc_files(_link_pages(spark, sf_dir))
-    return warc.parse_warc(files)
+    return warc.parse_warc(files).select(
+        "url", "rec_type", "content_length", "payload_md5")
 
 
 def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1834,3 +1835,35 @@ def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.synth_assets(_docs(spark, sf_dir))
     return multimodal.ahash_near_dup_pairs(
         multimodal.image_ahash(assets), n_bands=4, max_hamming=5)
+
+
+def events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_windowed: tumbling 1-hour counts per
+    event type under a 30-minute watermark
+    (streaming/stateful.streaming_windowed_counts), replayed as
+    ascending-ts micro-batches with sentinel flush chunks — append
+    mode must emit every real window exactly once, equal to the batch
+    date_trunc group-by (the oracle)."""
+    from .streaming.stateful import windowed_replay_closed
+
+    return windowed_replay_closed(spark, f"{sf_dir}/events.parquet")
+
+
+def crawl_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX archive index (ops/warc.parse_warc offsets +
+    ops/web.surt_key): the WARC fixture parsed back with each
+    record's byte span, keyed by the SURT sort key web archives use —
+    (surt, url, host, offset, rec_length). The oracle recomputes the
+    offsets in closed form: per-host url-ordered records, rec_length
+    = 74 + len(url) + len(str(content_length)) + content_length, and
+    offset = the running sum of preceding records — so a serializer
+    or walker off-by-one anywhere breaks every later offset in the
+    host's file."""
+    from .ops import warc
+
+    files = warc.to_warc_files(_link_pages(spark, sf_dir))
+    recs = warc.parse_warc(files, keep=("host",))
+    return recs.select(
+        web.surt_key(F.col("url")).alias("surt"),
+        "url", "host", "offset", "rec_length",
+    )

@@ -422,3 +422,83 @@ def dedup_replay(spark, events_path: str, n_chunks: int = 4) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out.select("event_id", "user_id", "event_type")
+
+
+def streaming_windowed_counts(
+    stream: DataFrame, delay: str = "30 minutes", win: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window event counts per type with a watermark — THE
+    canonical Structured Streaming aggregation: state is bounded by
+    open windows (closed windows emit once, in append mode, when the
+    watermark passes the window end, and their state is dropped);
+    late rows beyond the delay are discarded instead of reopening
+    emitted windows. The batch twin is a plain date_trunc group-by."""
+    return (
+        stream
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", win), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def windowed_replay_closed(
+    spark, events_path: str, n_chunks: int = 4
+) -> DataFrame:
+    """Gate harness for streaming_windowed_counts: replay the events
+    table as ascending-ts micro-batches; two far-future sentinel
+    chunks (event_type __flush__, +1/+2 days) push the final
+    watermark past every real window end so append mode emits ALL
+    real windows inside data batches (the sessionize_replay_closed
+    sentinel device); sentinel windows themselves stay open and are
+    filtered. With the full table replayed, the emitted set equals
+    the batch tumbling-window counts — the oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = child
+
+    pdf = (
+        spark.read.parquet(events_path)
+        .select("event_id", "ts", "event_type")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    d = tempfile.mkdtemp(prefix="win_replay_")
+    try:
+        step = (len(pdf) + n_chunks - 1) // n_chunks
+        k = 0
+        for i in range(0, len(pdf), step):
+            pq.write_table(
+                pa.Table.from_pandas(pdf.iloc[i:i + step],
+                                     preserve_index=False),
+                f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
+            k += 1
+        for days in (1, 2):
+            tail = pdf.iloc[[-1]].copy()
+            tail["ts"] = tail["ts"] + pd.Timedelta(days=days)
+            tail["event_type"] = "__flush__"
+            tail["event_id"] = -days
+            pq.write_table(
+                pa.Table.from_pandas(tail, preserve_index=False),
+                f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
+            k += 1
+        name = "win_replay_" + uuid.uuid4().hex[:8]
+        out = run_events_stream_once(
+            spark, d, streaming_windowed_counts, name)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out.where(F.col("event_type") != "__flush__")

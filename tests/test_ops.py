@@ -2736,3 +2736,32 @@ def test_ahash_near_dup_pairs_bands_and_rescore(spark):
     assert all(not (p[0] == 1 and p[1] == 3) for p in got)
     assert all(not (p[0] == 1 and p[1] == 4) for p in got)
     assert all(5 not in (p[0], p[1]) for p in got)
+
+
+def test_warc_offsets_and_surt(spark):
+    """Two same-host records: the second record's offset is exactly
+    the first's rec_length (url order), and surt_key reverses host
+    labels and strips the fragment."""
+    from shacl_rust_spark.ops import warc
+
+    pages = spark.createDataFrame(
+        [("http://sub.ex.test/a", bytearray(b"xy")),
+         ("http://sub.ex.test/b", bytearray(b"z"))],
+        "url string, html binary",
+    )
+    recs = {r.url: (r.offset, r.rec_length)
+            for r in warc.parse_warc(
+                warc.to_warc_files(pages), keep=("host",)).collect()}
+    a_off, a_len = recs["http://sub.ex.test/a"]
+    assert a_off == 0
+    assert recs["http://sub.ex.test/b"][0] == a_len
+    # rec_length grammar: 74 + len(url) + len(str(n)) + n
+    assert a_len == 74 + len("http://sub.ex.test/a") + 1 + 2
+
+    got = (
+        spark.createDataFrame(
+            [("https://Sub.Ex.test:8080/p/q?x=1#frag",)], ["url"])
+        .select(web.surt_key(F.col("url")).alias("s"))
+        .collect()[0].s
+    )
+    assert got == "test,ex,sub)/p/q?x=1"
