@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_warc": O.kg_warc,
         "crawl_cdx": O.crawl_cdx,
         "events_windowed_stream": O.events_windowed_stream,
+        "events_enrich_stream": O.events_enrich_stream,
+        "graph_walks": O.graph_walks,
+        "olap_forecast_revenue": O.olap_forecast_revenue,
         "multimodal_ahash_pairs": O.multimodal_ahash_pairs,
         "text_hashed_features": O.text_hashed_features,
         "text_kn_bigram": O.text_kn_bigram,
@@ -4025,6 +4028,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS win_start, event_type,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        # stateless stream-static join: replayed union == batch join
+        "events_enrich_stream": """
+            SELECT event_id, event_type,
+                   'seg' || ((user_id % 25) % 5) AS segment
+            FROM events
+        """,
+        # three unrolled md5-argmin steps — the derandomized walk
+        "graph_walks": _WORDS_CTE + _PAIR_GRAPH_CTE + _NB_CTE + """
+            , w0 AS MATERIALIZED (
+              SELECT doc_id AS seed, doc_id AS node FROM documents
+              WHERE doc_id % 31 = 0),
+            s1 AS MATERIALIZED (
+              SELECT seed, nbr AS node FROM (
+                SELECT w.seed, nb.nbr,
+                       row_number() OVER (PARTITION BY w.seed
+                         ORDER BY md5(w.node || '|1|' || nb.nbr),
+                                  nb.nbr) AS rn
+                FROM w0 w JOIN nb ON nb.node = w.node) q
+              WHERE rn = 1),
+            s2 AS MATERIALIZED (
+              SELECT seed, nbr AS node FROM (
+                SELECT w.seed, nb.nbr,
+                       row_number() OVER (PARTITION BY w.seed
+                         ORDER BY md5(w.node || '|2|' || nb.nbr),
+                                  nb.nbr) AS rn
+                FROM s1 w JOIN nb ON nb.node = w.node) q
+              WHERE rn = 1),
+            s3 AS MATERIALIZED (
+              SELECT seed, nbr AS node FROM (
+                SELECT w.seed, nb.nbr,
+                       row_number() OVER (PARTITION BY w.seed
+                         ORDER BY md5(w.node || '|3|' || nb.nbr),
+                                  nb.nbr) AS rn
+                FROM s2 w JOIN nb ON nb.node = w.node) q
+              WHERE rn = 1)
+            SELECT seed, 0 AS step, node FROM w0
+            UNION ALL SELECT seed, 1, node FROM s1
+            UNION ALL SELECT seed, 2, node FROM s2
+            UNION ALL SELECT seed, 3, node FROM s3
+        """,
+        # TPC-H Q6: every predicate in the scan, one global aggregate
+        "olap_forecast_revenue": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CAST(ROUND(l_extendedprice * 100, 0)
+                                 AS BIGINT)
+                            * CAST(ROUND(l_discount * 100, 0)
+                                   AS BIGINT)) AS BIGINT)
+                     AS revenue_cent_pct
+            FROM lineitem
+            WHERE year(l_shipdate) = 1996
+              AND CAST(ROUND(l_discount * 100, 0) AS BIGINT)
+                    BETWEEN 5 AND 7
+              AND l_quantity < 24
         """,
         # the md5 bucket recomputed in closed form (hex-prefix cast)
         "text_hashed_features": r"""

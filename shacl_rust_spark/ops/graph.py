@@ -779,3 +779,64 @@ def closeness_terms(
             F.sum("dist").cast("long").alias("dist_sum"),
         )
     )
+
+
+def deterministic_walks(
+    edges: DataFrame, seeds: DataFrame, walk_len: int = 3
+) -> DataFrame:
+    """DeepWalk-style random-walk corpus generation, DERANDOMIZED: at
+    step t the walker at node u moves to argmin over neighbors v of
+    md5(u|t|v) — a hash-seeded pseudo-uniform choice (the md5-uniform
+    device of ops/sample) that any engine recomputes identically, so
+    walks are rerun-, partitioning- and engine-stable. Output: one
+    (seed, step, node) row per visited position, step 0 = the seed;
+    a walk ending on a node with no neighbors stops early.
+
+    Plan: walk_len rounds of frontier ⋈ adjacency with a row_number
+    argmin per walk — each round shuffles only the LIVE walk set
+    (seed-cardinality), the adjacency is checkpointed once; at corpus
+    scale walks batch thousands of seeds per round rather than
+    looping per seed, which is the whole point of expressing the walk
+    relationally. Tie-break on (hash, neighbor) so an md5 collision
+    cannot make the argmin ambiguous."""
+    from pyspark.sql import Window
+
+    e = _canon_undirected(edges)
+    adj = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(
+            e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        seeds.select(F.col(seeds.columns[0]).alias("seed"))
+        .where(F.col("seed").isNotNull())
+        .distinct()
+        .select("seed", F.col("seed").alias("node"),
+                F.lit(0).alias("step"))
+        .localCheckpoint(eager=True)
+    )
+    out = cur
+    w = Window.partitionBy("seed").orderBy("_h", "nbr")
+    for step in range(1, walk_len + 1):
+        cand = (
+            cur.join(adj, "node")
+            .withColumn(
+                "_h",
+                F.md5(F.concat_ws(
+                    "|", F.col("node").cast("string"),
+                    F.lit(step).cast("string"),
+                    F.col("nbr").cast("string"))),
+            )
+        )
+        cur = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("seed", F.col("nbr").alias("node"),
+                    F.lit(step).alias("step"))
+            .localCheckpoint(eager=True)
+        )
+        if cur.isEmpty():
+            break
+        out = out.unionByName(cur)
+    return out.select("seed", "step", "node")

@@ -542,3 +542,30 @@ def grouping_sets_revenue(lineitem: DataFrame) -> DataFrame:
         FROM gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
     """)
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame, year: int = 1996,
+    disc_lo: int = 5, disc_hi: int = 7, max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the would-have-been
+    revenue if discounts in [disc_lo, disc_hi]% on small orders
+    (< max_qty) shipped in `year` had been eliminated — one
+    predicate-heavy scan + a single global aggregate, the canonical
+    filter-pushdown query: every predicate reaches the parquet
+    RowGroup stats, and the post-scan work is one partial+final agg.
+    Revenue accumulates as BIGINT cent·percent units (price_cents ×
+    disc_pct), the integer-money policy."""
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_p = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    return (
+        lineitem.where(
+            (F.year("l_shipdate") == year)
+            & disc_p.between(disc_lo, disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(price_c * disc_p).alias("revenue_cent_pct"),
+        )
+    )

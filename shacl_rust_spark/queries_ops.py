@@ -1840,7 +1840,7 @@ def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_windowed: tumbling 1-hour counts per
     event type under a 30-minute watermark
-    (streaming/stateful.streaming_windowed_counts), replayed as
+    (streaming/stateful.streaming_tumbling_counts), replayed as
     ascending-ts micro-batches with sentinel flush chunks — append
     mode must emit every real window exactly once, equal to the batch
     date_trunc group-by (the oracle)."""
@@ -1867,3 +1867,41 @@ def crawl_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
         web.surt_key(F.col("url")).alias("surt"),
         "url", "host", "offset", "rec_length",
     )
+
+
+def events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment gate
+    (streaming/stream.streaming_enrich_static): every replayed event
+    joins a 25-key segment dimension per micro-batch — stateless, so
+    the replayed union must equal the batch join exactly (the
+    oracle); completes the streaming join family (two interval
+    joins + CDC fold + this)."""
+    from .streaming.stream import enrich_static_replay
+
+    return enrich_static_replay(spark, f"{sf_dir}/events.parquet")
+
+
+def graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk sampling
+    (ops/graph.deterministic_walks): 3-step md5-argmin walks from the
+    doc_id % 31 == 0 seeds over the Jaccard ≥ 0.8 pair graph — the
+    DeepWalk corpus-generation step, derandomized so the oracle (3
+    unrolled argmin joins) hash-compares."""
+    d = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(d, 0.8)
+    seeds = d.where(F.col("doc_id") % 31 == 0).select("doc_id")
+    return graph.deterministic_walks(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        seeds, walk_len=3,
+    )
+
+
+def olap_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (ops/olap.forecast_revenue_change): one
+    predicate-heavy lineitem scan (year 1996, 5-7% discount,
+    quantity < 24) into a single global aggregate — the canonical
+    pushdown query, integer cent·percent revenue."""
+    from .ops import olap
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return olap.forecast_revenue_change(li)

@@ -424,11 +424,14 @@ def dedup_replay(spark, events_path: str, n_chunks: int = 4) -> DataFrame:
     return out.select("event_id", "user_id", "event_type")
 
 
-def streaming_windowed_counts(
+def streaming_tumbling_counts(
     stream: DataFrame, delay: str = "30 minutes", win: str = "1 hour"
 ) -> DataFrame:
     """Tumbling-window event counts per type with a watermark — THE
-    canonical Structured Streaming aggregation: state is bounded by
+    canonical Structured Streaming aggregation (the hash-exact,
+    integer-only sibling of stream.streaming_windowed_counts, whose
+    float sum_value serves the parity test but not a cross-engine
+    hash oracle): state is bounded by
     open windows (closed windows emit once, in append mode, when the
     watermark passes the window end, and their state is dropped);
     late rows beyond the delay are discarded instead of reopening
@@ -450,7 +453,7 @@ def streaming_windowed_counts(
 def windowed_replay_closed(
     spark, events_path: str, n_chunks: int = 4
 ) -> DataFrame:
-    """Gate harness for streaming_windowed_counts: replay the events
+    """Gate harness for streaming_tumbling_counts: replay the events
     table as ascending-ts micro-batches; two far-future sentinel
     chunks (event_type __flush__, +1/+2 days) push the final
     watermark past every real window end so append mode emits ALL
@@ -497,7 +500,7 @@ def windowed_replay_closed(
             k += 1
         name = "win_replay_" + uuid.uuid4().hex[:8]
         out = run_events_stream_once(
-            spark, d, streaming_windowed_counts, name)
+            spark, d, streaming_tumbling_counts, name)
         out = out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)

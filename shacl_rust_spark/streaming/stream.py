@@ -690,3 +690,68 @@ def cdc_apply_ooo_replay(
         os.utime(p, (1_000_000 + pos, 1_000_000 + pos))
     snap = streaming_cdc_apply_ooo(spark, d, base, out)
     return snap.select("key", "val", "src")
+
+
+def streaming_enrich_static(
+    stream: DataFrame, dim: DataFrame
+) -> DataFrame:
+    """Stream-static broadcast enrichment — the stateless streaming
+    join: each micro-batch joins the (small, broadcast) dimension with
+    no state store, no watermark, and per-batch cost O(batch); the
+    dimension re-resolves every batch, so slowly-changing dims pick up
+    updates between batches for free. The fourth streaming join shape
+    next to the two interval joins and the CDC fold."""
+    return (
+        stream
+        .withColumn("k", F.col("user_id") % 25)
+        .join(F.broadcast(dim), "k")
+        .select("event_id", "event_type", "segment")
+    )
+
+
+def enrich_static_replay(spark, events_path: str,
+                         n_chunks: int = 4) -> DataFrame:
+    """Gate harness for streaming_enrich_static: replay the events
+    table in ts-ordered chunks joined to a deterministic 25-key
+    segment dimension; stateless ⇒ the union of batch outputs equals
+    the batch join exactly (the oracle) with no sentinel machinery."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = child
+
+    dim = spark.range(0, 25).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("seg"), (F.col("id") % 5).cast("string"))
+        .alias("segment"),
+    )
+    pdf = (
+        spark.read.parquet(events_path)
+        .select("event_id", "ts", "user_id", "event_type")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    d = tempfile.mkdtemp(prefix="enrich_replay_")
+    try:
+        step = (len(pdf) + n_chunks - 1) // n_chunks
+        for k, i in enumerate(range(0, len(pdf), step)):
+            pq.write_table(
+                pa.Table.from_pandas(pdf.iloc[i:i + step],
+                                     preserve_index=False),
+                f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
+        from .stateful import run_events_stream_once
+
+        name = "enrich_replay_" + uuid.uuid4().hex[:8]
+        out = run_events_stream_once(
+            spark, d, lambda s: streaming_enrich_static(s, dim), name)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out

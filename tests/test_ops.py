@@ -2765,3 +2765,24 @@ def test_warc_offsets_and_surt(spark):
         .collect()[0].s
     )
     assert got == "test,ex,sub)/p/q?x=1"
+
+
+def test_deterministic_walks_stop_at_dead_end(spark):
+    """Seed 'a' on edge a-b: the only move is a↔b ping-pong for 3
+    steps; isolated seed 'z' (no edges) emits only its step-0 row.
+    Two runs produce identical rows (derandomized by construction)."""
+    from shacl_rust_spark.ops import graph
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("z",)], ["node"])
+    r1 = {(r.seed, r.step, r.node)
+          for r in graph.deterministic_walks(edges, seeds, 3)
+          .collect()}
+    r2 = {(r.seed, r.step, r.node)
+          for r in graph.deterministic_walks(edges, seeds, 3)
+          .collect()}
+    assert r1 == r2
+    assert {(s, st, n) for (s, st, n) in r1 if s == "a"} == {
+        ("a", 0, "a"), ("a", 1, "b"), ("a", 2, "a"), ("a", 3, "b")}
+    assert {(s, st, n) for (s, st, n) in r1 if s == "z"} == {
+        ("z", 0, "z")}
