@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_enrich_stream": O.events_enrich_stream,
         "graph_walks": O.graph_walks,
         "olap_forecast_revenue": O.olap_forecast_revenue,
+        "curation_budget": O.curation_budget,
+        "olap_shipping_priority": O.olap_shipping_priority,
         "multimodal_ahash_pairs": O.multimodal_ahash_pairs,
         "text_hashed_features": O.text_hashed_features,
         "text_kn_bigram": O.text_kn_bigram,
@@ -4068,6 +4070,44 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT seed, 1, node FROM s1
             UNION ALL SELECT seed, 2, node FROM s2
             UNION ALL SELECT seed, 3, node FROM s3
+        """,
+        # the two-phase per-score prefix sum must equal the one
+        # global ordered window
+        "curation_budget": r"""
+            WITH d AS (
+              SELECT doc_id, n_chars % 97 AS score,
+                     len(string_split_regex(trim(text), ' +'))
+                       AS n_tokens
+              FROM documents),
+            tot AS (SELECT sum(n_tokens) AS t FROM d),
+            s AS (
+              SELECT doc_id, score, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d)
+            SELECT doc_id, CAST(score AS BIGINT) AS score,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens
+            FROM s, tot WHERE cum <= t // 5
+        """,
+        # deterministic top-10: unique orderkey makes the order total
+        "olap_shipping_priority": """
+            SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(sum(CAST(ROUND(l.l_extendedprice * 100, 0)
+                                 AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100, 0)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_cc
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey % 2 = 0
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_cc DESC, o.o_orderdate ASC,
+                     l.l_orderkey ASC
+            LIMIT 10
         """,
         # TPC-H Q6: every predicate in the scan, one global aggregate
         "olap_forecast_revenue": """

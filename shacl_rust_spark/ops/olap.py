@@ -569,3 +569,39 @@ def forecast_revenue_change(
             F.sum(price_c * disc_p).alias("revenue_cent_pct"),
         )
     )
+
+
+def shipping_priority(
+    spark: SparkSession, sf_dir: str, segment_mod: int = 2,
+    cutoff: str = "1998-01-01", k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-k unshipped orders by
+    pending revenue for one customer segment — the canonical
+    3-way star join + top-k: customer (segment-filtered) joins
+    orders (date-filtered) joins lineitem (date-filtered), revenue
+    aggregates per order, and the top-k cut compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    The fact table shuffles once on l_orderkey; both date predicates
+    push into the scans; the customer side broadcasts. Revenue is
+    BIGINT centi-cent discounted price; ties break (revenue DESC,
+    o_orderdate ASC, orderkey ASC) so the k-th place is
+    deterministic."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") % segment_mod == 0).select("c_custkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+    rev = (_cents(F.col("l_extendedprice"))
+           * (100 - F.round(F.col("l_discount") * 100, 0)
+              .cast("bigint")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust),
+              orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_cc"))
+        .orderBy(F.desc("revenue_cc"), F.asc("o_orderdate"),
+                 F.asc("l_orderkey"))
+        .limit(k)
+    )

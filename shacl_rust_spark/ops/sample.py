@@ -209,3 +209,53 @@ def group_split(
     expr = (expr.otherwise(names[-1]) if expr is not None
             else F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+def select_under_budget(
+    scored: DataFrame, budget: int, max_score_buckets: int = 1_000_000
+) -> DataFrame:
+    """(doc_id, score, n_tokens) → the prefix of the corpus, in
+    (score DESC, doc_id ASC) priority order, whose running token total
+    stays within `budget` — budget-constrained curation (take the
+    best documents until the training-token budget is spent), with
+    the inclusive running total emitted as cum_tokens.
+
+    The global ordered prefix sum uses the pack_shards two-phase
+    device transposed onto the PRIORITY key: per-score totals
+    aggregate first (scores are bounded-domain integers — quality
+    classifiers bucket their outputs), the bounded per-score offsets
+    resolve driver-side, and each score's documents window only
+    within their own score partition ordered by doc_id. No global
+    single-partition sort; the only full-width shuffle is the
+    score-keyed window, and the final budget cut is a pure filter."""
+    from pyspark.sql import Window
+
+    d = scored.select(
+        "doc_id",
+        F.col("score").cast("long").alias("score"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    per_score = (
+        d.groupBy("score").agg(F.sum("n_tokens").alias("_sum"))
+        .localCheckpoint(eager=True)
+    )
+    if per_score.count() > max_score_buckets:
+        raise ValueError("score domain too wide for driver offsets; "
+                         "coarsen the score")
+    rows = sorted(per_score.collect(), key=lambda r: -r["score"])
+    offsets, acc = [], 0
+    for r in rows:
+        offsets.append((r["score"], acc))
+        acc += r["_sum"]
+    off = F.broadcast(
+        d.sparkSession.createDataFrame(offsets, ["score", "_off"]))
+    w = Window.partitionBy("score").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        d.join(off, "score")
+        .withColumn("cum_tokens",
+                    (F.col("_off") + F.sum("n_tokens").over(w))
+                    .cast("long"))
+        .where(F.col("cum_tokens") <= budget)
+        .select("doc_id", "score", "n_tokens", "cum_tokens")
+    )

@@ -1905,3 +1905,30 @@ def olap_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return olap.forecast_revenue_change(li)
+
+
+def curation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection
+    (ops/sample.select_under_budget): documents taken in quality-score
+    priority order (deterministic pseudo-score n_chars % 97) until 20%
+    of the corpus token total is spent — the token-budget curation
+    cut, computed with the two-phase per-score prefix sum instead of
+    a global sort. The oracle is the plain global ordered window."""
+    from .ops import sample
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_chars") % 97).alias("score"),
+        F.size(text.word_array()).alias("n_tokens"),
+    ).localCheckpoint(eager=True)
+    total = d.agg(F.sum("n_tokens")).collect()[0][0]
+    return sample.select_under_budget(d, budget=total // 5)
+
+
+def olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (ops/olap.shipping_priority): segment-filtered
+    customer ⋈ date-filtered orders ⋈ date-filtered lineitem, revenue
+    per order, deterministic top-10 via TakeOrderedAndProject."""
+    from .ops import olap
+
+    return olap.shipping_priority(spark, sf_dir)

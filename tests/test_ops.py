@@ -2786,3 +2786,19 @@ def test_deterministic_walks_stop_at_dead_end(spark):
         ("a", 0, "a"), ("a", 1, "b"), ("a", 2, "a"), ("a", 3, "b")}
     assert {(s, st, n) for (s, st, n) in r1 if s == "z"} == {
         ("z", 0, "z")}
+
+
+def test_select_under_budget_priority_prefix(spark):
+    """Priority order (score desc, doc_id asc); budget 25 admits
+    exactly the first two docs (10 + 15 = 25); the tied-score pair
+    orders by doc_id; the over-budget third doc and everything after
+    are cut even though later docs individually fit."""
+    from shacl_rust_spark.ops import sample
+
+    scored = spark.createDataFrame(
+        [(1, 5, 15), (2, 9, 10), (3, 5, 3), (4, 2, 1)],
+        ["doc_id", "score", "n_tokens"])
+    got = [(r.doc_id, r.cum_tokens)
+           for r in sample.select_under_budget(scored, budget=25)
+           .orderBy("cum_tokens").collect()]
+    assert got == [(2, 10), (1, 25)]
