@@ -555,12 +555,23 @@ def forecast_revenue_change(
     filter-pushdown query: every predicate reaches the parquet
     RowGroup stats, and the post-scan work is one partial+final agg.
     Revenue accumulates as BIGINT cent·percent units (price_cents ×
-    disc_pct), the integer-money policy."""
+    disc_pct), the integer-money policy.
+
+    Pushdown detail: the year is a half-open DATE RANGE, not
+    year(l_shipdate) — a function over the column defeats parquet
+    RowGroup pruning; and the exact integer-percent discount cut is
+    paired with a redundant raw-double range that DOES push (the
+    exact predicate stays for the engine-exact boundary)."""
     price_c = _cents(F.col("l_extendedprice"))
     disc_p = F.round(F.col("l_discount") * 100, 0).cast("bigint")
     return (
         lineitem.where(
-            (F.year("l_shipdate") == year)
+            (F.col("l_shipdate")
+             >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate")
+               < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            & F.col("l_discount").between(disc_lo / 100 - 0.005,
+                                          disc_hi / 100 + 0.005)
             & disc_p.between(disc_lo, disc_hi)
             & (F.col("l_quantity") < max_qty)
         )
