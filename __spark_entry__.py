@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_forecast_revenue": O.olap_forecast_revenue,
         "curation_budget": O.curation_budget,
         "olap_shipping_priority": O.olap_shipping_priority,
+        "kg_nodes": O.kg_nodes,
         "multimodal_ahash_pairs": O.multimodal_ahash_pairs,
         "text_hashed_features": O.text_hashed_features,
         "text_kn_bigram": O.text_kn_bigram,
@@ -3532,6 +3533,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '{EX}order/' || o, '{EX}placedBy', canon.subj
             FROM osurf JOIN canon ON canon.k = osurf.k
+        """,
+        # the node sink table: distinct subjects ∪ IRI objects of the
+        # validated emission (pipeline/run.py finalize rule)
+        "kg_nodes": f"""{_KG_CTE}
+            , vt AS (
+              SELECT DISTINCT canon.subj AS s, '{EX}locatedIn' AS p,
+                     '{EX}nation/' || nk AS o
+              FROM osurf JOIN canon ON canon.k = osurf.k
+              WHERE o % 11 <> 0
+              UNION ALL
+              SELECT '{EX}order/' || o, '{EX}placedBy', canon.subj
+              FROM osurf JOIN canon ON canon.k = osurf.k)
+            SELECT DISTINCT node FROM (
+              SELECT s AS node FROM vt
+              UNION ALL
+              SELECT o FROM vt WHERE o LIKE 'http%') q
         """,
         # PageRank over the validated emission's closed-form golden
         # set — the same unrolled BIGINT CTEs, edges from _KG_CTE

@@ -234,6 +234,8 @@ def select_under_budget(
         "doc_id",
         F.col("score").cast("long").alias("score"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).where(  # a null priority or weight has no place in the order
+        F.col("score").isNotNull() & F.col("n_tokens").isNotNull()
     )
     per_score = (
         d.groupBy("score").agg(F.sum("n_tokens").alias("_sum"))

@@ -1932,3 +1932,22 @@ def olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import olap
 
     return olap.shipping_priority(spark, sf_dir)
+
+
+def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-table derivation — the north_star's SECOND sink table
+    (triples + nodes): every distinct subject plus every distinct IRI
+    object of the validated emission, pipeline/run.py's finalize rule
+    gated on CONTENT (kg_triple_counts only checks the metric). IRI
+    test mirrors the emission's o_is_iri flag (all IRIs in the
+    fixture are http-prefixed)."""
+    from . import queries_kg as K
+
+    t = K.kg_validated_triples(spark, sf_dir)
+    return (
+        t.select(F.col("s").alias("node"))
+        .unionByName(
+            t.where(F.col("o").startswith("http"))
+            .select(F.col("o").alias("node")))
+        .dropDuplicates(["node"])
+    )
