@@ -228,6 +228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_path_zero_or_one": Q.shacl_path_zero_or_one,
         "shacl_severity_message": Q.shacl_severity_message,
         "shacl_datatype": Q.shacl_datatype,
+        "graph_ra_linkpred": O.graph_ra_linkpred,
+        "dedup_editdist": O.dedup_editdist,
+        "kg_void_stats": K.kg_void_stats,
+        "kg_negative_sampling": K.kg_negative_sampling,
     }
 
 
@@ -3550,6 +3554,60 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT o FROM vt WHERE o LIKE 'http%') q
         """,
+        # VoID property partitions over the same closed-form golden set
+        "kg_void_stats": f"""{_KG_CTE}
+            , vt AS (
+              SELECT DISTINCT canon.subj AS s, '{EX}locatedIn' AS p,
+                     '{EX}nation/' || nk AS o
+              FROM osurf JOIN canon ON canon.k = osurf.k
+              WHERE o % 11 <> 0
+              UNION ALL
+              SELECT '{EX}order/' || o, '{EX}placedBy', canon.subj
+              FROM osurf JOIN canon ON canon.k = osurf.k)
+            SELECT p, count(*) AS n_triples,
+                   count(DISTINCT s) AS n_subjects,
+                   count(DISTINCT o) AS n_objects
+            FROM vt GROUP BY 1
+        """,
+        # filtered corrupt-tail negatives: md5-uniform index draw over
+        # the lexicographically indexed node vocabulary, true facts and
+        # self-collisions removed — deterministic per (triple, j)
+        "kg_negative_sampling": f"""{_KG_CTE}
+            , vt AS (
+              SELECT DISTINCT canon.subj AS s, '{EX}locatedIn' AS p,
+                     '{EX}nation/' || nk AS o
+              FROM osurf JOIN canon ON canon.k = osurf.k
+              WHERE o % 11 <> 0
+              UNION ALL
+              SELECT '{EX}order/' || o, '{EX}placedBy', canon.subj
+              FROM osurf JOIN canon ON canon.k = osurf.k),
+            vocab AS (
+              SELECT DISTINCT node FROM (
+                SELECT s AS node FROM vt
+                UNION ALL SELECT o FROM vt) q),
+            vidx AS (
+              SELECT node,
+                     row_number() OVER (ORDER BY node) - 1 AS idx
+              FROM vocab),
+            nn AS (SELECT count(*) AS n FROM vidx),
+            draws AS (
+              SELECT s, p, o, CAST(j AS BIGINT) AS j,
+                     CAST(('0x' || substr(md5(
+                       'neg' || '|' || s || '|' || p || '|' || o
+                       || '|' || '#' || CAST(j AS VARCHAR)), 1, 12))
+                       AS BIGINT) AS coord
+              FROM vt CROSS JOIN (SELECT unnest([0, 1]) AS j)),
+            drawn AS (
+              SELECT d.s, d.p, d.o, d.j, i.node AS neg_o
+              FROM draws d CROSS JOIN nn
+              JOIN vidx i ON i.idx = d.coord % nn.n
+              WHERE i.node <> d.o)
+            SELECT dr.s, dr.p, dr.o, dr.j, dr.neg_o
+            FROM drawn dr
+            LEFT JOIN (SELECT DISTINCT s, p, o FROM vt) t
+              ON t.s = dr.s AND t.p = dr.p AND t.o = dr.neg_o
+            WHERE t.s IS NULL
+        """,
         # PageRank over the validated emission's closed-form golden
         # set — the same unrolled BIGINT CTEs, edges from _KG_CTE
         "kg_entity_salience": _pagerank_oracle(
@@ -4208,5 +4266,48 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        # Resource-Allocation link prediction: integer floor-division
+        # shares (1e12 // deg z) summed over common neighbors — the
+        # exact-form member of the Adamic-Adar family
+        "graph_ra_linkpred": _WORDS_CTE + _PAIR_GRAPH_CTE + """
+            , adj AS (
+              SELECT a AS node, b AS nbx FROM p
+              UNION ALL SELECT b, a FROM p),
+            dg AS (SELECT nbx, count(*) AS degz
+                   FROM (SELECT node AS nbx FROM adj) GROUP BY 1),
+            ad AS (
+              SELECT adj.node, adj.nbx,
+                     CAST(1000000000000 // dg.degz AS BIGINT) AS share
+              FROM adj JOIN dg USING (nbx)),
+            pr AS (
+              SELECT au.node AS u, av.node AS v,
+                     count(*) AS n_common,
+                     CAST(SUM(au.share) AS BIGINT) AS ra_num
+              FROM ad au JOIN ad av
+                ON au.nbx = av.nbx AND au.node < av.node
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY u ORDER BY ra_num DESC, v) AS rn
+              FROM pr)
+            SELECT u, v, n_common, ra_num FROM rk WHERE rn <= 3
+        """,
+        # banding is pigeonhole-exact at hamming<=7, so the oracle is
+        # the all-pairs hamming filter + the same prefix-Levenshtein
+        # rescore (10% relative, integer cross-multiplied)
+        "dedup_editdist": _SIMHASH_CTES + """
+            , cand AS (
+              SELECT sa.doc_id AS a, sb.doc_id AS b
+              FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id
+              WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 7),
+            tx AS (SELECT doc_id, substr(text, 1, 120) AS t
+                   FROM documents)
+            SELECT a, b,
+                   CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS lev
+            FROM cand JOIN tx ta ON ta.doc_id = a
+                      JOIN tx tb ON tb.doc_id = b
+            WHERE levenshtein(ta.t, tb.t) * 100
+                  <= 10 * greatest(length(ta.t), length(tb.t))
         """,
     }

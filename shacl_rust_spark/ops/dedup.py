@@ -563,6 +563,52 @@ def simhash_band_pairs(
     )
 
 
+def edit_distance_pairs(
+    docs: DataFrame,
+    max_hamming: int = 7,
+    prefix: int = 120,
+    rel_pct: int = 10,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Edit-distance-verified near-duplicate pairs: simhash pigeonhole
+    banding generates the candidates (recall 1.0 within
+    ``max_hamming`` — see simhash_band_pairs), then an EXACT
+    Levenshtein rescore over the first ``prefix`` characters keeps
+    pairs with lev ≤ rel_pct% of the longer prefix (integer
+    cross-multiplied: lev·100 ≤ rel_pct·max(len_a, len_b)). Returns
+    (a, b, lev) — the verifier for boilerplate families whose word
+    SETS diverge (so Jaccard misses them) but whose leading bytes are
+    near-identical (mirror pages, version-stamped templates).
+
+    Cost shape at 100 TB: Levenshtein is O(prefix²) per PAIR, never
+    per corpus row — the banding keeps the pair count near-linear and
+    the prefix cap bounds each comparison at a constant; the text
+    column joins back onto the candidate pairs only (two
+    doc_id-keyed hash joins), so full documents never ride through
+    the band shuffle. `max_bucket` forwards to the banding with the
+    same mega-cluster recall trade."""
+    cand = simhash_band_pairs(docs, max_hamming, max_bucket)
+    pa = docs.select(
+        F.col("doc_id").alias("a"),
+        F.substring("text", 1, prefix).alias("_ta"),
+    )
+    pb = docs.select(
+        F.col("doc_id").alias("b"),
+        F.substring("text", 1, prefix).alias("_tb"),
+    )
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    return (
+        cand.join(pa, "a").join(pb, "b")
+        .withColumn("lev", lev.cast("long"))
+        .where(
+            F.col("lev") * 100
+            <= F.lit(rel_pct)
+            * F.greatest(F.length("_ta"), F.length("_tb"))
+        )
+        .select("a", "b", "lev")
+    )
+
+
 def duplicated_sentences(docs: DataFrame, min_docs: int = 2) -> DataFrame:
     """(sent_hash, n_docs, n_occurrences, canonical_doc, sentence):
     sentences appearing in ≥ ``min_docs`` DISTINCT documents — the

@@ -261,3 +261,71 @@ def select_under_budget(
         .where(F.col("cum_tokens") <= budget)
         .select("doc_id", "score", "n_tokens", "cum_tokens")
     )
+
+
+def corrupt_tails(
+    triples: DataFrame, k: int = 2, salt: str = "neg",
+) -> DataFrame:
+    """Deterministic corrupt-tail negative sampling for KG-embedding
+    training (the TransE/Bordes et al. 2013 recipe, derandomized):
+    for each positive triple (s, p, o) draw `k` replacement tails
+    from the entity vocabulary by the md5-uniform device — the j-th
+    draw lands on entity index
+    ``hex12(md5(salt|s|p|o|#j)) mod |E|`` — then FILTER the draws
+    that collide with a true fact ((s, p, neg) exists) or with the
+    positive tail itself, i.e. "filtered" negatives. Deterministic
+    per (triple, j) on any engine / partitioning / rerun, which is
+    what makes a training set reproducible and a cross-engine oracle
+    possible at all.
+
+    Entity vocabulary = distinct subjects ∪ distinct objects of the
+    triple set, densely indexed 0..|E|-1 by lexicographic
+    row_number. Returns (s, p, o, j, neg_o).
+
+    Plan shape at 100 TB: the vocabulary index is ONE global sort of
+    the (small relative to triples) node set; draws explode k-fold
+    map-side; the index join keys on a uniform hash residue (no skew
+    by construction — every idx is equally likely), and the
+    filtered-negative check is a left_anti join on (s, p, neg)
+    against the triple set, shuffle-partitioned the same way the
+    triples already are. The vocabulary row_number is a single
+    global window: acceptable because |E| ≪ |triples|; if the node
+    set itself outgrew a sort, zipWithIndex-style per-partition
+    offsets are the swap-in."""
+    from pyspark.sql import Window
+
+    nodes = (
+        triples.select(F.col("s").alias("node"))
+        .unionByName(triples.select(F.col("o").alias("node")))
+        .distinct()
+    )
+    idx = nodes.withColumn(
+        "_idx",
+        F.row_number().over(Window.orderBy("node")) - 1,
+    )
+    n = idx.count()  # single scalar — bounded-driver policy
+    draws = triples.select(
+        "s", "p", "o",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+    )
+    coord = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col("s"),
+                              F.col("p"), F.col("o"),
+                              F.concat(F.lit("#"), F.col("j")))),
+            1, 12,
+        ), 16, 10,
+    ).cast("long")
+    drawn = (
+        draws.withColumn("_idx", F.pmod(coord, F.lit(n)))
+        .join(idx.withColumnRenamed("node", "neg_o"), "_idx")
+        .where(F.col("neg_o") != F.col("o"))
+    )
+    true_pairs = triples.select(
+        "s", "p", F.col("o").alias("neg_o")
+    ).distinct()
+    return (
+        drawn.join(true_pairs, ["s", "p", "neg_o"], "left_anti")
+        .select("s", "p", "o", F.col("j").cast("long").alias("j"),
+                "neg_o")
+    )

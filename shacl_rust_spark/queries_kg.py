@@ -162,3 +162,32 @@ def kg_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def kg_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID property-partition statistics over the validated emission
+    (W3C VoID: void:triples / void:distinctSubjects /
+    void:distinctObjects per predicate) — the dataset descriptor a KG
+    publisher ships next to the triple tables. EXACT count-distincts
+    (two-phase partial agg on a predicate-cardinality key space);
+    approx_count_distinct is the stated 100 TB swap-in, same note as
+    curation_profile."""
+    vt = kg_validated_triples(spark, sf_dir)
+    return vt.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.count_distinct("s").alias("n_subjects"),
+        F.count_distinct("o").alias("n_objects"),
+    )
+
+
+def kg_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered corrupt-tail negatives for KG-embedding training
+    (ops/sample.corrupt_tails, k=2) over the validated emission —
+    deterministic md5-uniform draws from the node vocabulary, true
+    facts and self-collisions filtered. The training-set generator a
+    TransE-style pipeline runs right after kg_validated_triples."""
+    from .ops import sample
+
+    return sample.corrupt_tails(
+        kg_validated_triples(spark, sf_dir), k=2, salt="neg"
+    )

@@ -1951,3 +1951,31 @@ def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("o").alias("node")))
         .dropDuplicates(["node"])
     )
+
+
+def graph_ra_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction
+    (ops/graph.resource_allocation): each node's top-3 missing-link
+    candidates over the Jaccard >= 0.8 near-dup graph, scored by the
+    integer-exact sum of 1e12 DIV deg(z) over common neighbors — the
+    degree-weighted refinement of graph_common_neighbors (a shared
+    leaf outweighs a shared hub). Same Sigma-deg^2 wedge bound; the
+    oracle restates the identical BIGINT floor-division sum."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    return graph.resource_allocation(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        min_common=2, top_k=3,
+    )
+
+
+def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-dup pairs
+    (ops/dedup.edit_distance_pairs): simhash pigeonhole banding at
+    hamming <= 7 generates candidates (recall 1.0), exact Levenshtein
+    over the first 120 chars keeps pairs within 10% relative edit
+    distance. Runs UNGUARDED (max_bucket off) so the all-pairs oracle
+    is exactly equal — the same verify-vs-scale statement as
+    dedup_simhash_pairs."""
+    return dedup.edit_distance_pairs(
+        _docs(spark, sf_dir), max_hamming=7, prefix=120, rel_pct=10
+    )

@@ -2802,3 +2802,81 @@ def test_select_under_budget_priority_prefix(spark):
            for r in sample.select_under_budget(scored, budget=25)
            .orderBy("cum_tokens").collect()]
     assert got == [(2, 10), (1, 25)]
+
+
+def test_resource_allocation_integer_shares(spark):
+    from shacl_rust_spark.ops import graph
+
+    # u=100, v=200 share neighbors 1 (deg 2) and 2 (deg 3): ra_num =
+    # 1e12//2 + 1e12//3 — integer floor division, engine-exact
+    edges = spark.createDataFrame(
+        [(100, 1), (200, 1), (100, 2), (200, 2), (300, 2)],
+        ["src", "dst"])
+    out = {(r.u, r.v): (r.n_common, r.ra_num)
+           for r in graph.resource_allocation(
+               edges, min_common=2).collect()}
+    assert out[(100, 200)] == (2, 10**12 // 2 + 10**12 // 3)
+    # a shared LEAF outranks a shared HUB: 300 pairs with 100 and 200
+    # only through hub 2 (n_common=1, pruned by min_common)
+    assert all(300 not in p for p in out)
+
+
+def test_resource_allocation_topk_order(spark):
+    from shacl_rust_spark.ops import graph
+
+    # star around 0 plus a tight triangle-ish tail: check top_k keeps
+    # the strongest candidate per u deterministically
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(9, 1), (9, 2), (9, 3)],
+        ["src", "dst"])
+    full = graph.resource_allocation(edges, min_common=2)
+    top1 = graph.resource_allocation(edges, min_common=2, top_k=1)
+    best = {}
+    for r in full.collect():
+        cur = best.get(r.u)
+        if cur is None or (r.ra_num, -r.v) > (cur.ra_num, -cur.v):
+            best[r.u] = r
+    got = {(r.u, r.v) for r in top1.collect()}
+    assert got == {(r.u, r.v) for r in best.values()}
+
+
+def test_edit_distance_pairs_prefix_rescore(spark):
+    # two long docs differing by ONE word well inside the 120-char
+    # prefix pass the 10% relative filter; an unrelated doc never pairs
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    d = _docs(spark, [
+        (1, "s", base),
+        (2, "s", base.replace("delta", "delra")),
+        (3, "s", "totally different words in every single position "
+                 "nothing shared with the others at all ok then"),
+    ])
+    out = {(r.a, r.b): r.lev
+           for r in dedup.edit_distance_pairs(
+               d, max_hamming=7, prefix=120, rel_pct=10).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 1
+    assert all(3 not in p for p in out)
+
+
+def test_corrupt_tails_deterministic_and_filtered(spark):
+    from shacl_rust_spark.ops import sample
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "c"), ("b", "p", "c"),
+         ("c", "q", "a")],
+        ["s", "p", "o"])
+    out1 = sorted((r.s, r.p, r.o, r.j, r.neg_o)
+                  for r in sample.corrupt_tails(triples, k=3).collect())
+    out2 = sorted((r.s, r.p, r.o, r.j, r.neg_o)
+                  for r in sample.corrupt_tails(
+                      triples.repartition(7), k=3).collect())
+    # rerun- and partitioning-stable
+    assert out1 == out2 and out1
+    pos = {("a", "p", "b"), ("a", "p", "c"), ("b", "p", "c"),
+           ("c", "q", "a")}
+    for s, p, o, j, neg in out1:
+        # filtered: never a true fact, never the positive tail itself
+        assert (s, p, neg) not in pos and neg != o
+        # drawn from the node vocabulary
+        assert neg in {"a", "b", "c"}
+        assert 0 <= j < 3
