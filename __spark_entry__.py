@@ -232,6 +232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist": O.dedup_editdist,
         "kg_void_stats": K.kg_void_stats,
         "kg_negative_sampling": K.kg_negative_sampling,
+        "olap_local_supplier": O.olap_local_supplier,
+        "olap_returned_items": O.olap_returned_items,
+        "olap_promo_effect": O.olap_promo_effect,
+        "olap_top_customers": O.olap_top_customers,
     }
 
 
@@ -4309,5 +4313,84 @@ def oracle_sql() -> dict[str, str]:
                       JOIN tx tb ON tb.doc_id = b
             WHERE levenshtein(ta.t, tb.t) * 100
                   <= 10 * greatest(length(ta.t), length(tb.t))
+        """,
+        # TPC-H Q5: customer and supplier nation keys must MATCH —
+        # the equi-condition that distinguishes Q5 from a plain chain
+        "olap_local_supplier": """
+            SELECT n_name, count(*) AS n_items,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                              AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100, 0)
+                                      AS BIGINT))) AS BIGINT)
+                     AS revenue_cc
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                          AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= '1996-01-01'
+              AND o_orderdate < '1997-01-01'
+            GROUP BY 1
+        """,
+        # TPC-H Q10: returned-revenue top-20 for 1996Q1, ties broken
+        # by custkey so the 20th place is deterministic
+        "olap_returned_items": """
+            SELECT c_custkey, c_name,
+                   CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+                     AS acctbal_cents,
+                   n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                              AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100, 0)
+                                      AS BIGINT))) AS BIGINT)
+                     AS revenue_cc
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= '1996-01-01'
+              AND o_orderdate < '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue_cc DESC, c_custkey LIMIT 20
+        """,
+        # TPC-H Q14: exact integer (promo_cc, total_cc) pair — the
+        # percentage is the consumer's one division
+        "olap_promo_effect": """
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(ROUND(l_extendedprice * 100, 0)
+                               AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100, 0)
+                                      AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS promo_cc,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                              AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100, 0)
+                                      AS BIGINT))) AS BIGINT)
+                     AS total_cc
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1996-03-01'
+              AND l_shipdate < '1996-04-01'
+        """,
+        # TPC-H Q18: HAVING-filtered per-order quantity aggregate
+        # joined back — quantities cast BIGINT before the sum
+        "olap_top_customers": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT))
+                          AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY 1
+              HAVING SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) > 180)
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                     AS totalprice_cents,
+                   sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100
         """,
     }

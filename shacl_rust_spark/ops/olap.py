@@ -616,3 +616,155 @@ def shipping_priority(
                  F.asc("l_orderkey"))
         .limit(k)
     )
+
+
+def local_supplier_volume(
+    spark: SparkSession, sf_dir: str, region: str = "ASIA",
+    year_start: str = "1996-01-01", year_end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): per-nation revenue where the
+    ordering CUSTOMER and the line's SUPPLIER sit in the SAME nation,
+    one region, one order year. The defining twist vs Q3-style joins
+    is the c_nationkey = s_nationkey equi-condition — expressed by
+    joining both dimension chains and matching the two nation keys,
+    so Catalyst keeps every join an equi-join (no theta join).
+
+    Plan shape at 100 TB: lineitem (fact) shuffles once on
+    l_orderkey; orders carries its date filter into the scan;
+    customer/supplier/nation/region are dimension-cardinality and
+    broadcast under AQE. Revenue is BIGINT centi-cents."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit(year_start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(year_end).cast("timestamp")))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region_df = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == region)
+    rev = (_cents(F.col("l_extendedprice"))
+           * (F.lit(100).cast("bigint") - _cents(F.col("l_discount"))))
+    return (
+        li.select("l_orderkey", "l_suppkey", rev.alias("_rev"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(nation.select("n_nationkey", "n_name", "n_regionkey"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region_df.select("r_regionkey"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum("_rev").alias("revenue_cc"))
+    )
+
+
+def returned_items(
+    spark: SparkSession, sf_dir: str,
+    q_start: str = "1996-01-01", q_end: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): the top-k customers by
+    revenue LOST to returns (l_returnflag = 'R') for one order
+    quarter — the churn-triage report. Fact shuffles once on
+    l_orderkey; the return-flag and date predicates push into the
+    scans; customer and nation broadcast; the top-k compiles to
+    TakeOrderedAndProject. Ties break (revenue DESC, custkey ASC)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_returnflag") == "R")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit(q_start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(q_end).cast("timestamp")))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (_cents(F.col("l_extendedprice"))
+           * (F.lit(100).cast("bigint") - _cents(F.col("l_discount"))))
+    return (
+        li.select("l_orderkey", rev.alias("_rev"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_name", "c_nationkey",
+                          _cents(F.col("c_acctbal"))
+                          .alias("acctbal_cents")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation.select("n_nationkey", "n_name"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "acctbal_cents", "n_name")
+        .agg(F.sum("_rev").alias("revenue_cc"))
+        .orderBy(F.desc("revenue_cc"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def promo_revenue(
+    spark: SparkSession, sf_dir: str,
+    m_start: str = "1996-03-01", m_end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q14 (promotion effect): promo-type revenue vs total
+    revenue for one ship month, returned as the EXACT integer pair
+    (promo_cc, total_cc) instead of the float percentage — the ratio
+    is the consumer's one division, and keeping both sides BIGINT
+    makes the result hash-identical on any engine (same num/den
+    device as rank_rrf / graph_modularity). Part is the only
+    dimension (broadcast); the date filter pushes into the fact
+    scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit(m_start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(m_end).cast("timestamp")))
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = (_cents(F.col("l_extendedprice"))
+           * (F.lit(100).cast("bigint") - _cents(F.col("l_discount"))))
+    return (
+        li.select("l_partkey", rev.alias("_rev"))
+        .join(part.select("p_partkey", "p_type"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("_rev"))
+                  .otherwise(F.lit(0).cast("bigint")))
+            .alias("promo_cc"),
+            F.sum("_rev").alias("total_cc"),
+        )
+    )
+
+
+def large_volume_customers(
+    spark: SparkSession, sf_dir: str, qty_threshold: int = 180,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds the threshold, with their customer and total
+    price — the classic aggregate-subquery-IN shape, expressed as a
+    HAVING-filtered per-order aggregate joined back to orders +
+    customer (a left-semi the optimizer sees through; no correlated
+    subquery machinery). Quantities are integral in this lake and
+    cast BIGINT BEFORE summing so the threshold compare is exact.
+    Fact aggregates on its own key (l_orderkey — co-located with the
+    join that follows, one shuffle); top-k by (totalprice DESC,
+    orderkey ASC) compiles to TakeOrderedAndProject."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.select("l_orderkey",
+                  F.round("l_quantity", 0).cast("bigint").alias("_q"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("_q").alias("sum_qty"))
+        .where(F.col("sum_qty") > qty_threshold)
+    )
+    return (
+        big.join(orders.select("o_orderkey", "o_custkey",
+                               "o_orderdate",
+                               _cents(F.col("o_totalprice"))
+                               .alias("totalprice_cents")),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_name"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "totalprice_cents", "sum_qty")
+        .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
+        .limit(k)
+    )

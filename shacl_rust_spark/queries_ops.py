@@ -1979,3 +1979,40 @@ def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_distance_pairs(
         _docs(spark, sf_dir), max_hamming=7, prefix=120, rel_pct=10
     )
+
+
+def olap_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (ops/olap.local_supplier_volume): per-nation revenue
+    where customer and supplier share a nation, ASIA, order year
+    1996 — the customer-supplier nation equi-condition is the
+    defining Q5 twist."""
+    from .ops import olap
+
+    return olap.local_supplier_volume(spark, sf_dir)
+
+
+def olap_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (ops/olap.returned_items): top-20 customers by
+    revenue lost to returns in 1996Q1, deterministic tiebreak,
+    TakeOrderedAndProject."""
+    from .ops import olap
+
+    return olap.returned_items(spark, sf_dir)
+
+
+def olap_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (ops/olap.promo_revenue): promo vs total revenue for
+    ship month 1996-03 as the exact integer (promo_cc, total_cc)
+    pair."""
+    from .ops import olap
+
+    return olap.promo_revenue(spark, sf_dir)
+
+
+def olap_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (ops/olap.large_volume_customers): orders with total
+    line quantity > 180 joined to their customers, top-100 by total
+    price."""
+    from .ops import olap
+
+    return olap.large_volume_customers(spark, sf_dir)

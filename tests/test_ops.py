@@ -2880,3 +2880,82 @@ def test_corrupt_tails_deterministic_and_filtered(spark):
         # drawn from the node vocabulary
         assert neg in {"a", "b", "c"}
         assert 0 <= j < 3
+
+
+def _write_tpch(tmp_path, tables):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for name, (cols, rows) in tables.items():
+        pq.write_table(
+            pa.table({c: list(v) for c, v in zip(cols, zip(*rows))}),
+            f"{d}/{name}.parquet")
+    return d
+
+
+def test_local_supplier_volume_nation_match(spark, tmp_path):
+    from datetime import datetime
+
+    from shacl_rust_spark.ops import olap
+
+    ts = datetime(1996, 6, 1)
+    d = _write_tpch(tmp_path, {
+        "region": (["r_regionkey", "r_name"], [(0, "ASIA")]),
+        "nation": (["n_nationkey", "n_name", "n_regionkey"],
+                   [(0, "N0", 0), (1, "N1", 0)]),
+        "customer": (["c_custkey", "c_nationkey"], [(10, 0)]),
+        "supplier": (["s_suppkey", "s_nationkey"],
+                     [(5, 0), (6, 1)]),
+        "orders": (["o_orderkey", "o_custkey", "o_orderdate"],
+                   [(100, 10, ts)]),
+        # line via supplier 5 matches the customer nation; via 6 does
+        # NOT (Q5's defining equi-condition drops it)
+        "lineitem": (["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"],
+                     [(100, 5, 10.0, 0.0), (100, 6, 99.0, 0.0)]),
+    })
+    out = olap.local_supplier_volume(spark, d).collect()
+    assert [(r.n_name, r.n_items, r.revenue_cc) for r in out] \
+        == [("N0", 1, 1000 * 100)]
+
+
+def test_promo_revenue_integer_pair(spark, tmp_path):
+    from datetime import datetime
+
+    from shacl_rust_spark.ops import olap
+
+    ts = datetime(1996, 3, 15)
+    d = _write_tpch(tmp_path, {
+        "part": (["p_partkey", "p_type"],
+                 [(1, "PROMO"), (2, "STANDARD")]),
+        "lineitem": (["l_partkey", "l_shipdate", "l_extendedprice",
+                      "l_discount"],
+                     [(1, ts, 10.0, 0.1), (2, ts, 20.0, 0.0),
+                      (1, datetime(1996, 5, 1), 99.0, 0.0)]),
+    })
+    r = olap.promo_revenue(spark, d).collect()[0]
+    # promo: 1000c * 90 = 90000; total adds 2000c * 100 = 200000
+    assert (r.promo_cc, r.total_cc) == (90000, 290000)
+
+
+def test_large_volume_customers_threshold(spark, tmp_path):
+    from datetime import datetime
+
+    from shacl_rust_spark.ops import olap
+
+    ts = datetime(1996, 1, 1)
+    d = _write_tpch(tmp_path, {
+        "customer": (["c_custkey", "c_name"], [(10, "C10")]),
+        "orders": (["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"],
+                   [(100, 10, ts, 50.0), (101, 10, ts, 60.0)]),
+        # order 100 sums to 181 (> 180), order 101 to exactly 180
+        # (excluded — strict inequality)
+        "lineitem": (["l_orderkey", "l_quantity"],
+                     [(100, 91.0), (100, 90.0),
+                      (101, 90.0), (101, 90.0)]),
+    })
+    out = olap.large_volume_customers(spark, d, qty_threshold=180)
+    rows = out.collect()
+    assert [(r.o_orderkey, r.sum_qty) for r in rows] == [(100, 181)]
