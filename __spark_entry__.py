@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_returned_items": O.olap_returned_items,
         "olap_promo_effect": O.olap_promo_effect,
         "olap_top_customers": O.olap_top_customers,
+        "multimodal_header_dims": O.multimodal_header_dims,
+        "kg_shape_induction": K.kg_shape_induction,
+        "graph_ktruss": O.graph_ktruss,
     }
 
 
@@ -370,6 +373,32 @@ def _kcore_ctes(k: int, rounds: int) -> str:
   SELECT node, count(*) AS degree FROM (
     SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) u
   GROUP BY 1""")
+
+
+def _ktruss_ctes(k: int, rounds: int) -> str:
+    """Unroll `rounds` k-truss peel rounds over the pair graph CTE
+    `p` — the DuckDB twin of ops/graph.k_truss: triangle enumeration
+    (same a<b<c two-join closure as the triangles oracle), 3-edge
+    unnest, support count, filter at k-2. MATERIALIZED for the same
+    3^rounds-inlining reason as _kcore_ctes."""
+    parts, prev = [], "p"
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+  t{r} AS MATERIALIZED (
+    SELECT e1.a, e1.b, e2.c
+    FROM {prev} e1
+    JOIN (SELECT a AS b, b AS c FROM {prev}) e2 USING (b)
+    JOIN (SELECT a, b AS c FROM {prev}) e3
+      ON e3.a = e1.a AND e3.c = e2.c),
+  e{r} AS MATERIALIZED (
+    SELECT x AS a, y AS b, count(*) AS support FROM (
+      SELECT a AS x, b AS y FROM t{r}
+      UNION ALL SELECT b, c FROM t{r}
+      UNION ALL SELECT a, c FROM t{r}) u
+    GROUP BY 1, 2 HAVING count(*) >= {k - 2})""")
+        prev = f"e{r}"
+    return ("," + ",".join(parts)
+            + f" SELECT a, b, support FROM {prev}")
 
 
 _NB_CTE = """
@@ -4393,4 +4422,60 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100
         """,
+        # header-only dims: the synthesis formulas in closed form —
+        # bmp (1+d%7, 1+d%5), png (1+d%6, 1+d%4), gif (1+d%8, 1+d%3),
+        # wav (8000 Hz, 64+d%32 samples)
+        "multimodal_header_dims": """
+            SELECT doc_id, x.kind,
+                   CAST(CASE x.kind
+                     WHEN 'bmp' THEN 1 + doc_id % 7
+                     WHEN 'png' THEN 1 + doc_id % 6
+                     WHEN 'gif' THEN 1 + doc_id % 8
+                     ELSE 8000 END AS BIGINT) AS dim1,
+                   CAST(CASE x.kind
+                     WHEN 'bmp' THEN 1 + doc_id % 5
+                     WHEN 'png' THEN 1 + doc_id % 4
+                     WHEN 'gif' THEN 1 + doc_id % 3
+                     ELSE 64 + doc_id % 32 END AS BIGINT) AS dim2
+            FROM documents
+            CROSS JOIN (SELECT unnest(['bmp', 'png', 'gif', 'wav'])
+                        AS kind) x
+        """,
+        # shape induction: per-predicate cardinality + object-kind
+        # profile over the closed-form golden triple set
+        "kg_shape_induction": f"""{_KG_CTE}
+            , vt AS (
+              SELECT DISTINCT canon.subj AS s, '{EX}locatedIn' AS p,
+                     '{EX}nation/' || nk AS o
+              FROM osurf JOIN canon ON canon.k = osurf.k
+              WHERE o % 11 <> 0
+              UNION ALL
+              SELECT '{EX}order/' || o, '{EX}placedBy', canon.subj
+              FROM osurf JOIN canon ON canon.k = osurf.k),
+            per_subj AS (
+              SELECT p, s, count(*) AS card FROM vt GROUP BY 1, 2),
+            card AS (
+              SELECT p, count(*) AS n_subjects,
+                     CAST(SUM(card) AS BIGINT) AS n_triples,
+                     CAST(MIN(card) AS BIGINT) AS min_card,
+                     CAST(MAX(card) AS BIGINT) AS max_card
+              FROM per_subj GROUP BY 1),
+            objs AS (
+              SELECT p,
+                     CAST(SUM(CASE WHEN o LIKE 'http%' THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_iri_objects,
+                     count(DISTINCT o) AS n_distinct_objects
+              FROM vt GROUP BY 1)
+            SELECT p, n_subjects, n_triples, min_card, max_card,
+                   n_iri_objects, n_distinct_objects,
+                   CAST(CASE WHEN max_card = 1 THEN 1 ELSE -1 END
+                        AS BIGINT) AS suggested_max_count,
+                   CAST(CASE WHEN n_iri_objects = n_triples THEN 1
+                        ELSE 0 END AS BIGINT) AS nodekind_iri,
+                   CAST(CASE WHEN n_distinct_objects <= 10 THEN 1
+                        ELSE 0 END AS BIGINT) AS suggest_in
+            FROM card JOIN objs USING (p)
+        """,
+        "graph_ktruss": _WORDS_CTE + _PAIR_GRAPH_CTE
+        + _ktruss_ctes(4, 3),
     }

@@ -418,6 +418,52 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
     return degs(e)
 
 
+def k_truss(edges: DataFrame, k: int = 4, rounds: int = 3) -> DataFrame:
+    """Bounded k-truss peeling: `rounds` rounds of [per-edge triangle
+    support → drop edges with support < k−2], returning the surviving
+    edges with their LAST-round support — (a, b, support). The truss
+    is the edge-analogue of the k-core (Cohen 2008): every surviving
+    edge sits in ≥ k−2 triangles among surviving edges, which
+    extracts cohesive template families strictly denser than the
+    k-core keeps (a core-surviving chain node dies here because its
+    edges close no triangles). Equals the true k-truss wherever the
+    peel converges within `rounds` — the same bounded-round contract
+    as k_core / label_propagation that makes an unrolled-CTE oracle
+    possible; every round is exact integer arithmetic.
+
+    Plan: each round is one triangle enumeration (the canonical
+    a<b<c two-join closure, Σdeg² wedge work on the SHRINKING edge
+    set — round 1 dominates) + an explode of the 3 edges per
+    triangle + one map-side-combined count; the support filter is an
+    inner join back to the edge set on the edge key. Edge set is
+    checkpointed per round — bounded lineage."""
+    e = _canon_undirected(edges)
+    for _ in range(rounds):
+        wedges = e.select("a", "b").join(
+            e.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            "b")
+        tri = wedges.join(
+            e.select("a", F.col("b").alias("c")), ["a", "c"])
+        sup = (
+            tri.select(F.explode(F.array(
+                F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                F.struct(F.col("b").alias("x"), F.col("c").alias("y")),
+                F.struct(F.col("a").alias("x"), F.col("c").alias("y")),
+            )).alias("ed"))
+            .select("ed.x", "ed.y")
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= k - 2)
+        )
+        e = (
+            e.select("a", "b")
+            .join(sup.withColumnRenamed("x", "a")
+                  .withColumnRenamed("y", "b"), ["a", "b"])
+            .localCheckpoint(eager=True)
+        )
+    return e.select("a", "b", "support")
+
+
 def common_neighbors(
     edges: DataFrame, min_common: int = 2, top_k: int | None = None
 ) -> DataFrame:

@@ -1170,3 +1170,83 @@ def ahash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def header_dims(
+    assets: DataFrame, id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Header-only media metadata — dimensions WITHOUT decoding: magic
+    bytes classify the container, then fixed-offset header fields give
+    (kind, dim1, dim2): BMP/PNG/GIF → (width, height); WAV →
+    (sample_rate, n_samples). Unknown payloads → kind='unknown',
+    dims -1.
+
+    This is the cheap pre-decode triage a 100 TB media lake runs
+    FIRST (drop icons/thumbnails, route by size band, budget the
+    decode stage) — and unlike the decoders it is PURE Column
+    arithmetic on the binary type (substring → hex → conv, shifts for
+    endianness), entirely whole-stage-codegen'd JVM: no Arrow batch,
+    no Python, no decompression. Bytes touched per row: ≤ 44 of the
+    payload regardless of asset size (with a columnar reader the
+    trailing megabytes still ride the scan — persisting these four
+    columns as table metadata at write time is the production twin).
+
+    Field offsets (1-based substring): BMP BITMAPINFOHEADER
+    biWidth/biHeight LE int32 at 19/23; PNG IHDR width/height BE
+    int32 at 17/21; GIF logical-screen width/height LE uint16 at
+    7/9; canonical 44-byte PCM WAV sample rate LE uint32 at 25 and
+    data-chunk byte size LE uint32 at 41 (mono 16-bit → n_samples =
+    size/2, matching the fmt chunk this lake's encoder writes)."""
+    from pyspark.sql import functions as F
+
+    p = F.col(payload_col)
+
+    def _u8(pos):
+        return F.conv(F.hex(F.substring(p, pos, 1)), 16, 10) \
+            .cast("long")
+
+    def _le(pos, n):
+        v = F.lit(0).cast("long")
+        for i in range(n):
+            v = v + F.shiftleft(_u8(pos + i), 8 * i)
+        return v
+
+    def _be(pos, n):
+        v = F.lit(0).cast("long")
+        for i in range(n):
+            v = v + F.shiftleft(_u8(pos + i), 8 * (n - 1 - i))
+        return v
+
+    magic8 = F.hex(F.substring(p, 1, 8))
+    magic4 = F.hex(F.substring(p, 1, 4))
+    magic2 = F.hex(F.substring(p, 1, 2))
+    wave4 = F.hex(F.substring(p, 9, 4))
+    kind = (
+        F.when(magic8 == "89504E470D0A1A0A", F.lit("png"))
+        .when(magic4 == "47494638", F.lit("gif"))
+        .when(magic2 == "424D", F.lit("bmp"))
+        .when((magic4 == "52494646") & (wave4 == "57415645"),
+              F.lit("wav"))
+        .otherwise(F.lit("unknown"))
+    )
+    dim1 = (
+        F.when(kind == "png", _be(17, 4))
+        .when(kind == "gif", _le(7, 2))
+        .when(kind == "bmp", _le(19, 4))
+        .when(kind == "wav", _le(25, 4))
+        .otherwise(F.lit(-1).cast("long"))
+    )
+    dim2 = (
+        F.when(kind == "png", _be(21, 4))
+        .when(kind == "gif", _le(9, 2))
+        .when(kind == "bmp", _le(23, 4))
+        .when(kind == "wav", F.shiftright(_le(41, 4), 1))
+        .otherwise(F.lit(-1).cast("long"))
+    )
+    return assets.select(
+        F.col(id_col),
+        kind.alias("kind"),
+        dim1.cast("long").alias("dim1"),
+        dim2.cast("long").alias("dim2"),
+    )

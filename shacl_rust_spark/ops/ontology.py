@@ -143,3 +143,62 @@ def rdfs_closure(
         .unionByName(super_types)
         .dropDuplicates(["s", "p", "o"])
     )
+
+
+def induce_shapes(
+    triples: DataFrame, in_threshold: int = 10,
+) -> DataFrame:
+    """SHACL shape INDUCTION — profile an (s, p, o) triple table into
+    the per-predicate constraint suggestions a shapes author starts
+    from (the inverse of the validator: instead of checking data
+    against declared shapes, derive candidate shapes FROM the data).
+    One row per predicate:
+
+    - n_subjects / n_triples, min_card / max_card — per-subject
+      cardinality profile; max_card == 1 suggests ``sh:maxCount 1``
+      (emitted as suggested_max_count, else -1: never suggest a
+      bound the data already violates)
+    - n_iri_objects vs n_triples — all-IRI objects suggest
+      ``sh:nodeKind sh:IRI`` (nodekind_iri 1/0); mixed object kinds
+      suggest nothing
+    - n_distinct_objects ≤ `in_threshold` suggests an ``sh:in``
+      enumeration (suggest_in 1/0)
+
+    All-integer output (the same no-float policy as every oracle-
+    gated op). Plan: ONE shuffle on (p, s) computes the per-subject
+    cardinalities (map-side partial count), then a predicate-
+    cardinality rollup (tiny key space) takes min/max/sums; the
+    object-kind and distinct-object profile aggregates in the same
+    rollup via two-phase count_distinct. No self-joins, no windows —
+    the whole induction is two groupBys, linear in the triple
+    count."""
+    per_subj = triples.groupBy("p", "s").agg(
+        F.count(F.lit(1)).alias("_card"),
+    )
+    card = per_subj.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum("_card").alias("n_triples"),
+        F.min("_card").alias("min_card"),
+        F.max("_card").alias("max_card"),
+    )
+    objs = triples.groupBy("p").agg(
+        F.sum(F.when(F.col("o").startswith("http"), 1).otherwise(0))
+        .cast("long").alias("n_iri_objects"),
+        F.count_distinct("o").alias("n_distinct_objects"),
+    )
+    return (
+        card.join(objs, "p")
+        .select(
+            "p", "n_subjects", "n_triples", "min_card", "max_card",
+            "n_iri_objects", "n_distinct_objects",
+            F.when(F.col("max_card") == 1, F.lit(1).cast("long"))
+            .otherwise(F.lit(-1).cast("long"))
+            .alias("suggested_max_count"),
+            F.when(F.col("n_iri_objects") == F.col("n_triples"),
+                   F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("nodekind_iri"),
+            F.when(F.col("n_distinct_objects") <= in_threshold,
+                   F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("suggest_in"),
+        )
+    )

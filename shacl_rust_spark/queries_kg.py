@@ -191,3 +191,14 @@ def kg_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample.corrupt_tails(
         kg_validated_triples(spark, sf_dir), k=2, salt="neg"
     )
+
+
+def kg_shape_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape induction over the validated emission
+    (ops/ontology.induce_shapes): per-predicate cardinality +
+    object-kind profile with sh:maxCount / sh:nodeKind / sh:in
+    suggestions — the inverse of the validator, closing the authoring
+    loop (profile data -> draft shapes -> validate)."""
+    from .ops import ontology
+
+    return ontology.induce_shapes(kg_validated_triples(spark, sf_dir))

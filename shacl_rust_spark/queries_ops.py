@@ -2016,3 +2016,29 @@ def olap_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import olap
 
     return olap.large_volume_customers(spark, sf_dir)
+
+
+def multimodal_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only media triage (ops/multimodal.header_dims): magic
+    bytes + fixed-offset header fields give (kind, dims) for every
+    synthesized BMP/PNG/GIF/WAV payload WITHOUT decoding — pure
+    Column arithmetic on the binary type, no Arrow, no Python, no
+    inflate/LZW. The oracle recomputes every dimension in closed form
+    from the synthesis formulas, so an endianness or offset slip
+    hash-mismatches."""
+    assets = multimodal.synth_assets(_docs(spark, sf_dir))
+    return multimodal.header_dims(assets)
+
+
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-round k-truss peel at k=4 (ops/graph.k_truss) over
+    the Jaccard >= 0.8 near-dup pair graph — the edge-cohesion
+    extractor one notch denser than graph_kcore (every surviving edge
+    closes >= 2 triangles among survivors). Deliberately expensive
+    gate: three triangle enumerations on a shrinking edge set; the
+    oracle unrolls the identical integer rounds."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    return graph.k_truss(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        k=4, rounds=3,
+    )

@@ -2959,3 +2959,81 @@ def test_large_volume_customers_threshold(spark, tmp_path):
     out = olap.large_volume_customers(spark, d, qty_threshold=180)
     rows = out.collect()
     assert [(r.o_orderkey, r.sum_qty) for r in rows] == [(100, 181)]
+
+
+def test_header_dims_matches_decoders(spark):
+    from shacl_rust_spark.ops import multimodal as mm
+
+    rows = [
+        (1, mm.encode_bmp(3, 2, [[1, 2, 3], [4, 5, 6]])),
+        (2, mm.encode_png(2, 3, [[1, 2], [3, 4], [5, 6]])),
+        (3, mm.encode_gif(4, 1, [[9, 8, 7, 6]])),
+        (4, mm.encode_wav_pcm16(44100, [0, 1, -1, 32767, -32768])),
+        (5, b"\x00\x01not a media payload"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    out = {r.doc_id: (r.kind, r.dim1, r.dim2)
+           for r in mm.header_dims(df).collect()}
+    assert out[1] == ("bmp", 3, 2)
+    assert out[2] == ("png", 2, 3)
+    assert out[3] == ("gif", 4, 1)
+    assert out[4] == ("wav", 44100, 5)
+    assert out[5] == ("unknown", -1, -1)
+
+
+def test_induce_shapes_suggestions(spark):
+    from shacl_rust_spark.ops import ontology
+
+    triples = spark.createDataFrame(
+        # pred "name": functional (1 per subject), literal objects,
+        # 2 distinct values -> maxCount 1, no nodeKind, sh:in
+        [("http://x/a", "name", "Alice"), ("http://x/b", "name", "Bob"),
+         # pred "knows": multi-valued, all-IRI objects, wide domain
+         ("http://x/a", "knows", "http://x/b"),
+         ("http://x/a", "knows", "http://x/c"),
+         ("http://x/b", "knows", "http://x/a")],
+        ["s", "p", "o"])
+    out = {r.p: r for r in ontology.induce_shapes(
+        triples, in_threshold=2).collect()}
+    nm = out["name"]
+    assert (nm.n_subjects, nm.n_triples, nm.min_card, nm.max_card) \
+        == (2, 2, 1, 1)
+    assert (nm.suggested_max_count, nm.nodekind_iri, nm.suggest_in) \
+        == (1, 0, 1)
+    kn = out["knows"]
+    assert (kn.n_subjects, kn.n_triples, kn.min_card, kn.max_card) \
+        == (2, 3, 1, 2)
+    assert (kn.suggested_max_count, kn.nodekind_iri, kn.suggest_in) \
+        == (-1, 1, 0)
+
+
+def test_k_truss_vs_model(spark):
+    from itertools import combinations
+
+    from shacl_rust_spark.ops import graph
+
+    # K4 clique (every edge in 2 triangles) + a pendant triangle that
+    # 4-truss peeling must strip, + a chain edge with no triangles
+    k4 = list(combinations([1, 2, 3, 4], 2))
+    edges = k4 + [(4, 5), (4, 6), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {(r.a, r.b): r.support
+           for r in graph.k_truss(df, k=4, rounds=3).collect()}
+
+    def model(es, k, rounds):
+        es = {tuple(sorted(e)) for e in es}
+        sup = {}
+        for _ in range(rounds):
+            sup = {}
+            for a, b in es:
+                sup[(a, b)] = sum(
+                    1 for c in {x for e in es for x in e}
+                    if tuple(sorted((a, c))) in es
+                    and tuple(sorted((b, c))) in es)
+            es = {e for e in es if sup[e] >= k - 2}
+        return {e: sup[e] for e in es}
+
+    assert out == model(edges, 4, 3)
+    # the K4 survives with support 2 on every edge; everything else died
+    assert set(out) == {tuple(sorted(e)) for e in k4}
+    assert set(out.values()) == {2}
