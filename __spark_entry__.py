@@ -239,6 +239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_header_dims": O.multimodal_header_dims,
         "kg_shape_induction": K.kg_shape_induction,
         "graph_ktruss": O.graph_ktruss,
+        "olap_nation_trade": O.olap_nation_trade,
+        "olap_disjunctive_revenue": O.olap_disjunctive_revenue,
+        "text_textrank": O.text_textrank,
     }
 
 
@@ -714,7 +717,7 @@ _ENTITY_EDGES_SQL = """
 def _pagerank_oracle(iterations: int = 6, damping_pct: int = 85,
                      scale: int = 10**12,
                      edges_cte: str | None = None,
-                     prefix: str = "") -> str:
+                     prefix: str = "", limit: int = 100) -> str:
     """Chained-CTE unroll of the fixed-point-integer PageRank
     (ops/graph.pagerank): every step is BIGINT arithmetic, so the
     unrolled SQL is bit-identical to the Spark fixpoint loop.
@@ -757,7 +760,7 @@ def _pagerank_oracle(iterations: int = 6, damping_pct: int = 85,
     return (
         head + "\n" + ",\n".join(ctes)
         + f"\nSELECT node, rank AS rank_scaled FROM r{iterations}"
-        + "\nORDER BY rank DESC, node LIMIT 100"
+        + f"\nORDER BY rank DESC, node LIMIT {limit}"
     )
 
 
@@ -4478,4 +4481,68 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_ktruss": _WORDS_CTE + _PAIR_GRAPH_CTE
         + _ktruss_ctes(4, 3),
+        # TPC-H Q7: bilateral nation-pair volume, either direction
+        "olap_nation_trade": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS INT)
+                     AS l_year,
+                   count(*) AS n_items,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                              AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100, 0)
+                                      AS BIGINT))) AS BIGINT)
+                     AS revenue_cc
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            WHERE l_shipdate >= '1995-01-01'
+              AND l_shipdate < '1997-01-01'
+              AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+                OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        # TPC-H Q19: OR-of-conjunctions brand/size/quantity branches
+        "olap_disjunctive_revenue": """
+            SELECT count(*) AS n_items,
+                   CAST(COALESCE(SUM(
+                        CAST(ROUND(l_extendedprice * 100, 0)
+                              AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100, 0)
+                                      AS BIGINT))), 0) AS BIGINT)
+                     AS revenue_cc
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size <= 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size <= 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size <= 15
+                   AND l_quantity BETWEEN 20 AND 36)
+        """,
+        # TextRank: the skip-gram pair CTE chained into the unrolled
+        # BIGINT PageRank — the whole composite is bit-exact
+        "text_textrank": _pagerank_oracle(
+            iterations=4, limit=50,
+            prefix="""WITH d AS (
+              SELECT string_split_regex(trim(text), ' +') AS l
+              FROM documents WHERE trim(text) <> ''),
+            sgp AS (
+              SELECT unnest(flatten(list_transform(
+                       generate_series(1, len(l)), i ->
+                       list_transform(
+                         list_filter(
+                           generate_series(greatest(1, i - 2),
+                                           least(len(l), i + 2)),
+                           j -> j != i),
+                         j -> l[i] || chr(1) || l[j])))) AS pr
+              FROM d),
+            sg AS (
+              SELECT split_part(pr, chr(1), 1) AS center,
+                     split_part(pr, chr(1), 2) AS context
+              FROM sgp GROUP BY 1, 2 HAVING count(*) >= 2)""",
+            edges_cte="""edges AS (
+              SELECT center AS src, context AS dst FROM sg)""",
+        ),
     }

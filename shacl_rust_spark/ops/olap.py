@@ -768,3 +768,97 @@ def large_volume_customers(
         .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
         .limit(k)
     )
+
+
+def nation_trade_volume(
+    spark: SparkSession, sf_dir: str,
+    nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+    d_start: str = "1995-01-01", d_end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between two
+    nations — revenue where the SUPPLIER sits in one and the ordering
+    CUSTOMER in the other, either direction, grouped by
+    (supp_nation, cust_nation, ship year). The disjunctive
+    nation-pair predicate is applied AFTER both broadcast dimension
+    joins as a codegen'd filter (it references both sides, so it
+    can't be pushed into either scan — but both nation columns arrive
+    via broadcasts, so the fact row never shuffles for it).
+    Revenue in BIGINT centi-cents; year via year() (integer on any
+    engine)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit(d_start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(d_end).cast("timestamp")))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (_cents(F.col("l_extendedprice"))
+           * (F.lit(100).cast("bigint") - _cents(F.col("l_discount"))))
+    n1 = nation.select(F.col("n_nationkey").alias("_snk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("_cnk"),
+                       F.col("n_name").alias("cust_nation"))
+    pair_ok = (
+        ((F.col("supp_nation") == nation_a)
+         & (F.col("cust_nation") == nation_b))
+        | ((F.col("supp_nation") == nation_b)
+           & (F.col("cust_nation") == nation_a))
+    )
+    return (
+        li.select("l_orderkey", "l_suppkey",
+                  F.year("l_shipdate").alias("l_year"),
+                  rev.alias("_rev"))
+        .join(supp.select("s_suppkey", F.col("s_nationkey")
+                          .alias("_snk")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", F.col("c_nationkey")
+                          .alias("_cnk")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, "_snk").join(n2, "_cnk")
+        .where(pair_ok)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum("_rev").alias("revenue_cc"))
+    )
+
+
+def discounted_revenue(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): revenue over THREE disjunctive
+    brand/size/quantity branches — the canonical OR-of-conjunctions
+    predicate. The part-side conjuncts evaluate on the broadcast
+    dimension; the common l_quantity envelope (the union of the three
+    branch ranges, 1..36) is factored out and PUSHED into the fact
+    scan, so the disjunction only runs on envelope survivors — the
+    standard disjunctive-pushdown trick, visible as a PushedFilters
+    range on l_quantity. Single-row (n_items, revenue_cc) output,
+    BIGINT centi-cents."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 36))
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = (_cents(F.col("l_extendedprice"))
+           * (F.lit(100).cast("bigint") - _cents(F.col("l_discount"))))
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 5)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size") <= 15)
+           & (q >= 20) & (q <= 36))
+    )
+    return (
+        li.select("l_partkey", "l_quantity", rev.alias("_rev"))
+        .join(part.select("p_partkey", "p_brand", "p_size"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             # coalesce: an empty match set reports 0 revenue, not
+             # NULL (a NULL bigint would round-trip as NaN through
+             # pandas-based oracle fetches)
+             F.coalesce(F.sum("_rev"), F.lit(0).cast("bigint"))
+             .alias("revenue_cc"))
+    )

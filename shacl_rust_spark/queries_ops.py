@@ -2042,3 +2042,42 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         k=4, rounds=3,
     )
+
+
+def olap_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (ops/olap.nation_trade_volume): bilateral
+    NATION_1/NATION_2 trade by ship year — the disjunctive
+    nation-pair predicate evaluated after broadcast dimension
+    joins."""
+    from .ops import olap
+
+    return olap.nation_trade_volume(spark, sf_dir)
+
+
+def olap_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (ops/olap.discounted_revenue): OR-of-conjunctions
+    brand/size/quantity revenue with the common quantity envelope
+    factored into the fact scan."""
+    from .ops import olap
+
+    return olap.discounted_revenue(spark, sf_dir)
+
+
+def text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004),
+    derandomized and composed from two existing exact operators: the
+    ±2-window skip-gram co-occurrence graph (ops/text.skipgram_pairs,
+    min_count=2 prunes noise edges) feeds the fixed-point-integer
+    PageRank (ops/graph.pagerank, 4 iterations) — word salience from
+    graph structure instead of frequency. Top-50 words by
+    (rank_scaled DESC, node). The oracle chains the skip-gram pair
+    CTE into the unrolled BIGINT PageRank CTEs, so the whole
+    composite is bit-exact."""
+    pairs = text.skipgram_pairs(_docs(spark, sf_dir), window=2,
+                                min_count=2)
+    pr = graph.pagerank(
+        pairs.select(F.col("center").alias("src"),
+                     F.col("context").alias("dst")),
+        iterations=4,
+    )
+    return pr.orderBy(F.desc("rank_scaled"), "node").limit(50)
