@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_nation_trade": O.olap_nation_trade,
         "olap_disjunctive_revenue": O.olap_disjunctive_revenue,
         "text_textrank": O.text_textrank,
+        "olap_customer_distribution": O.olap_customer_distribution,
+        "graph_ppr": O.graph_ppr,
     }
 
 
@@ -761,6 +763,63 @@ def _pagerank_oracle(iterations: int = 6, damping_pct: int = 85,
         head + "\n" + ",\n".join(ctes)
         + f"\nSELECT node, rank AS rank_scaled FROM r{iterations}"
         + f"\nORDER BY rank DESC, node LIMIT {limit}"
+    )
+
+
+def _ppr_oracle(iterations: int, damping_pct: int = 85,
+                scale: int = 10**12, seeds_pred: str = "node % 50 = 0",
+                edges_cte: str = "", prefix: str = "",
+                limit: int = 100) -> str:
+    """Unrolled personalized PageRank (ops/graph.
+    personalized_pagerank): rank0 = scale DIV s on seeds only, the
+    teleport term conditional on seed membership, every step BIGINT —
+    the seed-restricted twin of _pagerank_oracle."""
+    d, t = damping_pct, 100 - damping_pct
+    ctes = [
+        edges_cte,
+        """nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        )""",
+        f"seeds AS (SELECT node FROM nodes WHERE {seeds_pred})",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1)",
+        f"""params AS (
+          SELECT CAST({scale} // count(*) AS BIGINT) AS sbase,
+                 CAST(({t} * ({scale} // count(*))) // 100 AS BIGINT)
+                   AS steleport
+          FROM seeds
+        )""",
+        """r0 AS (
+          SELECT n.node,
+                 CASE WHEN s.node IS NOT NULL
+                      THEN (SELECT sbase FROM params)
+                      ELSE 0 END AS rank
+          FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+        )""",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""r{k} AS (
+          SELECT n.node,
+                 CAST(CASE WHEN s.node IS NOT NULL
+                           THEN (SELECT steleport FROM params)
+                           ELSE 0 END
+                      + ({d} * COALESCE(c.inflow, 0)) // 100
+                      AS BIGINT) AS rank
+          FROM nodes n
+          LEFT JOIN seeds s ON n.node = s.node
+          LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(r.rank // od.outdeg) AS BIGINT) AS inflow
+            FROM edges e
+            JOIN r{k - 1} r ON e.src = r.node
+            JOIN outdeg od ON e.src = od.src
+            GROUP BY 1
+          ) c ON n.node = c.node
+        )""")
+    head = prefix.rstrip() + "," if prefix else "WITH"
+    return (
+        head + "\n" + ",\n".join(ctes)
+        + f"\nSELECT node, rank AS rank_scaled FROM r{iterations}"
+        + f"\nWHERE rank > 0 ORDER BY rank DESC, node LIMIT {limit}"
     )
 
 
@@ -4544,5 +4603,24 @@ def oracle_sql() -> dict[str, str]:
               FROM sgp GROUP BY 1, 2 HAVING count(*) >= 2)""",
             edges_cte="""edges AS (
               SELECT center AS src, context AS dst FROM sg)""",
+        ),
+        # TPC-H Q13: count-of-counts with the zero-order bucket kept
+        "olap_customer_distribution": """
+            WITH per_cust AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+              GROUP BY 1)
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY 1
+        """,
+        # personalized PageRank over the symmetric near-dup pair graph
+        "graph_ppr": _ppr_oracle(
+            iterations=4, seeds_pred="node % 50 = 0", limit=100,
+            prefix=_WORDS_CTE + _PAIR_GRAPH_CTE,
+            edges_cte="""edges AS (
+              SELECT a AS src, b AS dst FROM p
+              UNION ALL SELECT b, a FROM p)""",
         ),
     }

@@ -150,6 +150,114 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 4,
+    damping_pct: int = 85,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to a SEED
+    set): edges(src, dst) + seeds(node) → (node, rank_scaled) for
+    every node with rank > 0 — proximity to the seeds, the standard
+    KG entity-similarity / recommendation primitive (SALSA/PPR
+    family). Same fixed-point-integer device as pagerank, with the
+    teleport mass restricted to seeds:
+
+    rank⁰ = scale DIV s on each seed (s = |seeds ∩ graph|), 0
+    elsewhere; rankᵏ⁺¹(v) = [v∈seeds]·((100−d)·(scale DIV s)) DIV 100
+    + (d · Σ_{u→v} rankᵏ(u) DIV outdeg(u)) DIV 100. All BIGINT, so
+    the result is bit-identical on any engine / partitioning.
+
+    Plan: identical loop shape to pagerank — edge list partitioned by
+    src ONCE with out-degrees riding along, each iteration shuffles
+    only the rank frame; the is_seed flag rides the node frame so the
+    teleport term is a codegen'd conditional, not a join. Nodes the
+    walk never reaches keep rank 0 and are dropped at the end (PPR
+    output is seed-local by design, typically ≪ |V|)."""
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    spark = edges.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = _clean_edges(edges).localCheckpoint(eager=True)
+
+    loop_spark = _clone_session(spark)
+    if loop_spark is not None:
+        loop_spark.conf.set("spark.sql.adaptive.enabled", "false")
+        edges = _rebind(edges, loop_spark)
+        seeds = _rebind(seeds, loop_spark)
+        aqe_was = None
+    else:
+        loop_spark = spark
+        aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        outdeg = edges.groupBy("src").agg(
+            F.count(F.lit(1)).alias("outdeg")
+        )
+        linked = (
+            edges.join(outdeg, "src")
+            .repartition(n_parts, "src")
+            .localCheckpoint(eager=True)
+        )
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .dropDuplicates(["node"])
+            .join(seeds.select("node").dropDuplicates(["node"])
+                  .withColumn("_is_seed", F.lit(1)),
+                  "node", "left")
+            .select("node",
+                    F.coalesce("_is_seed", F.lit(0)).alias("_is_seed"))
+            .repartition(n_parts, "node")
+            .localCheckpoint(eager=True)
+        )
+        s = nodes.where(F.col("_is_seed") == 1).count()
+        if s == 0:
+            return spark.createDataFrame(
+                [], "node string, rank_scaled bigint"
+            )
+        sbase = scale // s
+        steleport = ((100 - damping_pct) * sbase) // 100
+        ranks = nodes.select(
+            "node",
+            F.when(F.col("_is_seed") == 1, F.lit(sbase))
+            .otherwise(F.lit(0)).cast("bigint").alias("rank_scaled"),
+        ).localCheckpoint(eager=True)
+        for _ in range(iterations):
+            contrib = (
+                linked.join(ranks, linked["src"] == ranks["node"])
+                .select(
+                    F.col("dst"),
+                    F.expr("rank_scaled DIV outdeg").alias("share"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("share").alias("inflow"))
+            )
+            ranks = (
+                nodes.join(contrib, nodes["node"] == contrib["dst"],
+                           "left")
+                .select(
+                    nodes["node"],
+                    (
+                        F.when(F.col("_is_seed") == 1,
+                               F.lit(steleport)).otherwise(F.lit(0))
+                        + F.expr(
+                            f"({damping_pct} * coalesce(inflow, 0L))"
+                            " DIV 100"
+                        )
+                    ).cast("bigint").alias("rank_scaled"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        if aqe_was is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    if ranks.sparkSession is not spark:
+        ranks = _rebind(ranks, spark)
+    return ranks.where(F.col("rank_scaled") > 0)
+
+
 def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """edges(src, dst) → (node, authority, hub) after ``iterations``
     rounds of UNNORMALIZED integer HITS (Kleinberg 1999):

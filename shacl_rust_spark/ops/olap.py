@@ -862,3 +862,32 @@ def discounted_revenue(
              F.coalesce(F.sum("_rev"), F.lit(0).cast("bigint"))
              .alias("revenue_cc"))
     )
+
+
+def customer_distribution(
+    spark: SparkSession, sf_dir: str,
+    excluded_priority: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q13 (customer distribution): the count-of-counts
+    histogram — how many customers placed exactly N qualifying
+    orders, INCLUDING the zero-order customers (the LEFT join is the
+    point of Q13; an inner join silently drops the biggest bucket).
+    Two aggregations: per-customer order count (shuffle on custkey,
+    map-side partial), then the tiny count-of-counts rollup. The
+    per-customer phase is the classic skew probe — a mega-customer
+    hot key shows up here first; AQE skew-join handling covers it at
+    scale since the aggregate is two-phase."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") != excluded_priority)
+    per_cust = (
+        cust.select("c_custkey")
+        .join(orders.select("o_custkey", "o_orderkey"),
+              cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )

@@ -2081,3 +2081,37 @@ def text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=4,
     )
     return pr.orderBy(F.desc("rank_scaled"), "node").limit(50)
+
+
+def olap_customer_distribution(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """TPC-H Q13 (ops/olap.customer_distribution): count-of-counts
+    order histogram per customer, zero-order customers included via
+    the LEFT join."""
+    from .ops import olap
+
+    return olap.customer_distribution(spark, sf_dir)
+
+
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (ops/graph.personalized_pagerank) over
+    the Jaccard >= 0.8 near-dup pair graph, seeds = doc_id % 50 == 0,
+    4 iterations — seed-local proximity ranking, the KG
+    entity-similarity primitive. Top-100 reached nodes by
+    (rank_scaled DESC, node); the oracle unrolls the identical
+    seed-teleport BIGINT rounds."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    edges = pairs.select(F.col("a").alias("src"),
+                         F.col("b").alias("dst"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .dropDuplicates(["node"]))
+    seeds = nodes.where(F.col("node") % 50 == 0)
+    # symmetric closure: the pair graph is undirected, the walk needs
+    # both directions
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"),
+                     F.col("src").alias("dst")))
+    pr = graph.personalized_pagerank(sym, seeds, iterations=4)
+    return pr.orderBy(F.desc("rank_scaled"), "node").limit(100)

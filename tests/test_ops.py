@@ -3037,3 +3037,41 @@ def test_k_truss_vs_model(spark):
     # the K4 survives with support 2 on every edge; everything else died
     assert set(out) == {tuple(sorted(e)) for e in k4}
     assert set(out.values()) == {2}
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    from shacl_rust_spark.ops import graph
+
+    # two disconnected triangles; seeding one leaves the other at
+    # rank 0 (dropped), and mass concentrates on the seed
+    t1 = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]
+    t2 = [(7, 8), (8, 7), (8, 9), (9, 8), (7, 9), (9, 7)]
+    edges = spark.createDataFrame(t1 + t2, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = {r.node: r.rank_scaled
+           for r in graph.personalized_pagerank(
+               edges, seeds, iterations=4).collect()}
+    assert set(out) == {1, 2, 3}          # seed component only
+    assert out[1] > out[2] == out[3] > 0  # seed holds the most mass
+    # rerun- and partitioning-stable (bit-exact integers)
+    out2 = {r.node: r.rank_scaled
+            for r in graph.personalized_pagerank(
+                edges.repartition(5), seeds, iterations=4).collect()}
+    assert out == out2
+
+
+def test_customer_distribution_zero_bucket(spark, tmp_path):
+    from shacl_rust_spark.ops import olap
+
+    d = _write_tpch(tmp_path, {
+        "customer": (["c_custkey"], [(1,), (2,), (3,)]),
+        # customer 1: two qualifying orders; customer 2: only an
+        # URGENT one (excluded -> lands in the zero bucket);
+        # customer 3: no orders at all
+        "orders": (["o_orderkey", "o_custkey", "o_orderpriority"],
+                   [(10, 1, "5-LOW"), (11, 1, "2-HIGH"),
+                    (12, 2, "1-URGENT")]),
+    })
+    out = {r.c_count: r.custdist
+           for r in olap.customer_distribution(spark, d).collect()}
+    assert out == {2: 1, 0: 2}
