@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_textrank": O.text_textrank,
         "olap_customer_distribution": O.olap_customer_distribution,
         "graph_ppr": O.graph_ppr,
+        "ann_pq_topk": O.ann_pq_topk,
     }
 
 
@@ -620,44 +621,103 @@ def _zinterleave_sql(col: str, offset: int, bits: int = 16) -> str:
     )
 
 
-def _kmeans_ctes(k: int, iters: int, dims: int = 64) -> tuple:
+def _kmeans_ctes(k: int, iters: int, dims: int = 64,
+                 pref: str = "", vec_expr: str = "embedding") -> tuple:
     """Unrolled DuckDB twin of ops/cluster.kmeans: the same
     k-smallest-id init, argmin assignment (ties → lowest cluster), and
     round(avg, 6) centroid update, one CTE block per Lloyd's
-    iteration. Returns (ctes, final_dist_table)."""
-    def dist(c: str) -> str:
-        return ("list_sum(list_transform(generate_series(1, len(e.v)), "
-                f"i -> (e.v[i] - {c}.v[i]) * (e.v[i] - {c}.v[i])))")
+    iteration. Returns (ctes, final_dist_table). `pref` namespaces the
+    CTEs so several trainings coexist in one query (PQ sub-codebooks);
+    `vec_expr` selects the trained vector (e.g. a list slice)."""
+    e, c, d, a, u = (pref + n for n in ("e", "c", "d", "a", "u"))
+
+    def dist(cc: str) -> str:
+        return (f"list_sum(list_transform(generate_series(1, "
+                f"len({e}.v)), "
+                f"i -> ({e}.v[i] - {cc}.v[i]) * ({e}.v[i] - {cc}.v[i])))")
 
     ctes = [
-        ("e AS (SELECT vec_id, list_transform(embedding, "
+        (f"{e} AS (SELECT vec_id, list_transform({vec_expr}, "
          "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"),
-        (f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
-         f"AS INT) AS j, v FROM (SELECT vec_id, v FROM e "
+        (f"{c}0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+         f"AS INT) AS j, v FROM (SELECT vec_id, v FROM {e} "
          f"ORDER BY vec_id LIMIT {k}))"),
     ]
     for it in range(1, iters + 1):
-        prev = f"c{it - 1}"
+        prev = f"{c}{it - 1}"
         ctes += [
-            (f"d{it} AS (SELECT e.vec_id, {prev}.j, {dist(prev)} AS "
-             f"dist FROM e CROSS JOIN {prev})"),
-            (f"a{it} AS (SELECT vec_id, j AS cluster FROM ("
+            (f"{d}{it} AS (SELECT {e}.vec_id, {prev}.j, {dist(prev)} AS "
+             f"dist FROM {e} CROSS JOIN {prev})"),
+            (f"{a}{it} AS (SELECT vec_id, j AS cluster FROM ("
              f"SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id "
-             f"ORDER BY dist, j) AS rn FROM d{it}) WHERE rn = 1)"),
-            (f"u{it} AS (SELECT a{it}.cluster AS j, t.d, "
-             f"round(avg(e.v[t.d]), 6) AS c FROM e JOIN a{it} "
+             f"ORDER BY dist, j) AS rn FROM {d}{it}) WHERE rn = 1)"),
+            (f"{u}{it} AS (SELECT {a}{it}.cluster AS j, t.d, "
+             f"round(avg({e}.v[t.d]), 6) AS c FROM {e} JOIN {a}{it} "
              f"USING (vec_id) CROSS JOIN generate_series(1, {dims}) "
              f"AS t(d) GROUP BY 1, 2)"),
-            (f"c{it} AS (SELECT {prev}.j, coalesce(u.v, {prev}.v) AS v "
+            (f"{c}{it} AS (SELECT {prev}.j, coalesce(uu.v, {prev}.v) AS v "
              f"FROM {prev} LEFT JOIN (SELECT j, list(c ORDER BY d) AS v "
-             f"FROM u{it} GROUP BY 1) u USING (j))"),
+             f"FROM {u}{it} GROUP BY 1) uu USING (j))"),
         ]
     fin = iters + 1
     ctes.append(
-        f"d{fin} AS (SELECT e.vec_id, c{iters}.j, {dist(f'c{iters}')} "
-        f"AS dist FROM e CROSS JOIN c{iters})"
+        f"{d}{fin} AS (SELECT {e}.vec_id, {c}{iters}.j, "
+        f"{dist(f'{c}{iters}')} AS dist FROM {e} CROSS JOIN {c}{iters})"
     )
-    return ctes, f"d{fin}"
+    return ctes, f"{d}{fin}"
+
+
+def _pq_oracle(k: int = 5, m: int = 4, n_codes: int = 4,
+               iters: int = 2, dims: int = 64,
+               query_max_id: int = 10) -> str:
+    """ops/ann.pq_topk twin: m namespaced kmeans unrolls train the
+    sub-codebooks, per-vector codes come from the final-assignment
+    argmin, the query→centroid distance table is computed per
+    (query, subspace, code), and ADC sums the m looked-up terms —
+    every float is the same fixed-order double fold the Spark side
+    computes, and the output is integer-only (qid, rank, nid)."""
+    sub = dims // m
+    ctes: list[str] = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        sctes, fin = _kmeans_ctes(
+            n_codes, iters, dims=sub, pref=f"s{s}",
+            vec_expr=f"embedding[{lo}:{hi}]")
+        ctes += sctes
+        ctes.append(
+            f"s{s}code AS (SELECT vec_id, j AS code FROM ("
+            f"SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist, j) AS rn FROM {fin}) WHERE rn = 1)")
+        ctes.append(
+            f"s{s}qd AS (SELECT qe.vec_id AS qid, cb.j, "
+            f"list_sum(list_transform(generate_series(1, {sub}), "
+            f"i -> (qe.v[i] - cb.v[i]) * (qe.v[i] - cb.v[i]))) AS dist "
+            f"FROM (SELECT vec_id, list_transform(embedding[{lo}:{hi}], "
+            f"x -> CAST(x AS DOUBLE)) AS v FROM embeddings "
+            f"WHERE vec_id < {query_max_id}) qe "
+            f"CROSS JOIN s{s}c{iters} cb)")
+    code_joins = " ".join(
+        f"JOIN s{s}code c{s} USING (vec_id)" for s in range(m))
+    code_cols = ", ".join(f"c{s}.code AS k{s}" for s in range(m))
+    ctes.append(
+        f"codes AS (SELECT vec_id, {code_cols} FROM embeddings "
+        f"{code_joins})")
+    qd_joins = " ".join(
+        f"JOIN s{s}qd d{s} ON d{s}.qid = qs.qid AND d{s}.j = c.k{s}"
+        for s in range(m))
+    adc_sum = " + ".join(f"d{s}.dist" for s in range(m))
+    ctes.append(
+        f"adc AS (SELECT qs.qid, c.vec_id AS nid, {adc_sum} AS adc "
+        f"FROM (SELECT DISTINCT qid FROM s0qd) qs "
+        f"CROSS JOIN codes c {qd_joins} "
+        f"WHERE c.vec_id <> qs.qid)")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT qid, CAST(rank AS BIGINT) AS rank, nid FROM ("
+        "SELECT qid, nid, row_number() OVER (PARTITION BY qid "
+        "ORDER BY adc, nid) AS rank FROM adc) "
+        f"WHERE rank <= {k}"
+    )
 
 
 def _kmeans_oracle(k: int, iters: int, dims: int = 64) -> str:
@@ -4623,4 +4683,5 @@ def oracle_sql() -> dict[str, str]:
               SELECT a AS src, b AS dst FROM p
               UNION ALL SELECT b, a FROM p)""",
         ),
+        "ann_pq_topk": _pq_oracle(),
     }

@@ -124,3 +124,80 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame
         .where(F.col("rank") <= k)
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+    query_max_id: int = 10,
+) -> DataFrame:
+    """Product-quantization top-k (Jégou et al. 2011, derandomized):
+    split each vector into `m` contiguous subspaces, train an
+    `n_codes`-entry codebook per subspace with the deterministic
+    Lloyd's device (cluster.train_centroids — smallest-id init,
+    round-6 centroid updates, so both codebooks and codes are
+    engine-exact), encode every vector as its m nearest-centroid
+    codes, and answer queries by ADC (asymmetric distance
+    computation): dist(q, x) ≈ Σ_s d(q_s, codebook_s[code_s(x)]).
+    Returns (qid, rank, nid) — integer-only output; the approximate
+    distance itself stays internal (per-row fixed-order double fold,
+    deterministic, but not worth exporting).
+
+    This completes the ANN family's SCALE story next to IVF: the
+    index the query side scans is m SMALL INTEGER CODES per vector
+    (m·log2(n_codes) bits — here 8 bits/vec vs 64 doubles/vec, a
+    64× memory compression), so a 100 TB embedding corpus becomes a
+    codes table that fits hot storage; the query→centroid distance
+    table (m·n_codes doubles per query) is a Column expression over
+    the broadcast query side, never a shuffle. Codebook training
+    scans the corpus iters·m times map-side with k·d-cell aggregates
+    (bounded driver state); production would sample the training set
+    — stated, not needed at gate scale."""
+    from pyspark.sql import Window
+
+    from . import cluster
+
+    sub = dims // m
+    if sub * m != dims:
+        raise ValueError("m must divide dims")
+    e = embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("_full"),
+    ).localCheckpoint(eager=True)
+
+    codebooks: list[list[list[float]]] = []
+    codes = None
+    for s in range(m):
+        es = e.select(
+            "vec_id", F.slice("_full", s * sub + 1, sub).alias("_v"))
+        cents = cluster.train_centroids(es, n_codes, iters)
+        codebooks.append(cents)
+        asg = cluster._assign(es, cents, "_v").select(
+            "vec_id", F.col("cluster").alias(f"code{s}"))
+        codes = asg if codes is None else codes.join(asg, "vec_id")
+
+    q = e.where(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("qid"), F.col("_full").alias("_q"))
+    adc = None
+    for s in range(m):
+        qsub = F.slice("_q", s * sub + 1, sub)
+        darr = F.array(*[cluster._sq_dist(qsub, c)
+                         for c in codebooks[s]])
+        term = F.element_at(darr, F.col(f"code{s}") + 1)
+        adc = term if adc is None else adc + term
+
+    w = Window.partitionBy("qid").orderBy("_adc", "vec_id")
+    return (
+        q.crossJoin(codes)
+        .where(F.col("vec_id") != F.col("qid"))
+        .withColumn("_adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col("rank").cast("bigint").alias("rank"),
+                F.col("vec_id").alias("nid"))
+    )

@@ -59,23 +59,14 @@ def _assign(emb: DataFrame, centroids: list[list[float]],
     return emb.withColumn("cluster", best).withColumn("_dist", best_d)
 
 
-def kmeans(
-    emb: DataFrame,
-    k: int = 4,
-    iters: int = 2,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """(id, cluster, dist): deterministic k-means assignment after
-    `iters` Lloyd's updates from the k-smallest-id init. `dist` is the
-    squared L2 to the final (rounded) centroid."""
-    e = emb.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        .alias("_v"),
-    )
-    e = e.localCheckpoint(eager=False)  # reused every iteration
-
+def train_centroids(
+    e: DataFrame, k: int, iters: int, id_col: str = "vec_id",
+) -> list[list[float]]:
+    """The Lloyd's loop behind kmeans, exposed so quantizer trainings
+    (IVF coarse codebooks, PQ sub-codebooks) can reuse it: `e` carries
+    (id_col, _v double array); returns the final rounded centroid list
+    (k×d — bounded driver-side state by construction, same policy as
+    the closure caps). Empty clusters keep their previous centroid."""
     init_rows = e.orderBy(id_col).limit(k).collect()
     centroids = [list(r["_v"]) for r in init_rows]
 
@@ -96,7 +87,26 @@ def kmeans(
             if j in by_cluster else centroids[j]  # empty cluster: keep
             for j in range(k)
         ]
+    return centroids
 
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster, dist): deterministic k-means assignment after
+    `iters` Lloyd's updates from the k-smallest-id init. `dist` is the
+    squared L2 to the final (rounded) centroid."""
+    e = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        .alias("_v"),
+    )
+    e = e.localCheckpoint(eager=False)  # reused every iteration
+    centroids = train_centroids(e, k, iters, id_col)
     return _assign(e, centroids, "_v").select(
         F.col(id_col), "cluster", F.col("_dist").alias("dist")
     )

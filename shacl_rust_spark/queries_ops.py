@@ -2115,3 +2115,16 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("src").alias("dst")))
     pr = graph.personalized_pagerank(sym, seeds, iterations=4)
     return pr.orderBy(F.desc("rank_scaled"), "node").limit(100)
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ops/ann.pq_topk): 4 sub-codebooks of
+    4 codes trained with the deterministic Lloyd's device, vectors
+    encoded to 4 small codes (8 bits vs 64 doubles — the memory-side
+    scale path next to IVF's compute-side one), queries answered by
+    ADC lookup. Integer-only (qid, rank, nid) output; the oracle
+    replays the full train->encode->ADC chain."""
+    from .ops import ann
+
+    return ann.pq_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))

@@ -3075,3 +3075,28 @@ def test_customer_distribution_zero_bucket(spark, tmp_path):
     out = {r.c_count: r.custdist
            for r in olap.customer_distribution(spark, d).collect()}
     assert out == {2: 1, 0: 2}
+
+
+def test_pq_topk_separated_clusters(spark):
+    from shacl_rust_spark.ops import ann
+
+    # 16-dim vectors in two far-apart blobs; PQ (m=4, 4-dim subspaces)
+    # must rank same-blob vectors above cross-blob ones
+    def vec(blob, i):
+        base = 0.0 if blob == 0 else 100.0
+        return [base + 0.01 * i + 0.001 * d for d in range(16)]
+
+    rows = ([(i, vec(0, i)) for i in range(4)]
+            + [(10 + i, vec(1, i)) for i in range(4)])
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ann.pq_topk(df, k=3, m=4, n_codes=2, iters=2, dims=16,
+                      query_max_id=1).collect()
+    got = [(r.rank, r.nid) for r in sorted(out, key=lambda r: r.rank)]
+    # query 0 is in blob 0: its top-3 are the other blob-0 vectors
+    assert [n for _, n in got] == [1, 2, 3] or \
+        set(n for _, n in got) == {1, 2, 3}
+    # deterministic under repartition
+    out2 = ann.pq_topk(df.repartition(5), k=3, m=4, n_codes=2,
+                       iters=2, dims=16, query_max_id=1).collect()
+    assert {(r.rank, r.nid) for r in out2} == {(r.rank, r.nid)
+                                               for r in out}
