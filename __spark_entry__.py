@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_customer_distribution": O.olap_customer_distribution,
         "graph_ppr": O.graph_ppr,
         "ann_pq_topk": O.ann_pq_topk,
+        "dedup_prefix_join": O.dedup_prefix_join,
     }
 
 
@@ -4684,4 +4685,18 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT b, a FROM p)""",
         ),
         "ann_pq_topk": _pq_oracle(),
+        # prefix filtering has recall AND precision 1.0, so the oracle
+        # is the all-pairs jaccard formulation verbatim — hash equality
+        # proves the pigeonhole claim
+        "dedup_prefix_join": _WORDS_CTE + """
+            , i AS (
+              SELECT wa.doc_id AS a, wb.doc_id AS b, count(*) AS ni
+              FROM w wa JOIN w wb
+                ON wa.word = wb.word AND wa.source = wb.source
+               AND wa.doc_id < wb.doc_id
+              GROUP BY 1, 2)
+            SELECT a, b, ni AS n_common, (sa.n + sb.n - ni) AS n_union
+            FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+            WHERE ni * 10000 >= (sa.n + sb.n - ni) * 8000
+        """,
     }

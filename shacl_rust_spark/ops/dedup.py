@@ -75,6 +75,69 @@ def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def prefix_filter_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (the AllPairs/PPJoin
+    candidate scheme, Bayardo et al. 2007 / Xiao et al. 2008):
+    identical output contract to jaccard_pairs — within-source word-set
+    Jaccard ≥ threshold as (a, b, n_common, n_union) — but WITHOUT the
+    all-pairs join, and unlike minhash-LSH with DETERMINISTIC recall
+    1.0: order every document's tokens by a global total order
+    (doc-frequency ASC, token ASC — rarest first), keep each document's
+    first n − ⌈t·n⌉ + 1 tokens as its prefix, and generate a candidate
+    only when two prefixes share a token. Any pair with J ≥ t MUST
+    share a prefix token (pigeonhole on the sorted sets), so the exact
+    array-intersect rescore on candidates equals the all-pairs result —
+    which is exactly what the gate's oracle asserts by being the
+    all-pairs SQL verbatim.
+
+    Scale shape: one global token-frequency aggregate
+    (vocab-cardinality, broadcasts), one row_number window per doc
+    (single shuffle of the token frame on doc_id), and a bucketed
+    self-join keyed on PREFIX tokens — rare tokens by construction, so
+    bucket sizes track the frequency tail, not the corpus. The known
+    caveat: very SHORT documents keep hot tokens in their prefixes
+    (p = 1 at n·(1−t) < 1), so a head-heavy short-doc corpus re-grows
+    hot buckets — the standard mitigations (length binning /
+    positional filter) are the PPJoin extensions, stated not built.
+    Prefix sizes are exact integers: ⌈t·n⌉ = (num·n + den − 1) DIV den
+    with the same num/den = t·10000 device as the rescore."""
+    from pyspark.sql import Window
+
+    num, den = int(threshold * 10000), 10000
+    ws = _word_sets(docs)
+    ex = ws.select("doc_id", "source", F.explode("_w").alias("w"))
+    freq = ex.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("_df", "w")
+    szs = ws.select("doc_id", F.size("_w").alias("_n"))
+    prefix = (
+        ex.join(freq, "w")
+        .withColumn("_rn", F.row_number().over(wdoc))
+        .join(szs, "doc_id")
+        .where(F.col("_rn")
+               <= F.col("_n")
+               - F.expr(f"({num} * _n + {den - 1}) div {den}") + 1)
+        .select("doc_id", "source", "w")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("a"), "source", "w")
+        .join(prefix.select(F.col("doc_id").alias("b"), "source", "w"),
+              ["source", "w"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    wa = ws.select(F.col("doc_id").alias("a"), F.col("_w").alias("_wa"))
+    wb = ws.select(F.col("doc_id").alias("b"), F.col("_w").alias("_wb"))
+    return (
+        cand.join(wa, "a").join(wb, "b")
+        .withColumn("_i", F.size(F.array_intersect("_wa", "_wb")))
+        .withColumn("_u", F.size(F.array_union("_wa", "_wb")))
+        .where(F.col("_i") * den >= F.col("_u") * num)
+        .select("a", "b", F.col("_i").alias("n_common"),
+                F.col("_u").alias("n_union"))
+    )
+
+
 def containment_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """Within-source one-sided containment pairs: emit (contained,
     container) where |A∩B| / |A| ≥ threshold — catches a document

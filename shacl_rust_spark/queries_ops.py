@@ -2128,3 +2128,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ann.pq_topk(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering set-similarity join
+    (ops/dedup.prefix_filter_pairs): Jaccard >= 0.8 pairs WITHOUT the
+    all-pairs join and with deterministic recall 1.0 (AllPairs/PPJoin
+    pigeonhole on frequency-sorted prefixes). The oracle is the
+    all-pairs dedup_jaccard SQL VERBATIM — hash equality IS the
+    recall/precision-1.0 proof."""
+    return dedup.prefix_filter_pairs(_docs(spark, sf_dir), 0.8)

@@ -3100,3 +3100,39 @@ def test_pq_topk_separated_clusters(spark):
                        iters=2, dims=16, query_max_id=1).collect()
     assert {(r.rank, r.nid) for r in out2} == {(r.rank, r.nid)
                                                for r in out}
+
+
+def test_prefix_filter_pairs_equals_all_pairs(spark):
+    import random
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = [(i, "s" + str(i % 2),
+             " ".join(rnd.sample(vocab, rnd.randint(4, 8))))
+            for i in range(40)]
+    # guarantee some >= 0.8 pairs: exact and one-word-off duplicates
+    rows += [(100, "s0", rows[0][2]),
+             (101, "s0", rows[0][2] + " extraword")]
+    d = _docs(spark, rows)
+    for thr in (0.5, 0.8):
+        full = {(r.a, r.b, r.n_common, r.n_union)
+                for r in dedup.jaccard_pairs(d, thr).collect()}
+        pref = {(r.a, r.b, r.n_common, r.n_union)
+                for r in dedup.prefix_filter_pairs(d, thr).collect()}
+        # recall AND precision 1.0: the prefix join IS the all-pairs
+        # result
+        assert pref == full and full
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    # two identical docs + many docs sharing only the HOT token: the
+    # hot token never lands in a long doc's prefix, so the candidate
+    # set stays linear where all-pairs would be quadratic
+    base = "hot " + " ".join(f"rare{i}" for i in range(19))
+    rows = [(0, "s", base), (1, "s", base)]
+    rows += [(10 + i, "s", "hot " + " ".join(
+        f"only{i}_{j}" for j in range(19))) for i in range(20)]
+    d = _docs(spark, rows)
+    out = {(r.a, r.b) for r in
+           dedup.prefix_filter_pairs(d, 0.8).collect()}
+    assert out == {(0, 1)}
