@@ -545,6 +545,10 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 3) -> DataFrame:
     triangle + one map-side-combined count; the support filter is an
     inner join back to the edge set on the edge key. Edge set is
     checkpointed per round — bounded lineage."""
+    if k < 3:
+        # the 2-truss is the whole graph; this peel would wrongly drop
+        # triangle-less edges, so refuse instead of answering wrong
+        raise ValueError("k_truss requires k >= 3")
     e = _canon_undirected(edges)
     for _ in range(rounds):
         wedges = e.select("a", "b").join(

@@ -1222,12 +1222,17 @@ def header_dims(
     magic4 = F.hex(F.substring(p, 1, 4))
     magic2 = F.hex(F.substring(p, 1, 2))
     wave4 = F.hex(F.substring(p, 9, 4))
+    # magic AND a length floor covering the header fields read below —
+    # a truncated payload with a valid magic classifies 'unknown'
+    # instead of surfacing NULL dims from an empty substring
+    plen = F.length(p)
     kind = (
-        F.when(magic8 == "89504E470D0A1A0A", F.lit("png"))
-        .when(magic4 == "47494638", F.lit("gif"))
-        .when(magic2 == "424D", F.lit("bmp"))
-        .when((magic4 == "52494646") & (wave4 == "57415645"),
-              F.lit("wav"))
+        F.when((magic8 == "89504E470D0A1A0A") & (plen >= 24),
+               F.lit("png"))
+        .when((magic4 == "47494638") & (plen >= 10), F.lit("gif"))
+        .when((magic2 == "424D") & (plen >= 26), F.lit("bmp"))
+        .when((magic4 == "52494646") & (wave4 == "57415645")
+              & (plen >= 44), F.lit("wav"))
         .otherwise(F.lit("unknown"))
     )
     dim1 = (

@@ -3136,3 +3136,28 @@ def test_prefix_filter_prunes_candidates(spark):
     out = {(r.a, r.b) for r in
            dedup.prefix_filter_pairs(d, 0.8).collect()}
     assert out == {(0, 1)}
+
+
+def test_header_dims_truncated_magic(spark):
+    import pytest as _pytest
+
+    from shacl_rust_spark.ops import multimodal as mm
+
+    rows = [
+        (1, b"BM\x36\x00"),                  # BMP magic, truncated
+        (2, b"\x89PNG\r\n\x1a\x08" + b"x"),  # 8th sig byte wrong
+        (3, b"\x89PNG\r\n\x1a\n" + b"xx"),   # real sig, truncated
+        (4, b"RIFFxxxxWAVE"),                # WAV magic, no chunks
+        (5, b"GIF89a"),                      # GIF magic, no screen
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    out = {r.doc_id: (r.kind, r.dim1, r.dim2)
+           for r in mm.header_dims(df).collect()}
+    # every truncated/corrupt payload classifies unknown with -1 dims
+    # — never a NULL from an empty substring
+    assert all(v == ("unknown", -1, -1) for v in out.values())
+
+    from shacl_rust_spark.ops import graph
+    with _pytest.raises(ValueError):
+        graph.k_truss(spark.createDataFrame([(1, 2)], ["src", "dst"]),
+                      k=2)
