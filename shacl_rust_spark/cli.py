@@ -191,6 +191,67 @@ def _validate_command(args) -> int:
     return 0 if report.conforms else 1
 
 
+def _induce_command(args) -> int:
+    """Draft SHACL shapes FROM data (shapes/induce.py) — the authoring
+    inverse of `validate`, with no reference analog: profile a typed
+    triples table (and/or parsed RDF files), emit one conservative
+    NodeShape per predicate, ready to tighten by hand and feed back to
+    `validate`. Every induced constraint is an invariant the profiled
+    data already satisfies, so `validate` with the induced shapes over
+    the same data always conforms."""
+    from pyspark.sql import SparkSession
+
+    from .rdf import parse_rdf_file, serialize_graph
+    from .schema import TRIPLES_TYPE, graph_to_df
+    from .shapes.induce import induce_shapes_graph
+
+    data_paths = list(args.files or [])
+    parquet_paths = list(args.data_parquet or [])
+    if not data_paths and not parquet_paths:
+        print("error: at least one DATA_FILE or --data-parquet is "
+              "required", file=sys.stderr)
+        return 2
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName("shacl-induce")
+        .config("spark.sql.shuffle.partitions", str(max(args.cpus, 8)))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    frames = []
+    for path in parquet_paths:
+        df = spark.read.parquet(path)
+        missing = {f.name for f in TRIPLES_TYPE.fields} - set(df.columns)
+        if missing:
+            print(
+                f"error: {path} is not a triples table "
+                f"(missing columns: {sorted(missing)}; expected "
+                "s/p/o per schema.TRIPLES_TYPE)",
+                file=sys.stderr,
+            )
+            return 2
+        frames.append(df.select("s", "p", "o"))
+    for path in data_paths:
+        frames.append(graph_to_df(spark, parse_rdf_file(path,
+                                                        args.data_format)))
+    triples = frames[0]
+    for f in frames[1:]:
+        triples = triples.unionByName(f)
+
+    g = induce_shapes_graph(triples, in_threshold=args.in_threshold)
+    rendered = serialize_graph(g, args.format)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(rendered if rendered.endswith("\n") else
+                    rendered + "\n")
+    else:
+        print(rendered, end="")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="shacl-validator",
@@ -239,11 +300,30 @@ def main(argv: list[str] | None = None) -> int:
     inf.add_argument("--format", "-f", default=None)
     inf.add_argument("--detailed", "-d", action="store_true")
 
+    ind = sub.add_parser(
+        "induce",
+        help="draft conservative SHACL shapes FROM data "
+             "(profile → shapes.ttl → validate)")
+    ind.add_argument("files", nargs="*", metavar="DATA_FILE")
+    ind.add_argument("--data-parquet", action="append", default=None,
+                     metavar="DIR",
+                     help="typed triples table (schema.TRIPLES_TYPE)")
+    ind.add_argument("-d", "--data-format", default=None)
+    ind.add_argument("--in-threshold", type=int, default=10,
+                     help="suggest sh:in when a predicate has at most "
+                          "this many distinct objects")
+    ind.add_argument("--format", default="ttl",
+                     help="output shapes format (ttl | nt | ...)")
+    ind.add_argument("-o", "--output", default=None)
+    ind.add_argument("--cpus", type=int, default=8)
+
     args = ap.parse_args(argv)
     if args.command == "parse":
         return _parse_command(args)
     if args.command == "info":
         return _info_command(args)
+    if args.command == "induce":
+        return _induce_command(args)
     return _validate_command(args)
 
 

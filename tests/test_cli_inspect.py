@@ -97,3 +97,47 @@ def test_lint_endpoints():
         lint_data_text("@prefix broken", "ttl")
     with pytest.raises(TurtleParseError):
         lint_shapes_text("not turtle at all ;;;", "ttl")
+
+
+DATA_FOR_INDUCE = """
+@prefix ex: <http://example.org/> .
+ex:a ex:name "Alice" .
+ex:b ex:name "Bob" .
+ex:a ex:knows ex:b .
+ex:a ex:knows ex:c .
+ex:b ex:knows ex:a .
+ex:a ex:status "active"@en .
+ex:b ex:status "inactive"@en .
+"""
+
+
+def test_induce_emits_conservative_shapes(tmp_path, capsys):
+    data = tmp_path / "data.ttl"
+    data.write_text(DATA_FOR_INDUCE)
+    out = tmp_path / "shapes.ttl"
+    rc = cli_main(["induce", str(data), "-o", str(out)])
+    assert rc == 0
+    ttl = out.read_text()
+    # name is functional -> maxCount 1; knows is multi-valued + all-IRI
+    assert 'sh:maxCount "1"' in ttl
+    assert "sh:nodeKind sh:IRI" in ttl
+    # lang-tagged literal enum survives exactly
+    assert '"active"@en' in ttl
+    # the induced shapes parse back through the real parser
+    from shacl_rust_spark.rdf import parse_rdf_file
+    from shacl_rust_spark.shapes.parser import parse_shapes
+
+    shapes = parse_shapes(parse_rdf_file(str(out), None))
+    assert len(shapes) == 3
+
+
+def test_induce_roundtrip_conforms(tmp_path, capsys):
+    """Induced shapes are conservative by construction: validating the
+    SOURCE data against them always conforms."""
+    data = tmp_path / "data.ttl"
+    data.write_text(DATA_FOR_INDUCE)
+    out = tmp_path / "shapes.ttl"
+    assert cli_main(["induce", str(data), "-o", str(out)]) == 0
+    rc = cli_main(["validate", str(out), str(data), "--quiet"])
+    capsys.readouterr()
+    assert rc == 0
