@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": O.graph_ppr,
         "ann_pq_topk": O.ann_pq_topk,
         "dedup_prefix_join": O.dedup_prefix_join,
+        "olap_order_priority": O.olap_order_priority,
+        "olap_running_revenue": O.olap_running_revenue,
     }
 
 
@@ -4698,5 +4700,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, ni AS n_common, (sa.n + sb.n - ni) AS n_union
             FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
             WHERE ni * 10000 >= (sa.n + sb.n - ni) * 8000
+        """,
+        # TPC-H Q4 adapted: EXISTS(late line) per quarter order
+        "olap_order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE o_orderdate >= '1996-01-01'
+              AND o_orderdate < '1996-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate)
+            GROUP BY 1
+        """,
+        # running monthly revenue per nation: window over the
+        # nation-month aggregate, BIGINT end to end
+        "olap_running_revenue": """
+            WITH monthly AS (
+              SELECT n_name,
+                     date_trunc('month', o_orderdate) AS month,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                                AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100, 0)
+                                        AS BIGINT))) AS BIGINT)
+                       AS revenue_cc
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1, 2)
+            SELECT n_name, month, revenue_cc,
+                   CAST(SUM(revenue_cc) OVER (
+                     PARTITION BY n_name ORDER BY month
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS running_cc
+            FROM monthly
         """,
     }

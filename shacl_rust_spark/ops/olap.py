@@ -891,3 +891,71 @@ def customer_distribution(
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
     )
+
+
+def order_priority_check(
+    spark: SparkSession, sf_dir: str,
+    q_start: str = "1996-01-01", q_end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted to this lake's
+    columns: per priority, how many orders in the quarter have AT
+    LEAST ONE late line (l_shipdate after the order date — the lake
+    has no commitdate/receiptdate pair, so "late" is
+    ship-after-order; the semantics under test is the EXISTS, not the
+    lateness rule). The EXISTS compiles to a LEFT SEMI join — the
+    fact side never duplicates order rows however many lines match,
+    which is the entire point of Q4's subquery (a plain join +
+    distinct would shuffle the multiplicity first and dedup after).
+    Date predicate pushes into the orders scan."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit(q_start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(q_end).cast("timestamp")))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late,
+                    orders["o_orderkey"] == late["l_orderkey"],
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative monthly revenue per nation: (n_name, month,
+    revenue_cc, running_cc) with the running total as an UNBOUNDED
+    PRECEDING window over the per-nation month series — the
+    dashboard/LTV curve primitive. The window runs AFTER the
+    aggregate, so it orders nation-month rows (tiny), never the fact
+    table; revenue is BIGINT centi-cents end to end so the running
+    sum is order-exact. month = date_trunc (engine-identical)."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (_cents(F.col("l_extendedprice"))
+           * (F.lit(100).cast("bigint") - _cents(F.col("l_discount"))))
+    monthly = (
+        li.select("l_orderkey", rev.alias("_rev"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation.select("n_nationkey", "n_name"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name",
+                 F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum("_rev").alias("revenue_cc"))
+    )
+    w = (Window.partitionBy("n_name").orderBy("month")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return monthly.withColumn(
+        "running_cc", F.sum("revenue_cc").over(w))

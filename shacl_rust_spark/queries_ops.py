@@ -2138,3 +2138,22 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs dedup_jaccard SQL VERBATIM — hash equality IS the
     recall/precision-1.0 proof."""
     return dedup.prefix_filter_pairs(_docs(spark, sf_dir), 0.8)
+
+
+def olap_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (ops/olap.order_priority_check): per-priority counts
+    of quarter orders with at least one late line — the EXISTS
+    compiles to LEFT SEMI, never duplicating order rows."""
+    from .ops import olap
+
+    return olap.order_priority_check(spark, sf_dir)
+
+
+def olap_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative monthly revenue per nation
+    (ops/olap.running_revenue): the running-total window runs on the
+    nation-month aggregate, never the fact table; BIGINT centi-cents
+    end to end."""
+    from .ops import olap
+
+    return olap.running_revenue(spark, sf_dir)

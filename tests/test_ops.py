@@ -3161,3 +3161,30 @@ def test_header_dims_truncated_magic(spark):
     with _pytest.raises(ValueError):
         graph.k_truss(spark.createDataFrame([(1, 2)], ["src", "dst"]),
                       k=2)
+
+
+def test_order_priority_check_semi_semantics(spark, tmp_path):
+    from datetime import datetime
+
+    from shacl_rust_spark.ops import olap
+
+    od = datetime(1996, 2, 1)
+    d = _write_tpch(tmp_path, {
+        "orders": (["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"],
+                   [(1, 1, od, "2-HIGH"),    # two late lines -> one hit
+                    (2, 1, od, "2-HIGH"),    # no late line
+                    (3, 1, od, "5-LOW")]),   # one late line
+        "lineitem": (["l_orderkey", "l_shipdate"],
+                     [(1, datetime(1996, 3, 1)),
+                      (1, datetime(1996, 4, 1)),
+                      (2, datetime(1996, 1, 1)),
+                      (3, datetime(1996, 2, 2))]),
+    })
+    out = {r.o_orderpriority: r.n_orders
+           for r in olap.order_priority_check(spark, d).collect()}
+    # order 1 counts ONCE despite two late lines (the semi-join point)
+    assert out == {"2-HIGH": 1, "5-LOW": 1}
+    plan = olap.order_priority_check(spark, d)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "LeftSemi" in plan
