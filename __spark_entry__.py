@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_join": O.dedup_prefix_join,
         "olap_order_priority": O.olap_order_priority,
         "olap_running_revenue": O.olap_running_revenue,
+        "graph_component_sizes": O.graph_component_sizes,
     }
 
 
@@ -1101,7 +1102,7 @@ def _hll_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    o = {
         "dedup_exact": """
             WITH k AS (SELECT doc_id, substr(text, 1, 40) AS kk FROM documents),
                  c AS (SELECT kk, min(doc_id) AS canonical_id FROM k GROUP BY 1)
@@ -4737,3 +4738,12 @@ def oracle_sql() -> dict[str, str]:
             FROM monthly
         """,
     }
+    # count-of-counts over the verified CC labeling — the oracle wraps
+    # the dedup_components SQL verbatim as a derived table
+    o["graph_component_sizes"] = (
+        "WITH comp AS (" + o["dedup_components"] + ") "
+        "SELECT size, count(*) AS n_components FROM ("
+        "SELECT component, count(*) AS size FROM comp GROUP BY 1) "
+        "GROUP BY 1"
+    )
+    return o

@@ -2157,3 +2157,18 @@ def olap_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import olap
 
     return olap.running_revenue(spark, sf_dir)
+
+
+def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution: the dedup_components
+    labeling rolled into a count-of-counts histogram (size,
+    n_components) — the duplication-profile diagnostic a curation run
+    reads first (how much of the corpus sits in template
+    mega-clusters vs isolated pairs). Two tiny aggregates on top of
+    the already-verified CC labels; the oracle wraps the
+    dedup_components SQL verbatim."""
+    labels = dedup_components(spark, sf_dir)
+    per = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("size"))
+    return per.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_components"))
