@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_order_priority": O.olap_order_priority,
         "olap_running_revenue": O.olap_running_revenue,
         "graph_component_sizes": O.graph_component_sizes,
+        "dedup_eval_recall": O.dedup_eval_recall,
     }
 
 
@@ -4745,5 +4746,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT size, count(*) AS n_components FROM ("
         "SELECT component, count(*) AS size FROM comp GROUP BY 1) "
         "GROUP BY 1"
+    )
+    # LSH recall meta-eval: nest both verified twins, count the join
+    o["dedup_eval_recall"] = (
+        "WITH ex AS (" + o["dedup_jaccard"] + "), "
+        "lsh AS (" + o["dedup_minhash_lsh"] + "), "
+        "cm AS (SELECT ex.a, ex.b FROM ex JOIN lsh "
+        "ON ex.a = lsh.a AND ex.b = lsh.b) "
+        "SELECT (SELECT count(*) FROM ex) AS n_exact, "
+        "(SELECT count(*) FROM lsh) AS n_lsh, "
+        "(SELECT count(*) FROM cm) AS n_common"
     )
     return o

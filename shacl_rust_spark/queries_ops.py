@@ -2172,3 +2172,26 @@ def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("size"))
     return per.groupBy("size").agg(
         F.count(F.lit(1)).alias("n_components"))
+
+
+def dedup_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall meta-evaluation: one row (n_exact, n_lsh, n_common)
+    comparing the minhash-LSH pair set against the exact all-pairs
+    Jaccard >= 0.8 truth on the same corpus — the measurement that
+    turns "LSH recall is probabilistic" from a docstring claim into a
+    per-corpus number (recall = n_common / n_exact, precision = 1 by
+    construction since LSH rescores exactly). Both sides are
+    already-verified operators; the oracle nests both verified SQL
+    twins and counts the join."""
+    ex = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8) \
+        .select("a", "b")
+    lsh = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8) \
+        .select("a", "b")
+    common = ex.join(lsh, ["a", "b"], "left_semi")
+    # three single-row aggregates cross-joined — one plan, no driver
+    # collection
+    return (
+        ex.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+    )
