@@ -3188,3 +3188,31 @@ def test_order_priority_check_semi_semantics(spark, tmp_path):
     plan = olap.order_priority_check(spark, d)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_local_supplier_plan_single_exchange(spark):
+    """Q5's scale contract, plan-asserted: the fact table never
+    shuffles before the final rollup — every dimension joins as a
+    broadcast, so exactly ONE (non-broadcast) Exchange appears."""
+    from shacl_rust_spark.ops import olap
+
+    df = olap.local_supplier_volume(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange" in ln and "BroadcastExchange" not in ln]
+    assert len(shuffles) == 1, shuffles
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_header_dims_plan_stays_jvm_side(spark):
+    """header_dims' whole point: pure Column arithmetic — no Python
+    or Arrow evaluation node anywhere in the plan."""
+    from shacl_rust_spark.ops import multimodal as mm
+
+    df = mm.header_dims(spark.createDataFrame(
+        [(1, b"GIF89a" + bytes(10))], ["doc_id", "payload"]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEval", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan
