@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_running_revenue": O.olap_running_revenue,
         "graph_component_sizes": O.graph_component_sizes,
         "dedup_eval_recall": O.dedup_eval_recall,
+        "events_reciprocal_transitions": O.events_reciprocal_transitions,
     }
 
 
@@ -3464,6 +3465,26 @@ def oracle_sql() -> dict[str, str]:
         "kg_link_graph": _LINK_CTES + """
             SELECT src_host, dst_host, count(*) AS n_links
             FROM l WHERE dst_host <> '' GROUP BY 1, 2
+        """,
+        # reciprocal transition pairs: self-join of the bounded
+        # transition table on the swapped key, canonical orientation
+        "events_reciprocal_transitions": """
+            WITH t AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events),
+            g AS (
+              SELECT prev AS from_type, event_type AS to_type,
+                     count(*) AS n
+              FROM t WHERE prev IS NOT NULL GROUP BY 1, 2)
+            SELECT ga.from_type AS type_a, ga.to_type AS type_b,
+                   ga.n AS n_ab, gb.n AS n_ba
+            FROM g ga JOIN g gb
+              ON ga.from_type = gb.to_type
+             AND ga.to_type = gb.from_type
+            WHERE ga.from_type < ga.to_type
         """,
         # fixed-point-integer PageRank over the DISTINCT host pairs of
         # the extracted hyperlink graph — link extraction chained into

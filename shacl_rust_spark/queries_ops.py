@@ -2195,3 +2195,28 @@ def dedup_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
         .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
     )
+
+
+def events_reciprocal_transitions(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """Reciprocal behavior pairs: unordered event-type pairs whose
+    first-order Markov transitions run in BOTH directions
+    (type_a, type_b, n_ab, n_ba) — the cyclic-behavior signal
+    (browse<->purchase loops) a one-way funnel analysis misses. One
+    self-join of the (|types|^2-bounded) transition table on the
+    swapped key, canonical a < b orientation; self-loops excluded."""
+    t = events.transitions(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+    a = t.select(F.col("from_type").alias("ta"),
+                 F.col("to_type").alias("tb"),
+                 F.col("n").alias("n_ab"))
+    b = t.select(F.col("to_type").alias("ta"),
+                 F.col("from_type").alias("tb"),
+                 F.col("n").alias("n_ba"))
+    return (
+        a.join(b, ["ta", "tb"])
+        .where(F.col("ta") < F.col("tb"))
+        .select(F.col("ta").alias("type_a"),
+                F.col("tb").alias("type_b"), "n_ab", "n_ba")
+    )
