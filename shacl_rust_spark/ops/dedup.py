@@ -100,7 +100,18 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     hot buckets — the standard mitigations (length binning /
     positional filter) are the PPJoin extensions, stated not built.
     Prefix sizes are exact integers: ⌈t·n⌉ = (num·n + den − 1) DIV den
-    with the same num/den = t·10000 device as the rescore."""
+    with the same num/den = t·10000 device as the rescore.
+
+    The PPJoin POSITIONAL filter tightens the candidates further (and
+    stays recall-1.0): a witness token at sorted positions (i, j) in
+    the two prefixes bounds the achievable overlap at
+    1 + min(n_a − i, n_b − j), and J ≥ t needs overlap ≥
+    ⌈t(n_a+n_b)/(1+t)⌉ — a pair survives if ANY witness meets the
+    bound, and for a truly-similar pair its first common prefix token
+    always does (Xiao et al. 2008, Lemma 1), so nothing true is
+    dropped. This is what keeps the short-doc hot-token caveat above
+    from exploding: the hot witness usually sits too deep in the
+    longer doc's order to satisfy the bound."""
     from pyspark.sql import Window
 
     num, den = int(threshold * 10000), 10000
@@ -116,13 +127,22 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         .where(F.col("_rn")
                <= F.col("_n")
                - F.expr(f"({num} * _n + {den - 1}) div {den}") + 1)
-        .select("doc_id", "source", "w")
+        .select("doc_id", "source", "w", "_rn", "_n")
     )
+    alpha = F.expr(
+        f"({num} * (_na + _nb) + {num + den - 1}) div {num + den}")
     cand = (
-        prefix.select(F.col("doc_id").alias("a"), "source", "w")
-        .join(prefix.select(F.col("doc_id").alias("b"), "source", "w"),
+        prefix.select(F.col("doc_id").alias("a"), "source", "w",
+                      F.col("_rn").alias("_ra"),
+                      F.col("_n").alias("_na"))
+        .join(prefix.select(F.col("doc_id").alias("b"), "source", "w",
+                            F.col("_rn").alias("_rb"),
+                            F.col("_n").alias("_nb")),
               ["source", "w"])
         .where(F.col("a") < F.col("b"))
+        .where(F.lit(1)
+               + F.least(F.col("_na") - F.col("_ra"),
+                         F.col("_nb") - F.col("_rb")) >= alpha)
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
