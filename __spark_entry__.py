@@ -251,6 +251,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_component_sizes": O.graph_component_sizes,
         "dedup_eval_recall": O.dedup_eval_recall,
         "events_reciprocal_transitions": O.events_reciprocal_transitions,
+        "olap_market_share": O.olap_market_share,
+        "olap_shipmode": O.olap_shipmode,
+        "olap_top_supplier": O.olap_top_supplier,
+        "olap_small_qty_revenue": O.olap_small_qty_revenue,
+        "olap_waiting_suppliers": O.olap_waiting_suppliers,
+        "olap_sales_opportunity": O.olap_sales_opportunity,
     }
 
 
@@ -4758,6 +4764,142 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS running_cc
             FROM monthly
+        """,
+        # TPC-H Q8: per-year market share as an exact BIGINT rational
+        "olap_market_share": """
+            WITH f AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100, 0)
+                                     AS BIGINT)) AS rev,
+                     sn.n_name AS sn_name
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+                        AND p_type = 'ECONOMY'
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region ON cn.n_regionkey = r_regionkey
+                          AND r_name = 'AMERICA'
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey)
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN sn_name = 'NATION_3'
+                                 THEN rev ELSE 0 END) AS BIGINT)
+                     AS share_num_cc,
+                   CAST(SUM(rev) AS BIGINT) AS share_den_cc
+            FROM f GROUP BY 1
+        """,
+        # TPC-H Q12 adapted: synthetic shipmode
+        # MODES[(orderkey+linenumber) % 4], late = ship > order+60d
+        "olap_shipmode": """
+            SELECT (['MAIL','SHIP','AIR','TRUCK'])[
+                     CAST((l_orderkey + l_linenumber) % 4 + 1 AS INT)]
+                     AS shipmode,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                              ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                              ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                     AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= '1996-01-01'
+              AND l_shipdate < '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1
+        """,
+        # TPC-H Q15: quarterly top supplier(s) = per-supplier revenue
+        # equal to its own max (ties all surface)
+        "olap_top_supplier": """
+            WITH ps AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                                AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100, 0)
+                                        AS BIGINT))) AS BIGINT)
+                       AS total_revenue_cc
+              FROM lineitem
+              WHERE l_shipdate >= '1996-01-01'
+                AND l_shipdate < '1996-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, total_revenue_cc
+            FROM ps JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue_cc =
+              (SELECT max(total_revenue_cc) FROM ps)
+        """,
+        # TPC-H Q17: below-half-average-quantity brand revenue,
+        # the avg test cross-multiplied (qty*2*n < sum_qty)
+        "olap_small_qty_revenue": """
+            WITH bl AS (
+              SELECT l_partkey,
+                     CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+                     CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       AS price_cc
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#13'),
+            st AS (
+              SELECT l_partkey AS pk, SUM(qty) AS sum_qty,
+                     COUNT(*) AS n_lines
+              FROM bl GROUP BY 1)
+            SELECT CAST(COALESCE(SUM(price_cc), 0) AS BIGINT)
+                     AS revenue_cc,
+                   COUNT(*) AS n_small_lines
+            FROM bl JOIN st ON bl.l_partkey = st.pk
+            WHERE qty * 2 * n_lines < sum_qty
+        """,
+        # TPC-H Q21 adapted: sole-late supplier on finished
+        # multi-supplier orders, late = ship > order+60d
+        "olap_waiting_suppliers": """
+            WITH l1 AS (
+              SELECT l_orderkey, l_suppkey, s_name
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+                          AND o_orderstatus = 'F'
+              JOIN supplier ON l_suppkey = s_suppkey
+              WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            SELECT l_suppkey, s_name, count(*) AS numwait
+            FROM l1
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                               AND o3.o_orderstatus = 'F'
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o3.o_orderdate
+                        + INTERVAL 60 DAY)
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, l_suppkey ASC
+            LIMIT 25
+        """,
+        # TPC-H Q22 adapted: country code = c_nationkey % 10, cohort
+        # positive-balance average cross-multiplied
+        "olap_sales_opportunity": """
+            WITH cust AS (
+              SELECT c_custkey,
+                     CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+                     CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+                       AS acctbal_cc
+              FROM customer
+              WHERE (c_nationkey % 10) IN (1, 3, 5, 7)),
+            avg_pos AS (
+              SELECT cntrycode, SUM(acctbal_cc) AS sum_cc,
+                     COUNT(*) AS n
+              FROM cust WHERE acctbal_cc > 0 GROUP BY 1)
+            SELECT c.cntrycode, COUNT(*) AS numcust,
+                   CAST(SUM(acctbal_cc) AS BIGINT) AS totacctbal_cc
+            FROM cust c JOIN avg_pos a ON c.cntrycode = a.cntrycode
+            WHERE c.acctbal_cc * a.n > a.sum_cc
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= '2001-01-01')
+            GROUP BY 1
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

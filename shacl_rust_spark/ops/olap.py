@@ -959,3 +959,284 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return monthly.withColumn(
         "running_cc", F.sum("revenue_cc").over(w))
+
+
+def market_share(
+    spark: SparkSession, sf_dir: str, region: str = "AMERICA",
+    supp_nation: str = "NATION_3", p_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 (national market share): per order year, the share of
+    one region's revenue for one product type that was supplied by
+    one nation. The share is kept as an exact BIGINT rational
+    (share_num_cc = target-nation revenue, share_den_cc = all-nation
+    revenue) — the same no-float-ever-compared device as
+    graph_modularity, so two engines can hash-match the division
+    without agreeing on rounding. Plan shape at 100 TB: lineitem
+    shuffles once on l_orderkey; the part filter broadcasts into the
+    fact scan's semi side; customer/supplier/nation/region broadcast;
+    the year aggregate is 7 rows. The conditional numerator is a
+    sum(CASE) in the SAME aggregate as the denominator — one pass,
+    not two joined aggregates."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_type") == p_type).select("p_partkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region_df = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == region)
+    rev = (_cents(F.col("l_extendedprice"))
+           * (F.lit(100).cast("bigint") - _cents(F.col("l_discount"))))
+    supp_n = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("sn_name"))
+    cust_n = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_regionkey"))
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey",
+                  rev.alias("_rev"))
+        .join(F.broadcast(part),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_n),
+              F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region_df.select("r_regionkey")),
+              F.col("cn_regionkey") == F.col("r_regionkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_n),
+              F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("sn_name") == supp_nation,
+                         F.col("_rev")).otherwise(F.lit(0)))
+            .alias("share_num_cc"),
+            F.sum("_rev").alias("share_den_cc"),
+        )
+    )
+
+
+def shipmode_priority(
+    spark: SparkSession, sf_dir: str,
+    year_start: str = "1996-01-01", year_end: str = "1997-01-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), adapted to this
+    lake: the lake has no l_shipmode / commitdate / receiptdate, so
+    shipmode is the deterministic synthetic column
+    MODES[(l_orderkey + l_linenumber) % 4] (both engines state the
+    same formula) and "late" is l_shipdate > o_orderdate + late_days.
+    Per shipmode over one shipment year: how many late lines belong
+    to high-priority orders (1-URGENT/2-HIGH) vs low — the
+    logistics-quality report. One fact shuffle on l_orderkey; the
+    date window pushes into the lineitem scan; the CASE split is one
+    aggregate pass."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(year_end).cast("timestamp")))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    modes = F.array(F.lit("MAIL"), F.lit("SHIP"),
+                    F.lit("AIR"), F.lit("TRUCK"))
+    shipmode = F.element_at(
+        modes,
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 4 + 1)
+        .cast("int"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_shipdate",
+                  shipmode.alias("shipmode"))
+        .join(orders.select("o_orderkey", "o_orderdate",
+                            "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS"))
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+def top_supplier(
+    spark: SparkSession, sf_dir: str,
+    q_start: str = "1996-01-01", q_end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with the maximum
+    quarterly revenue. The reference formulation is a view joined
+    against its own MAX — here the per-supplier aggregate computes
+    once, and the global max joins back as a broadcast single-row
+    cross join + filter (the bounded-scalar policy: one row, never a
+    collect). Ties all surface (same as the SQL's equality join).
+    Revenue is BIGINT centi-cents."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit(q_start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(q_end).cast("timestamp")))
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (_cents(F.col("l_extendedprice"))
+           * (F.lit(100).cast("bigint") - _cents(F.col("l_discount"))))
+    per_supp = (
+        li.select("l_suppkey", rev.alias("_rev"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("_rev").alias("total_revenue_cc"))
+    )
+    mx = per_supp.agg(
+        F.max("total_revenue_cc").alias("_max_rev"))
+    return (
+        per_supp.join(F.broadcast(mx),
+                      F.col("total_revenue_cc") == F.col("_max_rev"))
+        .join(supp.select("s_suppkey", "s_name"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_cc")
+    )
+
+
+def small_qty_revenue(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#13",
+) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): total revenue from
+    lines of one brand whose quantity is below 50% of that part's
+    average ordered quantity — the "would dropping small orders
+    hurt?" estimate. The avg comparison is cross-multiplied into
+    BIGINTs (2 * qty * n_lines < sum_qty) so no float average is
+    ever compared. Per-part stats aggregate FIRST (part-sized, tiny)
+    and broadcast back onto the brand-filtered lines — the fact table
+    never self-joins. Output is one row (revenue_cc, n_small_lines)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_brand") == brand).select("p_partkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    brand_lines = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    stats = (
+        brand_lines
+        .groupBy("l_partkey")
+        .agg(F.sum(F.round("l_quantity", 0).cast("bigint"))
+             .alias("_sum_qty"),
+             F.count(F.lit(1)).alias("_n_lines"))
+        .select(F.col("l_partkey").alias("_pk"),
+                "_sum_qty", "_n_lines")
+    )
+    qty = F.round("l_quantity", 0).cast("bigint")
+    return (
+        brand_lines
+        .join(F.broadcast(stats), F.col("l_partkey") == F.col("_pk"))
+        .where((qty * 2 * F.col("_n_lines")) < F.col("_sum_qty"))
+        .agg(F.coalesce(F.sum(_cents(F.col("l_extendedprice"))),
+                        F.lit(0).cast("bigint")).alias("revenue_cc"),
+             F.count(F.lit(1)).alias("n_small_lines"))
+    )
+
+
+def waiting_suppliers(
+    spark: SparkSession, sf_dir: str, nation: str | None = None,
+    late_days: int = 60, k: int = 25,
+) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to this
+    lake's columns ("late" = l_shipdate > o_orderdate + late_days;
+    the lake has no commit/receipt pair): per supplier (optionally of
+    one nation — the gate runs unfiltered so the small-SF fixture is
+    never empty), how many finished ('F') multi-supplier orders the
+    supplier was the ONLY late one on. The EXISTS (another supplier contributed)
+    compiles to LEFT SEMI and the NOT EXISTS (no OTHER supplier was
+    late) to LEFT ANTI — both on l_orderkey with a suppkey-inequality
+    residual, never duplicating the probe rows. The fact table is
+    touched three times but every pass carries only
+    (l_orderkey, l_suppkey, l_shipdate); top-k compiles to
+    TakeOrderedAndProject."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderstatus") == "F")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    if nation is not None:
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet").where(
+            F.col("n_name") == nation)
+        supp = supp.join(
+            F.broadcast(nat.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS"))
+    l1 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .select("l_orderkey", "l_suppkey")
+        .join(supp.select("s_suppkey", "s_name"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2_key"),
+                   F.col("l_suppkey").alias("s2_key"))
+    l3 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .select(F.col("l_orderkey").alias("o3_key"),
+                F.col("l_suppkey").alias("s3_key"))
+    )
+    return (
+        l1.join(l2, (F.col("l_orderkey") == F.col("o2_key"))
+                & (F.col("l_suppkey") != F.col("s2_key")),
+                "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("o3_key"))
+              & (F.col("l_suppkey") != F.col("s3_key")),
+              "left_anti")
+        .groupBy("l_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("l_suppkey"))
+        .limit(k)
+    )
+
+
+def sales_opportunity(
+    spark: SparkSession, sf_dir: str,
+    codes: tuple = (1, 3, 5, 7),
+    inactive_since: str = "2001-01-01",
+) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted twice to this
+    lake: the "country code" is the deterministic c_nationkey % 10
+    (no c_phone column — both engines state the formula), and
+    "lapsed" means NO orders since `inactive_since` (Q22's spirit is
+    7-year inactivity; this lake's generator gives every customer at
+    least one early order, so no-orders-EVER is the empty set at
+    every SF). Per code: lapsed customers whose account balance
+    exceeds the average POSITIVE balance of that code cohort. The
+    inactivity test is a LEFT ANTI join against the date-filtered
+    orders scan (predicate pushed down); the average is never a
+    float — the comparison cross-multiplies (acctbal_cc * n >
+    sum_cc). The cohort average is computed per code (grouped, tiny)
+    and broadcast back."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        (F.col("c_nationkey") % 10).cast("bigint").alias("cntrycode"),
+        _cents(F.col("c_acctbal")).alias("acctbal_cc"),
+    ).where(F.col("cntrycode").isin(*codes))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    avg_pos = (
+        cust.where(F.col("acctbal_cc") > 0)
+        .groupBy("cntrycode")
+        .agg(F.sum("acctbal_cc").alias("_sum_cc"),
+             F.count(F.lit(1)).alias("_n"))
+        .select(F.col("cntrycode").alias("_code"), "_sum_cc", "_n")
+    )
+    return (
+        cust
+        .join(orders.where(F.col("o_orderdate")
+                           >= F.lit(inactive_since).cast("timestamp"))
+              .select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(avg_pos),
+              F.col("cntrycode") == F.col("_code"))
+        .where(F.col("acctbal_cc") * F.col("_n") > F.col("_sum_cc"))
+        .groupBy("cntrycode")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum("acctbal_cc").alias("totacctbal_cc"))
+    )

@@ -2220,3 +2220,60 @@ def events_reciprocal_transitions(
         .select(F.col("ta").alias("type_a"),
                 F.col("tb").alias("type_b"), "n_ab", "n_ba")
     )
+
+
+def olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (ops/olap.market_share): per-year national market
+    share as an exact BIGINT rational (share_num_cc / share_den_cc) —
+    no float division ever hashed."""
+    from .ops import olap
+
+    return olap.market_share(spark, sf_dir)
+
+
+def olap_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (ops/olap.shipmode_priority): late-line priority
+    counts per synthetic shipmode MODES[(orderkey+linenumber) % 4] —
+    the lake carries no shipmode column, so both engines state the
+    same deterministic formula."""
+    from .ops import olap
+
+    return olap.shipmode_priority(spark, sf_dir)
+
+
+def olap_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (ops/olap.top_supplier): max-quarterly-revenue
+    supplier(s) via a single-row broadcast max joined back — the
+    view-vs-max formulation without a collect."""
+    from .ops import olap
+
+    return olap.top_supplier(spark, sf_dir)
+
+
+def olap_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (ops/olap.small_qty_revenue): brand revenue from
+    below-half-average-quantity lines, the avg test cross-multiplied
+    into BIGINTs (qty*2*n < sum_qty)."""
+    from .ops import olap
+
+    return olap.small_qty_revenue(spark, sf_dir)
+
+
+def olap_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (ops/olap.waiting_suppliers): suppliers who were the
+    only late contributor on finished multi-supplier orders — EXISTS
+    as LEFT SEMI, NOT EXISTS as LEFT ANTI, both with the
+    suppkey-inequality residual."""
+    from .ops import olap
+
+    return olap.waiting_suppliers(spark, sf_dir)
+
+
+def olap_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (ops/olap.sales_opportunity): customers with no
+    orders since 2001 whose balance beats their country-code cohort's
+    positive-balance average (cross-multiplied), code =
+    c_nationkey % 10 — the lake has no phone column."""
+    from .ops import olap
+
+    return olap.sales_opportunity(spark, sf_dir)
