@@ -257,7 +257,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_small_qty_revenue": O.olap_small_qty_revenue,
         "olap_waiting_suppliers": O.olap_waiting_suppliers,
         "olap_sales_opportunity": O.olap_sales_opportunity,
+        "olap_min_cost_supplier": O.olap_min_cost_supplier,
+        "olap_product_profit": O.olap_product_profit,
+        "olap_important_stock": O.olap_important_stock,
+        "olap_parts_supplier": O.olap_parts_supplier,
+        "olap_part_promotion": O.olap_part_promotion,
     }
+
+
+# The derived partsupp relation (the lake has no partsupp table):
+# distinct fact pairs + closed-form cost/availqty — must stay
+# textually in lockstep with ops/olap.partsupp().
+_PS_CTE = """
+WITH partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         CAST((ps_partkey * 31 + ps_suppkey * 17) % 90000 + 10000
+              AS BIGINT) AS ps_supplycost_cc,
+         CAST((ps_partkey * 11 + ps_suppkey * 5) % 9999 + 1
+              AS BIGINT) AS ps_availqty
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+               l_suppkey AS ps_suppkey FROM lineitem) d)
+"""
 
 
 # Shared closed-form derivations of the pages.py sentence grammar —
@@ -4900,6 +4920,117 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= '2001-01-01')
             GROUP BY 1
+        """,
+        # TPC-H Q2 over the derived partsupp: per-part argmin cost
+        # among EUROPE suppliers, deterministic top-100
+        "olap_min_cost_supplier": _PS_CTE + """
+            , eligible AS (
+              SELECT ps_partkey, ps_supplycost_cc, s_name, n_name,
+                     CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)
+                       AS acctbal_cc
+              FROM partsupp
+              JOIN part ON ps_partkey = p_partkey
+                        AND p_type = 'STANDARD'
+                        AND p_size % 5 = 0
+              JOIN supplier ON ps_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+                          AND r_name = 'EUROPE'),
+            mn AS (
+              SELECT ps_partkey AS pk,
+                     MIN(ps_supplycost_cc) AS min_cost
+              FROM eligible GROUP BY 1)
+            SELECT acctbal_cc, s_name, n_name,
+                   ps_partkey AS p_partkey,
+                   ps_supplycost_cc AS supplycost_cc
+            FROM eligible JOIN mn
+              ON ps_partkey = pk AND ps_supplycost_cc = min_cost
+            ORDER BY acctbal_cc DESC, n_name ASC, s_name ASC,
+                     p_partkey ASC
+            LIMIT 100
+        """,
+        # TPC-H Q9 over the derived partsupp: per (nation, year)
+        # profit, all terms in centi-cent·percent BIGINTs
+        "olap_product_profit": _PS_CTE + """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(
+                     CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100, 0)
+                                   AS BIGINT))
+                     - ps_supplycost_cc * 100
+                       * CAST(ROUND(l_quantity, 0) AS BIGINT))
+                     AS BIGINT) AS profit_cc,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+                      AND p_name LIKE '%rod%'
+            JOIN partsupp ON l_partkey = ps_partkey
+                          AND l_suppkey = ps_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
+        """,
+        # TPC-H Q11 over the derived partsupp: one nation's per-part
+        # supply value vs 1.5x the per-part average, cross-multiplied
+        "olap_important_stock": _PS_CTE + """
+            , slice AS (
+              SELECT ps_partkey,
+                     ps_supplycost_cc * ps_availqty AS value
+              FROM partsupp
+              JOIN supplier ON ps_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+                          AND n_name = 'NATION_3'),
+            pp AS (
+              SELECT ps_partkey,
+                     CAST(SUM(value) AS BIGINT) AS value_cc
+              FROM slice GROUP BY 1)
+            SELECT ps_partkey, value_cc
+            FROM pp
+            WHERE value_cc * (SELECT count(*) FROM pp) * 2
+                  > (SELECT SUM(value_cc) FROM pp) * 3
+        """,
+        # TPC-H Q16 over the derived partsupp: distinct suppliers per
+        # (brand, type, size); complaints = s_suppkey % 7 = 0
+        "olap_parts_supplier": _PS_CTE + """
+            SELECT p_brand, p_type,
+                   CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM partsupp
+            JOIN part ON ps_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13'
+              AND p_type <> 'PROMO'
+              AND p_size IN (5, 10, 15, 20, 25, 30)
+              AND ps_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier
+                WHERE s_suppkey % 7 = 0)
+            GROUP BY 1, 2, 3
+        """,
+        # TPC-H Q20 over the derived partsupp: availqty*2 beats the
+        # pair's year shipped quantity (zero-ship pairs drop, like
+        # TPC-H's NULL scalar subquery); counts per supplier
+        "olap_part_promotion": _PS_CTE + """
+            , shipped AS (
+              SELECT l_partkey AS pk, l_suppkey AS sk,
+                     SUM(CAST(ROUND(l_quantity, 0) AS BIGINT))
+                       AS shipped
+              FROM lineitem
+              WHERE l_shipdate >= '1996-01-01'
+                AND l_shipdate < '1997-01-01'
+              GROUP BY 1, 2),
+            q AS (
+              SELECT ps_suppkey, count(*) AS n_excess_parts
+              FROM partsupp
+              JOIN part ON ps_partkey = p_partkey
+                        AND p_name LIKE 'small%'
+              JOIN shipped ON ps_partkey = pk
+                           AND ps_suppkey = sk
+              WHERE ps_availqty * 2 > shipped
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, n_excess_parts
+            FROM q JOIN supplier ON ps_suppkey = s_suppkey
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

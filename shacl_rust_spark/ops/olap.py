@@ -1240,3 +1240,249 @@ def sales_opportunity(
         .agg(F.count(F.lit(1)).alias("numcust"),
              F.sum("acctbal_cc").alias("totacctbal_cc"))
     )
+
+
+def partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake carries no partsupp table, so the partsupp-backed
+    TPC-H queries (Q2/Q9/Q11/Q16/Q20) derive one deterministically:
+    the DISTINCT (l_partkey, l_suppkey) pairs that actually appear in
+    lineitem (so every fact row joins, like real TPC-H guarantees),
+    with supply cost and available quantity as closed-form BIGINT
+    formulas on the pair — both engines state the identical
+    expressions, so the synthetic columns can never drift:
+
+        ps_supplycost_cc = (pk*31 + sk*17) % 90000 + 10000
+        ps_availqty      = (pk*11 + sk*5)  % 9999  + 1
+
+    Scale shape: one distinct over two fact columns (a single shuffle
+    that AQE-coalesces; at 100 TB this is the classic dimension-
+    derivation sweep and the result is ≤ |part|×avg-suppliers —
+    cache/bucket it once per run, which is what the per-query
+    call sites do implicitly via Spark's scan reuse)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pk, sk = F.col("ps_partkey"), F.col("ps_suppkey")
+    return (
+        li.select(F.col("l_partkey").alias("ps_partkey"),
+                  F.col("l_suppkey").alias("ps_suppkey"))
+        .dropDuplicates(["ps_partkey", "ps_suppkey"])
+        .select(
+            "ps_partkey", "ps_suppkey",
+            ((pk * 31 + sk * 17) % 90000 + 10000).cast("bigint")
+            .alias("ps_supplycost_cc"),
+            ((pk * 11 + sk * 5) % 9999 + 1).cast("bigint")
+            .alias("ps_availqty"),
+        )
+    )
+
+
+def min_cost_supplier(
+    spark: SparkSession, sf_dir: str, region: str = "EUROPE",
+    p_type: str = "STANDARD", size_mod: int = 5, k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each part of one type in
+    one size bucket, the region supplier(s) quoting the MINIMUM
+    supply cost — the correlated-subquery classic. The argmin is a
+    per-part MIN aggregate joined back on (partkey, cost) — the
+    scalable formulation (two passes over the dimension-sized
+    partsupp slice, no window over a global sort). Supplier/nation/
+    region broadcast; the part filter broadcasts into partsupp.
+    Top-k ties break on the full output key so the k-th row is
+    deterministic."""
+    ps = partsupp(spark, sf_dir)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        (F.col("p_type") == p_type)
+        & (F.col("p_size") % size_mod == 0)).select("p_partkey")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region_df = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == region)
+    eligible = (
+        ps.join(F.broadcast(part),
+                F.col("ps_partkey") == F.col("p_partkey"))
+        .join(supp.select("s_suppkey", "s_name", "s_nationkey",
+                          _cents(F.col("s_acctbal"))
+                          .alias("acctbal_cc")),
+              F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name",
+                                        "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region_df.select("r_regionkey")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost_cc",
+                "s_name", "n_name", "acctbal_cc")
+    )
+    mn = (
+        eligible.groupBy("ps_partkey")
+        .agg(F.min("ps_supplycost_cc").alias("_min_cost"))
+        .select(F.col("ps_partkey").alias("_pk"), "_min_cost")
+    )
+    return (
+        eligible.join(
+            mn, (F.col("ps_partkey") == F.col("_pk"))
+            & (F.col("ps_supplycost_cc") == F.col("_min_cost")))
+        .select("acctbal_cc", "s_name", "n_name",
+                F.col("ps_partkey").alias("p_partkey"),
+                F.col("ps_supplycost_cc").alias("supplycost_cc"))
+        .orderBy(F.desc("acctbal_cc"), F.asc("n_name"),
+                 F.asc("s_name"), F.asc("p_partkey"))
+        .limit(k)
+    )
+
+
+def product_type_profit(
+    spark: SparkSession, sf_dir: str, name_like: str = "%rod%",
+) -> DataFrame:
+    """TPC-H Q9 (product-type profit): per (supplier nation, order
+    year), profit = discounted revenue minus supply cost, for parts
+    whose name matches a pattern. Every term is BIGINT at the same
+    scale — price_cc×(100−disc_pct) and supplycost_cc×100×qty are
+    both centi-cent·percent units, so profit_cc sums exactly. The
+    fact table joins partsupp on the composite (partkey, suppkey) —
+    the one TPC-H join that is NOT a single-key star join, which is
+    why Q9 is the shuffle-planner stress test; the part-name filter
+    broadcasts, nation broadcasts, orders provides the year."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ps = partsupp(spark, sf_dir)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_name").like(name_like)).select("p_partkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    qty = F.round("l_quantity", 0).cast("bigint")
+    profit = (
+        _cents(F.col("l_extendedprice"))
+        * (F.lit(100).cast("bigint") - _cents(F.col("l_discount")))
+        - F.col("ps_supplycost_cc") * F.lit(100).cast("bigint") * qty
+    )
+    return (
+        li.join(F.broadcast(part),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
+              & (F.col("l_suppkey") == F.col("ps_suppkey")))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(profit).alias("profit_cc"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def important_stock(
+    spark: SparkSession, sf_dir: str, nation: str = "NATION_3",
+    mult_num: int = 3, mult_den: int = 2,
+) -> DataFrame:
+    """TPC-H Q11 (important stock identification): per part, the
+    total supply value (cost × availqty) held by one nation's
+    suppliers, keeping parts whose value exceeds mult_num/mult_den
+    (default 1.5×) of the nation's AVERAGE per-part value — the
+    HAVING-against-a-global-scalar shape. TPC-H's literal fraction-
+    of-total threshold scales as 1/SF (a fixed fraction selects
+    everything or nothing as the slice grows), so the gate uses the
+    scale-free above-average form. The scalar is a single-row
+    aggregate broadcast back (bounded-driver policy: no collect), and
+    the comparison is cross-multiplied
+    (value·n_parts·mult_den > total·mult_num) so no float ratio is
+    ever computed."""
+    ps = partsupp(spark, sf_dir)
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").where(
+        F.col("n_name") == nation)
+    slice_ = (
+        ps.join(supp.select("s_suppkey", "s_nationkey"),
+                F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat.select("n_nationkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey",
+                (F.col("ps_supplycost_cc") * F.col("ps_availqty"))
+                .alias("_value"))
+    )
+    per_part = slice_.groupBy("ps_partkey").agg(
+        F.sum("_value").alias("value_cc"))
+    total = per_part.agg(F.sum("value_cc").alias("_total"),
+                         F.count(F.lit(1)).alias("_n_parts"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value_cc") * F.col("_n_parts") * mult_den
+               > F.col("_total") * mult_num)
+        .select("ps_partkey", "value_cc")
+    )
+
+
+def parts_supplier_counts(
+    spark: SparkSession, sf_dir: str, excl_brand: str = "Brand#13",
+    excl_type: str = "PROMO", sizes: tuple = (5, 10, 15, 20, 25, 30),
+    complaint_mod: int = 7,
+) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many DISTINCT
+    suppliers can supply each (brand, type, size) combination,
+    excluding one brand, one type, off-list sizes, and "complaint"
+    suppliers (adapted: the lake has no s_comment, so complaints are
+    the deterministic s_suppkey % complaint_mod == 0 — both engines
+    state the formula). The exclusion is a broadcast LEFT ANTI join
+    (TPC-H's NOT IN subquery); the distinct count shuffles once on
+    the grouping key."""
+    ps = partsupp(spark, sf_dir)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        (F.col("p_brand") != excl_brand)
+        & (F.col("p_type") != excl_type)
+        & (F.col("p_size").isin(*sizes)))
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").where(
+        F.col("s_suppkey") % complaint_mod == 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(part.select(
+            "p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp),
+              F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type",
+                 F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+def part_promotion_suppliers(
+    spark: SparkSession, sf_dir: str, name_prefix: str = "small%",
+    year_start: str = "1996-01-01", year_end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers holding excess
+    stock of promotion-candidate parts — a partsupp row qualifies
+    when availqty exceeds HALF the quantity that (part, supplier)
+    pair actually shipped in the target year (availqty·2 >
+    sum_shipped, cross-multiplied). Mirrors TPC-H's scalar-subquery
+    NULL semantics: a pair with NO shipments in the year does NOT
+    qualify (the subquery yields NULL and the comparison fails), so
+    the aggregate-then-join is INNER. Output is per qualifying
+    supplier with its COUNT of excess-stock parts — the count varies
+    per supplier, so the oracle hash checks real values, not a
+    roster. The shipped-quantity aggregate reduces the fact slice
+    FIRST (pair-sized) and joins partsupp on the composite key."""
+    ps = partsupp(spark, sf_dir)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_name").like(name_prefix)).select("p_partkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(year_end).cast("timestamp")))
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    shipped = (
+        li.groupBy(F.col("l_partkey").alias("_pk"),
+                   F.col("l_suppkey").alias("_sk"))
+        .agg(F.sum(F.round("l_quantity", 0).cast("bigint"))
+             .alias("_shipped"))
+    )
+    return (
+        ps.join(F.broadcast(part),
+                F.col("ps_partkey") == F.col("p_partkey"))
+        .join(shipped, (F.col("ps_partkey") == F.col("_pk"))
+              & (F.col("ps_suppkey") == F.col("_sk")))
+        .where(F.col("ps_availqty") * 2 > F.col("_shipped"))
+        .groupBy("ps_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+        .join(supp.select("s_suppkey", "s_name"),
+              F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_excess_parts")
+    )

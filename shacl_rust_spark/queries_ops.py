@@ -2277,3 +2277,51 @@ def olap_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import olap
 
     return olap.sales_opportunity(spark, sf_dir)
+
+
+def olap_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (ops/olap.min_cost_supplier) over the derived
+    partsupp (distinct fact pairs + closed-form cost columns — the
+    lake has no partsupp table): per-part argmin supply cost among
+    EUROPE suppliers as MIN-join-back, never a global-sort window."""
+    from .ops import olap
+
+    return olap.min_cost_supplier(spark, sf_dir)
+
+
+def olap_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (ops/olap.product_type_profit): per (nation, year)
+    profit with revenue and supply cost in the same BIGINT
+    centi-cent·percent scale; the composite (partkey, suppkey) join
+    is the non-star shuffle stress."""
+    from .ops import olap
+
+    return olap.product_type_profit(spark, sf_dir)
+
+
+def olap_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (ops/olap.important_stock): per-part supply value of
+    one nation vs a broadcast global total, threshold
+    cross-multiplied (value·100 > total·1)."""
+    from .ops import olap
+
+    return olap.important_stock(spark, sf_dir)
+
+
+def olap_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (ops/olap.parts_supplier_counts): distinct-supplier
+    counts per (brand, type, size) with brand/type/size exclusions
+    and the complaint NOT-IN as a broadcast LEFT ANTI join."""
+    from .ops import olap
+
+    return olap.parts_supplier_counts(spark, sf_dir)
+
+
+def olap_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (ops/olap.part_promotion_suppliers): suppliers whose
+    availqty beats half their year's shipped quantity on a
+    promotion-candidate part (cross-multiplied, zero-ship pairs
+    qualify via the left join's zero path)."""
+    from .ops import olap
+
+    return olap.part_promotion_suppliers(spark, sf_dir)
