@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_important_stock": O.olap_important_stock,
         "olap_parts_supplier": O.olap_parts_supplier,
         "olap_part_promotion": O.olap_part_promotion,
+        "graph_clustering_coeff": O.graph_clustering_coeff,
+        "events_cohort_ltv": O.events_cohort_ltv,
+        "curation_kanonymity": O.curation_kanonymity,
     }
 
 
@@ -5031,6 +5034,67 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1)
             SELECT s_suppkey, s_name, n_excess_parts
             FROM q JOIN supplier ON ps_suppkey = s_suppkey
+        """,
+        # local clustering coefficient as (n_triangles, n_wedges)
+        # integer rationals over the Jaccard pair graph
+        "graph_clustering_coeff": _WORDS_CTE + _PAIR_GRAPH_CTE + """
+            , deg AS (
+              SELECT node, count(*) AS degree FROM (
+                SELECT a AS node FROM p
+                UNION ALL SELECT b FROM p) q
+              GROUP BY 1),
+            t AS (
+              SELECT e1.a, e1.b, e2.c
+              FROM p e1
+              JOIN (SELECT a AS b, b AS c FROM p) e2 USING (b)
+              JOIN (SELECT a, b AS c FROM p) e3
+                ON e3.a = e1.a AND e3.c = e2.c),
+            tri AS (
+              SELECT node, count(*) AS n_triangles FROM (
+                SELECT unnest([a, b, c]) AS node FROM t) x
+              GROUP BY 1)
+            SELECT deg.node, degree,
+                   CAST(COALESCE(n_triangles, 0) AS BIGINT)
+                     AS n_triangles,
+                   CAST((degree * (degree - 1)) // 2 AS BIGINT)
+                     AS n_wedges
+            FROM deg LEFT JOIN tri ON deg.node = tri.node
+        """,
+        # weekly cohort LTV: firsts join + age rollup + running
+        # cumulative over the cohort-age aggregate
+        "events_cohort_ltv": """
+            WITH firsts AS (
+              SELECT user_id,
+                     MIN(date_trunc('week', ts)) AS cohort_week
+              FROM events GROUP BY 1),
+            per_age AS (
+              SELECT cohort_week,
+                     CAST(date_diff('day', cohort_week,
+                            date_trunc('week', ts)) // 7 AS BIGINT)
+                       AS week_age,
+                     CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+                       AS n_users,
+                     CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                       AS BIGINT) AS revenue_cents
+              FROM events e JOIN firsts f ON e.user_id = f.user_id
+              GROUP BY 1, 2)
+            SELECT cohort_week, week_age, n_users, revenue_cents,
+                   CAST(SUM(revenue_cents) OVER (
+                     PARTITION BY cohort_week ORDER BY week_age
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT)
+                     AS cum_revenue_cents
+            FROM per_age
+        """,
+        # k-anonymity audit (k=5) over (lang, source, len bucket)
+        "curation_kanonymity": """
+            SELECT lang, source,
+                   CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+                   count(*) AS class_size,
+                   CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END
+                     AS BIGINT) AS is_safe
+            FROM documents
+            GROUP BY 1, 2, 3
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

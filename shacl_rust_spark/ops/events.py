@@ -454,3 +454,39 @@ def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("wau"))
     )
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+def cohort_ltv(events: DataFrame) -> DataFrame:
+    """Weekly cohort lifetime-value curve: cohort_week =
+    Monday-truncated week of the user's first event (the same
+    engine-portable calendar key as retention()); one row per
+    (cohort_week, week_age) with the cohort's active-user count, the
+    revenue landed at that age (value in exact integer cents), and
+    the RUNNING cumulative revenue — the LTV curve every growth
+    dashboard plots. Complements retention(): that counts active
+    users, this sums what they spent.
+
+    Plan: the firsts table is user-cardinality (one narrow aggregate,
+    AQE-broadcast back onto the fact); the age rollup shuffles once
+    on (cohort_week, week_age); the cumulative window runs on the
+    cohort×age AGGREGATE (tiny), never the fact table."""
+    from pyspark.sql import Window
+
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = events.groupBy("user_id").agg(
+        F.min(wk).alias("cohort_week"))
+    age = F.floor(
+        F.datediff(wk, F.col("cohort_week")) / 7).cast("bigint")
+    per_age = (
+        events.select("user_id", "ts",
+                      F.round(F.col("value") * 100, 0).cast("bigint")
+                      .alias("_cents"))
+        .join(firsts, "user_id")
+        .groupBy("cohort_week", age.alias("week_age"))
+        .agg(F.count_distinct("user_id").alias("n_users"),
+             F.sum("_cents").alias("revenue_cents"))
+    )
+    w = (Window.partitionBy("cohort_week").orderBy("week_age")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per_age.withColumn(
+        "cum_revenue_cents", F.sum("revenue_cents").over(w))

@@ -1054,3 +1054,47 @@ def deterministic_walks(
             break
         out = out.unionByName(cur)
     return out.select("seed", "step", "node")
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node LOCAL clustering coefficient over the undirected
+    simple graph of `edges(src, dst)`, kept as the exact integer
+    rational (n_triangles, n_wedges = deg·(deg−1)/2) — cc =
+    n_triangles / n_wedges, never computed as a float here (the
+    no-float-ever-hashed policy; deg·(deg−1) is always even, so the
+    integer division is exact). On a near-duplicate pair graph this
+    separates clique-like template families (cc → 1) from chain/star
+    accretion (cc → 0) node by node — the refinement of the
+    graph-level triangle count.
+
+    Plan: undirected degree is one explode + map-side-combined count;
+    triangles reuse the oriented two-join closure (Σ deg² wedge work,
+    see triangles()); the two node-cardinality aggregates meet in a
+    single LEFT join (triangle-free nodes report 0). The canonical
+    edge frame is checkpointed once and shared by both branches."""
+    e = _canon_undirected(edges)
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    wedges = e.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    tri = (
+        wedges.join(e.select("a", F.col("b").alias("c")), ["a", "c"])
+        .select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint")
+            .alias("n_triangles"),
+            F.expr("(degree * (degree - 1)) div 2").cast("bigint")
+            .alias("n_wedges"),
+        )
+    )

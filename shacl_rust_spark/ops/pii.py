@@ -57,3 +57,29 @@ def pii_redact(
     for pat, repl in REDACTIONS:
         out = F.regexp_replace(out, pat, repl)
     return docs.select(F.col(id_col), out.alias("redacted"))
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: tuple, k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: one row
+    per distinct quasi-identifier tuple with its equivalence-class
+    size and a 0/1 `is_safe` flag (size ≥ k). A release is
+    k-anonymous iff every class is safe; the per-class table is what
+    the curation run actually needs — which combinations to suppress
+    or generalize before publishing. Companion to pii_scan: that
+    finds direct identifiers, this measures re-identification risk
+    from the indirect ones.
+
+    Plan: one groupBy on the quasi columns (single shuffle with
+    map-side partial counts); output is class-cardinality, bounded by
+    the quasi-space, not the corpus."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn(
+            "is_safe",
+            F.when(F.col("class_size") >= k, F.lit(1))
+            .otherwise(F.lit(0)).cast("bigint"),
+        )
+    )

@@ -2325,3 +2325,39 @@ def olap_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import olap
 
     return olap.part_promotion_suppliers(spark, sf_dir)
+
+
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient as the exact rational
+    (n_triangles, n_wedges) over the Jaccard ≥ 0.8 near-duplicate
+    pair graph (ops/graph.clustering_coefficient) — clique-like
+    template families read cc → 1, chain accretion cc → 0."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    return graph.clustering_coefficient(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+
+
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort LTV curve (ops/events.cohort_ltv): per
+    (cohort_week, week_age) user counts, landed revenue in integer
+    cents, and the running cumulative — the window runs on the
+    cohort×age aggregate, never the fact table."""
+    return events.cohort_ltv(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def curation_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (ops/pii.k_anonymity, k=5) over the corpus
+    quasi-identifiers (lang, source, 100-char length bucket): per
+    equivalence class its size and safe flag — the
+    re-identification-risk companion to curation_pii's direct
+    identifier scan."""
+    from .ops import pii
+
+    d = _docs(spark, sf_dir).select(
+        "lang", "source",
+        F.expr("n_chars div 100").cast("bigint").alias("len_bucket"),
+    )
+    return pii.k_anonymity(d, ("lang", "source", "len_bucket"), k=5)

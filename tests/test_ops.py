@@ -3363,3 +3363,55 @@ def test_min_cost_supplier_argmin_ties_surface(spark, tmp_path):
     winner = out[0]
     assert winner.supplycost_cc == min(c1, c2)
     assert winner.s_name == ("S1" if c1 < c2 else "S2")
+
+
+def test_clustering_coefficient_triangle_plus_pendant(spark):
+    from shacl_rust_spark.ops import graph as g
+
+    # triangle 1-2-3 plus pendant 4 hanging off 1:
+    # node 1: deg 3, tri 1, wedges 3; nodes 2,3: deg 2, tri 1,
+    # wedges 1 (cc = 1); node 4: deg 1, tri 0, wedges 0.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4)], ["src", "dst"])
+    out = {r.node: (r.degree, r.n_triangles, r.n_wedges)
+           for r in g.clustering_coefficient(edges).collect()}
+    assert out == {1: (3, 1, 3), 2: (2, 1, 1),
+                   3: (2, 1, 1), 4: (1, 0, 0)}
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from shacl_rust_spark.ops import pii
+
+    df = spark.createDataFrame(
+        [("en", "a")] * 5 + [("en", "b")] * 2 + [("fr", "a")],
+        ["lang", "source"])
+    out = {(r.lang, r.source): (r.class_size, r.is_safe)
+           for r in pii.k_anonymity(df, ("lang", "source"), k=5)
+           .collect()}
+    assert out == {("en", "a"): (5, 1), ("en", "b"): (2, 0),
+                   ("fr", "a"): (1, 0)}
+
+
+def test_cohort_ltv_running_sum_and_cohorting(spark):
+    from datetime import datetime
+
+    from shacl_rust_spark.ops import events as ev
+
+    # user 1 first-active week of Mon 2024-01-01, spends in week 0
+    # and week 2; user 2 joins week 1 and spends once. count_distinct
+    # users per (cohort, age); cumulative runs within the cohort.
+    rows = [
+        (1, datetime(2024, 1, 2), 1.00),   # wk0 (Mon 1 Jan)
+        (1, datetime(2024, 1, 3), 2.00),   # wk0
+        (1, datetime(2024, 1, 16), 4.00),  # wk2
+        (2, datetime(2024, 1, 9), 8.00),   # wk1 -> cohort wk 8 Jan
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {(str(r.cohort_week), r.week_age):
+           (r.n_users, r.revenue_cents, r.cum_revenue_cents)
+           for r in ev.cohort_ltv(df).collect()}
+    assert out == {
+        ("2024-01-01 00:00:00", 0): (1, 300, 300),
+        ("2024-01-01 00:00:00", 2): (1, 400, 700),
+        ("2024-01-08 00:00:00", 0): (1, 800, 800),
+    }
