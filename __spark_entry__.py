@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering_coeff": O.graph_clustering_coeff,
         "events_cohort_ltv": O.events_cohort_ltv,
         "curation_kanonymity": O.curation_kanonymity,
+        "multimodal_jpeg": O.multimodal_jpeg,
     }
 
 
@@ -5085,6 +5086,34 @@ def oracle_sql() -> dict[str, str]:
                        AND CURRENT ROW) AS BIGINT)
                      AS cum_revenue_cents
             FROM per_age
+        """,
+        # baseline-JPEG decode over the block-constant fixtures:
+        # closed-form block pixel formula, 64 px per block, gray
+        # triplicated into (r, g, b) like the other image kinds
+        "multimodal_jpeg": """
+            WITH b AS (
+              SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+              FROM documents),
+            px AS (
+              SELECT b.doc_id,
+                     3 * 64 * SUM((b.doc_id + 11 * gx.x + 13 * gy.y)
+                                  % 251) AS pixel_sum
+              FROM b
+              CROSS JOIN generate_series(0, 2) gx(x)
+              CROSS JOIN generate_series(0, 1) gy(y)
+              WHERE gx.x < b.bw AND gy.y < b.bh
+              GROUP BY 1)
+            SELECT b.doc_id, 'jpg' AS kind,
+                   CAST(8 * b.bw AS BIGINT) AS width,
+                   CAST(8 * b.bh AS BIGINT) AS height,
+                   CAST(px.pixel_sum AS BIGINT) AS pixel_sum,
+                   CAST(b.doc_id % 251 AS BIGINT) AS first_px,
+                   CAST(-1 AS BIGINT) AS sample_rate,
+                   CAST(-1 AS BIGINT) AS n_samples,
+                   CAST(-1 AS BIGINT) AS sample_sum,
+                   CAST(-1 AS BIGINT) AS first_sample,
+                   CAST(-1 AS BIGINT) AS duration_us
+            FROM b JOIN px USING (doc_id)
         """,
         # k-anonymity audit (k=5) over (lang, source, len bucket)
         "curation_kanonymity": """

@@ -150,9 +150,10 @@ def _decode_wav(payload: bytes) -> tuple[int, list[int]]:
 
 # --- PNG (8-bit grayscale / truecolor, non-interlaced) ----------------------
 # PNG is zlib-compressed filtered scanlines — fully decodable with the
-# stdlib. This makes one COMPRESSED codec real; the remaining
-# NotImplementedError boundary is JPEG/MP3/video (entropy coders and DCT
-# pipelines that genuinely need external libraries).
+# stdlib. This makes one COMPRESSED codec real; see also the GIF (LZW)
+# and baseline-JPEG (Huffman + IDCT) sections below. The remaining
+# NotImplementedError boundary is progressive/multi-component JPEG,
+# MP3, and real video.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -314,9 +315,8 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int
 
 # --- GIF (87a/89a, real variable-width LZW) --------------------------------
 # The third REAL compressed-image codec beside PNG: GIF's LZW is a
-# dictionary coder (no entropy stage), so it is implementable exactly in
-# pure Python — unlike JPEG/MP3/video, which stay behind the
-# NotImplementedError boundary. Bit packing is LSB-first; code width
+# dictionary coder (no entropy stage), implementable exactly in pure
+# Python. Bit packing is LSB-first; code width
 # grows 9→12 bits as the dictionary fills and resets on CLEAR.
 
 _GIF_MAX_CODE = 1 << 12
@@ -529,17 +529,21 @@ def _decode_gif(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int
 
 
 def decode_image(payload: bytes):
-    """Decode an image payload to (width, height, rows). BMP and PNG
-    decode in pure Python (PNG via stdlib zlib); JPEG/WebP/... need
-    Pillow/libvips, which this container does not ship."""
+    """Decode an image payload to (width, height, rows). BMP, PNG,
+    GIF, and baseline grayscale JPEG decode in pure Python;
+    progressive/color JPEG and WebP/... need Pillow/libvips, which
+    this container does not ship."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP, PNG, and GIF decode without image codec libraries"
+        "only BMP, PNG, GIF, and baseline grayscale JPEG decode "
+        "without image codec libraries"
     )
 
 
@@ -584,10 +588,12 @@ def decode_assets(
                 row = dict.fromkeys(out)
                 row["doc_id"] = int(rid)
                 if (raw[:2] == b"BM" or raw[:8] == _PNG_SIG
-                        or raw[:6] in (b"GIF87a", b"GIF89a")):
+                        or raw[:6] in (b"GIF87a", b"GIF89a")
+                        or raw[:3] == b"\xff\xd8\xff"):
                     width, height, rows = decode_image(raw)
                     row["kind"] = ("bmp" if raw[:2] == b"BM"
                                    else "png" if raw[:8] == _PNG_SIG
+                                   else "jpg" if raw[:1] == b"\xff"
                                    else "gif")
                     row["width"] = width
                     row["height"] = height
@@ -910,6 +916,379 @@ def audio_vad_segments(assets: DataFrame) -> DataFrame:
         )
         .drop("_grp")
     )
+
+
+# --- JPEG (baseline sequential DCT, grayscale) ------------------------------
+# The fourth REAL compressed codec beside PNG/GIF/WAV, and the first
+# with an ENTROPY stage: baseline JPEG is canonical Huffman over
+# (category, amplitude) DC diffs and (run, size) AC pairs, then
+# dequantize -> de-zigzag -> 8x8 IDCT -> level shift. All of it is
+# implementable exactly in pure Python + numpy (the IDCT is the only
+# float stage; the synthetic assets are block-constant, whose DC-only
+# IDCT is integer-exact, so the closed-form oracle never meets a
+# rounding edge). The encoder writes the restricted profile the
+# fixtures need (one gray component, block-constant 8x8 blocks, DC-only
+# scan with EOB-coded ACs); the DECODER is general baseline: any
+# quant/Huffman tables, full AC runs, restart markers. The remaining
+# NotImplementedError boundary shrinks to progressive JPEG / MP3 /
+# real video.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_basis():
+    import math
+    t = [[(1.0 / math.sqrt(2.0) if k == 0 else 1.0)
+          * math.cos((2 * n + 1) * k * math.pi / 16.0)
+          for n in range(8)] for k in range(8)]
+    return t
+
+
+_IDCT_T = _jpeg_idct_basis()
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._nbits += 1
+            if self._nbits == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self._acc = 0
+                self._nbits = 0
+
+    def flush(self) -> None:
+        while self._nbits:  # pad with 1s per the spec
+            self.write(1, 1)
+
+
+def encode_jpeg_gray_blocks(
+    block_rows: list[list[int]],
+) -> bytes:
+    """Encode a block-constant grayscale image as REAL baseline JPEG:
+    block_rows[by][bx] is the constant value (0..255) of the 8x8 block
+    at (bx, by); output dimensions are (8*bw, 8*bh). With the uniform
+    quant table q=8, a constant block quantizes to DC = v - 128 with
+    zero loss (DC_unq = 8*(v-128), AC all zero), so decode round-trips
+    integer-exactly — the property the closed-form decode oracle
+    relies on. The entropy stage is real canonical Huffman (DC
+    categories 0..11 at 4 bits, AC EOB at 2 bits), real DC prediction
+    across blocks, real 0xFF byte stuffing."""
+    bh = len(block_rows)
+    bw = len(block_rows[0]) if bh else 0
+    if not bh or not bw or any(len(r) != bw for r in block_rows):
+        raise ValueError("block grid must be rectangular, nonempty")
+    w, h = 8 * bw, 8 * bh
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    # DQT: table 0, all 8s (zigzag order irrelevant: uniform)
+    out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00"
+    out += bytes([8] * 64)
+    # SOF0: 8-bit, 1 component, no subsampling
+    out += b"\xff\xc0" + (2 + 6 + 3).to_bytes(2, "big")
+    out += b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    out += b"\x01" + b"\x01\x11\x00"
+    # DHT DC table 0: 12 category symbols, all 4-bit codes
+    bits_dc = [0] * 16
+    bits_dc[3] = 12  # 12 codes of length 4
+    out += b"\xff\xc4" + (2 + 1 + 16 + 12).to_bytes(2, "big")
+    out += b"\x00" + bytes(bits_dc) + bytes(range(12))
+    # DHT AC table 0: one symbol (EOB=0x00) at length 2
+    bits_ac = [0] * 16
+    bits_ac[1] = 1
+    out += b"\xff\xc4" + (2 + 1 + 16 + 1).to_bytes(2, "big")
+    out += b"\x10" + bytes(bits_ac) + b"\x00"
+    # SOS
+    out += b"\xff\xda" + (2 + 1 + 2 + 3).to_bytes(2, "big")
+    out += b"\x01" + b"\x01\x00" + b"\x00\x3f\x00"
+    bw_ = _JpegBitWriter()
+    prev_dc = 0
+    for row in block_rows:
+        for v in row:
+            if not 0 <= int(v) <= 255:
+                raise ValueError("block value out of range")
+            dc = int(v) - 128  # quantized DC with q=8
+            diff = dc - prev_dc
+            prev_dc = dc
+            mag = abs(diff)
+            cat = mag.bit_length()
+            bw_.write(cat, 4)  # canonical DC code: cat value in 4 bits
+            if cat:
+                bw_.write(diff if diff >= 0 else diff + (1 << cat) - 1,
+                          cat)
+            bw_.write(0, 2)  # AC EOB (code 00)
+    bw_.flush()
+    out += bw_.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _huff_table(bits: list[int], vals: bytes) -> dict:
+    """Canonical Huffman (code, length) -> symbol map per JPEG F.2.2."""
+    if sum(bits) != len(vals):
+        raise ValueError("DHT: BITS/HUFFVAL length mismatch")
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            if code >= (1 << ln):
+                raise ValueError("DHT: code overflow")
+            table[(code, ln)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+        self.marker = None  # set when a non-stuffing marker is met
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG: entropy stream truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: dangling 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                self.marker = nxt
+                raise ValueError("JPEG: marker inside entropy data")
+        self._acc = (self._acc << 8) | b
+        self._nbits += 8
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            self._fill()
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((code, ln))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code")
+
+    def align_and_expect_rst(self, n: int) -> None:
+        self._acc = 0
+        self._nbits = 0
+        if self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF \
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            if self.data[self.pos + 1] != 0xD0 + (n % 8):
+                raise ValueError("JPEG: restart marker out of order")
+            self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """General BASELINE grayscale JPEG decoder: marker parse (any
+    APPn/COM skipped), arbitrary 8-bit quant + Huffman tables, full
+    (run, size) AC decoding with ZRL, DC prediction, restart markers,
+    0xFF00 unstuffing, float IDCT + level shift + clamp, MCU-grid crop
+    to the SOF dimensions. Progressive (SOF2), 12-bit, arithmetic, and
+    multi-component scans raise NotImplementedError; corrupt payloads
+    raise ValueError (the shared codec contract)."""
+    try:
+        return _decode_jpeg(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as exc:  # noqa: BLE001 — normalize to the contract
+        raise ValueError(f"corrupt JPEG: {exc}") from exc
+
+
+def _decode_jpeg(payload: bytes):
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    dri = 0
+    sof = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("JPEG: truncated before SOS")
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("JPEG: EOI before image data")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        seglen = int.from_bytes(payload[pos:pos + 2], "big")
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("JPEG: bad segment length")
+        body = payload[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                if i + 65 > len(body):
+                    raise ValueError("JPEG: short DQT")
+                qt[tq] = list(body[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = body[i + 17:i + 17 + n]
+                if len(vals) < n:
+                    raise ValueError("JPEG: short DHT")
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _huff_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise NotImplementedError("only 8-bit precision")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "only single-component (grayscale) JPEG")
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampled grayscale")
+            if not w or not h:
+                raise ValueError("JPEG: zero dimension")
+            sof = (w, h, body[8])
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/arithmetic/...)")
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("JPEG: SOS before SOF")
+            if body[0] != 1:
+                raise NotImplementedError("multi-component scan")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            break
+        # APPn / COM / others: skipped
+    w, h, tq = sof
+    if tq not in qt or td not in huff_dc or ta not in huff_ac:
+        raise ValueError("JPEG: missing table referenced by scan")
+    q = qt[tq]
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    reader = _JpegBitReader(payload, pos)
+    t = _IDCT_T
+    full = [[0] * (bw_ * 8) for _ in range(bh_ * 8)]
+    prev_dc = 0
+    for bi in range(bw_ * bh_):
+        if dri and bi and bi % dri == 0:
+            reader.align_and_expect_rst(bi // dri - 1)
+            prev_dc = 0
+        zz = [0] * 64
+        cat = reader.read_huff(huff_dc[td])
+        if cat > 11:
+            raise ValueError("JPEG: DC category out of range")
+        diff = _extend(reader.read_bits(cat), cat) if cat else 0
+        prev_dc += diff
+        zz[0] = prev_dc * q[0]
+        k = 1
+        while k < 64:
+            rs = reader.read_huff(huff_ac[ta])
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = rs >> 4, rs & 0x0F
+            k += run
+            if k > 63 or size == 0:
+                raise ValueError("JPEG: AC run overflows block")
+            zz[k] = _extend(reader.read_bits(size), size) * q[k]
+            k += 1
+        # de-zigzag into S[v][u]
+        s = [[0.0] * 8 for _ in range(8)]
+        for i, nat in enumerate(_ZIGZAG):
+            if zz[i]:
+                s[nat // 8][nat % 8] = float(zz[i])
+        # IDCT: out[y][x] = 0.25 * sum_v sum_u T[v][y] T[u][x] S[v][u]
+        tmp = [[sum(t[v][y] * s[v][u] for v in range(8))
+                for u in range(8)] for y in range(8)]
+        by, bx = divmod(bi, bw_)
+        for y in range(8):
+            rowv = tmp[y]
+            fy = full[by * 8 + y]
+            for x in range(8):
+                val = 0.25 * sum(t[u][x] * rowv[u] for u in range(8))
+                px = int(round(val)) + 128
+                fy[bx * 8 + x] = 0 if px < 0 else (255 if px > 255
+                                                   else px)
+    rows = [[(v, v, v) for v in full[y][:w]] for y in range(h)]
+    return w, h, rows
+
+
+def synth_jpeg_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic baseline-JPEG fixture payloads per doc_id: a
+    block-constant grayscale grid of (1 + d % 3) x (1 + d % 2) blocks
+    (so 8..24 x 8..16 pixels) with block (bx, by) carrying value
+    (d + 11*bx + 13*by) % 251. Kept SEPARATE from synth_assets: the
+    BMP/PNG/GIF/WAV fixture set feeds several oracled gates whose SQL
+    restates its exact payload mix, so extending it would churn every
+    one of those oracles — the JPEG path gets its own fixture and its
+    own gate instead. Block-constant blocks quantize losslessly under
+    the uniform q=8 table (DC-only), so the decode oracle is the same
+    closed-form pixel formula, no rounding model needed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for rid in pdf[id_col]:
+                d = int(rid)
+                bw, bh = 1 + d % 3, 1 + d % 2
+                blocks = [[(d + 11 * bx + 13 * by) % 251
+                           for bx in range(bw)] for by in range(bh)]
+                ids.append(d)
+                payloads.append(encode_jpeg_gray_blocks(blocks))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+    return docs.select(id_col).mapInPandas(run, schema)
 
 
 # --- deterministic fake video container ------------------------------------

@@ -2361,3 +2361,22 @@ def curation_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_chars div 100").cast("bigint").alias("len_bucket"),
     )
     return pii.k_anonymity(d, ("lang", "source", "len_bucket"), k=5)
+
+
+def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG decode gate (ops/multimodal.decode_jpeg via the
+    decode_assets Arrow kernel) over synth_jpeg_assets' block-constant
+    grayscale fixtures: real canonical-Huffman entropy decode, DC
+    prediction, dequantize, IDCT — integer-exact on these assets by
+    construction (DC-only blocks under the uniform q=8 table), so the
+    oracle restates the closed-form block-pixel formula. Nulls
+    coalesce to -1 like multimodal_decode."""
+    assets = multimodal.synth_jpeg_assets(_docs(spark, sf_dir))
+    out = multimodal.decode_assets(assets)
+    return out.select(
+        "doc_id", "kind",
+        *[F.coalesce(F.col(c), F.lit(-1)).cast("bigint").alias(c)
+          for c in ("width", "height", "pixel_sum", "first_px",
+                    "sample_rate", "n_samples", "sample_sum",
+                    "first_sample", "duration_us")],
+    )

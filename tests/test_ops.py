@@ -3415,3 +3415,186 @@ def test_cohort_ltv_running_sum_and_cohorting(spark):
         ("2024-01-01 00:00:00", 2): (1, 400, 700),
         ("2024-01-08 00:00:00", 0): (1, 800, 800),
     }
+
+
+def _mk_jpeg(blocks_coefs, q=16, dri=0, bw=None):
+    """Hand-assemble a baseline grayscale JPEG with arbitrary
+    QUANTIZED zigzag coefficients per block — exercises the decoder's
+    general AC path (runs, ZRL, EOB), any quant value, and restart
+    markers, none of which the block-constant encoder emits."""
+    from shacl_rust_spark.ops.multimodal import _JpegBitWriter
+
+    n_blocks = len(blocks_coefs)
+    bw = bw or n_blocks
+    bh = (n_blocks + bw - 1) // bw
+    w, h = 8 * bw, 8 * bh
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00"
+    out += bytes([q] * 64)
+    out += b"\xff\xc0" + (11).to_bytes(2, "big")
+    out += b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    out += b"\x01\x01\x11\x00"
+    bits_dc = [0] * 16
+    bits_dc[3] = 12
+    out += b"\xff\xc4" + (31).to_bytes(2, "big")
+    out += b"\x00" + bytes(bits_dc) + bytes(range(12))
+    # AC: 8 symbols at length 4 (canonical codes 0..7)
+    ac_syms = [0x00, 0xF0, 0x01, 0x11, 0x21, 0x02, 0x31, 0x12,
+               0x92, 0x81]
+    bits_ac = [0] * 16
+    bits_ac[3] = len(ac_syms)
+    out += b"\xff\xc4" + (2 + 1 + 16 + len(ac_syms)).to_bytes(2, "big")
+    out += b"\x10" + bytes(bits_ac) + bytes(ac_syms)
+    if dri:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big")
+        out += dri.to_bytes(2, "big")
+    out += b"\xff\xda" + (8).to_bytes(2, "big")
+    out += b"\x01\x01\x00\x00\x3f\x00"
+
+    def put_coef(wtr, val, size):
+        wtr.write(val if val >= 0 else val + (1 << size) - 1, size)
+
+    prev_dc = 0
+    wtr = _JpegBitWriter()
+    rst = 0
+    for bi, coefs in enumerate(blocks_coefs):
+        if dri and bi and bi % dri == 0:
+            wtr.flush()
+            out += wtr.out
+            out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            wtr = _JpegBitWriter()
+            prev_dc = 0
+        diff = coefs.get(0, 0) - prev_dc
+        prev_dc = coefs.get(0, 0)
+        cat = abs(diff).bit_length()
+        wtr.write(cat, 4)
+        if cat:
+            put_coef(wtr, diff, cat)
+        k = 1
+        pending_zero = 0
+        for zi in range(1, 64):
+            v = coefs.get(zi, 0)
+            if v == 0:
+                pending_zero += 1
+                continue
+            while pending_zero >= 16:
+                wtr.write(1, 4)  # ZRL (canonical code 1 = 0xF0)
+                pending_zero -= 16
+            size = abs(v).bit_length()
+            sym = (pending_zero << 4) | size
+            code = ac_syms.index(sym)
+            wtr.write(code, 4)
+            put_coef(wtr, v, size)
+            pending_zero = 0
+            k = zi + 1
+        if k < 64 or all(coefs.get(z, 0) == 0 for z in range(1, 64)):
+            wtr.write(0, 4)  # EOB (canonical code 0)
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out), w, h
+
+
+def _ref_idct_block(coefs, q):
+    """Independent IDCT reference (recomputed basis, numpy-free)."""
+    import math
+
+    s = [[0.0] * 8 for _ in range(8)]
+    from shacl_rust_spark.ops.multimodal import _ZIGZAG
+    for zi, v in coefs.items():
+        nat = _ZIGZAG[zi]
+        s[nat // 8][nat % 8] = float(v * q)
+
+    def c(k):
+        return 1.0 / math.sqrt(2.0) if k == 0 else 1.0
+
+    out = [[0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for v in range(8):
+                for u in range(8):
+                    acc += (c(u) * c(v) * s[v][u]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16))
+            px = int(round(acc / 4.0)) + 128
+            out[y][x] = min(255, max(0, px))
+    return out
+
+
+def test_jpeg_ac_runs_zrl_and_quant_match_reference_idct():
+    from shacl_rust_spark.ops import multimodal
+
+    # block with DC, early ACs, a >16-zero gap (forces ZRL), and a
+    # late coefficient
+    coefs = {0: 5, 1: -3, 2: 2, 4: 1, 30: -2, 55: 1}
+    payload, w, h = _mk_jpeg([coefs], q=16)
+    dw, dh, rows = multimodal.decode_jpeg(payload)
+    assert (dw, dh) == (w, h) == (8, 8)
+    ref = _ref_idct_block(coefs, 16)
+    got = [[rows[y][x][0] for x in range(8)] for y in range(8)]
+    assert got == ref
+
+
+def test_jpeg_restart_markers_reset_dc_prediction():
+    from shacl_rust_spark.ops import multimodal
+
+    # two blocks, DRI=1: second block's DC is absolute again after
+    # RST0 (predictor reset), not relative to the first
+    payload, w, h = _mk_jpeg([{0: 4}, {0: 4}], q=16, dri=1)
+    dw, dh, rows = multimodal.decode_jpeg(payload)
+    assert (dw, dh) == (16, 8)
+    # DC=4, q=16 -> S00=64 -> pixel = 64/8 + 128 = 136 everywhere
+    vals = {rows[y][x][0] for y in range(8) for x in range(16)}
+    assert vals == {136}
+
+
+def test_jpeg_multiblock_dc_chain_and_crop_roundtrip():
+    import random
+
+    from shacl_rust_spark.ops import multimodal
+
+    rng = random.Random(11)
+    for _ in range(25):
+        bw, bh = rng.randrange(1, 4), rng.randrange(1, 3)
+        blocks = [[rng.randrange(256) for _ in range(bw)]
+                  for _ in range(bh)]
+        p = multimodal.encode_jpeg_gray_blocks(blocks)
+        w, h, rows = multimodal.decode_jpeg(p)
+        assert (w, h) == (8 * bw, 8 * bh)
+        for y in range(h):
+            for x in range(w):
+                v = blocks[y // 8][x // 8]
+                assert rows[y][x] == (v, v, v)
+
+
+def test_jpeg_decoder_corrupt_input_contract():
+    """JPEG shares the codec corrupt-payload contract: truncations
+    and random corruption raise ValueError/NotImplementedError only,
+    within a time budget (no decode bombs)."""
+    import random
+    import time
+
+    from shacl_rust_spark.ops import multimodal
+
+    rng = random.Random(7)
+    good = multimodal.encode_jpeg_gray_blocks(
+        [[rng.randrange(251) for _ in range(3)] for _ in range(2)])
+    t0 = time.time()
+    cases = [good[:cut] for cut in range(1, len(good))]
+    for _ in range(1500):
+        b = bytearray(good)
+        for _ in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        cases.append(bytes(b))
+    for _ in range(800):
+        cases.append(b"\xff\xd8\xff" + bytes(
+            rng.randrange(256) for _ in range(rng.randrange(0, 80))))
+    for c in cases:
+        try:
+            multimodal.decode_jpeg(c)
+        except (ValueError, NotImplementedError):
+            pass
+    assert time.time() - t0 < 30
