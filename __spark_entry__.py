@@ -266,6 +266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_ltv": O.events_cohort_ltv,
         "curation_kanonymity": O.curation_kanonymity,
         "multimodal_jpeg": O.multimodal_jpeg,
+        "events_paths": O.events_paths,
+        "text_ttr": O.text_ttr,
     }
 
 
@@ -5114,6 +5116,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(-1 AS BIGINT) AS first_sample,
                    CAST(-1 AS BIGINT) AS duration_us
             FROM b JOIN px USING (doc_id)
+        """,
+        # top-20 consecutive event-type triples per user stream
+        "events_paths": """
+            WITH o AS (
+              SELECT event_type,
+                     LAG(event_type, 1) OVER w AS p1,
+                     LAG(event_type, 2) OVER w AS p2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, event_id))
+            SELECT p2 AS t1, p1 AS t2, event_type AS t3,
+                   count(*) AS n
+            FROM o WHERE p2 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, t1, t2, t3
+            LIMIT 20
+        """,
+        # per-doc type-token ratio under the shared word split
+        "text_ttr": """
+            WITH w AS (
+              SELECT doc_id, word
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(trim(text),
+                                                     ' +')) AS word
+                    FROM documents) q
+              WHERE word <> ''),
+            agg AS (
+              SELECT doc_id,
+                     CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens
+              FROM w GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(n_types, 0) AS n_types,
+                   COALESCE(n_tokens, 0) AS n_tokens
+            FROM documents d LEFT JOIN agg USING (doc_id)
         """,
         # k-anonymity audit (k=5) over (lang, source, len bucket)
         "curation_kanonymity": """

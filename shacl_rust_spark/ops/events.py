@@ -490,3 +490,29 @@ def cohort_ltv(events: DataFrame) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return per_age.withColumn(
         "cum_revenue_cents", F.sum("revenue_cents").over(w))
+
+
+def path_triples(events: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k third-order behavior paths: counts of CONSECUTIVE
+    event-type triples (t1 → t2 → t3) over each user's ts-ordered
+    stream (event_id tiebreak, the module's total order) — the "top
+    paths" report product analytics runs after transitions()'s
+    second-order table. Same plan shape: ONE shuffle on user_id for
+    the two lag windows (both ride the same sort), then a
+    |types|³-bounded aggregate and a TakeOrderedAndProject top-k with
+    full-key tiebreak."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_p1", F.lag("event_type", 1).over(w))
+        .withColumn("_p2", F.lag("event_type", 2).over(w))
+        .where(F.col("_p2").isNotNull())
+        .groupBy(
+            F.col("_p2").alias("t1"),
+            F.col("_p1").alias("t2"),
+            F.col("event_type").alias("t3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(k)
+    )

@@ -900,3 +900,31 @@ def hashed_features(docs: DataFrame, n_buckets: int = 64) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def lexical_diversity(docs: DataFrame) -> DataFrame:
+    """Per-doc type-token ratio kept as the exact integer pair
+    (n_types, n_tokens): distinct words over total words under the
+    shared word_array() contract (empty docs report (0, 0)) — the
+    lexical-diversity quality signal (template/boilerplate text reads
+    low, natural prose high) next to entropy and the repetition
+    ratios. One explode + two map-side-combined aggregates per doc;
+    no join."""
+    words = docs.select(
+        "doc_id", F.explode(word_array()).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        docs.select("doc_id").join(
+            words.groupBy("doc_id").agg(
+                F.count_distinct("word").alias("n_types"),
+                F.count(F.lit(1)).alias("n_tokens"),
+            ),
+            "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_types", F.lit(0)).cast("bigint")
+            .alias("n_types"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint")
+            .alias("n_tokens"),
+        )
+    )

@@ -2380,3 +2380,19 @@ def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sample_rate", "n_samples", "sample_sum",
                     "first_sample", "duration_us")],
     )
+
+
+def events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 third-order behavior paths (ops/events.path_triples):
+    consecutive event-type triples per user's ordered stream, the
+    "top paths" report above transitions()'s pair table."""
+    return events.path_triples(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc type-token ratio as the exact (n_types, n_tokens)
+    integer pair (ops/text.lexical_diversity) under the shared
+    word_array tokenization contract."""
+    return text.lexical_diversity(_docs(spark, sf_dir))
