@@ -268,6 +268,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg": O.multimodal_jpeg,
         "events_paths": O.events_paths,
         "text_ttr": O.text_ttr,
+        "kg_ifp_sameas": O.kg_ifp_sameas,
+        "kg_disambiguate": O.kg_disambiguate,
+        "events_markov_stationary": O.events_markov_stationary,
+        "graph_squares": O.graph_squares,
+        "kg_ntriples": O.kg_ntriples,
     }
 
 
@@ -5161,6 +5166,195 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS is_safe
             FROM documents
             GROUP BY 1, 2, 3
+        """,
+        # IFP sameAs: filtered claim dedup + value-bucket self-join
+        # (ops/ontology.ifp_sameas; the seg predicate is non-IFP noise
+        # the operator's predicate filter must drop)
+        "kg_ifp_sameas": """
+            WITH claims AS (
+              SELECT DISTINCT s, p, o FROM (
+                SELECT 'c' || c_custkey AS s, 'mbox' AS p,
+                       'm' || (c_custkey // 5) AS o FROM customer
+                UNION ALL
+                SELECT 'c' || c_custkey, 'home',
+                       'h' || (c_custkey // 11) FROM customer
+                UNION ALL
+                SELECT 'c' || o_custkey, 'mbox',
+                       'm' || (o_custkey // 5) FROM orders
+              ) q)
+            SELECT x.s AS a, y.s AS b, x.p AS via_p, x.o AS via_o
+            FROM claims x JOIN claims y
+              ON x.p = y.p AND x.o = y.o AND x.s < y.s
+        """,
+        # context-overlap disambiguation: sparse posting join +
+        # argmax with (score DESC, entity_id ASC) tie-break
+        "kg_disambiguate": """
+            WITH cands AS (
+              SELECT 's' || ((doc_id // 50) % 5) AS surface,
+                     'e' || doc_id AS entity_id,
+                     (string_split(text, ' '))[1:20] AS tokens
+              FROM documents WHERE doc_id % 50 = 0),
+            mentions AS (
+              SELECT doc_id AS mention_id,
+                     's' || (doc_id % 5) AS surface,
+                     (string_split(text, ' '))[1:20] AS tokens
+              FROM documents WHERE doc_id % 50 <> 0),
+            m_tok AS (
+              SELECT DISTINCT mention_id, surface, tok
+              FROM (SELECT mention_id, surface, unnest(tokens) AS tok
+                    FROM mentions) q),
+            c_tok AS (
+              SELECT DISTINCT entity_id, surface, tok
+              FROM (SELECT entity_id, surface, unnest(tokens) AS tok
+                    FROM cands) q),
+            overlap AS (
+              SELECT mention_id, entity_id, count(*) AS ov
+              FROM m_tok JOIN c_tok USING (surface, tok)
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT m.mention_id, m.surface, c.entity_id
+              FROM mentions m JOIN cands c USING (surface)),
+            scored AS (
+              SELECT p.mention_id, p.surface, p.entity_id,
+                     CAST(COALESCE(o.ov, 0) AS BIGINT) AS score,
+                     count(*) OVER (PARTITION BY p.mention_id)
+                       AS n_candidates,
+                     row_number() OVER (
+                       PARTITION BY p.mention_id
+                       ORDER BY COALESCE(o.ov, 0) DESC, p.entity_id ASC
+                     ) AS rn
+              FROM pairs p LEFT JOIN overlap o
+                ON p.mention_id = o.mention_id
+               AND p.entity_id = o.entity_id)
+            SELECT mention_id, surface, entity_id, score, n_candidates
+            FROM scored WHERE rn = 1
+        """,
+        # unrolled 4-step fixed-point Markov power iteration — the
+        # pagerank-oracle device over the lag-window transition counts
+        "events_markov_stationary": """
+            WITH ordered AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events),
+            trans AS (
+              SELECT prev AS src, event_type AS dst, count(*) AS n
+              FROM ordered WHERE prev IS NOT NULL GROUP BY 1, 2),
+            states AS (
+              SELECT src AS state FROM trans
+              UNION SELECT dst FROM trans),
+            rowtot AS (SELECT src, sum(n) AS rowtot FROM trans GROUP BY 1),
+            m0 AS (
+              SELECT state,
+                     CAST(1000000000000 // (SELECT count(*) FROM states)
+                          AS BIGINT) AS mass
+              FROM states),
+            m1 AS (
+              SELECT s.state,
+                     CAST(COALESCE(i.inflow, 0) AS BIGINT) AS mass
+              FROM states s LEFT JOIN (
+                SELECT t.dst AS state,
+                       CAST(SUM((m.mass * t.n) // r.rowtot) AS BIGINT)
+                         AS inflow
+                FROM trans t
+                JOIN m0 m ON t.src = m.state
+                JOIN rowtot r ON t.src = r.src
+                GROUP BY 1
+              ) i ON s.state = i.state
+            ),
+            m2 AS (
+              SELECT s.state,
+                     CAST(COALESCE(i.inflow, 0) AS BIGINT) AS mass
+              FROM states s LEFT JOIN (
+                SELECT t.dst AS state,
+                       CAST(SUM((m.mass * t.n) // r.rowtot) AS BIGINT)
+                         AS inflow
+                FROM trans t
+                JOIN m1 m ON t.src = m.state
+                JOIN rowtot r ON t.src = r.src
+                GROUP BY 1
+              ) i ON s.state = i.state
+            ),
+            m3 AS (
+              SELECT s.state,
+                     CAST(COALESCE(i.inflow, 0) AS BIGINT) AS mass
+              FROM states s LEFT JOIN (
+                SELECT t.dst AS state,
+                       CAST(SUM((m.mass * t.n) // r.rowtot) AS BIGINT)
+                         AS inflow
+                FROM trans t
+                JOIN m2 m ON t.src = m.state
+                JOIN rowtot r ON t.src = r.src
+                GROUP BY 1
+              ) i ON s.state = i.state
+            ),
+            m4 AS (
+              SELECT s.state,
+                     CAST(COALESCE(i.inflow, 0) AS BIGINT) AS mass
+              FROM states s LEFT JOIN (
+                SELECT t.dst AS state,
+                       CAST(SUM((m.mass * t.n) // r.rowtot) AS BIGINT)
+                         AS inflow
+                FROM trans t
+                JOIN m3 m ON t.src = m.state
+                JOIN rowtot r ON t.src = r.src
+                GROUP BY 1
+              ) i ON s.state = i.state
+            )
+            SELECT state, mass AS mass_scaled FROM m4
+        """,
+        # 4-cycle census: canonical undirected edges from the same
+        # closed-form grid, wedge self-join, C(c,2) per diagonal pair
+        "graph_squares": """
+            WITH raw AS (
+              SELECT 'g' || p_partkey AS src,
+                     'g' || (p_partkey + 1) AS dst
+              FROM part WHERE p_partkey % 100 <> 99
+              UNION ALL
+              SELECT 'g' || p_partkey, 'g' || (p_partkey + 100)
+              FROM part WHERE (p_partkey // 100) % 10 <> 9
+              UNION ALL
+              SELECT 'g' || p_partkey, 'g' || (p_partkey + 101)
+              FROM part WHERE p_partkey % 100 <> 99
+                AND (p_partkey // 100) % 10 <> 9),
+            e AS (
+              SELECT DISTINCT least(src, dst) AS a,
+                     greatest(src, dst) AS b
+              FROM raw WHERE src <> dst),
+            adj AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            pairs AS (
+              SELECT u.b AS u, w.b AS w, count(*) AS n_common
+              FROM adj u JOIN adj w ON u.a = w.a AND u.b < w.b
+              GROUP BY 1, 2)
+            SELECT u, w, CAST(n_common AS BIGINT) AS n_common,
+                   CAST(n_common * (n_common - 1) // 2 AS BIGINT)
+                     AS c4_pairs
+            FROM pairs WHERE n_common >= 2
+        """,
+        # byte-exact N-Triples lines incl. the escape chain
+        # (backslash first, then quote, LF, CR; TAB stays literal)
+        "kg_ntriples": """
+            WITH t AS (
+              SELECT 'http://x.test/s' || p_partkey AS s,
+                     'http://x.test/p' || (p_partkey % 3) AS p,
+                     CASE WHEN p_partkey % 2 = 0
+                          THEN 'http://x.test/o' || (p_partkey % 50)
+                          ELSE 'v' || p_partkey || ' say "hi" '
+                               || chr(92) || ' ' || chr(10) || chr(13)
+                               || chr(9) || 'end'
+                     END AS o,
+                     p_partkey % 2 = 0 AS o_is_iri
+              FROM part)
+            SELECT '<' || s || '> <' || p || '> ' ||
+                   CASE WHEN o_is_iri THEN '<' || o || '>'
+                        ELSE '"' || replace(replace(replace(replace(o,
+                               chr(92), chr(92) || chr(92)),
+                               '"', chr(92) || '"'),
+                               chr(10), chr(92) || 'n'),
+                               chr(13), chr(92) || 'r') || '"'
+                   END || ' .' AS line
+            FROM t
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

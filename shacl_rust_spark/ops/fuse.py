@@ -41,3 +41,58 @@ def majority_vote(claims: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("s", "p", "o", "votes", "n_candidates")
     )
+
+
+def disambiguate_by_context(
+    mentions: DataFrame,
+    candidates: DataFrame,
+) -> DataFrame:
+    """Context-overlap entity disambiguation — the step after blocking
+    when a surface form maps to SEVERAL dictionary entities ("Paris"
+    the city vs the person): score every (mention, candidate) pair by
+    the number of DISTINCT tokens shared between the mention's context
+    and the candidate's description, and keep the argmax with a
+    deterministic tie-break (score desc, entity_id asc — two engines
+    agree bit-for-bit, and score 0 still links to the first candidate
+    rather than dropping the mention; the caller filters on ``score``
+    if it wants abstention).
+
+    mentions(mention_id, surface, tokens array<string>) ×
+    candidates(surface, entity_id, tokens array<string>) →
+    (mention_id, surface, entity_id, score, n_candidates).
+
+    Plan shape: the dense pair frame is mentions ⋈ candidates on
+    surface — bounded by the dictionary's ambiguity degree (candidates
+    per surface), NOT quadratic in mentions. The overlap count runs
+    SPARSE: explode both token arrays to (key, token) posting rows,
+    dedup, join on (surface, entity-pair, token) only where tokens
+    match, then re-attach to the dense pairs with a left join so
+    zero-overlap pairs keep score 0. Mentions whose surface has no
+    dictionary entry drop out (they are the linker's "unlinked" lane,
+    handled upstream)."""
+    m = mentions.select("mention_id", "surface", "tokens")
+    c = candidates.select("surface", "entity_id", "tokens")
+    m_tok = m.select(
+        "mention_id", "surface", F.explode("tokens").alias("tok")
+    ).dropDuplicates(["mention_id", "tok"])
+    c_tok = c.select(
+        "surface", "entity_id", F.explode("tokens").alias("tok")
+    ).dropDuplicates(["entity_id", "tok"])
+    overlap = (
+        m_tok.join(c_tok, ["surface", "tok"])
+        .groupBy("mention_id", "entity_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    pairs = m.drop("tokens").join(c.drop("tokens"), "surface")
+    scored = pairs.join(overlap, ["mention_id", "entity_id"], "left") \
+        .withColumn("score", F.coalesce("overlap", F.lit(0)).cast("bigint"))
+    w = Window.partitionBy("mention_id")
+    rank = Window.partitionBy("mention_id").orderBy(
+        F.col("score").desc(), F.col("entity_id").asc())
+    return (
+        scored.withColumn("n_candidates", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(rank))
+        .where(F.col("rn") == 1)
+        .select("mention_id", "surface", "entity_id", "score",
+                "n_candidates")
+    )

@@ -1098,3 +1098,145 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             .alias("n_wedges"),
         )
     )
+
+
+def markov_stationary(
+    trans: DataFrame,
+    iterations: int = 4,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """trans(src, dst, n) → (state string, mass_scaled bigint): the
+    empirical first-order Markov chain's mass vector after
+    ``iterations`` synchronous power-iteration steps, in the same
+    fixed-point-integer regime as :func:`pagerank` (reference's
+    ranking consumers: next-event prediction priors, crawl frontier
+    ordering by expected visit mass).
+
+    mass⁰(s) = scale DIV |states|;
+    massᵏ⁺¹(t) = Σ_{s→t} (massᵏ(s) · n_st) DIV rowtot(s).
+
+    Deliberate, deterministic semantics (the pagerank charter):
+    absorbing states (no outgoing transitions) leak their mass out of
+    the system per step rather than holding it — the vector is a
+    RANKING signal, not a probability that must sum to 1; floor
+    division truncates ≤ rowtot-1 units per source per step. Null or
+    non-positive counts are dropped. Every step is BIGINT, so the
+    unrolled SQL oracle is bit-identical. mass·n stays < 2⁶³ for
+    n < 9·10⁶ at the default scale (transition counts, not raw rows).
+
+    Scale design: identical to pagerank — the transition list is the
+    big side (URL-level or state-level chains can be web-sized), hash-
+    partitioned by ``src`` once with rowtot riding along; each step
+    shuffles only the state-cardinality mass frame.
+    """
+    spark = trans.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    trans = (
+        trans.select("src", "dst", F.col("n").cast("bigint").alias("n"))
+        .where(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+            & (F.col("n") > 0)
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+
+    loop_spark = _clone_session(spark)
+    if loop_spark is not None:
+        loop_spark.conf.set("spark.sql.adaptive.enabled", "false")
+        trans = _rebind(trans, loop_spark)
+        aqe_was = None
+    else:
+        loop_spark = spark
+        aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rowtot = trans.groupBy("src").agg(F.sum("n").alias("rowtot"))
+        linked = (
+            trans.join(rowtot, "src")
+            .repartition(n_parts, "src")
+            .localCheckpoint(eager=True)
+        )
+        states = (
+            trans.select(F.col("src").alias("state"))
+            .unionByName(trans.select(F.col("dst").alias("state")))
+            .dropDuplicates(["state"])
+            .repartition(n_parts, "state")
+            .localCheckpoint(eager=True)
+        )
+        n_states = states.count()
+        if n_states == 0:
+            return spark.createDataFrame(
+                [], "state string, mass_scaled bigint"
+            )
+        mass = states.withColumn(
+            "mass_scaled", F.lit(scale // n_states).cast("bigint")
+        ).localCheckpoint(eager=True)
+        for _ in range(iterations):
+            inflow = (
+                linked.join(mass, linked["src"] == mass["state"])
+                .select(
+                    F.col("dst"),
+                    F.expr("(mass_scaled * n) DIV rowtot").alias("share"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("share").alias("inflow"))
+            )
+            mass = (
+                states.join(inflow, states["state"] == inflow["dst"], "left")
+                .select(
+                    "state",
+                    F.coalesce("inflow", F.lit(0)).cast("bigint")
+                    .alias("mass_scaled"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        if aqe_was is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    if mass.sparkSession is not spark:
+        mass = _rebind(mass, spark)
+    return mass
+
+
+def square_pairs(edges: DataFrame, min_common: int = 2) -> DataFrame:
+    """4-cycle (square) census over the UNDIRECTED simple graph of
+    ``edges(src, dst)``: for every unordered node pair (u, w) with
+    c = |N(u) ∩ N(w)| ≥ ``min_common``, emit
+    (u, w, n_common, c4_pairs = C(c, 2)) — the number of 4-cycles in
+    which (u, w) is a DIAGONAL. Squares are the next motif after
+    triangles: on a near-dup pair graph they mark bipartite-template
+    structure (two page families cross-linked) that triangle counts
+    miss entirely. Total distinct 4-cycles = Σ c4_pairs / 2 (every
+    cycle u–x–w–y has exactly two diagonals, {u,w} and {x,y}).
+
+    Same wedge-join shape as :func:`triangles`: one self-join of the
+    canonical adjacency on the shared endpoint, then a pair aggregate
+    — work is Σ_x C(deg(x), 2) wedges, so at corpus scale the input
+    should be a degree-bounded candidate graph (LSH/simhash pair set),
+    exactly like the triangle and common-neighbor consumers. Exact
+    integers throughout.
+    """
+    if min_common < 2:
+        raise ValueError("min_common < 2 never completes a 4-cycle")
+    e = _canon_undirected(edges)
+    adj = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    wedges = (
+        adj.select(F.col("a").alias("x"), F.col("b").alias("u"))
+        .join(adj.select(F.col("a").alias("x"), F.col("b").alias("w")), "x")
+        .where(F.col("u") < F.col("w"))
+    )
+    return (
+        wedges.groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+        .select(
+            "u", "w",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.expr("(n_common * (n_common - 1)) div 2").cast("bigint")
+            .alias("c4_pairs"),
+        )
+    )

@@ -202,3 +202,60 @@ def induce_shapes(
             .cast("long").alias("suggest_in"),
         )
     )
+
+
+def ifp_sameas(
+    triples: DataFrame,
+    ifp_preds: list[str],
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """owl:InverseFunctionalProperty entity resolution: two subjects
+    asserting the SAME value for an inverse-functional predicate
+    (foaf:mbox, foaf:homepage, schema:isbn …) denote the same entity —
+    the highest-precision sameAs generator a web-scale KG has, and the
+    one the candidate-edge stage runs before fuzzy matchers.
+
+    triples(s, p, o) × ifp_preds → (a, b, via_p, via_o): one row per
+    unordered subject pair (a < b) and per (predicate, value) witness
+    that links them, deduped against multi-asserted claims. A pair
+    co-witnessed by two different IFPs appears twice (distinct via_p) —
+    downstream CC consumes the union; the per-witness rows are the
+    provenance the reference keeps for lineage.
+
+    Plan shape: filter to the (tiny) IFP predicate set in the scan
+    (predicate pushdown), dedup (s, p, o), then ONE self-join keyed on
+    (p, o) — the value buckets. Skew guard: ``max_bucket`` drops value
+    buckets with more subjects than the cap (a shared-mailbox /
+    parked-domain value links everything to everything — quadratic in
+    the bucket AND semantically worthless); the drop trades recall on
+    degenerate values exactly like the LSH stop-bucket policy
+    (ops/dedup.py MAX_BUCKET), and None (the verify path) keeps all.
+    """
+    claims = (
+        triples.where(F.col("p").isin(list(ifp_preds)))
+        .select("s", "p", "o")
+        .where(F.col("s").isNotNull() & F.col("o").isNotNull())
+        .dropDuplicates(["s", "p", "o"])
+    )
+    if max_bucket is not None:
+        sizes = claims.groupBy("p", "o").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        claims = (
+            claims.join(sizes, ["p", "o"])
+            .where(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
+    left = claims.select(
+        F.col("p").alias("via_p"), F.col("o").alias("via_o"),
+        F.col("s").alias("a"),
+    )
+    right = claims.select(
+        F.col("p").alias("via_p"), F.col("o").alias("via_o"),
+        F.col("s").alias("b"),
+    )
+    return (
+        left.join(right, ["via_p", "via_o"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "via_p", "via_o")
+    )

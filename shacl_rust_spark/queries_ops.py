@@ -2396,3 +2396,142 @@ def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer pair (ops/text.lexical_diversity) under the shared
     word_array tokenization contract."""
     return text.lexical_diversity(_docs(spark, sf_dir))
+
+
+def kg_ifp_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-functional-property sameAs inference
+    (ops/ontology.ifp_sameas) over a synthetic multi-asserted claim
+    mix: every customer asserts an mbox (shared in contiguous blocks
+    of 5) and a homepage (blocks of 11), each order RE-asserts its
+    customer's mbox (the at-least-once claim duplication the dedup
+    must collapse), and a non-IFP segment predicate rides along and
+    must be ignored. Block-DIV values keep witness-bucket sizes
+    scale-invariant (5 and 11 at every SF) — the gate runs the exact
+    uncapped path; max_bucket is the stated corpus-scale skew guard.
+    The oracle restates the filtered self-join."""
+    from .ops import ontology
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    subj = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    claims = (
+        c.select(
+            subj.alias("s"), F.lit("mbox").alias("p"),
+            F.concat(F.lit("m"), F.expr("c_custkey DIV 5")).alias("o"))
+        .unionByName(c.select(
+            subj.alias("s"), F.lit("home").alias("p"),
+            F.concat(F.lit("h"), F.expr("c_custkey DIV 11")).alias("o")))
+        .unionByName(c.select(
+            subj.alias("s"), F.lit("seg").alias("p"),
+            F.col("c_mktsegment").alias("o")))
+        .unionByName(o.select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("s"),
+            F.lit("mbox").alias("p"),
+            F.concat(F.lit("m"), F.expr("o_custkey DIV 5")).alias("o")))
+    )
+    return ontology.ifp_sameas(claims, ["mbox", "home"])
+
+
+def kg_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-overlap entity disambiguation
+    (ops/fuse.disambiguate_by_context): every 50th document is an
+    entity "description", the rest are mentions; surfaces collide mod
+    5 so each mention faces several candidates at every SF, and the winner is the
+    candidate whose first-20-token description shares the most
+    DISTINCT tokens with the mention's first-20-token context
+    (tie: entity_id asc). Real Zipfian document text drives the
+    scores; the oracle restates the sparse posting join + argmax."""
+    from .ops import fuse
+
+    d = _docs(spark, sf_dir)
+    toks = F.slice(F.split(F.col("text"), " "), 1, 20)
+    cands = d.where(F.col("doc_id") % 50 == 0).select(
+        F.concat(F.lit("s"), F.expr("(doc_id DIV 50) % 5"))
+        .alias("surface"),
+        F.concat(F.lit("e"), F.col("doc_id").cast("string"))
+        .alias("entity_id"),
+        toks.alias("tokens"),
+    )
+    mentions = d.where(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("mention_id"),
+        F.concat(F.lit("s"), F.expr("doc_id % 5")).alias("surface"),
+        toks.alias("tokens"),
+    )
+    return fuse.disambiguate_by_context(mentions, cands)
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point-integer Markov mass vector
+    (ops/graph.markov_stationary, 4 synchronous power steps) over the
+    first-order transition counts of every user's ts-ordered event
+    stream (ops/events.transitions) — the next-event-prediction /
+    frontier-ordering prior. Same BIGINT floor-division charter as
+    pagerank (absorbing states leak mass; deterministic across
+    engines), so the oracle unrolls the identical four steps."""
+    trans = events.transitions(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select(
+        F.col("from_type").alias("src"), F.col("to_type").alias("dst"),
+        "n",
+    )
+    return graph.markov_stationary(trans, iterations=4)
+
+
+def graph_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-cycle census (ops/graph.square_pairs) on a deterministic
+    100-wide grid-with-diagonals graph keyed off part: node k joins
+    k+1 (unless at the right wall), k+100 (unless in the dropped
+    band every 10th row — forces boundary handling), and k+101 (the
+    diagonal, making common-neighbor counts vary 2–4). Emits every
+    diagonal pair with ≥ 2 common neighbors and its C(c,2) cycle
+    count; total squares = Σ c4_pairs / 2. The oracle recomputes the
+    wedge join from the same closed-form edge list."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("p_partkey")
+    node = lambda e: F.concat(F.lit("g"), F.expr(e))  # noqa: E731
+    right = p.where(k % 100 != 99).select(
+        node("p_partkey").alias("src"),
+        node("p_partkey + 1").alias("dst"))
+    down = p.where(F.expr("(p_partkey DIV 100) % 10") != 9).select(
+        node("p_partkey").alias("src"),
+        node("p_partkey + 100").alias("dst"))
+    diag = p.where(
+        (k % 100 != 99) & (F.expr("(p_partkey DIV 100) % 10") != 9)
+    ).select(
+        node("p_partkey").alias("src"),
+        node("p_partkey + 101").alias("dst"))
+    return graph.square_pairs(
+        right.unionByName(down).unionByName(diag), min_common=2
+    )
+
+
+def kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-lane N-Triples export (rdf/serialize.ntriples_lines —
+    the codegen'd twin of the driver-side Term.n3 serializer) over a
+    synthetic triple set whose odd-key literals embed every character
+    the wire format must escape (backslash, quote, LF, CR) plus a TAB
+    that must stay literal; even keys are IRI objects. The oracle
+    rebuilds the exact lines with chr()-level replaces, so a single
+    mis-ordered escape flips the hash."""
+    from .rdf.serialize import ntriples_lines
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    nasty = F.concat(
+        F.lit("v"), F.col("p_partkey").cast("string"),
+        F.lit(' say "hi" \\ '), F.expr("char(10)"), F.expr("char(13)"),
+        F.lit("\tend"),
+    )
+    triples = p.select(
+        F.concat(F.lit("http://x.test/s"),
+                 F.col("p_partkey").cast("string")).alias("s"),
+        F.concat(F.lit("http://x.test/p"),
+                 (F.col("p_partkey") % 3).cast("string")).alias("p"),
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.concat(F.lit("http://x.test/o"),
+                     (F.col("p_partkey") % 50).cast("string")),
+        ).otherwise(nasty).alias("o"),
+        (F.col("p_partkey") % 2 == 0).alias("o_is_iri"),
+    )
+    return ntriples_lines(triples)

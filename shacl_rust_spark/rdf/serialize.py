@@ -279,3 +279,40 @@ def serialize_graph(graph: Graph, fmt: str,
         "Supported: ttl (turtle), nt (n-triples), nq (n-quads), trig, "
         "rdf (rdfxml/xml), jsonld (json-ld)"
     )
+
+
+def ntriples_lines(df, s: str = "s", p: str = "p", o: str = "o",
+                   o_is_iri: str = "o_is_iri"):
+    """Column-level N-Triples export for TABLE-backed triples — the
+    at-scale twin of :func:`to_ntriples` (which renders a driver-side
+    Graph): one codegen'd projection turns a (s, p, o, o_is_iri)
+    DataFrame into wire-format lines, so a 10^12-triple emission
+    serializes as a parallel scan-project-write with no Python and no
+    driver materialization. Escaping matches Term.n3 exactly
+    (term.py:46 — ``\\`` then ``"`` then LF then CR; the N-Triples
+    STRING_LITERAL_QUOTE charter, which leaves TAB literal), so the
+    driver path and the table path emit byte-identical lines for the
+    same triple. Subjects/predicates are IRIs by construction in the
+    table lane (the pipeline's emission schema); ``o_is_iri`` picks
+    the object rendering.
+
+    Returns a one-column DataFrame ``line`` ready for ``.write.text``.
+    """
+    from pyspark.sql import functions as F
+
+    def esc(col):
+        out = F.col(col)
+        for frm, to in (("\\", "\\\\"), ('"', '\\"'),
+                        ("\n", "\\n"), ("\r", "\\r")):
+            out = F.replace(out, F.lit(frm), F.lit(to))
+        return out
+
+    obj = F.when(
+        F.col(o_is_iri), F.concat(F.lit("<"), F.col(o), F.lit(">"))
+    ).otherwise(F.concat(F.lit('"'), esc(o), F.lit('"')))
+    return df.select(
+        F.concat(
+            F.lit("<"), F.col(s), F.lit("> <"), F.col(p), F.lit("> "),
+            obj, F.lit(" ."),
+        ).alias("line")
+    )

@@ -3631,3 +3631,162 @@ def test_q21_plan_semi_and_anti(spark):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# --- round-3 late batch: IFP sameAs / disambiguation / markov /
+# --- squares / table-lane N-Triples ---------------------------------------
+
+def test_ifp_sameas_dedup_filter_and_order(spark):
+    from shacl_rust_spark.ops.ontology import ifp_sameas
+
+    claims = spark.createDataFrame(
+        [
+            ("b", "mbox", "m1"), ("a", "mbox", "m1"),
+            ("a", "mbox", "m1"),            # re-asserted claim: one vote
+            ("c", "home", "m1"),            # same value, other predicate
+            ("a", "seg", "x"), ("b", "seg", "x"),  # non-IFP: ignored
+            ("z", "mbox", "m2"),            # singleton bucket: no pair
+        ],
+        "s string, p string, o string",
+    )
+    rows = ifp_sameas(claims, ["mbox", "home"]).collect()
+    assert [(r.a, r.b, r.via_p, r.via_o) for r in rows] == [
+        ("a", "b", "mbox", "m1")
+    ]
+
+
+def test_ifp_sameas_max_bucket_drops_degenerate_value(spark):
+    from shacl_rust_spark.ops.ontology import ifp_sameas
+
+    claims = spark.createDataFrame(
+        [(f"s{i}", "mbox", "shared@spam") for i in range(6)]
+        + [("x", "mbox", "rare"), ("y", "mbox", "rare")],
+        "s string, p string, o string",
+    )
+    capped = ifp_sameas(claims, ["mbox"], max_bucket=5).collect()
+    assert [(r.a, r.b) for r in capped] == [("x", "y")]
+    # uncapped keeps the full quadratic bucket: C(6,2) + 1
+    assert ifp_sameas(claims, ["mbox"]).count() == 16
+
+
+def test_disambiguate_by_context_scores_and_ties(spark):
+    from shacl_rust_spark.ops.fuse import disambiguate_by_context
+
+    mentions = spark.createDataFrame(
+        [
+            (1, "paris", ["eiffel", "tower", "seine", "seine"]),
+            (2, "paris", ["movie", "star"]),
+            (3, "paris", ["zzz"]),          # zero overlap everywhere
+            (4, "ghost", ["any"]),          # surface not in dictionary
+        ],
+        "mention_id long, surface string, tokens array<string>",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("paris", "e_city", ["seine", "eiffel", "france"]),
+            ("paris", "e_person", ["movie", "actress", "star"]),
+        ],
+        "surface string, entity_id string, tokens array<string>",
+    )
+    got = {
+        r.mention_id: (r.entity_id, r.score, r.n_candidates)
+        for r in disambiguate_by_context(mentions, cands).collect()
+    }
+    # duplicate context token counts once (DISTINCT overlap)
+    assert got[1] == ("e_city", 2, 2)
+    assert got[2] == ("e_person", 2, 2)
+    # zero overlap: deterministic tie-break to smallest entity_id
+    assert got[3] == ("e_city", 0, 2)
+    assert 4 not in got  # unlinked lane
+
+
+def test_markov_stationary_exact_integer_steps(spark):
+    from shacl_rust_spark.ops.graph import markov_stationary
+
+    # A -> B always; B -> A twice / B -> B once; rowtot(A)=2, rowtot(B)=3
+    trans = spark.createDataFrame(
+        [("A", "B", 2), ("B", "A", 2), ("B", "B", 1)],
+        "src string, dst string, n long",
+    )
+    scale = 90  # divisible start: 45 each
+    # step1: A = (45*2)//3 = 30 ; B = (45*2)//2 + (45*1)//3 = 60
+    # step2: A = (60*2)//3 = 40 ; B = (30*2)//2 + (60*1)//3 = 50
+    got = {
+        r.state: r.mass_scaled
+        for r in markov_stationary(trans, iterations=2,
+                                   scale=scale).collect()
+    }
+    assert got == {"A": 40, "B": 50}
+
+
+def test_markov_stationary_absorbing_state_leaks(spark):
+    from shacl_rust_spark.ops.graph import markov_stationary
+
+    trans = spark.createDataFrame(
+        [("A", "SINK", 1)], "src string, dst string, n long"
+    )
+    got = {
+        r.state: r.mass_scaled
+        for r in markov_stationary(trans, iterations=2,
+                                   scale=100).collect()
+    }
+    # step1: SINK gets A's 50, A gets 0. step2: SINK emits nothing.
+    assert got == {"A": 0, "SINK": 0}
+    one = {
+        r.state: r.mass_scaled
+        for r in markov_stationary(trans, iterations=1,
+                                   scale=100).collect()
+    }
+    assert one == {"A": 0, "SINK": 50}
+
+
+def test_square_pairs_c4_and_k4(spark):
+    from shacl_rust_spark.ops.graph import square_pairs
+    import pytest as _pytest
+
+    # one 4-cycle a-b-c-d: diagonals (a,c) and (b,d) each C(2,2)=1
+    c4 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    rows = {(r.u, r.w): (r.n_common, r.c4_pairs)
+            for r in square_pairs(c4).collect()}
+    assert rows == {("a", "c"): (2, 1), ("b", "d"): (2, 1)}
+    assert sum(v[1] for v in rows.values()) // 2 == 1
+
+    # K4 has 3 distinct 4-cycles; every one of the 6 pairs is a
+    # diagonal of exactly one
+    k4 = spark.createDataFrame(
+        [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]],
+        "src string, dst string",
+    )
+    k4rows = square_pairs(k4).collect()
+    assert len(k4rows) == 6
+    assert sum(r.c4_pairs for r in k4rows) // 2 == 3
+
+    with _pytest.raises(ValueError):
+        square_pairs(c4, min_common=1)
+
+
+def test_ntriples_lines_matches_driver_serializer(spark):
+    from shacl_rust_spark.rdf.serialize import ntriples_lines
+    from shacl_rust_spark.term import iri, literal
+
+    nasty = 'v say "hi" \\ \n\r\tend'
+    df = spark.createDataFrame(
+        [
+            ("http://x/s1", "http://x/p", "http://x/o", True),
+            ("http://x/s2", "http://x/p", nasty, False),
+        ],
+        "s string, p string, o string, o_is_iri boolean",
+    )
+    got = sorted(r.line for r in ntriples_lines(df).collect())
+    # the driver-side Term.n3 contract, byte for byte
+    expect = sorted([
+        f"{iri('http://x/s1').n3()} <http://x/p> "
+        f"{iri('http://x/o').n3()} .",
+        f"{iri('http://x/s2').n3()} <http://x/p> "
+        f"{literal(nasty).n3()} .",
+    ])
+    assert got == expect
+    assert "\\n" in got[1] and "\\r" in got[1] and "\t" in got[1]
