@@ -273,6 +273,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_stationary": O.events_markov_stationary,
         "graph_squares": O.graph_squares,
         "kg_ntriples": O.kg_ntriples,
+        "kg_skolemize": O.kg_skolemize,
+        "kg_disjoint_classes": O.kg_disjoint_classes,
+        "events_session_window_stream": O.events_session_window_stream,
+        "sketch_hll_merge": O.sketch_hll_merge,
+        "graph_conductance": O.graph_conductance,
     }
 
 
@@ -5355,6 +5360,154 @@ def oracle_sql() -> dict[str, str]:
                                chr(13), chr(92) || 'r') || '"'
                    END || ' .' AS line
             FROM t
+        """,
+        # skolemization: same md5(label) derivation in SQL; the
+        # substr(x,1,2)='_:' test is the exact startswith (LIKE would
+        # wildcard the underscore)
+        "kg_skolemize": """
+            WITH t AS (
+              SELECT CASE WHEN p_partkey % 3 = 0
+                          THEN '_:b' || p_partkey
+                          ELSE 'http://x.test/s' || p_partkey
+                     END AS s,
+                     'http://x.test/p' || (p_partkey % 4) AS p,
+                     CASE WHEN p_partkey % 10 = 0
+                          THEN '_:ob' || p_partkey
+                          WHEN p_partkey % 2 = 0
+                          THEN 'http://x.test/o' || (p_partkey % 50)
+                          ELSE 'lit ' || p_partkey
+                     END AS o,
+                     (p_partkey % 10 <> 0 AND p_partkey % 2 = 0)
+                       AS is_iri
+              FROM part)
+            SELECT CASE WHEN substr(s, 1, 2) = '_:'
+                        THEN 'http://example.org/.well-known/genid/'
+                             || md5(substr(s, 3))
+                        ELSE s END AS s,
+                   p,
+                   CASE WHEN NOT is_iri AND substr(o, 1, 2) = '_:'
+                        THEN 'http://example.org/.well-known/genid/'
+                             || md5(substr(o, 3))
+                        ELSE o END AS o,
+                   CAST(is_iri OR (NOT is_iri AND substr(o, 1, 2) = '_:')
+                        AS VARCHAR) AS o_is_iri
+            FROM t
+        """,
+        # disjointness audit: canonicalized axioms x deduped types,
+        # violations are the mod-12 residues
+        "kg_disjoint_classes": """
+            WITH types AS (
+              SELECT DISTINCT s, cls FROM (
+                SELECT 'e' || p_partkey AS s,
+                       'C' || (p_partkey % 6) AS cls FROM part
+                UNION ALL
+                SELECT 'e' || p_partkey,
+                       'C' || (p_partkey % 4 + 6) FROM part) q),
+            ax AS (
+              SELECT DISTINCT least(c1, c2) AS c1,
+                     greatest(c1, c2) AS c2
+              FROM (VALUES ('C0', 'C6'), ('C1', 'C7'), ('C8', 'C2'),
+                           ('C3', 'C3'), ('C6', 'C0')) v(c1, c2)
+              WHERE c1 <> c2)
+            SELECT DISTINCT t1.s, ax.c1, ax.c2
+            FROM types t1 JOIN ax ON t1.cls = ax.c1
+            JOIN types t2 ON t2.s = t1.s AND t2.cls = ax.c2
+        """,
+        # built-in session_window boundary rule: an event EXACTLY
+        # gap after the previous still MERGES (closed boundary, same
+        # as the custom sessionizer's strict >; verified by unit
+        # fixture with a gap-equal pair); end is exclusive (last+gap)
+        "events_session_window_stream": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                          WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS newf
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         CAST(SUM(newf) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+                  FROM g)
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end_excl,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, seq
+        """,
+        # merge gate: the oracle computes per-lang registers DIRECTLY;
+        # equality pins merge(per-source partials) == global
+        "sketch_hll_merge": """
+            WITH w2 AS (
+              SELECT lang, word FROM (
+                SELECT lang,
+                       unnest(string_split_regex(trim(text), ' +'))
+                         AS word
+                FROM documents
+              ) WHERE word <> ''
+            ),
+            r AS (
+              SELECT lang, substr(md5(word), 1, 3) AS bucket,
+                     CASE WHEN v = 0 THEN 61
+                          ELSE 61 - length(bin(v)) END AS rho
+              FROM (
+                SELECT lang, word,
+                       ('0x' || substr(md5(word), 4, 15))::BIGINT AS v
+                FROM w2
+              )
+            ),
+            regs AS (
+              SELECT lang, bucket, max(rho) AS m FROM r GROUP BY 1, 2
+            ),
+            pg AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_registers_used,
+                     CAST(sum(CASE WHEN m <= 50
+                                   THEN (1::BIGINT << (50 - m))
+                                   ELSE 0 END) AS BIGINT) AS s_used
+              FROM regs GROUP BY 1
+            ),
+            est AS (
+              SELECT lang, n_registers_used,
+                     1.3621383526174148e+22
+                       / (s_used
+                          + (4096 - n_registers_used)
+                            * (1::BIGINT << 50)) AS raw,
+                     4096 - n_registers_used AS empty
+              FROM pg
+            )
+            SELECT est.lang, est.n_registers_used,
+                   CASE WHEN est.raw <= 10240.0 AND est.empty > 0
+                        THEN 4096.0 * ln(4096.0 / est.empty)
+                        ELSE est.raw END AS est_distinct
+            FROM est
+        """,
+        "graph_conductance": _WORDS_CTE + _PAIR_GRAPH_CTE
+        + _lpa_ctes(4, final=False) + """
+            , sided AS MATERIALIZED (
+              SELECT p.a, p.b, la.community AS ca, lb.community AS cb
+              FROM p JOIN l4 la ON la.node = p.a
+                     JOIN l4 lb ON lb.node = p.b),
+            cdeg AS (
+              SELECT node, community, count(*) AS deg FROM (
+                SELECT a AS node, ca AS community FROM sided
+                UNION ALL SELECT b, cb FROM sided) q GROUP BY 1, 2),
+            vol AS (
+              SELECT community, count(*) AS n_nodes,
+                     CAST(sum(deg) AS BIGINT) AS volume
+              FROM cdeg GROUP BY 1),
+            cut AS (
+              SELECT community, count(*) AS cut FROM (
+                SELECT ca AS community FROM sided WHERE ca <> cb
+                UNION ALL SELECT cb FROM sided WHERE ca <> cb) q
+              GROUP BY 1),
+            mm AS (SELECT count(*) * 2 AS m2 FROM sided)
+            SELECT v.community, v.n_nodes, v.volume,
+                   CAST(COALESCE(c.cut, 0) AS BIGINT) AS cut,
+                   CAST(least(v.volume, mm.m2 - v.volume) AS BIGINT)
+                     AS denom
+            FROM vol v LEFT JOIN cut c USING (community)
+            CROSS JOIN mm
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

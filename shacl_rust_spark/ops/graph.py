@@ -1240,3 +1240,68 @@ def square_pairs(edges: DataFrame, min_common: int = 2) -> DataFrame:
             .alias("c4_pairs"),
         )
     )
+
+
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance terms over the undirected simple
+    graph: (community, n_nodes, volume, cut, denom) where volume is
+    the community's degree sum, cut the number of boundary edges
+    (exactly one endpoint inside), and denom = min(volume, 2m−volume)
+    — conductance φ = cut / denom is the standard community-quality
+    score (lower = better separated); the INTEGER term pair is
+    returned instead of the ratio so the cross-engine compare is
+    hash-exact (the graph_modularity charter — same inputs, different
+    quality functional: modularity rewards internal density vs the
+    null model, conductance penalizes boundary mass directly, and a
+    chance-bridged CC merge scores badly on conductance while LPA
+    splits score well).
+
+    labels(node, community): edges with an unlabeled endpoint are
+    dropped, and volume/cut/2m all describe that restricted graph
+    (audit label coverage first if that matters).
+    Plan shape: degree aggregate + one labels join per endpoint of the
+    canonical edge list — two node-cardinality shuffles and the
+    edge-labels joins; no quadratic term.
+    """
+    e = _canon_undirected(edges)
+    lab = labels.select("node", "community").dropDuplicates(["node"])
+    sided = (
+        e.join(lab.select(F.col("node").alias("a"),
+                          F.col("community").alias("ca")), "a")
+        .join(lab.select(F.col("node").alias("b"),
+                         F.col("community").alias("cb")), "b")
+        .localCheckpoint(eager=True)
+    )
+    # degrees/volumes over the RESTRICTED (both-endpoints-labeled)
+    # graph, so volume, cut, and 2m describe the same edge set
+    deg = (
+        sided.select(F.col("a").alias("node"),
+                     F.col("ca").alias("community"))
+        .unionByName(sided.select(F.col("b").alias("node"),
+                                  F.col("cb").alias("community")))
+        .groupBy("node", "community")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    vol = (
+        deg.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("volume"),
+        )
+    )
+    cut = (
+        sided.where(F.col("ca") != F.col("cb"))
+        .select(F.explode(F.array("ca", "cb")).alias("community"))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    m2 = sided.count() * 2  # labeled-edge volume total (2m)
+    return (
+        vol.join(cut, "community", "left")
+        .select(
+            "community", "n_nodes", "volume",
+            F.coalesce("cut", F.lit(0)).cast("bigint").alias("cut"),
+            F.least(F.col("volume"), F.lit(m2) - F.col("volume"))
+            .cast("bigint").alias("denom"),
+        )
+    )

@@ -259,3 +259,74 @@ def ifp_sameas(
         .where(F.col("a") < F.col("b"))
         .select("a", "b", "via_p", "via_o")
     )
+
+
+def skolemize(
+    triples: DataFrame,
+    base: str = "http://example.org/.well-known/genid/",
+) -> DataFrame:
+    """Deterministic blank-node skolemization (RDF 1.1 §3.5) for
+    TABLE-backed triples: every ``_:label`` subject/object is replaced
+    by ``base + md5(label)`` so downstream joins, dedup, and cross-run
+    diffs treat bnodes as stable IRIs — the device that makes a
+    10^12-triple emission with bnodes resumable (a re-run re-derives
+    the SAME skolem IRI, where fresh bnode ids would double every
+    node). Content-independent label hashing is the right scope here
+    because the table lane's bnode labels are already deterministic
+    (parser-assigned per source document); one codegen'd projection,
+    no shuffle, no Python.
+
+    Returns the same (s, p, o, o_is_iri) shape: a skolemized object
+    BECOMES an IRI (o_is_iri flips true) — the RDF-spec behavior.
+    """
+    def sk(col):
+        return F.concat(
+            F.lit(base), F.md5(F.substring(col, 3, 1 << 20))
+        )
+
+    s_is_b = F.col("s").startswith("_:")
+    o_is_b = (~F.col("o_is_iri")) & F.col("o").startswith("_:")
+    return triples.select(
+        F.when(s_is_b, sk(F.col("s"))).otherwise(F.col("s")).alias("s"),
+        F.col("p"),
+        F.when(o_is_b, sk(F.col("o"))).otherwise(F.col("o")).alias("o"),
+        (F.col("o_is_iri") | o_is_b).alias("o_is_iri"),
+    )
+
+
+def disjoint_violations(
+    types: DataFrame, axioms: DataFrame
+) -> DataFrame:
+    """owl:disjointWith audit — the KG-QA check that runs beside SHACL
+    validation at emit time: an entity typed in BOTH classes of a
+    disjointness axiom is inconsistent (usually an entity-resolution
+    over-merge, the canonical CC failure mode). types(s, cls) ×
+    axioms(c1, c2) → (s, c1, c2) with the axiom pair canonicalized
+    (least/greatest) so a symmetric assertion of the same axiom
+    counts once; duplicate type assertions dedup first.
+
+    Plan shape: the axiom table is ontology-sized → both class hops
+    are BROADCAST joins against the (already narrow) type table; the
+    only shuffle is the final dedup. Self-disjoint axioms (c1 = c2)
+    are dropped — owl:disjointWith is irreflexive for satisfiable
+    ontologies, and keeping them would flag every instance."""
+    ax = (
+        axioms.select(
+            F.least("c1", "c2").alias("c1"),
+            F.greatest("c1", "c2").alias("c2"),
+        )
+        .where(F.col("c1") != F.col("c2"))
+        .dropDuplicates(["c1", "c2"])
+    )
+    t = types.select("s", "cls").dropDuplicates(["s", "cls"])
+    return (
+        t.alias("t1")
+        .join(F.broadcast(ax), F.col("t1.cls") == F.col("c1"))
+        .join(
+            t.alias("t2"),
+            (F.col("t1.s") == F.col("t2.s"))
+            & (F.col("t2.cls") == F.col("c2")),
+        )
+        .select(F.col("t1.s").alias("s"), "c1", "c2")
+        .dropDuplicates(["s", "c1", "c2"])
+    )

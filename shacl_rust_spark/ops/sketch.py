@@ -260,3 +260,75 @@ def bloom_prefilter(
         missing.withColumnRenamed("_pk", "_miss"),
         probe_key == F.col("_miss"), "left_anti",
     )
+
+
+def hll_registers(
+    df: DataFrame, key: Column, group_cols: tuple = ()
+) -> DataFrame:
+    """The MERGEABLE half of :func:`hll_distinct`: per-group register
+    table (…group_cols, bucket, rho_max) — the sketch STATE a
+    distributed pipeline actually ships (per-partition / per-day /
+    per-source sketches unioned and max-merged, never raw keys). Same
+    md5 register/rank derivation as hll_distinct, so
+    ``hll_estimate(hll_merge(hll_registers(...)))`` over any
+    partitioning of the rows equals ``hll_distinct`` over their union
+    — max() is associative/commutative/idempotent, and the gate query
+    + oracle pin the implementation to that contract."""
+    gc = list(group_cols)
+    h = F.md5(key.cast("string"))
+    v = F.conv(
+        F.substring(h, _PREFIX_LEN + 1, 15), 16, 10
+    ).cast("bigint")
+    return (
+        df.where(key.isNotNull())
+        .select(
+            *gc,
+            F.substring(h, 1, _PREFIX_LEN).alias("bucket"),
+            F.when(v == 0, F.lit(61))
+            .otherwise(F.lit(61) - F.length(F.bin(v)))
+            .alias("rho"),
+        )
+        .groupBy(*gc, "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_merge(regs: DataFrame, group_cols: tuple = ()) -> DataFrame:
+    """Union-merge register tables down to ``group_cols`` by register-
+    wise max — the sketch algebra's ⊕. Input may carry EXTRA grouping
+    columns (source, day, partition id) that the merge folds away."""
+    gc = list(group_cols)
+    return regs.groupBy(*gc, "bucket").agg(
+        F.max("rho_max").alias("rho_max")
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: tuple = ()) -> DataFrame:
+    """Estimate distinct counts from a register table — the read-out
+    half of :func:`hll_distinct` (identical integer register sum and
+    small-range linear-counting correction; see that docstring for
+    the estimator charter)."""
+    gc = list(group_cols)
+    scaled = F.when(
+        F.col("rho_max") <= _SHIFT,
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {_SHIFT} - rho_max)"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    per_group = regs.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n_registers_used"),
+        F.sum(scaled).alias("_s_used"),
+    )
+    s_total = (
+        F.col("_s_used")
+        + (F.lit(_M) - F.col("n_registers_used"))
+        * F.lit(2 ** _SHIFT).cast("bigint")
+    )
+    raw = F.lit(scaled_alpha()) / s_total
+    empty = F.lit(_M) - F.col("n_registers_used")
+    linear = F.lit(float(_M)) * F.log(F.lit(float(_M)) / empty)
+    return per_group.select(
+        *gc,
+        "n_registers_used",
+        F.when((raw <= F.lit(2.5 * _M)) & (empty > 0), linear)
+        .otherwise(raw)
+        .alias("est_distinct"),
+    )

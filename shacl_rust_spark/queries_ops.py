@@ -2535,3 +2535,110 @@ def kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_partkey") % 2 == 0).alias("o_is_iri"),
     )
     return ntriples_lines(triples)
+
+
+def kg_skolemize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bnode skolemization (ops/ontology.skolemize) over
+    a synthetic triple mix: every third subject and every tenth
+    object is a blank node; skolem IRIs are base+md5(label), so the
+    oracle recomputes them with SQL md5 and a single case-branch slip
+    (wrong label offset, literal accidentally skolemized, o_is_iri
+    not flipped) breaks the hash."""
+    from .ops import ontology
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("p_partkey")
+    triples = p.select(
+        F.when(k % 3 == 0,
+               F.concat(F.lit("_:b"), k.cast("string")))
+        .otherwise(F.concat(F.lit("http://x.test/s"), k.cast("string")))
+        .alias("s"),
+        F.concat(F.lit("http://x.test/p"),
+                 (k % 4).cast("string")).alias("p"),
+        F.when(k % 10 == 0, F.concat(F.lit("_:ob"), k.cast("string")))
+        .when(k % 2 == 0,
+              F.concat(F.lit("http://x.test/o"), (k % 50).cast("string")))
+        .otherwise(F.concat(F.lit("lit "), k.cast("string")))
+        .alias("o"),
+        ((k % 10 != 0) & (k % 2 == 0)).alias("o_is_iri"),
+    )
+    return ontology.skolemize(triples).select(
+        "s", "p", "o", F.col("o_is_iri").cast("string").alias("o_is_iri")
+    )
+
+
+def kg_disjoint_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:disjointWith audit (ops/ontology.disjoint_violations):
+    entities carry two type generators (mod-6 and 6+mod-4 classes,
+    re-asserted once to exercise the dedup), the axiom table carries
+    a symmetric duplicate and a self-disjointness that must both be
+    canonicalized away; violations are the mod-12 residue classes the
+    oracle states directly."""
+    from .ops import ontology
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    ent = F.concat(F.lit("e"), F.col("p_partkey").cast("string"))
+    t1 = p.select(ent.alias("s"),
+                  F.concat(F.lit("C"), (F.col("p_partkey") % 6)
+                           .cast("string")).alias("cls"))
+    t2 = p.select(ent.alias("s"),
+                  F.concat(F.lit("C"), (F.col("p_partkey") % 4 + 6)
+                           .cast("string")).alias("cls"))
+    types = t1.unionByName(t2).unionByName(t1)
+    axioms = spark.createDataFrame(
+        [("C0", "C6"), ("C1", "C7"), ("C8", "C2"),
+         ("C3", "C3"), ("C6", "C0")],
+        "c1 string, c2 string",
+    )
+    return ontology.disjoint_violations(types, axioms)
+
+
+def events_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native streaming session windows
+    (streaming/stateful.streaming_session_windows — Spark's built-in
+    session_window aggregation with watermark state eviction, the
+    no-Python sibling of events_sessionize_stream) over the in-order
+    chunked replay; sentinel chunks flush every real session, so the
+    emitted set equals the batch gap-sessionization with the
+    built-in's >=-gap boundary rule — the oracle."""
+    from .streaming.stateful import session_window_replay_closed
+
+    return session_window_replay_closed(spark, f"{sf_dir}/events.parquet")
+
+
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability contract (ops/sketch.hll_registers →
+    hll_merge → hll_estimate): per-(lang, source) register tables —
+    the state a 100 TB pipeline ships instead of raw keys — union-
+    merged by register-wise max down to lang and estimated. The
+    oracle computes per-lang registers DIRECTLY from all rows, so the
+    gate passes iff merge(partials) ≡ global (max-associativity of
+    the implementation, bucket alignment, empty-register handling)."""
+    from .ops import sketch
+    from .ops.text import word_array
+
+    words = (
+        _docs(spark, sf_dir)
+        .select("lang", "source", F.explode(word_array()).alias("word"))
+        .where(F.col("word") != "")
+    )
+    partials = sketch.hll_registers(
+        words, F.col("word"), group_cols=("lang", "source")
+    )
+    merged = sketch.hll_merge(partials, group_cols=("lang",))
+    return sketch.hll_estimate(merged, group_cols=("lang",))
+
+
+def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance terms (ops/graph.conductance) of the
+    4-round LPA labeling over the Jaccard ≥ 0.8 near-dup pair graph —
+    (cut, volume, min-denominator) as exact integers; the boundary-
+    mass quality score that complements graph_modularity's density
+    functional on the same labeling. The oracle nests the identical
+    LPA unroll and states cut/volume directly."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    labels = graph.label_propagation(edges, rounds=4).select(
+        "node", "community"
+    )
+    return graph.conductance(edges, labels)

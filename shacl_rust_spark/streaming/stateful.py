@@ -505,3 +505,95 @@ def windowed_replay_closed(
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out.where(F.col("event_type") != "__flush__")
+
+
+def streaming_session_windows(
+    stream: DataFrame, gap: str = "30 minutes", delay: str = "30 minutes"
+) -> DataFrame:
+    """Spark's BUILT-IN session-window aggregation — the engine-native
+    sibling of streaming_sessionize (applyInPandasWithState): state
+    merging, watermark eviction, and append-mode emission are all
+    Catalyst's (SessionWindowStateStore), no Python in the loop. Kept
+    alongside the custom sessionizer deliberately: the custom one
+    carries per-session derived state the built-in can't (and is the
+    applyInPandasWithState showcase); this one is what you reach for
+    FIRST at scale when plain (start, end, count) sessions suffice.
+    Session semantics: an event exactly ``gap`` after the previous
+    one still MERGES into the session (the engine treats the window
+    end as a closed merge boundary — same gap-equal behavior as the
+    custom sessionizer's strict-> rule; pinned by unit fixture), and
+    the reported session end is EXCLUSIVE (last event + gap).
+    Integer-only output: (user_id, session_start, session_end_excl,
+    n_events), end EXCLUSIVE (last event + gap) — the engine's native
+    window.end, emitted verbatim rather than re-deriving last-event
+    ts, which the built-in does not expose."""
+    return (
+        stream
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end_excl"),
+            "n_events",
+        )
+    )
+
+
+def session_window_replay_closed(
+    spark, events_path: str, n_chunks: int = 4
+) -> DataFrame:
+    """Gate harness for streaming_session_windows: ascending-ts
+    chunked replay (1 file = 1 micro-batch) with two far-future
+    sentinel chunks (user_id -1, +1/+2 days) pushing the final
+    watermark past every real session's end so append mode emits the
+    complete real session set inside data batches; sentinel sessions
+    filter out. The emitted set then equals the batch
+    session_window group-by — the oracle (the windowed_replay_closed
+    device, keyed)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = child
+
+    pdf = (
+        spark.read.parquet(events_path)
+        .select("event_id", "ts", "user_id")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    d = tempfile.mkdtemp(prefix="sesswin_replay_")
+    try:
+        step = (len(pdf) + n_chunks - 1) // n_chunks
+        k = 0
+        for i in range(0, len(pdf), step):
+            pq.write_table(
+                pa.Table.from_pandas(pdf.iloc[i:i + step],
+                                     preserve_index=False),
+                f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
+            k += 1
+        for days in (1, 2):
+            tail = pdf.iloc[[-1]].copy()
+            tail["ts"] = tail["ts"] + pd.Timedelta(days=days)
+            tail["user_id"] = -1
+            tail["event_id"] = -days
+            pq.write_table(
+                pa.Table.from_pandas(tail, preserve_index=False),
+                f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
+            k += 1
+        name = "sesswin_replay_" + uuid.uuid4().hex[:8]
+        out = run_events_stream_once(
+            spark, d, streaming_session_windows, name)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out.where(F.col("user_id") >= 0)

@@ -3790,3 +3790,135 @@ def test_ntriples_lines_matches_driver_serializer(spark):
     ])
     assert got == expect
     assert "\\n" in got[1] and "\\r" in got[1] and "\t" in got[1]
+
+
+def test_skolemize_bnodes_become_stable_iris(spark):
+    import hashlib
+    from shacl_rust_spark.ops.ontology import skolemize
+
+    df = spark.createDataFrame(
+        [
+            ("_:b1", "p", "lit", False),
+            ("s1", "p", "_:b1", False),
+            ("s1", "p", "http://x/o", True),
+            ("s1", "p", "_:looks_like_iri", False),
+        ],
+        "s string, p string, o string, o_is_iri boolean",
+    )
+    rows = skolemize(df, base="urn:sk/").collect()
+    sk_b1 = "urn:sk/" + hashlib.md5(b"b1").hexdigest()
+    got = {(r.s, r.o, r.o_is_iri) for r in rows}
+    assert (sk_b1, "lit", False) in got          # subject skolemized
+    assert ("s1", sk_b1, True) in got            # object skolemized + flip
+    assert ("s1", "http://x/o", True) in got     # IRI untouched
+    # same label -> same IRI on both positions (join stability)
+    sk_other = "urn:sk/" + hashlib.md5(b"looks_like_iri").hexdigest()
+    assert ("s1", sk_other, True) in got
+
+
+def test_disjoint_violations_canonical_axioms(spark):
+    from shacl_rust_spark.ops.ontology import disjoint_violations
+
+    types = spark.createDataFrame(
+        [("x", "A"), ("x", "B"), ("x", "B"),   # dup assertion
+         ("y", "A"), ("z", "B"), ("w", "C"), ("w", "C")],
+        "s string, cls string",
+    )
+    axioms = spark.createDataFrame(
+        [("B", "A"), ("A", "B"), ("C", "C")],  # symmetric dup + self
+        "c1 string, c2 string",
+    )
+    rows = disjoint_violations(types, axioms).collect()
+    assert [(r.s, r.c1, r.c2) for r in rows] == [("x", "A", "B")]
+
+
+def test_conductance_two_triangles_bridge(spark):
+    from shacl_rust_spark.ops.graph import conductance
+
+    # two triangles joined by one bridge edge; communities = triangles
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    labels = spark.createDataFrame(
+        [(n, "t1") for n in "abc"] + [(n, "t2") for n in "def"],
+        "node string, community string",
+    )
+    got = {r.community: (r.n_nodes, r.volume, r.cut, r.denom)
+           for r in conductance(edges, labels).collect()}
+    # each triangle: volume 7 (6 internal half-edges + bridge), cut 1,
+    # 2m = 14, denom = min(7, 7) = 7
+    assert got == {"t1": (3, 7, 1, 7), "t2": (3, 7, 1, 7)}
+
+
+def test_conductance_drops_unlabeled_endpoint_edges(spark):
+    from shacl_rust_spark.ops.graph import conductance
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "zz")], "src string, dst string"
+    )
+    labels = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1")], "node string, community string"
+    )
+    got = conductance(edges, labels).collect()
+    # restricted graph is ONLY a-b: m2 = 2, community holds all of it
+    # so denom = min(2, 2 - 2) = 0 (conductance undefined == whole graph)
+    assert [(r.community, r.n_nodes, r.volume, r.cut, r.denom)
+            for r in got] == [("c1", 2, 2, 0, 0)]
+
+
+def test_hll_merge_equals_direct(spark):
+    from pyspark.sql import functions as F
+    from shacl_rust_spark.ops.sketch import (
+        hll_distinct, hll_estimate, hll_merge, hll_registers,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 7).cast("string").alias("part"),
+        F.concat(F.lit("k"), (F.col("id") % 1311).cast("string"))
+        .alias("key"),
+    )
+    direct = {
+        r.g: (r.n_registers_used, r.est_distinct)
+        for r in hll_distinct(df, F.col("key"), ("g",)).collect()
+    }
+    partials = hll_registers(df, F.col("key"), ("g", "part"))
+    merged = {
+        r.g: (r.n_registers_used, r.est_distinct)
+        for r in hll_estimate(hll_merge(partials, ("g",)),
+                              ("g",)).collect()
+    }
+    assert merged == direct
+
+
+def test_streaming_session_windows_batch_parity(spark, tmp_path):
+    import pandas as pd
+    from shacl_rust_spark.streaming.stateful import (
+        session_window_replay_closed,
+    )
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    eid = 0
+    for u, offs in [
+        (1, [0, 10, 29, 70]),          # 29->in-session, 70 gap>30m: new
+        (2, [0, 30, 90]),              # EXACTLY 30 min: new session
+    ]:
+        for mins in offs:
+            rows.append((eid, base + pd.Timedelta(minutes=mins), u))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    path = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+
+    out = session_window_replay_closed(spark, path, n_chunks=2)
+    got = sorted(
+        (r.user_id, r.session_start.minute + 60 * r.session_start.hour,
+         r.n_events)
+        for r in out.collect()
+    )
+    # user 1: [0,10,29] then [70]; user 2: the event EXACTLY 30 min
+    # after the previous MERGES (closed gap boundary), then [90]
+    assert got == [(1, 0, 3), (1, 70, 1), (2, 0, 2), (2, 90, 1)]
