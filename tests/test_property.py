@@ -635,3 +635,145 @@ def test_scd2_and_cdc_spark_match_models(spark, changelog, cdc_ops):
                  for r in cdc_apply(bdf, cdf,
                                     seq_cols=("seq",)).collect()}
         assert got_c == _model_cdc(base, chg)
+
+
+# --- round-3 late batch: squares / markov / conductance models -----------
+
+def _canon_edges(edges):
+    es = set()
+    for a, b in edges:
+        a, b = f"n{a}", f"n{b}"
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    return es
+
+
+def _square_pairs_model(edges, min_common=2):
+    """Common-neighbor formula model of ops/graph.square_pairs."""
+    from itertools import combinations
+
+    es = _canon_edges(edges)
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for u, w in combinations(sorted(adj), 2):
+        c = len(adj[u] & adj[w])
+        if c >= min_common:
+            out[(u, w)] = (c, c * (c - 1) // 2)
+    return out
+
+
+def _c4_enumerate(edges):
+    """INDEPENDENT brute-force count of distinct 4-cycles: for every
+    4-vertex subset, test each of the 3 diagonal splittings for the
+    cycle's 4 boundary edges."""
+    from itertools import combinations
+
+    es = _canon_edges(edges)
+    nodes = sorted({n for e in es for n in e})
+    cnt = 0
+    for a, b, c, d in combinations(nodes, 4):
+        for (p1, p2), (q1, q2) in [((a, c), (b, d)), ((a, b), (c, d)),
+                                   ((a, d), (b, c))]:
+            ring = [(p1, q1), (q1, p2), (p2, q2), (q2, p1)]
+            if all(tuple(sorted(x)) in es for x in ring):
+                cnt += 1
+    return cnt
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                max_size=24))
+def test_square_formula_equals_enumeration(edges):
+    """Σ C(c_uw, 2) over all pairs counts every 4-cycle exactly twice
+    (once per diagonal) — the identity square_pairs relies on, checked
+    against independent subset enumeration on arbitrary small graphs."""
+    pairs = _square_pairs_model(edges)
+    assert sum(v[1] for v in pairs.values()) == 2 * _c4_enumerate(edges)
+
+
+def _markov_model(trans, iters, scale):
+    from collections import defaultdict
+
+    agg = defaultdict(int)
+    for s, d, n in trans:
+        if n > 0:
+            agg[(f"s{s}", f"s{d}")] += n
+    states = sorted({s for s, _ in agg} | {d for _, d in agg})
+    if not states:
+        return {}
+    rowtot = defaultdict(int)
+    for (s, _d), n in agg.items():
+        rowtot[s] += n
+    x = {t: scale // len(states) for t in states}
+    for _ in range(iters):
+        nx = {t: 0 for t in states}
+        for (s, d), n in agg.items():
+            nx[d] += (x[s] * n) // rowtot[s]
+        x = nx
+    return x
+
+
+def _conductance_model(edges, labels):
+    es = _canon_edges(edges)
+    lab = {f"n{n}": c for n, c in labels}
+    sided = [(a, b) for a, b in es if a in lab and b in lab]
+    out = {}
+    m2 = 2 * len(sided)
+    for a, b in sided:
+        for node in (a, b):
+            c = lab[node]
+            st = out.setdefault(c, {"nodes": set(), "vol": 0, "cut": 0})
+            st["nodes"].add(node)
+            st["vol"] += 1
+        if lab[a] != lab[b]:
+            out[lab[a]]["cut"] += 1
+            out[lab[b]]["cut"] += 1
+    return {
+        c: (len(s["nodes"]), s["vol"], s["cut"],
+            min(s["vol"], m2 - s["vol"]))
+        for c, s in out.items()
+    }
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                max_size=18),
+       st.lists(st.tuples(st.integers(0, 4), st.integers(0, 4),
+                          st.integers(1, 5)), max_size=12),
+       st.lists(st.tuples(st.integers(0, 6), st.integers(0, 2)),
+                max_size=10))
+def test_squares_markov_conductance_match_models(spark, edges, trans,
+                                                 labelled):
+    from shacl_rust_spark.ops import graph
+
+    if edges:
+        df = spark.createDataFrame(
+            [(f"n{a}", f"n{b}") for a, b in edges], ["src", "dst"])
+        got = {(r.u, r.w): (r.n_common, r.c4_pairs)
+               for r in graph.square_pairs(df).collect()}
+        assert got == _square_pairs_model(edges)
+
+        labels = {f"n{n}": f"c{c}" for n, c in labelled}
+        if labels:
+            ldf = spark.createDataFrame(
+                sorted(labels.items()), ["node", "community"])
+            gotc = {r.community: (r.n_nodes, r.volume, r.cut, r.denom)
+                    for r in graph.conductance(df, ldf).collect()}
+            want = _conductance_model(
+                edges, [(n, f"c{c}") for n, c in labelled])
+            # model keys carry community names already prefixed
+            want = {c: v for c, v in want.items()}
+            assert gotc == want
+
+    if trans:
+        tdf = spark.createDataFrame(
+            [(f"s{s}", f"s{d}", n) for s, d, n in trans],
+            "src string, dst string, n long")
+        gotm = {r.state: r.mass_scaled
+                for r in graph.markov_stationary(
+                    tdf, iterations=3, scale=10**6).collect()}
+        assert gotm == _markov_model(trans, 3, 10**6)
