@@ -3922,3 +3922,32 @@ def test_streaming_session_windows_batch_parity(spark, tmp_path):
     # user 1: [0,10,29] then [70]; user 2: the event EXACTLY 30 min
     # after the previous MERGES (closed gap boundary), then [90]
     assert got == [(1, 0, 3), (1, 70, 1), (2, 0, 2), (2, 90, 1)]
+
+
+def test_ntriples_and_skolemize_plans_are_shuffle_free(spark):
+    """The two table-lane export/rewrite ops' scale contract: a
+    10^12-row serialization or skolemization is one codegen'd
+    scan-project per partition — ZERO exchanges, no Python, no
+    aggregation anywhere in the executed plan."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in ("kg_ntriples", "kg_skolemize"):
+        plan = (
+            qs[name](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, name
+        assert "Aggregate" not in plan, name
+
+
+def test_disjoint_violations_broadcasts_axioms(spark):
+    """The ontology-sized axiom table must reach both class hops as a
+    broadcast — a shuffled axiom join would re-shuffle the 10^12-row
+    type table twice for a table of thousands."""
+    import __spark_entry__ as e
+
+    df = e.queries()["kg_disjoint_classes"](
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
