@@ -278,6 +278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window_stream": O.events_session_window_stream,
         "sketch_hll_merge": O.sketch_hll_merge,
         "graph_conductance": O.graph_conductance,
+        "kg_datatype_inference": O.kg_datatype_inference,
+        "kg_acronym_link": O.kg_acronym_link,
     }
 
 
@@ -5508,6 +5510,79 @@ def oracle_sql() -> dict[str, str]:
                      AS denom
             FROM vol v LEFT JOIN cut c USING (community)
             CROSS JOIN mm
+        """,
+        # typed-literal gates restated with regexp_matches, same
+        # most-specific-first order, xsd:string fallthrough
+        "kg_datatype_inference": """
+            WITH lex AS (
+              SELECT CAST(p_partkey AS VARCHAR) AS key,
+                     CASE
+                       WHEN p_partkey % 6 = 0 THEN '12' || p_partkey
+                       WHEN p_partkey % 6 = 1 THEN '-' || p_partkey
+                       WHEN p_partkey % 6 = 2
+                         THEN p_partkey || '.' || (p_partkey % 100)
+                       WHEN p_partkey % 6 = 3
+                         THEN CASE WHEN p_partkey % 2 = 1
+                                   THEN 'true' ELSE 'false' END
+                       WHEN p_partkey % 6 = 4
+                         THEN '19' || (92 + p_partkey % 8)
+                              || '-0' || (1 + p_partkey % 9)
+                              || '-1' || (p_partkey % 10)
+                       WHEN p_partkey % 12 = 5
+                         THEN '19' || (92 + p_partkey % 8)
+                              || '-0' || (1 + p_partkey % 9)
+                              || '-1' || (p_partkey % 10)
+                              || 'T0' || (p_partkey % 10)
+                              || ':00:0' || (p_partkey % 6) || 'Z'
+                       ELSE 'plain ' || p_partkey
+                     END AS lex
+              FROM part)
+            SELECT key, lex,
+                   CASE
+                     WHEN regexp_matches(lex, '^(true|false)$')
+                       THEN 'http://www.w3.org/2001/XMLSchema#boolean'
+                     WHEN regexp_matches(lex, '^[+-]?[0-9]+$')
+                       THEN 'http://www.w3.org/2001/XMLSchema#integer'
+                     WHEN regexp_matches(lex, '^[+-]?[0-9]*\.[0-9]+$')
+                       THEN 'http://www.w3.org/2001/XMLSchema#decimal'
+                     WHEN regexp_matches(lex,
+                       '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                       THEN 'http://www.w3.org/2001/XMLSchema#date'
+                     WHEN regexp_matches(lex,
+                       '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}Z?$')
+                       THEN 'http://www.w3.org/2001/XMLSchema#dateTime'
+                     ELSE 'http://www.w3.org/2001/XMLSchema#string'
+                   END AS datatype
+            FROM lex
+        """,
+        # acronym derivation via list_transform word initials,
+        # case-insensitive equality join
+        "kg_acronym_link": """
+            WITH ents AS (
+              SELECT 'e' || p_partkey AS entity_id,
+                     'Alpha ' || (p_partkey % 7)
+                       || ' Beta ' || (p_partkey % 3) AS name
+              FROM part WHERE p_partkey % 5 = 0
+                AND p_partkey < 200),
+            dic AS (
+              SELECT entity_id,
+                     array_to_string(
+                       list_transform(string_split(name, ' '),
+                                      x -> substr(x, 1, 1)), '')
+                       AS acronym
+              FROM ents),
+            m AS (
+              SELECT o_orderkey AS mention_id,
+                     (CASE WHEN o_orderkey % 2 = 0
+                           THEN 'A' ELSE 'a' END)
+                     || (o_orderkey % 7)
+                     || (CASE WHEN o_orderkey % 4 = 0
+                              THEN 'B' ELSE 'b' END)
+                     || (o_orderkey % 3) AS surface
+              FROM orders WHERE o_orderkey % 3 = 0)
+            SELECT m.mention_id, m.surface, d.entity_id, d.acronym
+            FROM m JOIN dic d
+              ON lower(m.surface) = lower(d.acronym)
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

@@ -330,3 +330,68 @@ def disjoint_violations(
         .select(F.col("t1.s").alias("s"), "c1", "c2")
         .dropDuplicates(["s", "c1", "c2"])
     )
+
+
+# xsd datatype lexical gates, most-specific-first (the emit-stage
+# typing pass tries them in order; anchored regexes, engine-portable)
+_DATATYPE_RULES: tuple = (
+    ("http://www.w3.org/2001/XMLSchema#boolean", r"^(true|false)$"),
+    ("http://www.w3.org/2001/XMLSchema#integer", r"^[+-]?[0-9]+$"),
+    ("http://www.w3.org/2001/XMLSchema#decimal",
+     r"^[+-]?[0-9]*\.[0-9]+$"),
+    ("http://www.w3.org/2001/XMLSchema#date",
+     r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("http://www.w3.org/2001/XMLSchema#dateTime",
+     r"^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}Z?$"),
+)
+
+
+def infer_literal_datatype(col) -> "F.Column":
+    """Column expression mapping a literal's LEXICAL form to the xsd
+    datatype a typed emission would stamp on it — the KG-construction
+    typing pass that turns scraped strings into typed literals before
+    SHACL sh:datatype validation sees them. Anchored regex gates,
+    most-specific first (boolean before integer is irrelevant;
+    integer before decimal is not), xsd:string as the fallthrough —
+    deterministic and engine-portable (plain character classes, no
+    locale, no engine date parser, which two engines would disagree
+    on for exotic inputs). Pure codegen: no shuffle, no Python."""
+    expr = F.lit("http://www.w3.org/2001/XMLSchema#string")
+    for dt, pat in reversed(_DATATYPE_RULES):
+        expr = F.when(col.rlike(pat), F.lit(dt)).otherwise(expr)
+    return expr
+
+
+def acronym_candidates(
+    entities: DataFrame, mentions: DataFrame
+) -> DataFrame:
+    """Acronym-alias candidate generation for entity linking: an
+    all-caps-ish short mention ("WHO") blocks against the dictionary
+    entry whose NAME's word-initials spell it ("World Health
+    Organization") — the alias lane the surface-form and fuzzy
+    matchers both miss. entities(entity_id, name) ×
+    mentions(mention_id, surface) → (mention_id, surface, entity_id,
+    acronym), case-insensitive equality on the derived acronym.
+
+    Plan shape: the acronym is derived MAP-SIDE on the (small)
+    dictionary with transform/array_join (no Python), then the join
+    keys on lower(acronym) — dictionary-sized build side, broadcast
+    against the mention stream at scale. Multi-entity acronym
+    collisions ("ACL") emit one row per colliding entity: this is a
+    CANDIDATE generator, the context disambiguator
+    (fuse.disambiguate_by_context) picks."""
+    acro = F.array_join(
+        F.transform(F.split(F.col("name"), " "),
+                    lambda w: w.substr(1, 1)),
+        "",
+    )
+    dic = entities.select(
+        "entity_id", "name", F.lower(acro).alias("_k"),
+        acro.alias("acronym"),
+    )
+    m = mentions.select(
+        "mention_id", "surface", F.lower(F.col("surface")).alias("_k")
+    )
+    return m.join(F.broadcast(dic), "_k").select(
+        "mention_id", "surface", "entity_id", "acronym"
+    )

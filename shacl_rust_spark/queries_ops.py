@@ -2642,3 +2642,81 @@ def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", "community"
     )
     return graph.conductance(edges, labels)
+
+
+def kg_datatype_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-literal emission pass (ops/ontology
+    .infer_literal_datatype): six closed-form lexical families built
+    from part keys — plain/negative integers, decimals, booleans,
+    dates, dateTimes, and free text — each stamped with its xsd
+    datatype by the anchored-regex gates; the oracle restates the
+    same gates with SQL regexp_matches, so a mis-anchored pattern or
+    wrong rule order flips the hash."""
+    from .ops import ontology
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("p_partkey")
+    lex = (
+        F.when(k % 6 == 0, F.concat(F.lit("12"), k.cast("string")))
+        .when(k % 6 == 1, F.concat(F.lit("-"), k.cast("string")))
+        .when(k % 6 == 2,
+              F.concat(k.cast("string"), F.lit("."),
+                       (k % 100).cast("string")))
+        .when(k % 6 == 3,
+              F.when(k % 2 == 1, F.lit("true")).otherwise(F.lit("false")))
+        .when(k % 6 == 4,
+              F.concat(F.lit("19"), (92 + k % 8).cast("string"),
+                       F.lit("-0"), (1 + k % 9).cast("string"),
+                       F.lit("-1"), (k % 10).cast("string")))
+        .otherwise(
+            F.when(k % 12 == 5,
+                   F.concat(F.lit("19"), (92 + k % 8).cast("string"),
+                            F.lit("-0"), (1 + k % 9).cast("string"),
+                            F.lit("-1"), (k % 10).cast("string"),
+                            F.lit("T0"), (k % 10).cast("string"),
+                            F.lit(":00:0"), (k % 6).cast("string"),
+                            F.lit("Z")))
+            .otherwise(F.concat(F.lit("plain "), k.cast("string"))))
+    )
+    return p.select(
+        k.cast("string").alias("key"),
+        lex.alias("lex"),
+        ontology.infer_literal_datatype(lex).alias("datatype"),
+    )
+
+
+def kg_acronym_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acronym-alias candidate generation (ops/ontology
+    .acronym_candidates): a synthetic multi-word dictionary (a FIXED
+    40-entity key range so 'Alpha <d> Beta <d>' name families collide
+    ~2 entities per acronym at every SF — the candidate-not-decision
+    contract with a bounded fan-out) against
+    a mention stream where every third order emits the acronym
+    surface in varying case; the oracle re-derives word-initial
+    acronyms with SQL list_transform."""
+    from .ops import ontology
+
+    n = spark.read.parquet(f"{sf_dir}/part.parquet")
+    entities = n.where(
+        (F.col("p_partkey") % 5 == 0) & (F.col("p_partkey") < 200)
+    ).select(
+        F.concat(F.lit("e"), F.col("p_partkey").cast("string"))
+        .alias("entity_id"),
+        F.concat(
+            F.lit("Alpha "), (F.col("p_partkey") % 7).cast("string"),
+            F.lit(" Beta "), (F.col("p_partkey") % 3).cast("string"),
+        ).alias("name"),
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mentions = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("mention_id"),
+        F.concat(
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("a")),
+            (F.col("o_orderkey") % 7).cast("string"),
+            F.when(F.col("o_orderkey") % 4 == 0, F.lit("B"))
+            .otherwise(F.lit("b")),
+            (F.col("o_orderkey") % 3).cast("string"),
+        ).alias("surface"),
+    )
+    return ontology.acronym_candidates(entities, mentions)

@@ -3951,3 +3951,50 @@ def test_disjoint_violations_broadcasts_axioms(spark):
         spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_infer_literal_datatype_families(spark):
+    from shacl_rust_spark.ops.ontology import infer_literal_datatype
+    from pyspark.sql import functions as F
+
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    cases = [
+        ("42", "integer"), ("-7", "integer"), ("+0", "integer"),
+        ("3.14", "decimal"), (".5", "decimal"), ("-0.0", "decimal"),
+        ("true", "boolean"), ("false", "boolean"),
+        ("1999-12-31", "date"),
+        ("1999-12-31T23:59:59", "dateTime"),
+        ("1999-12-31T23:59:59Z", "dateTime"),
+        ("True", "string"),          # case-sensitive boolean lexicals
+        ("1999-13-99", "date"),      # lexical gate, not a calendar
+        ("12 34", "string"), ("", "string"), ("1e5", "string"),
+        ("5.", "string"),            # trailing-dot is not xsd:decimal
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in cases], "lex string")
+    got = dict(
+        df.select("lex",
+                  infer_literal_datatype(F.col("lex")).alias("dt"))
+        .collect()
+    )
+    for v, want in cases:
+        assert got[v] == xsd + want, (v, got[v])
+
+
+def test_acronym_candidates_collisions_and_case(spark):
+    from shacl_rust_spark.ops.ontology import acronym_candidates
+
+    ents = spark.createDataFrame(
+        [("e1", "World Health Organization"),
+         ("e2", "Wildlife Habitat Org"),      # same acronym: collision
+         ("e3", "Single")],
+        "entity_id string, name string",
+    )
+    ments = spark.createDataFrame(
+        [(1, "WHO"), (2, "who"), (3, "S"), (4, "nope")],
+        "mention_id long, surface string",
+    )
+    rows = acronym_candidates(ents, ments).collect()
+    got = sorted((r.mention_id, r.entity_id) for r in rows)
+    # WHO matches BOTH colliding entities, case-insensitively
+    assert got == [(1, "e1"), (1, "e2"), (2, "e1"), (2, "e2"),
+                   (3, "e3")]
