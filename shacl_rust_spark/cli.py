@@ -252,6 +252,45 @@ def _induce_command(args) -> int:
     return 0
 
 
+def _export_command(args) -> int:
+    """Table-lane N-Triples export: TRIPLES_TYPE parquet →
+    rdf/serialize.ntriples_lines_terms → distributed text write (or a
+    stdout stream via toLocalIterator — partition-bounded memory, for
+    piping small extracts). The at-scale counterpart of
+    `validate --output-format nt` (which serializes the driver-side
+    report graph)."""
+    from pyspark.sql import SparkSession
+
+    from .rdf.serialize import ntriples_lines_terms
+    from .schema import TRIPLES_TYPE
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(args.cpus, 8)))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = None
+    for path in args.data_parquet:
+        part = spark.read.parquet(path)
+        missing = {f.name for f in TRIPLES_TYPE.fields} - set(part.columns)
+        if missing:
+            print(f"error: {path} is missing columns {sorted(missing)} "
+                  "(need s/p/o per schema.TRIPLES_TYPE)",
+                  file=sys.stderr)
+            return 1
+        part = part.select("s", "p", "o")
+        df = part if df is None else df.unionByName(part)
+    lines = ntriples_lines_terms(df)
+    if args.output:
+        lines.write.mode("overwrite").text(args.output)
+    else:
+        for row in lines.toLocalIterator():
+            print(row.line)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="shacl-validator",
@@ -317,6 +356,20 @@ def main(argv: list[str] | None = None) -> int:
     ind.add_argument("-o", "--output", default=None)
     ind.add_argument("--cpus", type=int, default=8)
 
+    exp = sub.add_parser(
+        "export",
+        help="serialize a parquet triples table (schema.TRIPLES_TYPE) "
+             "to N-Triples at scale — one codegen'd scan-project, "
+             "no driver materialization")
+    exp.add_argument("--data-parquet", action="append", required=True,
+                     metavar="DIR",
+                     help="TRIPLES_TYPE parquet dir; repeatable, unioned")
+    exp.add_argument("-o", "--output", default=None,
+                     metavar="OUT_DIR",
+                     help="write partitioned .nt text here (distributed); "
+                          "omit to stream lines to stdout")
+    exp.add_argument("--cpus", type=int, default=8)
+
     args = ap.parse_args(argv)
     if args.command == "parse":
         return _parse_command(args)
@@ -324,6 +377,8 @@ def main(argv: list[str] | None = None) -> int:
         return _info_command(args)
     if args.command == "induce":
         return _induce_command(args)
+    if args.command == "export":
+        return _export_command(args)
     return _validate_command(args)
 
 

@@ -316,3 +316,51 @@ def ntriples_lines(df, s: str = "s", p: str = "p", o: str = "o",
             obj, F.lit(" ."),
         ).alias("line")
     )
+
+
+def ntriples_lines_terms(df):
+    """TERM-struct twin of :func:`ntriples_lines` for TRIPLES_TYPE
+    tables (schema.py — (s struct, p string, o struct)): renders the
+    full Term.n3 surface per row — IRIs, bnodes, plain / lang-tagged /
+    datatyped literals — as one codegen'd projection (CLI `export`
+    reads the pipeline's parquet sink through this; the driver-side
+    to_ntriples stays the small-graph path and the byte-format
+    contract both implementations share). Lines are NOT sorted (the
+    driver path sorts; a 10^12-row export orders by partition layout
+    — N-Triples is order-insensitive)."""
+    from pyspark.sql import functions as F
+
+    def esc(col):
+        out = col
+        for frm, to in (("\\", "\\\\"), ('"', '\\"'),
+                        ("\n", "\\n"), ("\r", "\\r")):
+            out = F.replace(out, F.lit(frm), F.lit(to))
+        return out
+
+    def term(col):
+        lit_body = F.concat(F.lit('"'), esc(col["value"]), F.lit('"'))
+        lit_full = (
+            F.when(col["lang"] != "",
+                   F.concat(lit_body, F.lit("@"), col["lang"]))
+            .when(
+                (col["datatype"] != "")
+                & (col["datatype"]
+                   != "http://www.w3.org/2001/XMLSchema#string"),
+                F.concat(lit_body, F.lit("^^<"), col["datatype"],
+                         F.lit(">")))
+            .otherwise(lit_body)
+        )
+        return (
+            F.when(col["kind"] == "iri",
+                   F.concat(F.lit("<"), col["value"], F.lit(">")))
+            .when(col["kind"] == "bnode",
+                  F.concat(F.lit("_:"), col["value"]))
+            .otherwise(lit_full)
+        )
+
+    return df.select(
+        F.concat(
+            term(F.col("s")), F.lit(" <"), F.col("p"), F.lit("> "),
+            term(F.col("o")), F.lit(" ."),
+        ).alias("line")
+    )

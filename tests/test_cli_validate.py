@@ -233,3 +233,51 @@ def test_data_parquet_rejects_wrong_schema(spark, files, tmp_path, capsys):
     err = capsys.readouterr().err
     assert rc == 2
     assert "not a triples table" in err
+
+
+def test_export_roundtrips_through_driver_serializer(spark, tmp_path,
+                                                     capsys):
+    """CLI export over a TRIPLES_TYPE parquet table emits byte-for-byte
+    the driver serializer's to_ntriples lines (unordered)."""
+    from shacl_rust_spark.cli import main
+    from shacl_rust_spark.rdf.graph import Graph
+    from shacl_rust_spark.rdf.serialize import to_ntriples
+    from shacl_rust_spark.schema import graph_to_df
+    from shacl_rust_spark.term import Triple, bnode, iri, literal
+
+    g = Graph()
+    for t in [
+        Triple(iri("http://x/s"), "http://x/p", iri("http://x/o")),
+        Triple(bnode("b0"), "http://x/p", literal('we said "hi"\n')),
+        Triple(iri("http://x/s"), "http://x/q",
+               literal("chat", lang="en")),
+        Triple(iri("http://x/s"), "http://x/r",
+               literal("5", datatype="http://www.w3.org/2001/"
+                            "XMLSchema#integer")),
+    ]:
+        g.add(t)
+    path = str(tmp_path / "triples.parquet")
+    graph_to_df(spark, g).write.parquet(path)
+
+    out_dir = str(tmp_path / "out_nt")
+    assert main(["export", "--data-parquet", path, "-o", out_dir,
+                 "--cpus", "2"]) == 0
+    got = sorted(
+        ln for r in spark.read.text(out_dir).collect()
+        if (ln := r.value.strip())
+    )
+    want = sorted(ln for ln in to_ntriples(g).splitlines() if ln)
+    assert got == want
+
+    # stdout streaming path
+    assert main(["export", "--data-parquet", path, "--cpus", "2"]) == 0
+    streamed = sorted(
+        ln for ln in capsys.readouterr().out.splitlines() if ln.strip()
+    )
+    assert streamed == want
+
+    # schema rejection
+    bad = str(tmp_path / "bad.parquet")
+    spark.range(3).write.parquet(bad)
+    assert main(["export", "--data-parquet", bad, "-o", out_dir,
+                 "--cpus", "2"]) == 1
