@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_conductance": O.graph_conductance,
         "kg_datatype_inference": O.kg_datatype_inference,
         "kg_acronym_link": O.kg_acronym_link,
+        "curation_mad": O.curation_mad,
+        "events_concurrency": O.events_concurrency,
     }
 
 
@@ -5583,6 +5585,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.mention_id, m.surface, d.entity_id, d.acronym
             FROM m JOIN dic d
               ON lower(m.surface) = lower(d.acronym)
+        """,
+        # two-stage lower-median order statistics, k=3 flags
+        "curation_mad": """
+            WITH base AS (
+              SELECT doc_id, lang, n_chars FROM documents),
+            r1 AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM base),
+            med AS (
+              SELECT lang, n_chars AS med FROM r1
+              WHERE rn = (n + 1) // 2),
+            dev AS (
+              SELECT b.doc_id, b.lang, b.n_chars, m.med,
+                     abs(b.n_chars - m.med) AS adev
+              FROM base b JOIN med m USING (lang)),
+            r2 AS (
+              SELECT lang, adev,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY adev, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM dev),
+            mad AS (
+              SELECT lang, adev AS mad FROM r2
+              WHERE rn = (n + 1) // 2)
+            SELECT d.doc_id, d.lang, d.n_chars, d.med, x.mad,
+                   CASE WHEN d.adev > 3 * x.mad THEN 1 ELSE 0 END
+                     AS is_outlier
+            FROM dev d JOIN mad x USING (lang)
+        """,
+        # flat sweep-line running sum over boundary seconds — the
+        # single-sequence twin of the hierarchical day-split scan
+        "events_concurrency": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                          WHEN floor(epoch(ts))::BIGINT
+                             - floor(epoch(lag(ts) OVER w))::BIGINT
+                               > 1800
+                          THEN 1 ELSE 0 END AS newf
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         CAST(SUM(newf) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_seq
+                  FROM g),
+            sess AS (
+              SELECT user_id, session_seq,
+                     floor(epoch(min(ts)))::BIGINT AS s_sec,
+                     floor(epoch(max(ts)))::BIGINT AS e_sec
+              FROM s GROUP BY 1, 2),
+            deltas AS (
+              SELECT sec, CAST(SUM(d) AS BIGINT) AS delta FROM (
+                SELECT s_sec AS sec, 1 AS d FROM sess
+                UNION ALL
+                SELECT e_sec + 1, -1 FROM sess) q
+              GROUP BY 1),
+            conc AS (
+              SELECT sec,
+                     SUM(delta) OVER (ORDER BY sec
+                       ROWS UNBOUNDED PRECEDING) AS concurrent
+              FROM deltas)
+            SELECT CAST(sec - (sec % 3600) AS BIGINT) AS hour_sec,
+                   CAST(max(concurrent) AS BIGINT) AS max_concurrent
+            FROM conc GROUP BY 1
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

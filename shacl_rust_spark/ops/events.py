@@ -516,3 +516,72 @@ def path_triples(events: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), "t1", "t2", "t3")
         .limit(k)
     )
+
+
+def session_concurrency(sessions: DataFrame) -> DataFrame:
+    """Sweep-line concurrency over session intervals: from
+    (session_start, session_end) rows (inclusive bounds, whole-second
+    semantics — sessionize's grain) compute the number of
+    simultaneously-open sessions at every boundary second and report
+    the per-hour MAXIMUM — the capacity-planning curve (peak
+    simultaneous users per hour).
+
+    The prefix sum is HIERARCHICAL, not a single-partition window: +1
+    at start_sec / −1 at end_sec+1 deltas aggregate per second (one
+    shuffle), run within each DAY under a day-partitioned window, and
+    the cross-day carry is a window over per-day totals — day
+    cardinality is calendar-bounded, so the only unpartitioned window
+    runs over a tiny frame while the second-level work stays fully
+    parallel (the two-level scan every distributed prefix-sum needs;
+    a global Window.orderBy would serialize the whole timeline
+    through one task at corpus scale).
+
+    Output: (hour_sec epoch-seconds, max_concurrent bigint) for hours
+    containing at least one boundary; between boundaries concurrency
+    is constant, so hours with no boundary inherit the previous
+    hour's closing value — the consumer gap-fills with gapfill() if a
+    dense hourly series is needed (documented approximation at hour
+    grain: the reported max is exact for every hour that contains a
+    boundary)."""
+    from pyspark.sql import Window
+
+    start_sec = F.expr("unix_seconds(cast(session_start as timestamp))")
+    end_sec = F.expr("unix_seconds(cast(session_end as timestamp))")
+    deltas = (
+        sessions.select(start_sec.alias("sec"), F.lit(1).alias("d"))
+        .unionByName(
+            sessions.select((end_sec + 1).alias("sec"),
+                            F.lit(-1).alias("d")))
+        .groupBy("sec")
+        .agg(F.sum("d").alias("delta"))
+    )
+    day = (F.col("sec") - (F.col("sec") % 86400)).alias("day")
+    per_sec = deltas.select(day, "sec", "delta")
+    w_day = Window.partitionBy("day").orderBy("sec")
+    within = per_sec.withColumn(
+        "run_in_day", F.sum("delta").over(w_day)
+    )
+    day_tot = per_sec.groupBy("day").agg(
+        F.sum("delta").alias("day_sum")
+    )
+    w_days = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = day_tot.withColumn(
+        "carry", F.coalesce(F.sum("day_sum").over(w_days), F.lit(0))
+    ).select("day", "carry")
+    conc = (
+        within.join(carry, "day")
+        .select(
+            "sec",
+            (F.col("run_in_day") + F.col("carry")).alias("concurrent"),
+        )
+    )
+    return (
+        conc.withColumn(
+            "hour_sec",
+            (F.col("sec") - (F.col("sec") % 3600)).cast("bigint"),
+        )
+        .groupBy("hour_sec")
+        .agg(F.max("concurrent").cast("bigint").alias("max_concurrent"))
+    )

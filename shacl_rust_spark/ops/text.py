@@ -928,3 +928,57 @@ def lexical_diversity(docs: DataFrame) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+
+def mad_outliers(
+    docs: DataFrame, k: int = 3
+) -> DataFrame:
+    """Median-absolute-deviation outlier flags for document lengths —
+    the robust-statistics sibling of winsorize_lengths (percentile
+    clips): per language, med = n_chars at sorted position ⌈n/2⌉ (the
+    LOWER median — pure integer selection, no interpolated midpoint,
+    same engine-exactness argument as the winsorize bounds), mad =
+    the same order statistic of |n_chars − med|, and a doc is an
+    outlier when |n_chars − med| > k·mad. MAD tolerates up to 50 %
+    contamination where mean/stddev break at one 10 MB page — the
+    robust filter a crawled corpus needs. Output: (doc_id, lang,
+    n_chars, med, mad, is_outlier ∈ {0,1}) — all integers.
+
+    Plan: two window shuffles on lang (value rank, then deviation
+    rank) + two lang-cardinality joins AQE broadcasts; deviations
+    derive from the med JOIN, never a second scan of a huge upstream.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select("doc_id", "lang", "n_chars")
+
+    def order_stat(df, val_col, pos_num, pos_den):
+        w = Window.partitionBy("lang").orderBy(val_col, "doc_id")
+        ranked = df.withColumn("_rn", F.row_number().over(w))
+        n = ranked.groupBy("lang").agg(F.max("_rn").alias("_n"))
+        return (
+            ranked.join(n, "lang")
+            .where(
+                F.col("_rn")
+                == F.floor((F.lit(pos_num) * F.col("_n")
+                            + F.lit(pos_den - 1)) / F.lit(pos_den))
+            )
+            .select("lang", F.col(val_col).alias("_stat"))
+        )
+
+    med = order_stat(base, "n_chars", 1, 2).withColumnRenamed(
+        "_stat", "med")
+    dev = base.join(med, "lang").withColumn(
+        "_dev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = order_stat(dev.select("doc_id", "lang",
+                                F.col("_dev").alias("n_chars")),
+                     "n_chars", 1, 2).withColumnRenamed("_stat", "mad")
+    return (
+        dev.join(mad, "lang")
+        .select(
+            "doc_id", "lang", "n_chars", "med", "mad",
+            F.when(F.col("_dev") > F.lit(k) * F.col("mad"), F.lit(1))
+            .otherwise(F.lit(0)).alias("is_outlier"),
+        )
+    )

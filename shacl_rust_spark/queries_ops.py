@@ -2720,3 +2720,24 @@ def kg_acronym_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("surface"),
     )
     return ontology.acronym_candidates(entities, mentions)
+
+
+def curation_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier flags on per-language document lengths
+    (ops/text.mad_outliers, k=3): lower-median order statistics for
+    both center and spread, pure integer comparisons; the oracle
+    restates the two-stage selection with SQL windows."""
+    return text.mad_outliers(_docs(spark, sf_dir), k=3)
+
+
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions per hour (ops/events
+    .session_concurrency — sweep-line deltas + HIERARCHICAL two-level
+    prefix sum: fully-parallel within-day running sums, calendar-
+    bounded cross-day carry) over the gap-sessionized events table;
+    the oracle runs the flat single-sequence running sum, so the gate
+    passes iff the day-split carry math is exact."""
+    sess = events.sessionize(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    return events.session_concurrency(sess)

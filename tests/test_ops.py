@@ -3998,3 +3998,48 @@ def test_acronym_candidates_collisions_and_case(spark):
     # WHO matches BOTH colliding entities, case-insensitively
     assert got == [(1, "e1"), (1, "e2"), (2, "e1"), (2, "e2"),
                    (3, "e3")]
+
+
+def test_mad_outliers_lower_median_and_flags(spark):
+    from shacl_rust_spark.ops.text import mad_outliers
+
+    # lang 'x': lengths 10,10,10,10,1000 -> med 10, devs {0,0,0,0,990}
+    # -> mad 0 -> the 1000 doc flags (990 > 3*0); the four 10s don't.
+    rows = [(i, "x", 10) for i in range(4)] + [(99, "x", 1000)]
+    # lang 'y': even count exercises the LOWER median: 1,2,3,4 -> med 2
+    rows += [(200 + i, "y", v) for i, v in enumerate([1, 2, 3, 4])]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {r.doc_id: (r.med, r.mad, r.is_outlier)
+           for r in mad_outliers(df, k=3).collect()}
+    assert got[99] == (10, 0, 1)
+    assert got[0] == (10, 0, 0)
+    # y: med=2, devs |1-2|,|2-2|,|3-2|,|4-2| = 1,0,1,2 sorted 0,1,1,2
+    # lower median at pos 2 -> mad=1; outlier iff dev > 3
+    assert got[200] == (2, 1, 0) and got[203] == (2, 1, 0)
+
+
+def test_session_concurrency_cross_day_carry(spark):
+    import datetime as dt
+    from shacl_rust_spark.ops.events import session_concurrency
+
+    d0 = dt.datetime(2026, 1, 1, 23, 0)
+    rows = [
+        # session A: 23:00 day1 -> 01:00 day2 (crosses midnight)
+        (1, d0, d0 + dt.timedelta(hours=2)),
+        # session B: 00:30 day2 -> 00:40 day2 (overlaps A: peak 2)
+        (2, d0 + dt.timedelta(hours=1, minutes=30),
+         d0 + dt.timedelta(hours=1, minutes=40)),
+    ]
+    sess = spark.createDataFrame(
+        rows, "user_id long, session_start timestamp, "
+              "session_end timestamp")
+    got = {r.hour_sec: r.max_concurrent
+           for r in session_concurrency(sess).collect()}
+    h = lambda t: int(t.replace(tzinfo=dt.timezone.utc).timestamp()  # noqa: E731
+                      ) // 3600 * 3600
+    # 23:00 day1: A opens -> 1. 00:30 day2: B opens -> 2 (the carry
+    # from day1 must survive the day split). 00:40+1s: B closes -> 1.
+    # 01:00+1s: A closes -> 0.
+    assert got[h(d0)] == 1
+    assert got[h(d0 + dt.timedelta(hours=1))] == 2
+    assert got[h(d0 + dt.timedelta(hours=2))] == 0
