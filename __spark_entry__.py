@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_acronym_link": O.kg_acronym_link,
         "curation_mad": O.curation_mad,
         "events_concurrency": O.events_concurrency,
+        "events_cusum": O.events_cusum,
     }
 
 
@@ -5654,6 +5655,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sec - (sec % 3600) AS BIGINT) AS hour_sec,
                    CAST(max(concurrent) AS BIGINT) AS max_concurrent
             FROM conc GROUP BY 1
+        """,
+        # CUSUM via s_t = p_t - min(0, min prefix p): two stock
+        # windows on the scaled-integer steps
+        "events_cusum": """
+            WITH hourly AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts))::BIGINT
+                          - (floor(epoch(ts))::BIGINT % 3600)
+                          AS BIGINT) AS hour_sec,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2),
+            tot AS (
+              SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM hourly GROUP BY 1),
+            stepped AS (
+              SELECT h.event_type, h.hour_sec, h.n_events, t.total,
+                     h.n_events * 2 * t.n - 3 * t.total AS step
+              FROM hourly h JOIN tot t USING (event_type)),
+            p AS (
+              SELECT event_type, hour_sec, n_events, total,
+                     SUM(step) OVER win AS psum
+              FROM stepped
+              WINDOW win AS (PARTITION BY event_type ORDER BY hour_sec
+                             ROWS UNBOUNDED PRECEDING)),
+            c AS (
+              SELECT event_type, hour_sec, n_events, total,
+                     psum - least(MIN(psum) OVER win, 0)
+                       AS cusum_scaled
+              FROM p
+              WINDOW win AS (PARTITION BY event_type ORDER BY hour_sec
+                             ROWS UNBOUNDED PRECEDING))
+            SELECT event_type, hour_sec, n_events,
+                   CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+                   CASE WHEN cusum_scaled > 4 * 3 * total
+                        THEN 1 ELSE 0 END AS alarm
+            FROM c
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

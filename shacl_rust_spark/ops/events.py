@@ -585,3 +585,66 @@ def session_concurrency(sessions: DataFrame) -> DataFrame:
         .groupBy("hour_sec")
         .agg(F.max("concurrent").cast("bigint").alias("max_concurrent"))
     )
+
+
+def cusum_alarms(
+    events: DataFrame, k_num: int = 3, k_den: int = 2, h_mult: int = 4
+) -> DataFrame:
+    """One-sided CUSUM drift detection over per-type hourly event
+    counts — the monitoring primitive for "did this event type's rate
+    shift upward": classic recurrence s_t = max(0, s_{t-1} + x_t − k)
+    with reference value k = k_num/k_den · mean hourly count and alarm
+    threshold h = h_mult · k. The recurrence is NOT window-expressible
+    directly, but has the exact prefix identity
+    s_t = p_t − min_{i ≤ t} p_i with p_t = Σ_{j ≤ t}(x_j − k) — two
+    stock windows (running sum, running min), no recursion, no UDF.
+    Everything stays INTEGER by scaling through k_den·n_hours: with
+    mean = total/n (rational), x_j − k scales to
+    x_j·k_den·n − k_num·total, so both engines compute bit-identical
+    statistics. Output: (event_type, hour_sec, n_events,
+    cusum_scaled, alarm ∈ {0,1}).
+
+    Plan: one (type, hour) aggregate shuffle; the two windows
+    partition BY TYPE, so the per-type hourly timeline (horizon-
+    bounded) is the only sequential frame and types run parallel —
+    the same bounded-sequence charter as the per-user session
+    windows."""
+    from pyspark.sql import Window
+
+    sec = F.expr("unix_seconds(cast(ts as timestamp))")
+    hourly = (
+        events.select(
+            "event_type",
+            (sec - (sec % 3600)).cast("bigint").alias("hour_sec"),
+        )
+        .groupBy("event_type", "hour_sec")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("n_events").alias("_total"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_sec")
+    run = Window.partitionBy("event_type").orderBy("hour_sec") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    scaled = (
+        hourly.join(tot, "event_type")
+        .withColumn(
+            "_step",
+            F.col("n_events") * F.lit(k_den) * F.col("_n")
+            - F.lit(k_num) * F.col("_total"),
+        )
+        .withColumn("_p", F.sum("_step").over(run))
+        .withColumn("_pmin", F.least(F.min("_p").over(run), F.lit(0)))
+        .withColumn("cusum_scaled", F.col("_p") - F.col("_pmin"))
+    )
+    # h = h_mult·k in the same scaling: h_mult·k_num·total
+    return scaled.select(
+        "event_type", "hour_sec", "n_events",
+        F.col("cusum_scaled").cast("bigint").alias("cusum_scaled"),
+        F.when(
+            F.col("cusum_scaled")
+            > F.lit(h_mult) * F.lit(k_num) * F.col("_total"),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("alarm"),
+    )

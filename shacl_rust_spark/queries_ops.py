@@ -2741,3 +2741,13 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet")
     )
     return events.session_concurrency(sess)
+
+
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly CUSUM drift alarms (ops/events.cusum_alarms,
+    k = 1.5×mean, h = 4k): the recurrence evaluated through the exact
+    prefix-min identity in scaled integers; the oracle restates the
+    identical two windows."""
+    return events.cusum_alarms(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )

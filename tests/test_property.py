@@ -777,3 +777,24 @@ def test_squares_markov_conductance_match_models(spark, edges, trans,
                 for r in graph.markov_stationary(
                     tdf, iterations=3, scale=10**6).collect()}
         assert gotm == _markov_model(trans, 3, 10**6)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(-50, 50), min_size=1, max_size=40))
+def test_cusum_prefix_identity(steps):
+    """The window form ops/events.cusum_alarms evaluates —
+    s_t = p_t − min(0, min_{i≤t} p_i) — equals the textbook
+    recurrence s_t = max(0, s_{t-1} + x_t) on arbitrary step series."""
+    s = 0
+    rec = []
+    for x in steps:
+        s = max(0, s + x)
+        rec.append(s)
+    # pmin tracks min over prefix INCLUDING the current row, exactly
+    # like the window's ROWS UNBOUNDED PRECEDING min
+    p, pmin, idn = 0, 0, []
+    for x in steps:
+        p += x
+        pmin = min(pmin, p)
+        idn.append(p - min(0, pmin))
+    assert idn == rec
