@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_mad": O.curation_mad,
         "events_concurrency": O.events_concurrency,
         "events_cusum": O.events_cusum,
+        "dedup_canonical": O.dedup_canonical,
     }
 
 
@@ -5703,6 +5704,22 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY 1"
     )
     # LSH recall meta-eval: nest both verified twins, count the join
+    # keep-best canonical selection: nest the verified cluster SQL
+    # and the verified quality SQL, argmax per component
+    o["dedup_canonical"] = (
+        "WITH comp AS (" + o["dedup_components"] + "), "
+        "q AS (" + o["text_quality"] + "), "
+        "j AS (SELECT c.doc_id, c.component, q.is_quality, q.n_words "
+        "FROM comp c JOIN q ON c.doc_id = q.doc_id), "
+        "r AS (SELECT doc_id, component, "
+        "first_value(doc_id) OVER (PARTITION BY component "
+        "ORDER BY is_quality DESC, n_words DESC, doc_id ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        "AS canonical_id FROM j) "
+        "SELECT doc_id, component, canonical_id, "
+        "CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END AS demoted "
+        "FROM r"
+    )
     o["dedup_eval_recall"] = (
         "WITH ex AS (" + o["dedup_jaccard"] + "), "
         "lsh AS (" + o["dedup_minhash_lsh"] + "), "

@@ -2751,3 +2751,35 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.cusum_alarms(
         spark.read.parquet(f"{sf_dir}/events.parquet")
     )
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority canonical selection for near-dup clusters —
+    the dedup policy production corpora actually want (keep the BEST
+    member, not the smallest id): the LSH→CC cluster labeling
+    (dedup_components) joined to the quality profile
+    (text.quality_scores) and argmax'd per component by
+    (is_quality desc, n_words desc, doc_id asc). Output one row per
+    clustered doc with its cluster's chosen canonical and a demotion
+    flag — the anti-join input for the keep-best dedup pass. The
+    oracle nests the verified components SQL and restates the argmax.
+    """
+    from pyspark.sql import Window
+
+    labels = dedup_components(spark, sf_dir)
+    q = text.quality_scores(_docs(spark, sf_dir))
+    joined = labels.join(q, "doc_id")
+    w = (
+        Window.partitionBy("component")
+        .orderBy(F.col("is_quality").desc(), F.col("n_words").desc(),
+                 F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return joined.select(
+        "doc_id", "component",
+        F.first("doc_id").over(w).alias("canonical_id"),
+    ).withColumn(
+        "demoted",
+        F.when(F.col("doc_id") != F.col("canonical_id"), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
