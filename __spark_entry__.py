@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_concurrency": O.events_concurrency,
         "events_cusum": O.events_cusum,
         "dedup_canonical": O.dedup_canonical,
+        "events_late_data_stream": O.events_late_data_stream,
     }
 
 
@@ -5693,6 +5694,44 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN cusum_scaled > 4 * 3 * total
                         THEN 1 ELSE 0 END AS alarm
             FROM c
+        """,
+        # closed-form watermark admission, MEASURED on this engine's
+        # availableNow file replay and pinned at three SFs: the
+        # watermark batch k evaluates against is max event ts of
+        # chunks <= k-2 (minus 30 min) — watermark updates propagate
+        # with one commit of lag — and a (possibly 2h-shifted) row
+        # counts iff its window end is >= that watermark
+        "events_late_data_stream": """
+            WITH arr AS (
+              SELECT event_id, ts AS arrival_ts, event_type,
+                     CASE WHEN event_id % 17 = 0
+                          THEN ts - INTERVAL 2 HOUR ELSE ts
+                     END AS ev_ts,
+                     row_number() OVER (ORDER BY ts, event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events),
+            ch AS (
+              SELECT *, (rn - 1) // ((n + 5) // 6) AS chunk FROM arr),
+            cmax AS (
+              SELECT chunk, max(ev_ts) AS chunk_max
+              FROM ch GROUP BY 1),
+            wm AS (
+              SELECT chunk,
+                     max(chunk_max) OVER (ORDER BY chunk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                       AS prev_max
+              FROM cmax),
+            admitted AS (
+              SELECT c.event_type,
+                     date_trunc('hour', c.ev_ts) AS win_start
+              FROM ch c JOIN wm USING (chunk)
+              WHERE wm.prev_max IS NULL
+                 OR epoch_ms(date_trunc('hour', c.ev_ts)
+                             + INTERVAL 1 HOUR)
+                    >= epoch_ms(wm.prev_max) - 1800000)
+            SELECT win_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM admitted GROUP BY 1, 2
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

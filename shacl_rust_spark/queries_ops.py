@@ -2783,3 +2783,15 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") != F.col("canonical_id"), F.lit(1))
         .otherwise(F.lit(0)),
     )
+
+
+def events_late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP semantics
+    (streaming/stateful.late_replay_closed): every 17th event arrives
+    2 h event-time-late; tumbling counts must exclude exactly the
+    rows whose window end the inter-batch watermark had already
+    passed. The oracle states the admission rule in closed form over
+    the same deterministic chunking."""
+    from .streaming.stateful import late_replay_closed
+
+    return late_replay_closed(spark, f"{sf_dir}/events.parquet")

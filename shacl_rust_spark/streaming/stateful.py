@@ -597,3 +597,73 @@ def session_window_replay_closed(
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out.where(F.col("user_id") >= 0)
+
+
+def late_replay_closed(
+    spark, events_path: str, n_chunks: int = 6
+) -> DataFrame:
+    """Late-data DROP semantics gate: every 17th event's EVENT TIME is
+    shifted 2 h earlier while its ARRIVAL position is unchanged, so
+    once the watermark (30 min delay) has passed a shifted row's
+    window end, the engine must discard it — the one watermark
+    behavior the strictly-in-order replays never exercise. Chunks are
+    cut over ARRIVAL order (1 file = 1 micro-batch, equal row
+    counts); two far-future sentinels flush the final windows. The
+    oracle reproduces the admission rule in closed form, as MEASURED
+    on this engine's availableNow replay and pinned at three SFs: the
+    watermark micro-batch k applies is (max event time of chunks
+    ≤ k−2) − delay — watermark updates propagate with ONE COMMIT OF
+    LAG, so a batch never sees the watermark its immediate
+    predecessor established — and a row is admitted iff its window
+    end ≥ that watermark. The two far-future sentinels exist for
+    exactly this lag: the second one's batch finally sees the
+    watermark the first advanced, flushing every real window.
+
+    Emits streaming_tumbling_counts' (win_start, event_type,
+    n_events) over the admitted set."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = child
+
+    pdf = (
+        spark.read.parquet(events_path)
+        .select("event_id", "ts", "event_type")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    late = pdf["event_id"] % 17 == 0
+    pdf.loc[late, "ts"] = pdf.loc[late, "ts"] - pd.Timedelta(hours=2)
+    d = tempfile.mkdtemp(prefix="late_replay_")
+    try:
+        step = (len(pdf) + n_chunks - 1) // n_chunks
+        k = 0
+        for i in range(0, len(pdf), step):
+            pq.write_table(
+                pa.Table.from_pandas(pdf.iloc[i:i + step],
+                                     preserve_index=False),
+                f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
+            k += 1
+        for days in (1, 2):
+            tail = pdf.iloc[[-1]].copy()
+            tail["ts"] = tail["ts"] + pd.Timedelta(days=days)
+            tail["event_type"] = "__flush__"
+            tail["event_id"] = -days
+            pq.write_table(
+                pa.Table.from_pandas(tail, preserve_index=False),
+                f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
+            k += 1
+        name = "late_replay_" + uuid.uuid4().hex[:8]
+        out = run_events_stream_once(
+            spark, d, streaming_tumbling_counts, name)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out.where(F.col("event_type") != "__flush__")
