@@ -285,6 +285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": O.events_cusum,
         "dedup_canonical": O.dedup_canonical,
         "events_late_data_stream": O.events_late_data_stream,
+        "rank_mrr": O.rank_mrr,
+        "events_abtest": O.events_abtest,
+        "sketch_cms_merge": O.sketch_cms_merge,
     }
 
 
@@ -5732,6 +5735,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT win_start, event_type,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM admitted GROUP BY 1, 2
+        """,
+        # nested verified ranking + scaled reciprocal sum
+        "rank_mrr": """
+            WITH re AS (
+              WITH tf AS (
+                SELECT doc_id, word, count(*) AS tf FROM (
+                  SELECT doc_id,
+                         unnest(string_split_regex(trim(text), ' +'))
+                           AS word
+                  FROM documents) u
+                WHERE word IN ('join', 'data', 'spark') GROUP BY 1, 2),
+              r AS (SELECT word, tf, doc_id, (doc_id % 13 = 0) AS rel,
+                           row_number()
+                             OVER (PARTITION BY word
+                                   ORDER BY tf DESC, doc_id ASC)
+                             AS rank
+                    FROM tf)
+              SELECT word AS term, count(*) AS n_ranked,
+                     min(CASE WHEN rel THEN rank END)
+                       AS first_rel_rank
+              FROM r GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(CASE WHEN first_rel_rank <= 10
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hit_at_k,
+                   CAST(SUM(CASE WHEN first_rel_rank <= 10
+                            THEN 2520 // first_rel_rank
+                            ELSE 0 END) AS BIGINT) AS mrr_scaled,
+                   CAST(2520 AS BIGINT) AS scale
+            FROM re
+        """,
+        # md5 user bucketing + integer-cents rollup
+        "events_abtest": """
+            WITH a AS (
+              SELECT CAST(('0x' || substr(md5('ab:' || user_id), 1, 8)
+                          )::BIGINT % 2 AS BIGINT) AS variant,
+                     event_type, user_id,
+                     CAST(ROUND(COALESCE(value, 0) * 100, 0)
+                          AS BIGINT) AS cents
+              FROM events)
+            SELECT variant, event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS value_cents
+            FROM a GROUP BY 1, 2
+        """,
+        # the oracle builds the GLOBAL sketch directly (merge of
+        # per-source tables == global by counter additivity)
+        "sketch_cms_merge": r"""
+            WITH w AS (
+              SELECT word FROM (
+                SELECT unnest(string_split_regex(trim(text), ' +'))
+                         AS word
+                FROM documents
+              ) WHERE word <> ''
+            ),
+            cnt AS (
+              SELECT r.r AS row,
+                     substr(md5('cm' || r.r || ':' || word), 1, 3)
+                       AS bucket,
+                     count(*) AS c
+              FROM w CROSS JOIN generate_series(0, 3) r(r)
+              GROUP BY 1, 2
+            ),
+            cands AS (
+              SELECT * FROM (VALUES ('join'), ('data'), ('spark'))
+                v(word)
+            )
+            SELECT t.word, CAST(min(COALESCE(c.c, 0)) AS BIGINT)
+                     AS cms_n
+            FROM cands t
+            CROSS JOIN generate_series(0, 3) r(r)
+            LEFT JOIN cnt c ON c.row = r.r
+             AND c.bucket = substr(md5('cm' || r.r || ':' || t.word),
+                                   1, 3)
+            GROUP BY 1
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

@@ -648,3 +648,43 @@ def cusum_alarms(
             F.lit(1),
         ).otherwise(F.lit(0)).alias("alarm"),
     )
+
+
+def ab_assign_metrics(
+    events: DataFrame, salt: str = "ab", n_variants: int = 2
+) -> DataFrame:
+    """Deterministic A/B bucketing + per-variant metric rollup: the
+    variant is md5(salt‖user_id) mod n_variants — sticky across
+    sessions and engines (no RNG, no assignment table to join) — and
+    the output is one row per (variant, event_type) with distinct
+    users, event count, and landed value in exact integer cents (the
+    cohort_ltv rounding device). The experiment-analysis input table:
+    lift, z-scores, and CUPED are consumer arithmetic over these
+    integer sums; nothing engine-varying is emitted.
+
+    Plan: variant is a codegen'd scan column; one (variant, type)
+    aggregate with a distinct-count (exact here — the stated 100 TB
+    swap-in is approx_count_distinct or the HLL register path, same
+    contract as curation_profile)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"),
+                           F.col("user_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return (
+        events.select(
+            (h % n_variants).cast("bigint").alias("variant"),
+            "event_type", "user_id",
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+            .cast("bigint").alias("cents"),
+        )
+        .groupBy("variant", "event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+    )

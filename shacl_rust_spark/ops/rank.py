@@ -546,3 +546,31 @@ def kneser_ney_bigram(docs: DataFrame, min_count: int = 4) -> DataFrame:
             (4 * F.col("c1") * F.lit(nb)).cast("long").alias("kn_den"),
         )
     )
+
+
+def mrr_at_k(ranked: DataFrame, k: int = 10) -> DataFrame:
+    """Exact-integer MRR@k over a (term, first_rel_rank) frame (the
+    first_relevant_rank output): reciprocal ranks are scaled by
+    L = lcm(1..k) so every 1/r with r ≤ k is an INTEGER L/r, ranks
+    beyond k (or no relevant doc) contribute 0 — the standard cutoff
+    that also makes cross-engine bit-exactness possible (unbounded
+    reciprocal sums have unbounded denominators). One row:
+    (n_terms, n_hit_at_k, mrr_scaled, scale); MRR = mrr_scaled /
+    (scale · n_terms), a division the CONSUMER performs — the same
+    num/den charter as rank_rrf and the modularity q_num."""
+    import math
+
+    scale = math.lcm(*range(1, k + 1))
+    hit = F.col("first_rel_rank").isNotNull() & (
+        F.col("first_rel_rank") <= k
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint")
+        .alias("n_hit_at_k"),
+        F.sum(
+            F.when(hit, F.expr(f"{scale} DIV first_rel_rank"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("mrr_scaled"),
+        F.lit(scale).cast("bigint").alias("scale"),
+    )

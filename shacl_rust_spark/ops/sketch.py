@@ -332,3 +332,19 @@ def hll_estimate(regs: DataFrame, group_cols: tuple = ()) -> DataFrame:
         .otherwise(raw)
         .alias("est_distinct"),
     )
+
+
+def cms_merge(tables: list) -> DataFrame:
+    """Union-merge count-min tables by counter ADDITION — the sketch
+    algebra's ⊕ for CMS (max for HLL, sum here): per-source/per-day
+    sketches built independently merge into the corpus sketch without
+    touching raw keys, the property that lets a 100 TB pipeline ship
+    constant-size state per partition. Inputs are cms_table outputs
+    (row, bucket, c) — extra leading group columns are allowed and
+    folded away."""
+    allrows = tables[0]
+    for t in tables[1:]:
+        allrows = allrows.unionByName(t)
+    return allrows.groupBy("row", "bucket").agg(
+        F.sum("c").alias("c")
+    )

@@ -2795,3 +2795,51 @@ def events_late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stateful import late_replay_closed
 
     return late_replay_closed(spark, f"{sf_dir}/events.parquet")
+
+
+def rank_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer MRR@10 (ops/rank.mrr_at_k, scale = lcm(1..10) =
+    2520) over the rank_eval first-relevant-rank frame; the oracle
+    nests the verified ranking SQL and restates the scaled sum."""
+    d = _docs(spark, sf_dir).withColumn("rel", F.col("doc_id") % 13 == 0)
+    return rank.mrr_at_k(rank.first_relevant_rank(d, _RRF_TERMS), k=10)
+
+
+def events_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B bucketing + per-variant metric rollup
+    (ops/events.ab_assign_metrics: md5 user bucketing, integer-cents
+    value sums, exact distinct users); the oracle restates the hash
+    assignment and aggregates."""
+    return events.ab_assign_metrics(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS mergeability contract (ops/sketch.cms_table per source →
+    cms_merge by counter addition → cms_estimate): the additive twin
+    of sketch_hll_merge — the oracle computes the global sketch
+    DIRECTLY, so the gate passes iff merge(per-source partials) ≡
+    global. Candidates are the fixed query-term list."""
+    from .ops import sketch as sk
+
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.trim("text"), " +"),
+                     lambda w: w != "")
+        ).alias("word"),
+    )
+    sources = [r.source for r in words.select("source")
+               .distinct().collect()]
+    tables = [
+        sk.cms_table(words.where(F.col("source") == s_),
+                     F.col("word"))
+        for s_ in sorted(sources)
+    ]
+    merged = sk.cms_merge(tables)
+    cands = words.sparkSession.createDataFrame(
+        [(t,) for t in _RRF_TERMS], "word string"
+    )
+    return sk.cms_estimate(merged, cands, "word")

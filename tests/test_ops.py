@@ -4043,3 +4043,72 @@ def test_session_concurrency_cross_day_carry(spark):
     assert got[h(d0)] == 1
     assert got[h(d0 + dt.timedelta(hours=1))] == 2
     assert got[h(d0 + dt.timedelta(hours=2))] == 0
+
+
+def test_mrr_at_k_scaling_and_cutoff(spark):
+    from shacl_rust_spark.ops.rank import mrr_at_k
+
+    ranked = spark.createDataFrame(
+        [("a", 5, 1), ("b", 9, 4), ("c", 3, 11),   # 11 > k: counts 0
+         ("d", 2, None)],                           # no relevant doc
+        "term string, n_ranked int, first_rel_rank int",
+    )
+    row = mrr_at_k(ranked, k=10).collect()[0]
+    # lcm(1..10) = 2520; hits: rank 1 -> 2520, rank 4 -> 630
+    assert (row.n_terms, row.n_hit_at_k, row.mrr_scaled,
+            row.scale) == (4, 2, 3150, 2520)
+
+
+def test_ab_assign_sticky_and_cents(spark):
+    import datetime as dt
+    import hashlib
+    from shacl_rust_spark.ops.events import ab_assign_metrics
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 7, "view", 1.25),
+        (2, dt.datetime(2024, 1, 2), 7, "view", 2.00),   # same user
+        (3, dt.datetime(2024, 1, 3), 8, "view", None),   # null value
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = {(r.variant, r.event_type): (r.n_users, r.n_events,
+                                       r.value_cents)
+           for r in ab_assign_metrics(e).collect()}
+
+    def variant(u):
+        return int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:8],
+                   16) % 2
+
+    v7, v8 = variant(7), variant(8)
+    if v7 == v8:
+        assert got[(v7, "view")] == (2, 3, 325)
+    else:
+        assert got[(v7, "view")] == (1, 2, 325)
+        assert got[(v8, "view")] == (1, 1, 0)
+
+
+def test_cms_merge_equals_direct(spark):
+    from pyspark.sql import functions as F
+    from shacl_rust_spark.ops.sketch import (
+        cms_estimate, cms_merge, cms_table,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 4).cast("string").alias("part"),
+        F.concat(F.lit("w"), (F.col("id") % 311).cast("string"))
+        .alias("word"),
+    )
+    direct = cms_table(df, F.col("word"))
+    merged = cms_merge([
+        cms_table(df.where(F.col("part") == str(p)), F.col("word"))
+        for p in range(4)
+    ])
+    cands = spark.createDataFrame(
+        [("w0",), ("w310",), ("w_missing",)], "word string")
+    d = {r.word: r.cms_n
+         for r in cms_estimate(direct, cands, "word").collect()}
+    m = {r.word: r.cms_n
+         for r in cms_estimate(merged, cands, "word").collect()}
+    assert d == m
+    assert m["w_missing"] >= 0 and m["w0"] >= 10  # one-sided bound
