@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_mrr": O.rank_mrr,
         "events_abtest": O.events_abtest,
         "sketch_cms_merge": O.sketch_cms_merge,
+        "olap_time_travel": O.olap_time_travel,
     }
 
 
@@ -5811,6 +5812,41 @@ def oracle_sql() -> dict[str, str]:
              AND c.bucket = substr(md5('cm' || r.r || ':' || t.word),
                                    1, 3)
             GROUP BY 1
+        """,
+        # time travel: the MERGE over the deterministic first-2-chunks
+        # prefix of the (ts, event_id)-ordered changelog
+        "olap_time_travel": """
+            WITH base AS (
+              SELECT c_custkey AS key,
+                     CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bval
+              FROM customer),
+            chg0 AS (
+              SELECT user_id + 1 AS key,
+                     CAST(ROUND(COALESCE(value, 0) * 100, 0)
+                          AS BIGINT) AS cval,
+                     CASE WHEN event_type = 'error' THEN 'D'
+                          WHEN event_type = 'signup' THEN 'I'
+                          ELSE 'U' END AS op,
+                     ts, event_id,
+                     row_number() OVER (ORDER BY ts, event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+              WHERE event_type IN ('signup', 'purchase', 'error')),
+            chg AS (
+              SELECT key, cval, op, ts, event_id FROM chg0
+              WHERE rn <= 2 * ((n + 3) // 4)),
+            latest AS (
+              SELECT key, cval, op FROM (
+                SELECT *, row_number()
+                         OVER (PARTITION BY key
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                FROM chg) WHERE rn = 1)
+            SELECT COALESCE(b.key, l.key) AS key,
+                   COALESCE(l.cval, b.bval) AS val,
+                   CASE WHEN l.op IS NULL THEN 'base'
+                        ELSE 'cdc' END AS src
+            FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+            WHERE l.op IS NULL OR l.op <> 'D'
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

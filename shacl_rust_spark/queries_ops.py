@@ -2843,3 +2843,14 @@ def sketch_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t,) for t in _RRF_TERMS], "word string"
     )
     return sk.cms_estimate(merged, cands, "word")
+
+
+def olap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse time travel (streaming/stream.cdc_time_travel_replay):
+    read snapshot VERSION 2 of the 4-chunk CDC fold — the oracle is
+    the batch MERGE over exactly the first two chunks' changelog
+    prefix, so the gate pins both the versioned-commit line and the
+    prefix-equivalence contract."""
+    from .streaming.stream import cdc_time_travel_replay
+
+    return cdc_time_travel_replay(spark, sf_dir)

@@ -755,3 +755,55 @@ def enrich_static_replay(spark, events_path: str,
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+def cdc_time_travel_replay(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4,
+    read_version: int = 2,
+) -> DataFrame:
+    """TIME-TRAVEL read over the versioned CDC snapshot line: run the
+    identical in-order replay as cdc_apply_replay, then read snapshot
+    v``read_version`` — the state after exactly that many committed
+    micro-batches — instead of the head. The committed-version
+    directories ARE the lakehouse time-travel surface (`VERSION AS
+    OF`): because each fold equals the batch merge of its changelog
+    prefix, the oracle is the one-shot MERGE SQL over the first
+    read_version chunks' rows (a deterministic (ts, event_id)-order
+    prefix). Readers of v_k never observe later writes — the
+    committed-snapshot discipline the pipeline sink shares."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+        .alias("val"),
+    )
+    chg = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select(
+        (F.col("user_id") + 1).alias("key"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+        .cast("bigint").alias("val"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U")).alias("op"),
+        "ts", "event_id",
+    )
+    pdf = chg.toPandas().sort_values(["ts", "event_id"]) \
+        .reset_index(drop=True)
+    d = tempfile.mkdtemp(prefix="cdc_tt_replay_")
+    out = tempfile.mkdtemp(prefix="cdc_tt_state_")
+    step = (len(pdf) + n_chunks - 1) // n_chunks
+    for k, i in enumerate(range(0, len(pdf), step)):
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[i:i + step],
+                                 preserve_index=False),
+            f"{d}/chunk-{k:03d}.parquet", coerce_timestamps="us")
+    streaming_cdc_apply(spark, d, base, out)
+    return spark.read.parquet(f"{out}/v{read_version}").select(
+        "key", "val", "src"
+    )
