@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_abtest": O.events_abtest,
         "sketch_cms_merge": O.sketch_cms_merge,
         "olap_time_travel": O.olap_time_travel,
+        "graph_bowtie": O.graph_bowtie,
     }
 
 
@@ -5847,6 +5848,71 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'cdc' END AS src
             FROM base b FULL OUTER JOIN latest l ON b.key = l.key
             WHERE l.op IS NULL OR l.op <> 'D'
+        """,
+        # bow-tie: recursive closure + mutual join for SCC, largest
+        # component as core, recursive reachability both ways
+        "graph_bowtie": """
+            WITH RECURSIVE ed AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT 'c' || (p_partkey % 20) AS src,
+                       'c' || ((p_partkey + 1) % 20) AS dst
+                FROM part WHERE p_partkey <= 20
+                UNION ALL
+                SELECT 'i' || p_partkey, 'c' || (p_partkey % 20)
+                FROM part WHERE p_partkey % 7 = 0 AND p_partkey <= 140
+                UNION ALL
+                SELECT 'c' || (p_partkey % 20), 'o' || p_partkey
+                FROM part WHERE p_partkey % 5 = 0 AND p_partkey <= 100
+                UNION ALL
+                SELECT 'i' || p_partkey, 't' || p_partkey
+                FROM part WHERE p_partkey % 7 = 0 AND p_partkey <= 140
+                UNION ALL
+                SELECT 'x' || p_partkey, 'y' || p_partkey
+                FROM part WHERE p_partkey % 11 = 0 AND p_partkey <= 110
+              ) q WHERE src IS NOT NULL AND dst IS NOT NULL),
+            reach AS (
+              SELECT src, dst FROM ed
+              UNION
+              SELECT r.src, ed.dst FROM reach r
+              JOIN ed ON r.dst = ed.src),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM ed
+                UNION ALL SELECT dst FROM ed) q),
+            mut AS (
+              SELECT f.src AS node, min(f.dst) AS min_other
+              FROM reach f JOIN reach g
+                ON f.src = g.dst AND f.dst = g.src
+              GROUP BY 1),
+            lab AS (
+              SELECT n.node,
+                     least(n.node, COALESCE(m.min_other, n.node))
+                       AS scc_id
+              FROM nodes n LEFT JOIN mut m USING (node)),
+            core_id AS (
+              SELECT scc_id FROM lab GROUP BY 1
+              ORDER BY count(*) DESC, scc_id ASC LIMIT 1),
+            cn AS (SELECT node FROM lab
+                   WHERE scc_id = (SELECT scc_id FROM core_id)),
+            fwd AS (
+              SELECT DISTINCT node FROM (
+                SELECT r.dst AS node
+                FROM reach r JOIN cn ON r.src = cn.node
+                UNION ALL SELECT node FROM cn) q),
+            bwd AS (
+              SELECT DISTINCT node FROM (
+                SELECT r.src AS node
+                FROM reach r JOIN cn ON r.dst = cn.node
+                UNION ALL SELECT node FROM cn) q)
+            SELECT l.node,
+                   CASE WHEN l.scc_id = (SELECT scc_id FROM core_id)
+                          THEN 'CORE'
+                        WHEN l.node IN (SELECT node FROM bwd)
+                          THEN 'IN'
+                        WHEN l.node IN (SELECT node FROM fwd)
+                          THEN 'OUT'
+                        ELSE 'OTHER' END AS cls
+            FROM lab l
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

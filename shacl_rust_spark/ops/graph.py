@@ -1305,3 +1305,73 @@ def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
             .cast("bigint").alias("denom"),
         )
     )
+
+
+def bowtie(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Broder bow-tie decomposition of a directed graph (the classic
+    web-graph macro-structure): (node, cls) with cls ∈ CORE (the
+    largest SCC; ties to the lexicographically smallest scc_id), IN
+    (reaches the core, not in it), OUT (reachable from the core, not
+    in it), OTHER (tendrils, tubes, disconnected — the coarse 4-way
+    cut; splitting OTHER further needs reachability from IN/OUT,
+    which the consumer can run with the same frontier machinery).
+
+    Built from :func:`scc` (bounded-verify closure charter — see its
+    docstring for the FW-BW production algorithm) plus two
+    frontier-BFS reachability passes from the core, one on each edge
+    direction — the shacl_path_kleene_dist loop shape: per round one
+    join + anti-join dedup + localCheckpoint, terminating when the
+    frontier empties (``max_rounds`` is the runaway guard, raising
+    rather than silently truncating)."""
+    edges = _clean_edges(edges).localCheckpoint(eager=True)
+    comp = scc(edges).localCheckpoint(eager=True)
+    core_row = (
+        comp.groupBy("scc_id").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("scc_id"))
+        .limit(1)
+        .collect()
+    )
+    if not core_row:
+        return comp.sparkSession.createDataFrame(
+            [], "node string, cls string"
+        )
+    core_id = core_row[0]["scc_id"]
+    core = comp.where(F.col("scc_id") == core_id).select("node") \
+        .localCheckpoint(eager=True)
+
+    def reach_from(seed, ed):
+        reached = seed
+        frontier = seed
+        for _ in range(max_rounds):
+            step = (
+                ed.join(frontier.withColumnRenamed("node", "src"),
+                        "src")
+                .select(F.col("dst").alias("node"))
+                .dropDuplicates(["node"])
+            )
+            frontier = step.join(reached, "node", "left_anti") \
+                .localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                return reached
+            reached = reached.unionByName(frontier) \
+                .dropDuplicates(["node"]).localCheckpoint(eager=True)
+        raise ValueError(
+            f"reachability did not converge in {max_rounds} rounds"
+        )
+
+    fwd = reach_from(core, edges)
+    bwd = reach_from(
+        core, edges.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst"))
+    )
+    return (
+        comp.join(fwd.withColumn("_f", F.lit(1)), "node", "left")
+        .join(bwd.withColumn("_b", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("scc_id") == core_id, F.lit("CORE"))
+            .when(F.col("_b").isNotNull(), F.lit("IN"))
+            .when(F.col("_f").isNotNull(), F.lit("OUT"))
+            .otherwise(F.lit("OTHER")).alias("cls"),
+        )
+    )

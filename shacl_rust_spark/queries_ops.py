@@ -2854,3 +2854,34 @@ def olap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stream import cdc_time_travel_replay
 
     return cdc_time_travel_replay(spark, sf_dir)
+
+
+def graph_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie decomposition (ops/graph.bowtie) of a synthetic
+    directed web-shaped graph: a 20-node core ring, fixed IN and OUT
+    fringes, tendrils hanging off IN, and a disconnected pair family
+    (all node sets SF-invariant via bounded key ranges, so the
+    closure stays tiny at every SF). The oracle recomputes SCC via a
+    recursive closure + mutual join and the two reachability passes
+    as recursive CTEs."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("p_partkey")
+    c = lambda e: F.concat(F.lit("c"), F.expr(e).cast("string"))  # noqa: E731
+    ring = p.where(k <= 20).select(
+        c("p_partkey % 20").alias("src"),
+        c("(p_partkey + 1) % 20").alias("dst"))
+    fin = p.where((k % 7 == 0) & (k <= 140)).select(
+        F.concat(F.lit("i"), k.cast("string")).alias("src"),
+        c("p_partkey % 20").alias("dst"))
+    fout = p.where((k % 5 == 0) & (k <= 100)).select(
+        c("p_partkey % 20").alias("src"),
+        F.concat(F.lit("o"), k.cast("string")).alias("dst"))
+    tend = p.where((k % 7 == 0) & (k <= 140)).select(
+        F.concat(F.lit("i"), k.cast("string")).alias("src"),
+        F.concat(F.lit("t"), k.cast("string")).alias("dst"))
+    disc = p.where((k % 11 == 0) & (k <= 110)).select(
+        F.concat(F.lit("x"), k.cast("string")).alias("src"),
+        F.concat(F.lit("y"), k.cast("string")).alias("dst"))
+    edges = ring.unionByName(fin).unionByName(fout) \
+        .unionByName(tend).unionByName(disc)
+    return graph.bowtie(edges)

@@ -4112,3 +4112,18 @@ def test_cms_merge_equals_direct(spark):
          for r in cms_estimate(merged, cands, "word").collect()}
     assert d == m
     assert m["w_missing"] >= 0 and m["w0"] >= 10  # one-sided bound
+
+
+def test_bowtie_classification(spark):
+    from shacl_rust_spark.ops.graph import bowtie
+
+    # core cycle a<->b, IN: i->a, OUT: b->o, tendril off IN: i->t,
+    # disconnected: x->y
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("i", "a"), ("b", "o"),
+         ("i", "t"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {r.node: r.cls for r in bowtie(edges).collect()}
+    assert got == {"a": "CORE", "b": "CORE", "i": "IN", "o": "OUT",
+                   "t": "OTHER", "x": "OTHER", "y": "OTHER"}
