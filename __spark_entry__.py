@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_merge": O.sketch_cms_merge,
         "olap_time_travel": O.olap_time_travel,
         "graph_bowtie": O.graph_bowtie,
+        "kg_schema_alignment": O.kg_schema_alignment,
     }
 
 
@@ -5913,6 +5914,38 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'OUT'
                         ELSE 'OTHER' END AS cls
             FROM lab l
+        """,
+        # PARIS-style evidence join: shared (s,o) statements per
+        # predicate pair + extension sizes
+        "kg_schema_alignment": """
+            WITH ls AS (
+              SELECT DISTINCT 'e' || (l_orderkey % 500) AS s,
+                     'a' || (l_linenumber % 3) AS p,
+                     'v' || (l_partkey % 120) AS o
+              FROM lineitem),
+            rs AS (
+              SELECT DISTINCT s, p, o FROM (
+                SELECT 'e' || (l_orderkey % 500) AS s,
+                       'b' || (l_linenumber % 3) AS p,
+                       'v' || (l_partkey % 120) AS o
+                FROM lineitem WHERE l_suppkey % 5 <> 0
+                UNION ALL
+                SELECT 'e' || (l_orderkey % 500), 'bnoise',
+                       'w' || (l_suppkey % 7)
+                FROM lineitem) q),
+            shared AS (
+              SELECT l.p AS p_left, r.p AS p_right,
+                     count(*) AS n_shared
+              FROM ls l JOIN rs r ON l.s = r.s AND l.o = r.o
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            nl AS (SELECT p AS p_left, count(*) AS n_left
+                   FROM ls GROUP BY 1),
+            nr AS (SELECT p AS p_right, count(*) AS n_right
+                   FROM rs GROUP BY 1)
+            SELECT s.p_left, s.p_right, s.n_shared,
+                   nl.n_left, nr.n_right
+            FROM shared s JOIN nl USING (p_left)
+            JOIN nr USING (p_right)
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

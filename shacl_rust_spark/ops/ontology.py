@@ -395,3 +395,43 @@ def acronym_candidates(
     return m.join(F.broadcast(dic), "_k").select(
         "mention_id", "surface", "entity_id", "acronym"
     )
+
+
+def align_predicates(
+    left: DataFrame, right: DataFrame, min_shared: int = 2
+) -> DataFrame:
+    """Instance-based schema alignment (the PARIS/ontology-matching
+    evidence rule): two crawled sources describe the same entities
+    with DIFFERENT predicate vocabularies; predicates that assert the
+    same (subject, object) pairs are alignment candidates. left/right
+    are (s, p, o) triple tables → (p_left, p_right, n_shared,
+    n_left, n_right): the shared-statement count plus each
+    predicate's distinct-statement extension size — the exact-integer
+    ingredients of every overlap coefficient (Jaccard = shared /
+    (n_l + n_r − shared); the division is consumer arithmetic, the
+    num/den charter).
+
+    Plan shape: ONE equi-join on (s, o) — the evidence key — between
+    the deduped statement tables, then a predicate-pair aggregate
+    (vocabulary-squared bounded, i.e. tiny); extension sizes are
+    per-predicate pre-aggregates joined in at pair cardinality.
+    ``min_shared`` drops single-coincidence pairs."""
+    ls = left.select("s", "p", "o").dropDuplicates(["s", "p", "o"])
+    rs = right.select("s", "p", "o").dropDuplicates(["s", "p", "o"])
+    shared = (
+        ls.select("s", F.col("p").alias("p_left"), "o")
+        .join(rs.select("s", F.col("p").alias("p_right"), "o"),
+              ["s", "o"])
+        .groupBy("p_left", "p_right")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    nl = ls.groupBy(F.col("p").alias("p_left")).agg(
+        F.count(F.lit(1)).alias("n_left"))
+    nr = rs.groupBy(F.col("p").alias("p_right")).agg(
+        F.count(F.lit(1)).alias("n_right"))
+    return (
+        shared.join(F.broadcast(nl), "p_left")
+        .join(F.broadcast(nr), "p_right")
+        .select("p_left", "p_right", "n_shared", "n_left", "n_right")
+    )

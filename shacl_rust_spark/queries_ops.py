@@ -2885,3 +2885,35 @@ def graph_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ring.unionByName(fin).unionByName(fout) \
         .unionByName(tend).unionByName(disc)
     return graph.bowtie(edges)
+
+
+def kg_schema_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance-based predicate alignment
+    (ops/ontology.align_predicates): source A asserts lineitem facts
+    under an 'a'-vocabulary, source B re-asserts 80% of the same
+    (s, o) pairs under a 'b'-vocabulary (k % 5 != 0 survives) plus
+    its own noise family — aligned pairs share statements, noise
+    pairs fall under min_shared. The oracle restates the evidence
+    join."""
+    from .ops import ontology
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = F.concat(F.lit("e"), (F.col("l_orderkey") % 500).cast("string"))
+    o = F.concat(F.lit("v"), (F.col("l_partkey") % 120).cast("string"))
+    left = li.select(
+        s.alias("s"),
+        F.concat(F.lit("a"), (F.col("l_linenumber") % 3).cast("string"))
+        .alias("p"),
+        o.alias("o"),
+    )
+    right = li.where(F.col("l_suppkey") % 5 != 0).select(
+        s.alias("s"),
+        F.concat(F.lit("b"), (F.col("l_linenumber") % 3).cast("string"))
+        .alias("p"),
+        o.alias("o"),
+    ).unionByName(li.select(
+        s.alias("s"), F.lit("bnoise").alias("p"),
+        F.concat(F.lit("w"), (F.col("l_suppkey") % 7).cast("string"))
+        .alias("o"),
+    ))
+    return ontology.align_predicates(left, right)

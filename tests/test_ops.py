@@ -4127,3 +4127,23 @@ def test_bowtie_classification(spark):
     got = {r.node: r.cls for r in bowtie(edges).collect()}
     assert got == {"a": "CORE", "b": "CORE", "i": "IN", "o": "OUT",
                    "t": "OTHER", "x": "OTHER", "y": "OTHER"}
+
+
+def test_align_predicates_evidence_and_threshold(spark):
+    from shacl_rust_spark.ops.ontology import align_predicates
+
+    left = spark.createDataFrame(
+        [("e1", "name", "alice"), ("e2", "name", "bob"),
+         ("e3", "name", "carol"), ("e1", "age", "30"),
+         ("e1", "name", "alice")],          # dup statement: once
+        "s string, p string, o string",
+    )
+    right = spark.createDataFrame(
+        [("e1", "label", "alice"), ("e2", "label", "bob"),
+         ("e3", "label", "carol"),
+         ("e1", "years", "30")],            # 1 shared < min_shared
+        "s string, p string, o string",
+    )
+    rows = align_predicates(left, right, min_shared=2).collect()
+    assert [(r.p_left, r.p_right, r.n_shared, r.n_left, r.n_right)
+            for r in rows] == [("name", "label", 3, 3, 3)]
