@@ -291,6 +291,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_time_travel": O.olap_time_travel,
         "graph_bowtie": O.graph_bowtie,
         "kg_schema_alignment": O.kg_schema_alignment,
+        "rank_ndcg": O.rank_ndcg,
+        "sketch_kmv": O.sketch_kmv,
+        "text_chi2_keywords": O.text_chi2_keywords,
+        "dedup_cdc_chunks": O.dedup_cdc_chunks,
+        "multimodal_dhash": O.multimodal_dhash,
+        "graph_eccentricity": O.graph_eccentricity,
+        "events_cuped": O.events_cuped,
+        "kg_path_features": K.kg_path_features,
     }
 
 
@@ -1156,6 +1164,21 @@ def _hll_oracle() -> str:
                ex.exact_distinct
         FROM est JOIN ex USING (lang)
     """
+
+
+def _ndcg_case(col: str, k: int = 10, weight_bits: int = 20) -> str:
+    """The FIXED integer DCG discount table as a SQL CASE over the
+    rank column — generated by the same ops/rank.ndcg_weight_table
+    call the Spark plan embeds, so both engines use identical
+    literals and neither evaluates log2."""
+    from shacl_rust_spark.ops.rank import ndcg_weight_table
+
+    wt = ndcg_weight_table(k, weight_bits)
+    return ("CASE " + col + " "
+            + " ".join(f"WHEN {r + 1} THEN {w}"
+                       for r, w in enumerate(wt))
+            + " ELSE 0 END")
+
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5946,6 +5969,276 @@ def oracle_sql() -> dict[str, str]:
                    nl.n_left, nr.n_right
             FROM shared s JOIN nl USING (p_left)
             JOIN nr USING (p_right)
+        """,
+        # graded tf ranking + the fixed integer discount table; the
+        # ideal permutation is a second window over (gain desc, rank)
+        "rank_ndcg": f"""
+            WITH tf AS (
+              SELECT doc_id, word, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +'))
+                         AS word
+                FROM documents) u
+              WHERE word <> '' GROUP BY 1, 2),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN 3
+                          WHEN doc_id % 7 = 0 THEN 1
+                          ELSE 0 END AS gain
+              FROM documents),
+            h AS (
+              SELECT t.word AS term, t.doc_id, t.tf, g.gain
+              FROM tf t JOIN g USING (doc_id)
+              WHERE t.word IN ('join', 'data', 'spark')),
+            r AS (
+              SELECT term, gain,
+                     row_number() OVER (PARTITION BY term
+                       ORDER BY tf DESC, doc_id ASC) AS rank
+              FROM h),
+            r2 AS (
+              SELECT term, gain, rank,
+                     row_number() OVER (PARTITION BY term
+                       ORDER BY gain DESC, rank ASC) AS irank
+              FROM r)
+            SELECT term, CAST(count(*) AS BIGINT) AS n_ranked,
+                   CAST(SUM(gain * {_ndcg_case('rank')}) AS BIGINT)
+                     AS dcg_scaled,
+                   CAST(SUM(gain * {_ndcg_case('irank')}) AS BIGINT)
+                     AS idcg_scaled,
+                   CAST(1048576 AS BIGINT) AS wscale
+            FROM r2 GROUP BY term
+        """,
+        # the oracle takes the k smallest hashes DIRECTLY from all
+        # rows (merge of per-source sketches == global by the
+        # union/re-take-k algebra); HUGEINT carries (k-1)*2^52
+        "sketch_kmv": """
+            WITH w AS (
+              SELECT word FROM (
+                SELECT unnest(string_split_regex(trim(text), ' +'))
+                         AS word
+                FROM documents
+              ) WHERE word <> ''),
+            hv AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(word), 1, 13))::BIGINT AS hv
+              FROM w),
+            k AS (SELECT hv FROM hv ORDER BY hv LIMIT 64),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+                         CAST(max(hv) AS BIGINT) AS kth_hash
+                  FROM k)
+            SELECT k_used,
+                   COALESCE(kth_hash, 0) AS kth_hash,
+                   CASE WHEN k_used >= 64 AND kth_hash > 0
+                        THEN CAST(63::HUGEINT * (1::HUGEINT << 52)
+                                  // kth_hash::HUGEINT AS BIGINT)
+                        ELSE k_used END AS est_distinct
+            FROM a
+        """,
+        # word-source document contingency; HUGEINT twin of the
+        # DECIMAL(38,0) DIV — exact integral division on both sides
+        "text_chi2_keywords": """
+            WITH dw AS (
+              SELECT DISTINCT doc_id, source, word FROM (
+                SELECT doc_id, source,
+                       unnest(string_split_regex(trim(text), ' +'))
+                         AS word
+                FROM documents) u
+              WHERE word <> ''),
+            ns AS (SELECT source, count(*) AS ns
+                   FROM documents GROUP BY 1),
+            nt AS (SELECT count(*) AS n FROM documents),
+            af AS (SELECT source, word, count(*) AS a
+                   FROM dw GROUP BY 1, 2),
+            cwf AS (SELECT word, count(*) AS cw FROM dw GROUP BY 1),
+            j AS (
+              SELECT af.source, af.word, af.a,
+                     ns.ns - af.a AS b,
+                     cwf.cw - af.a AS c,
+                     nt.n - ns.ns - (cwf.cw - af.a) AS d,
+                     nt.n AS n
+              FROM af JOIN ns USING (source)
+              JOIN cwf USING (word) CROSS JOIN nt),
+            f AS (
+              SELECT source, word, a, c,
+                     CAST(n AS HUGEINT)
+                       * (a * d - b * c)::HUGEINT
+                       * (a * d - b * c)::HUGEINT * 10000
+                     // ((a + b)::HUGEINT * (c + d)::HUGEINT
+                         * (a + c)::HUGEINT * (b + d)::HUGEINT)
+                       AS chi2_scaled
+              FROM j WHERE b + d > 0 AND c + d > 0),
+            r AS (
+              SELECT source, word, a, c, chi2_scaled,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY chi2_scaled DESC, word ASC) AS rk
+              FROM f)
+            SELECT source, CAST(rk AS BIGINT) AS rk, word,
+                   CAST(a AS BIGINT) AS df_in,
+                   CAST(c AS BIGINT) AS df_out,
+                   CAST(chi2_scaled AS BIGINT) AS chi2_scaled
+            FROM r WHERE rk <= 5
+        """,
+        # the Rabin boundary rule restated position-by-position:
+        # H(i) over the trailing 8 chars, boundary iff H % 64 = 0;
+        # chunks are the boundary-delimited substrings + the tail
+        "dedup_cdc_chunks": """
+            WITH d AS (
+              SELECT doc_id, COALESCE(text, '') AS text,
+                     length(COALESCE(text, '')) AS n
+              FROM documents),
+            pos AS (
+              SELECT d.doc_id, d.text, d.n, r.i
+              FROM d CROSS JOIN generate_series(8, 2048) r(i)
+              WHERE r.i <= d.n),
+            b AS (
+              SELECT doc_id, i FROM pos
+              WHERE ((unicode(substr(text, i - 7, 1))::BIGINT
+                      * 27512614111
+                    + unicode(substr(text, i - 6, 1))::BIGINT
+                      * 887503681
+                    + unicode(substr(text, i - 5, 1))::BIGINT
+                      * 28629151
+                    + unicode(substr(text, i - 4, 1))::BIGINT * 923521
+                    + unicode(substr(text, i - 3, 1))::BIGINT * 29791
+                    + unicode(substr(text, i - 2, 1))::BIGINT * 961
+                    + unicode(substr(text, i - 1, 1))::BIGINT * 31
+                    + unicode(substr(text, i, 1))::BIGINT)
+                    % 1073741824) % 64 = 0),
+            seg AS (
+              SELECT doc_id, i AS e,
+                     COALESCE(lag(i) OVER (PARTITION BY doc_id
+                                           ORDER BY i), 0) AS sp
+              FROM b),
+            chunks AS (
+              SELECT s.doc_id,
+                     substr(d.text, s.sp + 1, s.e - s.sp) AS chunk
+              FROM seg s JOIN d USING (doc_id)
+              UNION ALL
+              SELECT d.doc_id,
+                     substr(d.text, COALESCE(mx.m, 0) + 1) AS chunk
+              FROM d LEFT JOIN (SELECT doc_id, max(i) AS m
+                                FROM b GROUP BY 1) mx USING (doc_id)
+              WHERE COALESCE(mx.m, 0) < d.n OR d.n = 0),
+            ch AS (SELECT doc_id, md5(chunk) AS chunk_md5
+                   FROM chunks),
+            occ AS (SELECT chunk_md5,
+                           count(DISTINCT doc_id) AS nd
+                    FROM ch GROUP BY 1)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(CASE WHEN occ.nd >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared_chunks
+            FROM ch JOIN occ USING (chunk_md5) GROUP BY 1
+        """,
+        # every gradient-sign bit recomputed from the pixel formula
+        # (d + x + 2y) % 251, packed row-major MSB-first over the
+        # (w-1)*h horizontal pairs
+        "multimodal_dhash": """
+            WITH b AS (SELECT doc_id, 1 + doc_id % 7 AS w,
+                              1 + doc_id % 5 AS h
+                       FROM documents),
+            bits AS (
+              SELECT b.doc_id, b.w, b.h,
+                     gy.y * (b.w - 1) + gx.x AS i,
+                     CASE WHEN ((b.doc_id + gx.x + 1 + 2 * gy.y) % 251)
+                             > ((b.doc_id + gx.x + 2 * gy.y) % 251)
+                          THEN 1 ELSE 0 END AS bit
+              FROM b
+              CROSS JOIN generate_series(0, 5) gx(x)
+              CROSS JOIN generate_series(0, 4) gy(y)
+              WHERE gx.x < b.w - 1 AND gy.y < b.h)
+            SELECT b.doc_id, CAST(b.w AS BIGINT) AS width,
+                   CAST(b.h AS BIGINT) AS height,
+                   CAST(COALESCE(SUM(bits.bit), 0) AS BIGINT)
+                     AS n_ones,
+                   CAST(COALESCE(SUM(bits.bit * (CAST(1 AS BIGINT)
+                          << ((b.w - 1) * b.h - 1 - bits.i))), 0)
+                        AS BIGINT) AS dhash
+            FROM b LEFT JOIN bits USING (doc_id)
+            GROUP BY b.doc_id, b.w, b.h
+        """,
+        # 4 unrolled rounds of per-seed min-hop relaxation over the
+        # Jaccard pair graph (== BFS at minimal hop counts); seeds =
+        # the 5 smallest nodes of the pair graph
+        "graph_eccentricity": _WORDS_CTE + _PAIR_GRAPH_CTE + """
+            , e AS (SELECT a AS x, b AS y FROM p
+                    UNION SELECT b, a FROM p),
+            sd AS (SELECT node FROM (
+                     SELECT a AS node FROM p
+                     UNION SELECT b FROM p) q
+                   ORDER BY node LIMIT 5),
+            d0 AS (SELECT node AS seed, node, 0 AS dist FROM sd),
+            d1 AS (SELECT seed, node, min(dist) AS dist FROM (
+                     SELECT seed, node, dist FROM d0
+                     UNION ALL
+                     SELECT d0.seed, e.y, d0.dist + 1
+                     FROM d0 JOIN e ON e.x = d0.node) q
+                   GROUP BY 1, 2),
+            d2 AS (SELECT seed, node, min(dist) AS dist FROM (
+                     SELECT seed, node, dist FROM d1
+                     UNION ALL
+                     SELECT d1.seed, e.y, d1.dist + 1
+                     FROM d1 JOIN e ON e.x = d1.node) q
+                   GROUP BY 1, 2),
+            d3 AS (SELECT seed, node, min(dist) AS dist FROM (
+                     SELECT seed, node, dist FROM d2
+                     UNION ALL
+                     SELECT d2.seed, e.y, d2.dist + 1
+                     FROM d2 JOIN e ON e.x = d2.node) q
+                   GROUP BY 1, 2),
+            d4 AS (SELECT seed, node, min(dist) AS dist FROM (
+                     SELECT seed, node, dist FROM d3
+                     UNION ALL
+                     SELECT d3.seed, e.y, d3.dist + 1
+                     FROM d3 JOIN e ON e.x = d3.node) q
+                   GROUP BY 1, 2)
+            SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+                   CAST(max(dist) AS BIGINT) AS ecc
+            FROM d4 GROUP BY 1
+        """,
+        # midpoint in a scalar CTE; same md5 bucketing and cents
+        # rounding as events_abtest; floor(epoch()) == Spark's
+        # cast(ts as long) truncation
+        "events_cuped": """
+            WITH bnd AS (
+              SELECT (floor(epoch(min(ts)))::BIGINT
+                      + floor(epoch(max(ts)))::BIGINT) // 2 AS mid
+              FROM events),
+            u AS (
+              SELECT CAST(('0x' || substr(md5('ab:' || user_id), 1, 8)
+                          )::BIGINT % 2 AS BIGINT) AS variant,
+                     user_id,
+                     SUM(CASE WHEN floor(epoch(ts))::BIGINT < bnd.mid
+                              THEN CAST(ROUND(COALESCE(value, 0) * 100,
+                                              0) AS BIGINT)
+                              ELSE 0 END) AS x,
+                     SUM(CASE WHEN floor(epoch(ts))::BIGINT >= bnd.mid
+                              THEN CAST(ROUND(COALESCE(value, 0) * 100,
+                                              0) AS BIGINT)
+                              ELSE 0 END) AS y
+              FROM events CROSS JOIN bnd
+              GROUP BY 1, 2)
+            SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(SUM(x) AS BIGINT) AS sum_x,
+                   CAST(SUM(y) AS BIGINT) AS sum_y,
+                   CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+                   CAST(SUM(x * y) AS BIGINT) AS sum_xy
+            FROM u GROUP BY 1
+        """,
+        # the two validated-triple branches composed on the shared
+        # canonical subject: the generic l.o = r.s path join
+        "kg_path_features": f"""{_KG_CTE}
+            , vt AS (
+              SELECT DISTINCT canon.subj AS s, '{EX}locatedIn' AS p,
+                     '{EX}nation/' || nk AS o
+              FROM osurf JOIN canon ON canon.k = osurf.k
+              WHERE o % 11 <> 0
+              UNION ALL
+              SELECT '{EX}order/' || o, '{EX}placedBy', canon.subj
+              FROM osurf JOIN canon ON canon.k = osurf.k)
+            SELECT l.s, l.p || '/' || r.p AS path, r.o,
+                   CAST(count(*) AS BIGINT) AS n_paths
+            FROM vt l JOIN vt r ON l.o = r.s
+            GROUP BY 1, 2, 3
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

@@ -722,3 +722,117 @@ def duplicated_sentences(docs: DataFrame, min_docs: int = 2) -> DataFrame:
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 8,
+    mask_bits: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style rolling hash): split each
+    document at positions where the hash of the trailing ``window``
+    characters lands on a zero residue — boundaries are decided by
+    CONTENT, so an insertion early in a document shifts chunk
+    boundaries only locally (the property byte-offset chunking lacks)
+    and identical passages chunk identically across documents. The
+    storage/dedup primitive behind chunk-level dedup of near-identical
+    crawls and incremental corpus snapshots.
+
+    Boundary rule (stateless per position → embarrassingly parallel
+    and SQL-restatable): after 1-based position i ≥ window iff
+    H(i) = (Σ_{j=0..w-1} code(s[i-j])·31^j) mod 2^30 ≡ 0 (mod 2^m).
+    Expected chunk length 2^m = 64 chars at the defaults. No
+    min/max-length clamps (FastCDC's clamps make the rule stateful;
+    the plain Rabin rule keeps every position independent).
+
+    Output: (doc_id, chunk_idx, chunk_len, chunk_md5). The kernel is
+    a vectorized Arrow batch (numpy sliding-window dot with the power
+    table — one pass per doc, no per-char Python loop); cross-doc
+    chunk grouping stays in DataFrame algebra downstream."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    mask = (1 << mask_bits) - 1
+    mod = 1 << 30
+    powers = np.array(
+        [pow(31, j, mod) for j in range(window - 1, -1, -1)],
+        dtype=np.int64,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _h
+
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            lens: list[int] = []
+            digests: list[str] = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                s = "" if text is None else str(text)
+                n = len(s)
+                bounds: list[int] = []
+                if n >= window:
+                    codes = np.frombuffer(
+                        s.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    win = np.lib.stride_tricks.sliding_window_view(
+                        codes, window
+                    )
+                    h = (win @ powers) % mod
+                    # windows end at positions window..n (1-based)
+                    bounds = (np.nonzero((h & mask) == 0)[0]
+                              + window).tolist()
+                prev = 0
+                ci = 0
+                for e in bounds + ([n] if (not bounds or
+                                           bounds[-1] != n) else []):
+                    chunk = s[prev:e]
+                    if chunk == "" and n > 0:
+                        prev = e
+                        continue
+                    ids.append(int(rid))
+                    idxs.append(ci)
+                    lens.append(len(chunk))
+                    digests.append(
+                        _h.md5(chunk.encode("utf-8")).hexdigest())
+                    ci += 1
+                    prev = e
+            yield pd.DataFrame({
+                "doc_id": ids, "chunk_idx": idxs,
+                "chunk_len": lens, "chunk_md5": digests,
+            })
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("chunk_idx", LongType(), False),
+        StructField("chunk_len", LongType(), False),
+        StructField("chunk_md5", StringType(), False),
+    ])
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def cdc_shared_stats(chunks: DataFrame) -> DataFrame:
+    """Per-document chunk-sharing profile over a cdc_chunks frame:
+    (doc_id, n_chunks, n_shared_chunks) where a chunk is shared iff
+    its md5 occurs in ≥ 2 DISTINCT documents — the chunk-level
+    containment signal (partial near-dups, boilerplate reuse) that
+    whole-doc hashing misses. Two vocabulary-of-chunks-sized
+    aggregates; the per-chunk doc count joins back broadcast-style."""
+    occ = chunks.groupBy("chunk_md5").agg(
+        F.count_distinct("doc_id").alias("n_docs"))
+    return (
+        chunks.join(occ, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("bigint").alias("n_shared_chunks"),
+        )
+    )

@@ -688,3 +688,56 @@ def ab_assign_metrics(
             F.sum("cents").alias("value_cents"),
         )
     )
+
+
+def cuped_stats(
+    events: DataFrame, salt: str = "ab", n_variants: int = 2
+) -> DataFrame:
+    """CUPED sufficient statistics per A/B variant (Deng et al. 2013,
+    variance reduction via pre-experiment data): the stream is cut at
+    its temporal midpoint into pre/post periods; per user x = landed
+    value (integer cents) in the pre period, y = in the post period;
+    per variant (the same md5-sticky bucketing as ab_assign_metrics)
+    one row (variant, n_users, sum_x, sum_y, sum_xx, sum_xy).
+    θ = cov(x,y)/var(x) = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) and the
+    CUPED-adjusted lift are the CONSUMER's arithmetic over these
+    exact integers — nothing engine-varying is emitted (the same
+    sufficient-statistics charter as mrr/modularity).
+
+    Plan: one min/max aggregate pins the midpoint (a single-row
+    driver scalar, bounded-driver policy); then one scan groups to
+    per-user (x, y) and one variant-level aggregate folds the
+    sufficient statistics — two shuffles, both on narrow keys."""
+    sec = F.expr("unix_seconds(cast(ts as timestamp))")
+    lo, hi = events.agg(
+        F.min(sec).alias("lo"), F.max(sec).alias("hi")
+    ).collect()[0]
+    mid = (int(lo) + int(hi)) // 2
+    cents = F.round(
+        F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0
+    ).cast("bigint")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"),
+                           F.col("user_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    per_user = (
+        events.select(
+            (h % n_variants).cast("bigint").alias("variant"),
+            "user_id",
+            F.when(sec < mid, cents).otherwise(F.lit(0)).alias("xc"),
+            F.when(sec >= mid, cents).otherwise(F.lit(0)).alias("yc"),
+        )
+        .groupBy("variant", "user_id")
+        .agg(F.sum("xc").alias("x"), F.sum("yc").alias("y"))
+    )
+    return per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+    )

@@ -1375,3 +1375,103 @@ def bowtie(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
             .otherwise(F.lit("OTHER")).alias("cls"),
         )
     )
+
+
+def landmark_distances(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Per-landmark BFS distances over the undirected simple graph:
+    (seed, node, dist) for every node within ``max_hops`` of each seed
+    — bfs_distances with the SOURCE IDENTITY carried through, the
+    landmark-embedding primitive (distance-oracle features, diameter/
+    eccentricity estimation à la ANF, crawl-frontier attribution to
+    specific entry points).
+
+    Plan: identical frontier expansion to bfs_distances but keyed by
+    (seed, node) — one shared adjacency checkpoint; each round joins
+    only the last frontier against it, anti-joins the visited set on
+    BOTH key columns, checkpoints. Cost is the bfs cost × the (small,
+    explicit) landmark count; landmarks fan out in the same jobs, not
+    sequentially per seed."""
+    e = _canon_undirected(edges)
+    adj = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(
+            e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("seed"))
+        .where(F.col("seed").isNotNull())
+        .distinct()
+        .select(F.col("seed"), F.col("seed").alias("node"))
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            frontier.select("seed", "node")
+            .join(adj, "node")
+            .select("seed", F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"),
+                  ["seed", "node"], "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(
+            eager=True
+        )
+    return visited
+
+
+def eccentricity_profile(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Per-landmark eccentricity within the ``max_hops`` horizon:
+    (seed, n_reached, ecc) with ecc = max BFS distance the landmark
+    reaches — max over landmarks lower-bounds the graph diameter,
+    min lower-bounds the radius (the classical landmark sampling
+    bounds; exact on any component the horizon covers). One groupBy
+    over the landmark_distances frame."""
+    return (
+        landmark_distances(edges, seeds, max_hops)
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.max("dist").cast("bigint").alias("ecc"),
+        )
+    )
+
+
+def path_type_features(triples: DataFrame) -> DataFrame:
+    """PRA-style length-2 path-type features over a (s, p, o) triple
+    frame: for every ordered predicate pair (p1, p2) and entity pair
+    (s, o) connected by s ─p1→ m ─p2→ o, emit (s, path, o, n_paths)
+    with path = 'p1/p2' — the relation-path feature matrix of the
+    Path Ranking Algorithm (Lao & Cohen 2010), the classic KB-
+    completion / link-prediction featurization over an emitted KG.
+
+    Plan: one self-join of the (deduplicated) triple set on o = s —
+    shuffle-partitioned on the join key, predicate carried through —
+    then a groupBy on (s, path, o). Self-loops (m = s or o = s) are
+    legitimate paths and kept; at corpus scale the join key m is the
+    canonical entity id whose skew the linker already salted."""
+    t = triples.select("s", "p", "o").dropDuplicates(["s", "p", "o"])
+    left = t.select(F.col("s"), F.col("p").alias("p1"),
+                    F.col("o").alias("m"))
+    right = t.select(F.col("s").alias("m"), F.col("p").alias("p2"),
+                     F.col("o"))
+    out = (
+        left.join(right, "m")
+        .groupBy(
+            "s",
+            F.concat(F.col("p1"), F.lit("/"), F.col("p2")).alias("path"),
+            "o",
+        )
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    return out

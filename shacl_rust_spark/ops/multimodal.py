@@ -1634,3 +1634,54 @@ def header_dims(
         dim1.cast("long").alias("dim1"),
         dim2.cast("long").alias("dim2"),
     )
+
+
+DHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("width", LongType(), False),
+    StructField("height", LongType(), False),
+    StructField("n_ones", LongType(), False),
+    StructField("dhash", LongType(), False),
+])
+
+
+def image_dhash(
+    assets: DataFrame, id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual difference-hash per BMP image: bit = 1 iff the next
+    pixel in the row is strictly brighter (px[y][x+1] > px[y][x]),
+    packed row-major MSB-first over the (w−1)·h horizontal pairs —
+    ahash's standard sibling (imagehash's dhash): gradient SIGNS
+    instead of global-mean threshold, so it is exposure/level-shift
+    invariant where ahash is not, and needs no mean at all (pure
+    integer compares — engine-exact by construction). Images with a
+    single column have zero pairs and hash 0. Same Arrow mapInPandas
+    shape and near-dup downstream (exact match or banded Hamming
+    join) as image_ahash; non-BMP payloads pass over."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in DHASH_SCHEMA.fields}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if raw[:2] != b"BM":
+                    continue
+                w, h, rows = decode_bmp(raw)
+                a = ones = 0
+                for row in rows:
+                    for x in range(w - 1):
+                        bit = 1 if row[x + 1][0] > row[x][0] else 0
+                        a = (a << 1) | bit
+                        ones += bit
+                out["doc_id"].append(int(rid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_ones"].append(ones)
+                out["dhash"].append(a)
+            yield pd.DataFrame(out)
+
+    return assets.select(id_col, payload_col).mapInPandas(
+        run, DHASH_SCHEMA
+    )

@@ -574,3 +574,78 @@ def mrr_at_k(ranked: DataFrame, k: int = 10) -> DataFrame:
         ).cast("bigint").alias("mrr_scaled"),
         F.lit(scale).cast("bigint").alias("scale"),
     )
+
+
+def ndcg_weight_table(k: int, weight_bits: int = 20) -> list[int]:
+    """The fixed integer DCG discount table W[r] = round(2^bits /
+    log2(r+1)) for r = 1..k. The table is computed ONCE at build time
+    (plain Python floats) and embedded as literals in both the Spark
+    plan and the SQL oracle, so neither engine ever evaluates a
+    logarithm — the classic device for making a float-weighted metric
+    engine-exact (same charter as mrr_at_k's lcm scaling)."""
+    import math
+
+    s = 1 << weight_bits
+    return [round(s / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def graded_ranking(
+    docs: DataFrame, terms: tuple, gain: F.Column
+) -> DataFrame:
+    """(term, rank, gain): per query term, every doc containing it
+    ranked by (tf desc, doc_id asc) — the retrieval frame NDCG grades.
+    `gain` is the caller's relevance expression over the doc columns
+    (graded labels, not just boolean). Same plan shape as
+    first_relevant_rank: term IN-list filter prunes the postings
+    before the per-term window shuffle."""
+    from pyspark.sql import Window
+
+    tf = _term_freqs(docs.select("doc_id", "text"))
+    labels = docs.select("doc_id", gain.cast("bigint").alias("gain"))
+    hits = tf.where(F.col("word").isin(*terms)).join(labels, "doc_id")
+    w = Window.partitionBy("word").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return hits.select(
+        F.col("word").alias("term"),
+        F.row_number().over(w).alias("rank"),
+        "gain",
+    )
+
+
+def ndcg_at_k(ranked: DataFrame, k: int = 10,
+              weight_bits: int = 20) -> DataFrame:
+    """Exact-integer NDCG@k over a (term, rank, gain) frame: one row
+    per term (term, n_ranked, dcg_scaled, idcg_scaled, wscale) with
+    dcg_scaled  = Σ_{r≤k} gain_r · W[r]   (observed ranking) and
+    idcg_scaled = Σ_{r≤k} gain_(r) · W[r] (gains resorted descending),
+    W the ndcg_weight_table literals — NDCG = dcg_scaled/idcg_scaled
+    is the CONSUMER's division, so no float ever crosses engines.
+    Ideal order ties are gain-equal and thus weight-sum-invariant.
+
+    Plan: two per-term windows over the already-tiny graded frame
+    (terms are an IN-list; the frame is matches-sized, not
+    corpus-sized), then one groupBy."""
+    from pyspark.sql import Window
+
+    wt = ndcg_weight_table(k, weight_bits)
+    wexpr = "CASE rk " + " ".join(
+        f"WHEN {r + 1} THEN {w}" for r, w in enumerate(wt)
+    ) + " ELSE 0 END"
+    iw = Window.partitionBy("term").orderBy(
+        F.desc("gain"), F.asc("rank")
+    )
+    g = (
+        ranked.withColumn("irank", F.row_number().over(iw))
+        .select(
+            "term", "gain",
+            F.expr(wexpr.replace("rk", "rank")).alias("w_obs"),
+            F.expr(wexpr.replace("rk", "irank")).alias("w_ideal"),
+        )
+    )
+    return g.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.sum(F.col("gain") * F.col("w_obs")).cast("bigint")
+        .alias("dcg_scaled"),
+        F.sum(F.col("gain") * F.col("w_ideal")).cast("bigint")
+        .alias("idcg_scaled"),
+        F.lit(1 << weight_bits).cast("bigint").alias("wscale"),
+    )

@@ -348,3 +348,81 @@ def cms_merge(tables: list) -> DataFrame:
     return allrows.groupBy("row", "bucket").agg(
         F.sum("c").alias("c")
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch ------------------------------
+
+_KMV_BITS = 52  # 13 md5 hex chars → uniform [0, 2^52): small enough
+# that (k-1)·2^52 stays inside BIGINT for the estimator's exact
+# floor division, large enough that corpus-scale distinct sets
+# collide with negligible probability
+
+
+def kmv_hash(key: Column) -> Column:
+    """The shared 52-bit md5 hash value KMV orders by — identical
+    expression on both engines (same device as the HLL registers)."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+
+
+def kmv_table(df: DataFrame, key: Column, k: int = 64) -> DataFrame:
+    """K-minimum-values sketch of ``key``'s distinct count: the k
+    SMALLEST distinct 60-bit hash values, as rows (hv bigint). The
+    third sketch algebra beside HLL (max-merge) and CMS (sum-merge):
+    KMV merges by 'union then re-take the k smallest', and unlike HLL
+    it also supports set INTERSECTION estimates (shared hashes of two
+    sketches), the primitive behind sketch-join cardinality planning.
+
+    Plan: distinct-hash stream → global top-k via orderBy().limit(k),
+    which Spark executes as TakeOrderedAndProject (per-partition
+    heap + driver merge of k·n_partitions rows) — no single-partition
+    window, no full sort. NULL keys ignored."""
+    return (
+        df.where(key.isNotNull())
+        .select(kmv_hash(key).alias("hv"))
+        .dropDuplicates(["hv"])
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_merge(tables: list, k: int = 64) -> DataFrame:
+    """⊕ for KMV: union the partial sketches' hash sets and keep the
+    k smallest of the union — associative, commutative, idempotent
+    (a hash seen by two partials collapses via dropDuplicates), so
+    per-source/per-partition sketches built independently merge into
+    exactly the sketch of the whole corpus."""
+    allrows = tables[0]
+    for t in tables[1:]:
+        allrows = allrows.unionByName(t)
+    return allrows.dropDuplicates(["hv"]).orderBy("hv").limit(k)
+
+
+def kmv_estimate(sketch_df: DataFrame, k: int = 64) -> DataFrame:
+    """Read-out: one row (k_used, kth_hash, est_distinct). With the
+    sketch full (k_used = k), the classic unbiased KMV estimator
+    F0 ≈ (k-1)/U_(k) with U_(k) = kth_hash/2^52, computed as the
+    exact BIGINT floor division (k-1)·2^52 DIV kth_hash (the 52-bit
+    hash keeps the product inside BIGINT up to k = 2048); with fewer
+    than k distinct hashes the sketch IS the distinct set and the
+    count is exact. Every value is integer, so the estimate is
+    engine-exact."""
+    agg = sketch_df.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("hv").alias("kth_hash"),
+    )
+    full = (F.col("k_used") >= k) & (F.col("kth_hash") > 0)
+    est = F.when(
+        full,
+        F.expr(
+            f"CAST({k - 1} AS BIGINT) "
+            f"* shiftleft(CAST(1 AS BIGINT), {_KMV_BITS}) DIV kth_hash"
+        ),
+    ).otherwise(F.col("k_used").cast("bigint"))
+    return agg.select(
+        F.col("k_used").cast("bigint").alias("k_used"),
+        F.coalesce(F.col("kth_hash"), F.lit(0)).cast("bigint")
+        .alias("kth_hash"),
+        est.alias("est_distinct"),
+    )

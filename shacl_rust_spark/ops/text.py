@@ -982,3 +982,78 @@ def mad_outliers(
             .otherwise(F.lit(0)).alias("is_outlier"),
         )
     )
+
+
+def chi2_keywords(docs: DataFrame, top_n: int = 5,
+                  scale: int = 10_000) -> DataFrame:
+    """Per-source characteristic keywords by Pearson chi-square over
+    the word↔source document contingency table — the classic
+    domain-keyword / corpus-drift audit (what distinguishes this
+    source's documents from the rest of the corpus?).
+
+    For each (source, word): a = docs in source containing word,
+    b = source docs without it, c = other docs containing it,
+    d = the rest; chi2 = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)).
+    Emitted as chi2_scaled = (N·(ad−bc)²·scale) DIV denominator —
+    an EXACT integral division (Pearson's statistic is ≤ N, so the
+    quotient always fits BIGINT; the numerator rides in DECIMAL(38,0),
+    which holds it up to ~10^15 documents — DuckDB's twin uses
+    HUGEINT). Top `top_n` words per source by (chi2_scaled desc,
+    word asc).
+
+    Plan: one explode scan → distinct (doc, word) → two vocabulary-
+    sized aggregates (per-source doc frequency, global doc frequency)
+    joined broadcast-style; the ranking window partitions by source
+    over the vocabulary-sized frame, never the corpus."""
+    from pyspark.sql import Window
+
+    dw = (
+        docs.select("doc_id", "source",
+                    F.explode(word_array()).alias("word"))
+        .where(F.col("word") != "")
+        .dropDuplicates(["doc_id", "word"])
+    )
+    n_total = docs.count()
+    src_sizes = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ns"))
+    per_src = dw.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("a"))
+    global_df = dw.groupBy("word").agg(F.count(F.lit(1)).alias("cw"))
+    dec = "DECIMAL(38,0)"
+    joined = (
+        per_src.join(F.broadcast(src_sizes), "source")
+        .join(global_df, "word")
+        .select(
+            "source", "word", "a",
+            (F.col("ns") - F.col("a")).alias("b"),
+            (F.col("cw") - F.col("a")).alias("c"),
+            (F.lit(n_total) - F.col("ns")
+             - (F.col("cw") - F.col("a"))).alias("d"),
+        )
+    )
+    # a word present in EVERY document has (b+d) = 0 (and chi2 = 0);
+    # drop it before the division so neither engine divides by zero.
+    # (c+d) = N - ns is 0 only for a single-source corpus, same guard.
+    joined = joined.where(
+        (F.col("b") + F.col("d") > 0) & (F.col("c") + F.col("d") > 0)
+    )
+    chi2 = joined.withColumn(
+        "chi2_scaled",
+        F.expr(
+            f"CAST({n_total} AS {dec})"
+            f" * CAST(a*d - b*c AS {dec}) * CAST(a*d - b*c AS {dec})"
+            f" * {scale}"
+            f" DIV (CAST((a+b) AS {dec}) * CAST((c+d) AS {dec})"
+            f"      * CAST((a+c) AS {dec}) * CAST((b+d) AS {dec}))"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("chi2_scaled"), F.asc("word"))
+    return (
+        chi2.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_n)
+        .select("source", F.col("rk").cast("bigint").alias("rk"),
+                "word", F.col("a").cast("bigint").alias("df_in"),
+                F.col("c").cast("bigint").alias("df_out"),
+                "chi2_scaled")
+    )

@@ -202,3 +202,17 @@ def kg_shape_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import ontology
 
     return ontology.induce_shapes(kg_validated_triples(spark, sf_dir))
+
+
+def kg_path_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRA relation-path features (ops/graph.path_type_features, Lao &
+    Cohen 2010) over the VALIDATED emission: every length-2 predicate
+    path s ─p1→ m ─p2→ o with its path count — here the placedBy/
+    locatedIn composition surfaces the inferred 'order placed in
+    nation' candidate relation, the KB-completion featurization a
+    TransE/PRA trainer consumes right after kg_validated_triples.
+    Reuses the memoized validated stage; the oracle composes the two
+    validated-triple branches by their shared canonical subject."""
+    from .ops import graph
+
+    return graph.path_type_features(kg_validated_triples(spark, sf_dir))

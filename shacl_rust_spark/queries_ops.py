@@ -2917,3 +2917,109 @@ def kg_schema_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o"),
     ))
     return ontology.align_predicates(left, right)
+
+
+def rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer NDCG@10 (ops/rank.ndcg_at_k): graded relevance
+    (3 / 1 / 0 by doc_id residue) over the per-term tf ranking, DCG
+    weights from the FIXED build-time integer table
+    ndcg_weight_table(10) shared verbatim with the oracle — no engine
+    ever evaluates log2. NDCG = dcg_scaled/idcg_scaled is consumer
+    division (the mrr num/den charter)."""
+    d = _docs(spark, sf_dir)
+    gain = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit(3))
+        .when(F.col("doc_id") % 7 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    ranked = rank.graded_ranking(d, _RRF_TERMS, gain)
+    return rank.ndcg_at_k(ranked, k=10)
+
+
+def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV mergeability contract (ops/sketch.kmv_table per source →
+    kmv_merge → kmv_estimate): the third sketch algebra beside HLL
+    (max-⊕) and CMS (sum-⊕) — union-then-re-take-k-smallest. The
+    oracle builds the k-minimum set DIRECTLY from all rows, so the
+    gate passes iff merge(per-source partials) ≡ global sketch
+    (idempotent union, ordering, the exact (k−1)·2^52 DIV kth_hash
+    estimator and the k_used < k exact-count branch)."""
+    from .ops import sketch as sk
+
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.trim("text"), " +"), lambda w: w != "")
+        ).alias("word"),
+    )
+    sources = [r.source for r in words.select("source")
+               .distinct().collect()]
+    tables = [
+        sk.kmv_table(words.where(F.col("source") == s_),
+                     F.col("word"), k=64)
+        for s_ in sorted(sources)
+    ]
+    merged = sk.kmv_merge(tables, k=64)
+    return sk.kmv_estimate(merged, k=64)
+
+
+def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source chi-square keywords (ops/text.chi2_keywords): the
+    top-5 words whose document frequency is most source-skewed, with
+    the Pearson statistic carried as the exact integral
+    (N·(ad−bc)²·10⁴) DIV denominator in DECIMAL(38,0) — the oracle
+    restates the contingency algebra in HUGEINT."""
+    return text.chi2_keywords(_docs(spark, sf_dir), top_n=5)
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level sharing profile
+    (ops/dedup.cdc_chunks → cdc_shared_stats): Rabin rolling-hash
+    boundaries (window 8, mask 2⁶) make identical passages chunk
+    identically across documents; the per-doc (n_chunks,
+    n_shared_chunks) profile is the chunk-level containment signal.
+    The Arrow kernel is a vectorized sliding-window dot; the oracle
+    restates the boundary rule position-by-position in SQL."""
+    return dedup.cdc_shared_stats(dedup.cdc_chunks(_docs(spark, sf_dir)))
+
+
+def multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash (ops/multimodal.image_dhash) over
+    the decoded synthetic BMPs: gradient-sign bits, the exposure-
+    invariant sibling of multimodal_ahash — the oracle recomputes
+    every bit from the pixel formula in closed form."""
+    assets = multimodal.synth_assets(_docs(spark, sf_dir))
+    return multimodal.image_dhash(assets)
+
+
+def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark eccentricity profile (ops/graph.landmark_distances →
+    eccentricity_profile) over the Jaccard ≥ 0.8 near-dup pair graph:
+    per-landmark (n_reached, ecc) within 4 hops — max ecc lower-
+    bounds the diameter, min the radius. Landmarks = the 5 smallest
+    doc_ids that appear in the pair graph (deterministic, degree-
+    agnostic). The oracle unrolls 4 rounds of per-seed min-hop
+    relaxation over the same pair set."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    seeds = (
+        pairs.select(F.col("a").alias("node"))
+        .unionByName(pairs.select(F.col("b").alias("node")))
+        .distinct().orderBy("node").limit(5)
+    )
+    return graph.eccentricity_profile(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        seeds, max_hops=4,
+    )
+
+
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED sufficient statistics (ops/events.cuped_stats): per
+    md5-sticky variant the exact-integer (n_users, Σx, Σy, Σx², Σxy)
+    over pre/post landed cents split at the stream's temporal
+    midpoint — θ and the adjusted lift are consumer arithmetic. The
+    oracle computes the same midpoint in a scalar CTE and restates
+    the two-level aggregate."""
+    return events.cuped_stats(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )

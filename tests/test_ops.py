@@ -4147,3 +4147,174 @@ def test_align_predicates_evidence_and_threshold(spark):
     rows = align_predicates(left, right, min_shared=2).collect()
     assert [(r.p_left, r.p_right, r.n_shared, r.n_left, r.n_right)
             for r in rows] == [("name", "label", 3, 3, 3)]
+
+
+def test_ndcg_weight_table_and_orderings(spark):
+    from shacl_rust_spark.ops.rank import ndcg_at_k, ndcg_weight_table
+
+    wt = ndcg_weight_table(10)
+    assert wt[0] == 1 << 20 and all(a > b for a, b in zip(wt, wt[1:]))
+    ranked = spark.createDataFrame(
+        # term "good": best doc ranked first (perfect);
+        # term "bad": gains inverted vs the ideal order
+        [("good", 1, 3), ("good", 2, 1), ("good", 3, 0),
+         ("bad", 1, 0), ("bad", 2, 1), ("bad", 3, 3)],
+        "term string, rank int, gain int",
+    )
+    rows = {r.term: r for r in ndcg_at_k(ranked, k=10).collect()}
+    ideal = 3 * wt[0] + 1 * wt[1]
+    assert rows["good"].dcg_scaled == ideal
+    assert rows["good"].idcg_scaled == ideal
+    assert rows["bad"].dcg_scaled == 1 * wt[1] + 3 * wt[2]
+    assert rows["bad"].idcg_scaled == ideal
+    assert rows["bad"].dcg_scaled < rows["bad"].idcg_scaled
+    assert rows["bad"].wscale == 1 << 20
+
+
+def test_kmv_merge_equals_direct_and_small_exact(spark):
+    from pyspark.sql import functions as F
+
+    from shacl_rust_spark.ops.sketch import (
+        kmv_estimate, kmv_merge, kmv_table,
+    )
+
+    df = spark.createDataFrame(
+        [(f"w{i % 37}", "a" if i % 2 == 0 else "b")
+         for i in range(200)],
+        "word string, src string",
+    )
+    direct = kmv_table(df, F.col("word"), k=16)
+    partials = [
+        kmv_table(df.where(F.col("src") == s), F.col("word"), k=16)
+        for s in ("a", "b")
+    ]
+    merged = kmv_merge(partials, k=16)
+    assert (sorted(r.hv for r in merged.collect())
+            == sorted(r.hv for r in direct.collect()))
+    # 37 distinct > k=16: estimator branch; sanity band only
+    est = kmv_estimate(merged, k=16).collect()[0]
+    assert est.k_used == 16 and 5 <= est.est_distinct <= 300
+    # fewer distinct than k: the sketch IS the set, count exact
+    small = kmv_table(df.where(F.col("word").isin("w0", "w1", "w2")),
+                      F.col("word"), k=16)
+    row = kmv_estimate(small, k=16).collect()[0]
+    assert (row.k_used, row.est_distinct) == (3, 3)
+
+
+def test_chi2_keywords_source_skew(spark):
+    from shacl_rust_spark.ops.text import chi2_keywords
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "zebra common", "A"))
+    for i in range(10, 20):
+        rows.append((i, "plain common", "B"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    out = chi2_keywords(docs, top_n=2)
+    top = {r.source: r for r in out.collect() if r.rk == 1}
+    assert top["A"].word == "zebra"
+    assert (top["A"].df_in, top["A"].df_out) == (10, 0)
+    # perfectly separating word: chi2 == N -> scaled == N * 10^4
+    assert top["A"].chi2_scaled == 20 * 10_000
+    # 'common' appears in EVERY doc -> (b+d)=0 branch filtered out
+    words = {r.word for r in out.collect()}
+    assert "common" not in words
+
+
+def test_cdc_chunks_lengths_and_sharing(spark):
+    from shacl_rust_spark.ops.dedup import cdc_chunks, cdc_shared_stats
+
+    base = ("the quick brown fox jumps over the lazy dog " * 20).strip()
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "short")],
+        "doc_id long, text string",
+    )
+    ch = cdc_chunks(docs).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        text = base if d in (1, 2) else "short"
+        assert sum(r.chunk_len for r in rows) == len(text)
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+    # identical docs chunk identically (content-defined boundaries)
+    assert ([r.chunk_md5 for r in by_doc[1]]
+            == [r.chunk_md5 for r in by_doc[2]])
+    stats = {r.doc_id: r for r in
+             cdc_shared_stats(cdc_chunks(docs)).collect()}
+    assert stats[1].n_shared_chunks == stats[1].n_chunks
+    assert stats[3].n_shared_chunks == 0
+    # sub-window doc: single chunk, no boundary possible
+    assert stats[3].n_chunks == 1
+
+
+def test_image_dhash_known_bits(spark):
+    from shacl_rust_spark.ops.multimodal import encode_bmp, image_dhash
+
+    pix = [[10, 20, 5], [7, 7, 9]]
+    assets = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(3, 2, pix)))],
+        "doc_id long, payload binary",
+    )
+    row = image_dhash(assets).collect()[0]
+    # row 0: 20>10 -> 1, 5>20 -> 0; row 1: 7>7 -> 0, 9>7 -> 1
+    assert (row.width, row.height) == (3, 2)
+    assert row.n_ones == 2
+    assert row.dhash == 0b1001
+
+
+def test_landmark_distances_and_eccentricity(spark):
+    from shacl_rust_spark.ops.graph import (
+        eccentricity_profile, landmark_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (3,)], "node long")
+    d = {(r.seed, r.node): r.dist
+         for r in landmark_distances(edges, seeds, max_hops=4).collect()}
+    assert d[(1, 5)] == 4 and d[(1, 1)] == 0 and d[(3, 1)] == 2
+    ecc = {r.seed: r for r in
+           eccentricity_profile(edges, seeds, max_hops=4).collect()}
+    assert (ecc[1].ecc, ecc[1].n_reached) == (4, 5)
+    assert (ecc[3].ecc, ecc[3].n_reached) == (2, 5)
+
+
+def test_cuped_stats_midpoint_split(spark):
+    import datetime as dt
+
+    from shacl_rust_spark.ops.events import cuped_stats
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1.0),                              # pre (t=0 < mid)
+        (1, t0 + dt.timedelta(seconds=100), 2.0),  # post
+        (2, t0 + dt.timedelta(seconds=10), 4.0),   # pre
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double")
+    out = cuped_stats(events, n_variants=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    # mid = 50s; x: u1=100c u2=400c, y: u1=200c u2=0
+    assert (r.n_users, r.sum_x, r.sum_y) == (2, 500, 200)
+    assert r.sum_xx == 100 * 100 + 400 * 400
+    assert r.sum_xy == 100 * 200 + 400 * 0
+
+
+def test_path_type_features_multiplicity(spark):
+    from shacl_rust_spark.ops.graph import path_type_features
+
+    triples = spark.createDataFrame(
+        [("s", "p", "m1"), ("s", "p", "m2"),
+         ("m1", "q", "o"), ("m2", "q", "o"),
+         ("s", "p", "m1"),              # duplicate assertion: dropped
+         ("m1", "r", "z")],
+        "s string, p string, o string",
+    )
+    out = {(r.s, r.path, r.o): r.n_paths
+           for r in path_type_features(triples).collect()}
+    assert out[("s", "p/q", "o")] == 2
+    assert out[("s", "p/r", "z")] == 1
