@@ -299,6 +299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eccentricity": O.graph_eccentricity,
         "events_cuped": O.events_cuped,
         "kg_path_features": K.kg_path_features,
+        "text_rake": O.text_rake,
+        "sketch_kmv_jaccard": O.sketch_kmv_jaccard,
+        "graph_harmonic": O.graph_harmonic,
+        "kg_asof_triples": K.kg_asof_triples,
     }
 
 
@@ -6239,6 +6243,157 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_paths
             FROM vt l JOIN vt r ON l.o = r.s
             GROUP BY 1, 2, 3
+        """,
+        # gaps-and-islands phrase segmentation restated in SQL; the
+        # 1-based positions shift every island key by a per-doc
+        # constant, which cannot change the grouping
+        "text_rake": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), ' +') AS arr
+              FROM documents),
+            tok AS (
+              SELECT doc_id, g.i AS pos, arr[g.i] AS word
+              FROM t CROSS JOIN generate_series(1, 512) g(i)
+              WHERE g.i <= len(arr) AND arr[g.i] <> ''
+                AND lower(arr[g.i]) NOT IN
+                    ('the','a','an','of','to','and','in','is','on',
+                     'for','with','was','by','at','it')),
+            isl AS (
+              SELECT doc_id, word,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+              FROM tok),
+            pl AS (SELECT doc_id, grp, count(*) AS phrase_len
+                   FROM isl GROUP BY 1, 2),
+            ws AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                     CAST(SUM(phrase_len) AS BIGINT) AS deg
+              FROM isl JOIN pl USING (doc_id, grp) GROUP BY 1),
+            sc AS (SELECT word, freq, deg,
+                          (deg * 10000) // freq AS score_scaled
+                   FROM ws)
+            SELECT CAST(row_number() OVER (ORDER BY score_scaled DESC,
+                                           word ASC) AS BIGINT) AS rk,
+                   word, freq, deg,
+                   CAST(score_scaled AS BIGINT) AS score_scaled
+            FROM sc ORDER BY score_scaled DESC, word ASC LIMIT 10
+        """,
+        # per-source k-min sketches + per-pair union rank, all
+        # windows — the same sketch rows the Spark plan builds
+        "sketch_kmv_jaccard": """
+            WITH w AS (
+              SELECT source, word FROM (
+                SELECT source,
+                       unnest(string_split_regex(trim(text), ' +'))
+                         AS word
+                FROM documents) u
+              WHERE word <> ''),
+            sk AS (
+              SELECT DISTINCT source AS part,
+                     ('0x' || substr(md5(word), 1, 13))::BIGINT AS hv
+              FROM w),
+            tk AS (
+              SELECT part, hv FROM (
+                SELECT part, hv,
+                       row_number() OVER (PARTITION BY part
+                                          ORDER BY hv) AS rn
+                FROM sk) q
+              WHERE rn <= 64),
+            pr AS (
+              SELECT a.part AS pa, b.part AS pb
+              FROM (SELECT DISTINCT part FROM tk) a
+              JOIN (SELECT DISTINCT part FROM tk) b
+                ON a.part < b.part),
+            u AS (
+              SELECT pa, pb, hv, max(in_a) AS in_a,
+                     1 - min(in_a) AS in_b
+              FROM (
+                SELECT pr.pa, pr.pb, t.hv, 1 AS in_a
+                FROM pr JOIN tk t ON t.part = pr.pa
+                UNION ALL
+                SELECT pr.pa, pr.pb, t.hv, 0
+                FROM pr JOIN tk t ON t.part = pr.pb) q
+              GROUP BY 1, 2, 3),
+            r AS (
+              SELECT pa, pb, hv, in_a, in_b,
+                     row_number() OVER (PARTITION BY pa, pb
+                                        ORDER BY hv) AS urn
+              FROM u)
+            SELECT pa AS part_a, pb AS part_b,
+                   CAST(count(*) AS BIGINT) AS k_used,
+                   CAST(SUM(in_a * in_b) AS BIGINT) AS n_shared
+            FROM r WHERE urn <= 64 GROUP BY 1, 2
+        """,
+        # same 4-round min-hop relaxation as graph_eccentricity, read
+        # out as the lcm-scaled reciprocal-distance sum
+        "graph_harmonic": _WORDS_CTE + _PAIR_GRAPH_CTE + """
+            , e AS (SELECT a AS x, b AS y FROM p
+                    UNION SELECT b, a FROM p),
+            sd AS (SELECT node FROM (
+                     SELECT a AS node FROM p
+                     UNION SELECT b FROM p) q
+                   ORDER BY node LIMIT 5),
+            d0 AS (SELECT node AS seed, node, 0 AS dist FROM sd),
+            d1 AS (SELECT seed, node, min(dist) AS dist FROM (
+                     SELECT seed, node, dist FROM d0
+                     UNION ALL
+                     SELECT d0.seed, e.y, d0.dist + 1
+                     FROM d0 JOIN e ON e.x = d0.node) q
+                   GROUP BY 1, 2),
+            d2 AS (SELECT seed, node, min(dist) AS dist FROM (
+                     SELECT seed, node, dist FROM d1
+                     UNION ALL
+                     SELECT d1.seed, e.y, d1.dist + 1
+                     FROM d1 JOIN e ON e.x = d1.node) q
+                   GROUP BY 1, 2),
+            d3 AS (SELECT seed, node, min(dist) AS dist FROM (
+                     SELECT seed, node, dist FROM d2
+                     UNION ALL
+                     SELECT d2.seed, e.y, d2.dist + 1
+                     FROM d2 JOIN e ON e.x = d2.node) q
+                   GROUP BY 1, 2),
+            d4 AS (SELECT seed, node, min(dist) AS dist FROM (
+                     SELECT seed, node, dist FROM d3
+                     UNION ALL
+                     SELECT d3.seed, e.y, d3.dist + 1
+                     FROM d3 JOIN e ON e.x = d3.node) q
+                   GROUP BY 1, 2)
+            SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+                   CAST(SUM(CASE WHEN dist > 0 THEN 12 // dist
+                                 ELSE 0 END) AS BIGINT) AS harm_scaled,
+                   CAST(12 AS BIGINT) AS scale
+            FROM d4 GROUP BY 1
+        """,
+        # latest-assertion window over the order-date timeline; the
+        # pre-canonicalization subject surfaces are per-order
+        "kg_asof_triples": f"""
+            WITH cand AS (
+              SELECT DISTINCT
+                     CASE WHEN o_orderkey % 5 = 0
+                          THEN '{EX}alt/' || o_custkey
+                          ELSE '{EX}cust/' || o_custkey END AS s,
+                     '{EX}locatedIn' AS p,
+                     '{EX}nation/' ||
+                       (CASE WHEN o_orderkey % 2 = 0 THEN 1
+                             ELSE o_orderkey % 25 END) AS o,
+                     date_diff('day', DATE '1970-01-01',
+                               o_orderdate::DATE) AS asof_day
+              FROM orders WHERE o_orderkey % 11 <> 0),
+            r AS (
+              SELECT s, p, o, asof_day,
+                     row_number() OVER (PARTITION BY s, p
+                       ORDER BY asof_day DESC, o ASC) AS rn
+              FROM cand),
+            st AS (
+              SELECT s, p, count(DISTINCT o) AS n_values,
+                     count(*) AS n_assertions
+              FROM cand GROUP BY 1, 2)
+            SELECT r.s, r.p, r.o,
+                   CAST(r.asof_day AS BIGINT) AS asof_day,
+                   CAST(st.n_values AS BIGINT) AS n_values,
+                   CAST(st.n_assertions AS BIGINT) AS n_assertions
+            FROM r JOIN st USING (s, p) WHERE rn = 1
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

@@ -1475,3 +1475,29 @@ def path_type_features(triples: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_paths"))
     )
     return out
+
+
+def harmonic_centrality(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Per-landmark harmonic centrality within the ``max_hops``
+    horizon: (seed, n_reached, harm_scaled, scale) with harm_scaled =
+    Σ_{d(seed,v) ≥ 1} scale DIV d — scale = lcm(1..max_hops), so every
+    reciprocal distance is an EXACT integer (the mrr_at_k device) and
+    the engine-order of the sum cannot matter. Harmonic centrality is
+    the standard sampled-landmark centrality at web scale (HyperBall's
+    exact twin at bounded radius); unlike closeness it handles
+    disconnected graphs gracefully (unreached nodes contribute 0).
+    One groupBy over the landmark_distances frame."""
+    import math
+
+    scale = math.lcm(*range(1, max_hops + 1))
+    ld = landmark_distances(edges, seeds, max_hops)
+    return ld.groupBy("seed").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum(
+            F.when(F.col("dist") > 0, F.expr(f"{scale} DIV dist"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("harm_scaled"),
+        F.lit(scale).cast("bigint").alias("scale"),
+    )

@@ -426,3 +426,64 @@ def kmv_estimate(sketch_df: DataFrame, k: int = 64) -> DataFrame:
         .alias("kth_hash"),
         est.alias("est_distinct"),
     )
+
+
+def kmv_pair_jaccard(
+    df: DataFrame, key: Column, part_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise set-similarity estimates between partitions (sources,
+    days, datasets) from their KMV sketches — the estimate KMV
+    supports and HLL cannot: for each partition pair (a < b) take the
+    k smallest hashes of Sa ∪ Sb and count how many sit in BOTH
+    sketches; Jaccard ≈ n_shared / k_used (Beyer et al. 2007). The
+    sketch-join cardinality/overlap planner at 100 TB: per-partition
+    sketches are constant-size, the pair join touches k·P rows, never
+    raw keys. Output (part_a, part_b, k_used, n_shared) — all exact
+    integers; the division is the consumer's.
+
+    Plan: distinct (part, hv) stream → per-part top-k via a window
+    over the PART-partitioned hash stream (vocabulary-sized, never
+    the corpus) → full-outer pairwise hash alignment → per-pair
+    union-rank window over ≤ 2k rows."""
+    sk = (
+        df.where(key.isNotNull())
+        .select(F.col(part_col).alias("part"), kmv_hash(key).alias("hv"))
+        .dropDuplicates(["part", "hv"])
+    )
+    w = Window.partitionBy("part").orderBy("hv")
+    topk = sk.withColumn("rn", F.row_number().over(w)) \
+        .where(F.col("rn") <= k).select("part", "hv")
+    # pair frame: for each (pa < pb) the union of their hash sets with
+    # membership flags — built from the per-part sketches, not raw data
+    pa = topk.select(F.col("part").alias("pa"), "hv")
+    pb = topk.select(F.col("part").alias("pb"), "hv")
+    parts = topk.select("part").distinct()
+    pairs = (
+        parts.select(F.col("part").alias("pa"))
+        .join(parts.select(F.col("part").alias("pb")),
+              F.col("pa") < F.col("pb"))
+    )
+    u = (
+        pairs.join(pa, "pa")
+        .select("pa", "pb", "hv", F.lit(1).alias("in_a"))
+        .unionByName(
+            pairs.join(pb, "pb")
+            .select("pa", "pb", "hv", F.lit(0).alias("in_a")))
+        .groupBy("pa", "pb", "hv")
+        .agg(F.max("in_a").alias("in_a"),
+             F.min("in_a").alias("_min"))
+        .select("pa", "pb", "hv",
+                "in_a", (F.col("_min") == 0).cast("int").alias("in_b"))
+    )
+    wu = Window.partitionBy("pa", "pb").orderBy("hv")
+    ranked = u.withColumn("urn", F.row_number().over(wu)) \
+        .where(F.col("urn") <= k)
+    return (
+        ranked.groupBy(F.col("pa").alias("part_a"),
+                       F.col("pb").alias("part_b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_used"),
+            F.sum((F.col("in_a") * F.col("in_b")).cast("bigint"))
+            .cast("bigint").alias("n_shared"),
+        )
+    )

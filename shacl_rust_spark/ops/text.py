@@ -1057,3 +1057,61 @@ def chi2_keywords(docs: DataFrame, top_n: int = 5,
                 F.col("c").cast("bigint").alias("df_out"),
                 "chi2_scaled")
     )
+
+
+RAKE_STOPWORDS = (
+    "the", "a", "an", "of", "to", "and", "in", "is", "on", "for",
+    "with", "was", "by", "at", "it",
+)
+
+
+def rake_keywords(docs: DataFrame, top_n: int = 10,
+                  scale: int = 10_000) -> DataFrame:
+    """RAKE keyword scores (Rose et al. 2010) at corpus level:
+    candidate phrases are maximal stopword-free token runs; per word
+    freq = number of phrase occurrences containing it, deg = Σ phrase
+    length over those occurrences (co-occurrence degree including
+    self); score = deg/freq, emitted as the exact integral
+    (deg·scale) DIV freq. Top ``top_n`` words by (score_scaled desc,
+    word asc) — multi-word-phrase affinity without any parser.
+
+    Plan: one posexplode scan; phrase segmentation is the classic
+    gaps-and-islands device (island id = pos − row_number over the
+    stopword-filtered per-doc stream — constant within each run);
+    phrase lengths come from one (doc, island) aggregate joined back
+    on the island key; the final ranking is orderBy().limit() —
+    TakeOrderedAndProject, never a single-partition window over the
+    vocabulary."""
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select("doc_id",
+                    F.posexplode(word_array()).alias("pos", "word"))
+        .where((F.col("word") != "")
+               & ~F.lower(F.col("word")).isin(*RAKE_STOPWORDS))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = toks.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wd)
+    )
+    plen = isl.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("phrase_len"))
+    scored = (
+        isl.join(plen, ["doc_id", "grp"])
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("phrase_len").alias("deg"),
+        )
+        .select(
+            "word", F.col("freq").cast("bigint").alias("freq"),
+            F.col("deg").cast("bigint").alias("deg"),
+            F.expr(f"(deg * {scale}) DIV freq").alias("score_scaled"),
+        )
+    )
+    top = scored.orderBy(F.desc("score_scaled"), F.asc("word")) \
+        .limit(top_n)
+    wr = Window.orderBy(F.desc("score_scaled"), F.asc("word"))
+    return top.withColumn(
+        "rk", F.row_number().over(wr).cast("bigint")
+    ).select("rk", "word", "freq", "deg", "score_scaled")

@@ -63,3 +63,39 @@ def sameas_edges(triples: DataFrame) -> DataFrame:
         .select(F.col("s").alias("src"), F.col("o").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
+
+
+def asof_resolve(cand: DataFrame) -> DataFrame:
+    """Recency-based truth resolution over timestamped candidate
+    triples (s, p, o, asof_day): per (s, p) keep the object asserted
+    by the LATEST page (ties broken by smallest o — deterministic),
+    with the conflict profile riding along: (s, p, o, asof_day,
+    n_values = distinct objects ever asserted, n_assertions =
+    distinct (o, day) assertions). The functional-property as-of rule
+    a crawl-driven KG needs for single-valued predicates whose value
+    changes over time (a customer moves nation between crawls) —
+    complementary to kg_truth_discovery's source-voting rule: voting
+    weighs WHO said it, as-of weighs WHEN.
+
+    Plan: one dropDuplicates + one window + one aggregate, all
+    partitioned on (s, p) — three narrow-key shuffles of candidate-
+    cardinality data; the window partitions by the same key the
+    aggregate groups on, so AQE coalesces them onto one exchange."""
+    from pyspark.sql import Window
+
+    d = cand.select("s", "p", "o", "asof_day").dropDuplicates(
+        ["s", "p", "o", "asof_day"]
+    )
+    w = Window.partitionBy("s", "p").orderBy(
+        F.desc("asof_day"), F.asc("o")
+    )
+    latest = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("s", "p", "o", "asof_day")
+    )
+    stats = d.groupBy("s", "p").agg(
+        F.count_distinct("o").alias("n_values"),
+        F.count(F.lit(1)).alias("n_assertions"),
+    )
+    return latest.join(stats, ["s", "p"])

@@ -216,3 +216,28 @@ def kg_path_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import graph
 
     return graph.path_type_features(kg_validated_triples(spark, sf_dir))
+
+
+def kg_asof_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-based truth resolution (pipeline/assemble.asof_resolve)
+    over the timestamped linked locatedIn candidates: per pre-
+    canonicalization subject the nation asserted by the LATEST page
+    (warc_ts; ties → smallest object IRI), with the conflict profile
+    (n_values, n_assertions) riding along — the as-of rule for
+    single-valued predicates whose truth changes between crawls,
+    complementary to kg_truth_discovery's source voting. The oracle
+    restates the latest-assertion window over the page grammar's
+    order-date timeline."""
+    from .pipeline import assemble
+
+    linked = _linked(spark, sf_dir)
+    cand = assemble.assemble_triples(linked).where(
+        (F.col("p") == assemble.P_LOCATED_IN) & F.col("o_is_iri")
+    )
+    pg = pages.pages(spark, sf_dir).select(
+        "url",
+        F.datediff(F.col("warc_ts").cast("date"),
+                   F.lit("1970-01-01").cast("date")).alias("asof_day"),
+    )
+    cts = cand.join(pg, "url").select("s", "p", "o", "asof_day")
+    return assemble.asof_resolve(cts)

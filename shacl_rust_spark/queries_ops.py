@@ -3023,3 +3023,48 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.cuped_stats(
         spark.read.parquet(f"{sf_dir}/events.parquet")
     )
+
+
+def text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level RAKE keywords (ops/text.rake_keywords): stopword-
+    delimited phrase islands, word deg/freq as exact integers, score
+    as (deg·10⁴) DIV freq, top-10 via TakeOrderedAndProject. The
+    oracle restates the gaps-and-islands segmentation in SQL."""
+    return text.rake_keywords(_docs(spark, sf_dir), top_n=10)
+
+
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap estimates from KMV sketches
+    (ops/sketch.kmv_pair_jaccard): the set-INTERSECTION estimate KMV
+    supports and HLL cannot — per source pair the k smallest hashes
+    of the union with two-sided membership counts. The oracle builds
+    every sketch and union rank directly with windows."""
+    from .ops import sketch as sk
+
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.trim("text"), " +"), lambda w: w != "")
+        ).alias("word"),
+    )
+    return sk.kmv_pair_jaccard(words, F.col("word"), "source", k=64)
+
+
+def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark harmonic centrality (ops/graph.harmonic_centrality)
+    over the Jaccard ≥ 0.8 pair graph — Σ scale DIV dist with
+    scale = lcm(1..4), the integer-exact sampled-centrality estimate
+    (HyperBall's bounded-radius twin); same 5 smallest-doc-id
+    landmarks as graph_eccentricity, so the two gates pin the same
+    landmark_distances frame from two different aggregates."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    seeds = (
+        pairs.select(F.col("a").alias("node"))
+        .unionByName(pairs.select(F.col("b").alias("node")))
+        .distinct().orderBy("node").limit(5)
+    )
+    return graph.harmonic_centrality(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        seeds, max_hops=4,
+    )

@@ -4318,3 +4318,77 @@ def test_path_type_features_multiplicity(spark):
            for r in path_type_features(triples).collect()}
     assert out[("s", "p/q", "o")] == 2
     assert out[("s", "p/r", "z")] == 1
+
+
+def test_rake_keywords_islands_and_scores(spark):
+    from shacl_rust_spark.ops.text import rake_keywords
+
+    docs = spark.createDataFrame(
+        # phrases: ["red panda", "red fox"] / ["red panda"]
+        [(1, "red panda and the red fox"), (2, "red panda")],
+        "doc_id long, text string",
+    )
+    rows = {r.word: r for r in rake_keywords(docs, top_n=10).collect()}
+    # red: 3 occurrences, all in 2-word phrases -> deg 6, score 2.0
+    assert (rows["red"].freq, rows["red"].deg) == (3, 6)
+    assert rows["red"].score_scaled == 20000
+    assert (rows["panda"].freq, rows["panda"].deg) == (2, 4)
+    assert (rows["fox"].freq, rows["fox"].deg) == (1, 2)
+    # stopwords never emitted
+    assert "and" not in rows and "the" not in rows
+    # rank is dense over the (score desc, word asc) order
+    ranked = sorted(rows.values(), key=lambda r: r.rk)
+    assert [r.rk for r in ranked] == list(range(1, len(ranked) + 1))
+
+
+def test_kmv_pair_jaccard_membership(spark):
+    from pyspark.sql import functions as F
+
+    from shacl_rust_spark.ops.sketch import kmv_pair_jaccard
+
+    rows = (
+        [("a", f"shared{i}") for i in range(10)]
+        + [("b", f"shared{i}") for i in range(10)]
+        + [("a", f"onlya{i}") for i in range(5)]
+        + [("b", f"onlyb{i}") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "src string, word string")
+    out = kmv_pair_jaccard(df, F.col("word"), "src", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    # below k: the union sketch is the exact union (18 hashes),
+    # shared = the 10 common words
+    assert (r.part_a, r.part_b) == ("a", "b")
+    assert (r.k_used, r.n_shared) == (18, 10)
+
+
+def test_harmonic_centrality_path_graph(spark):
+    from shacl_rust_spark.ops.graph import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (3,)], "node long")
+    out = {r.seed: r for r in
+           harmonic_centrality(edges, seeds, max_hops=4).collect()}
+    # scale = lcm(1..4) = 12; seed 1: dists 1,2,3,4 -> 12+6+4+3 = 25
+    assert (out[1].harm_scaled, out[1].scale) == (25, 12)
+    # seed 3: dists 1,1,2,2 -> 12+12+6+6 = 36
+    assert out[3].harm_scaled == 36
+
+
+def test_asof_resolve_latest_and_ties(spark):
+    from shacl_rust_spark.pipeline.assemble import asof_resolve
+
+    cand = spark.createDataFrame(
+        [("s1", "p", "nationA", 10),
+         ("s1", "p", "nationB", 20),   # latest -> wins
+         ("s1", "p", "nationB", 20),   # duplicate assertion collapses
+         ("s2", "p", "nationC", 5),
+         ("s2", "p", "nationB", 5)],   # tie on day -> min o wins
+        "s string, p string, o string, asof_day int",
+    )
+    out = {r.s: r for r in asof_resolve(cand).collect()}
+    assert out["s1"].o == "nationB" and out["s1"].asof_day == 20
+    assert (out["s1"].n_values, out["s1"].n_assertions) == (2, 2)
+    assert out["s2"].o == "nationB"
+    assert (out["s2"].n_values, out["s2"].n_assertions) == (2, 2)
