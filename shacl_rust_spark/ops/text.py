@@ -1001,10 +1001,12 @@ def chi2_keywords(docs: DataFrame, top_n: int = 5,
     HUGEINT). Top `top_n` words per source by (chi2_scaled desc,
     word asc).
 
-    Plan: one explode scan → distinct (doc, word) → two vocabulary-
-    sized aggregates (per-source doc frequency, global doc frequency)
-    joined broadcast-style; the ranking window partitions by source
-    over the vocabulary-sized frame, never the corpus."""
+    Plan: ONE explode scan → distinct (doc, word) → the per-source
+    doc-frequency aggregate; the global doc frequency is a re-
+    aggregate OF that vocabulary-sized frame (Σ over sources), so the
+    corpus is scanned once, not once per aggregate. The ranking
+    window partitions by source over the vocabulary-sized frame,
+    never the corpus."""
     from pyspark.sql import Window
 
     dw = (
@@ -1018,7 +1020,9 @@ def chi2_keywords(docs: DataFrame, top_n: int = 5,
         F.count(F.lit(1)).alias("ns"))
     per_src = dw.groupBy("source", "word").agg(
         F.count(F.lit(1)).alias("a"))
-    global_df = dw.groupBy("word").agg(F.count(F.lit(1)).alias("cw"))
+    # a doc has ONE source, so global df = Σ per-source df — derived
+    # from the vocabulary-sized frame, no second corpus scan
+    global_df = per_src.groupBy("word").agg(F.sum("a").alias("cw"))
     dec = "DECIMAL(38,0)"
     joined = (
         per_src.join(F.broadcast(src_sizes), "source")
