@@ -303,6 +303,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_jaccard": O.sketch_kmv_jaccard,
         "graph_harmonic": O.graph_harmonic,
         "kg_asof_triples": K.kg_asof_triples,
+        "kg_numeric_fusion": K.kg_numeric_fusion,
+        "kg_key_discovery": K.kg_key_discovery,
+        "events_attribution_multi": O.events_attribution_multi,
+        "events_survival": O.events_survival,
     }
 
 
@@ -6394,6 +6398,118 @@ def oracle_sql() -> dict[str, str]:
                    CAST(st.n_values AS BIGINT) AS n_values,
                    CAST(st.n_assertions AS BIGINT) AS n_assertions
             FROM r JOIN st USING (s, p) WHERE rn = 1
+        """,
+        # claims in closed form from the order grammar; lower median
+        # as the same ⌈n/2⌉ order statistic
+        "kg_numeric_fusion": f"""
+            WITH cl AS (
+              SELECT CASE WHEN o_orderkey % 5 = 0
+                          THEN '{EX}alt/' || o_custkey
+                          ELSE '{EX}cust/' || o_custkey END AS s,
+                     '{EX}totalValue' AS p,
+                     CAST(floor(o_totalprice) AS BIGINT) AS v
+              FROM orders),
+            r AS (
+              SELECT s, p, v,
+                     row_number() OVER (PARTITION BY s, p
+                                        ORDER BY v ASC) AS rn,
+                     count(*) OVER (PARTITION BY s, p) AS n
+              FROM cl),
+            med AS (SELECT s, p, v AS v_med FROM r
+                    WHERE rn = (n + 1) // 2),
+            st AS (
+              SELECT s, p, CAST(count(*) AS BIGINT) AS n_claims,
+                     CAST(min(v) AS BIGINT) AS v_min,
+                     CAST(max(v) AS BIGINT) AS v_max
+              FROM cl GROUP BY 1, 2)
+            SELECT st.s, st.p, st.n_claims, st.v_min,
+                   CAST(med.v_med AS BIGINT) AS v_med, st.v_max
+            FROM st JOIN med USING (s, p)
+        """,
+        # the (p, o) subject-count profile over the two validated
+        # branches — n_shared_o counts key violations
+        "kg_key_discovery": f"""{_KG_CTE}
+            , vt AS (
+              SELECT DISTINCT canon.subj AS s, '{EX}locatedIn' AS p,
+                     '{EX}nation/' || nk AS o
+              FROM osurf JOIN canon ON canon.k = osurf.k
+              WHERE o % 11 <> 0
+              UNION ALL
+              SELECT '{EX}order/' || o, '{EX}placedBy', canon.subj
+              FROM osurf JOIN canon ON canon.k = osurf.k),
+            po AS (SELECT p, o, count(DISTINCT s) AS n_subj
+                   FROM vt GROUP BY 1, 2)
+            SELECT p, CAST(SUM(n_subj) AS BIGINT) AS n_statements,
+                   CAST(count(*) AS BIGINT) AS n_distinct_o,
+                   CAST(SUM(CASE WHEN n_subj >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared_o
+            FROM po GROUP BY 1
+        """,
+        # pre-conversion paths ranked from both ends; floored-second
+        # ties broken by event_id on both engines
+        "events_attribution_multi": """
+            WITH ev AS (
+              SELECT user_id, event_type,
+                     floor(epoch(ts))::BIGINT AS sec, event_id
+              FROM events),
+            cv AS (SELECT user_id, min(sec) AS conv_sec FROM ev
+                   WHERE event_type = 'purchase' GROUP BY 1),
+            tc AS (
+              SELECT e.user_id, e.event_type, e.sec, e.event_id
+              FROM ev e JOIN cv USING (user_id)
+              WHERE e.event_type <> 'purchase'
+                AND e.sec < cv.conv_sec),
+            fl AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY sec ASC, event_id ASC) AS rk_first,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY sec DESC, event_id DESC) AS rk_last
+              FROM tc)
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN rk_first = 1 AND rk_last > 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_first,
+                   CAST(SUM(CASE WHEN rk_last = 1 AND rk_first > 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_last,
+                   CAST(SUM(CASE WHEN rk_first > 1 AND rk_last > 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_middle,
+                   CAST(SUM(CASE WHEN rk_first = 1 AND rk_last = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_solo,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                     AS n_conversions
+            FROM fl GROUP BY 1
+        """,
+        # per-user lifetime envelope + reverse running at-risk sum;
+        # censoring cut at 7 days before the window end
+        "events_survival": """
+            WITH pu AS (
+              SELECT user_id,
+                     min(floor(epoch(ts))::BIGINT // 86400) AS d0,
+                     max(floor(epoch(ts))::BIGINT // 86400) AS d1
+              FROM events GROUP BY 1),
+            wend AS (SELECT max(d1) AS w FROM pu),
+            lab AS (
+              SELECT d1 - d0 AS lifetime, (d1 >= w - 7) AS censored
+              FROM pu CROSS JOIN wend),
+            g AS (
+              SELECT lifetime,
+                     SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+                       AS n_churned,
+                     SUM(CASE WHEN censored THEN 1 ELSE 0 END)
+                       AS n_censored
+              FROM lab GROUP BY 1)
+            SELECT CAST(lifetime AS BIGINT) AS lifetime,
+                   CAST(SUM(n_churned + n_censored) OVER (
+                          ORDER BY lifetime DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS n_at_risk,
+                   CAST(n_churned AS BIGINT) AS n_churned,
+                   CAST(n_censored AS BIGINT) AS n_censored
+            FROM g
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

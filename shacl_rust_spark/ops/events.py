@@ -741,3 +741,116 @@ def cuped_stats(
         F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
         F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
     )
+
+
+def attribution_touch_stats(
+    events: DataFrame, conversion_type: str = "purchase"
+) -> DataFrame:
+    """Multi-touch attribution sufficient statistics: per channel
+    (event_type) the integer counts a U-shaped / linear / position-
+    based attribution model consumes — n_first (channel was the
+    first touch before a conversion), n_last, n_middle (touch count
+    in neither end position), n_solo (single-touch conversions), and
+    n_conversions (distinct conversions the channel touched at all).
+    Fractional credit (40/20/40 etc.) is CONSUMER arithmetic over
+    these exact integers — per-touch fractions have data-dependent
+    denominators and cannot cross engines exactly (the same
+    sufficient-statistics charter as cuped_stats).
+
+    A conversion is each user's FIRST `conversion_type` event; its
+    touch path is every strictly-earlier event of any other type.
+    Plan: one window pins the conversion second per user (narrow
+    user-keyed shuffle), one window ranks the path from both ends,
+    one aggregate folds the counts."""
+    from pyspark.sql import Window
+
+    sec = F.expr("unix_seconds(cast(ts as timestamp))")
+    ev = events.select(
+        "user_id", "event_type", sec.alias("sec"), "event_id")
+    conv = (
+        ev.where(F.col("event_type") == conversion_type)
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("conv_sec"))
+    )
+    touches = (
+        ev.where(F.col("event_type") != conversion_type)
+        .join(conv, "user_id")
+        .where(F.col("sec") < F.col("conv_sec"))
+    )
+    wa = Window.partitionBy("user_id").orderBy(
+        F.asc("sec"), F.asc("event_id"))
+    wd = Window.partitionBy("user_id").orderBy(
+        F.desc("sec"), F.desc("event_id"))
+    flagged = touches.select(
+        "user_id", "event_type",
+        F.row_number().over(wa).alias("rk_first"),
+        F.row_number().over(wd).alias("rk_last"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.sum(F.when((F.col("rk_first") == 1)
+                         & (F.col("rk_last") > 1), 1).otherwise(0))
+            .cast("bigint").alias("n_first"),
+            F.sum(F.when((F.col("rk_last") == 1)
+                         & (F.col("rk_first") > 1), 1).otherwise(0))
+            .cast("bigint").alias("n_last"),
+            F.sum(F.when((F.col("rk_first") > 1)
+                         & (F.col("rk_last") > 1), 1).otherwise(0))
+            .cast("bigint").alias("n_middle"),
+            F.sum(F.when((F.col("rk_first") == 1)
+                         & (F.col("rk_last") == 1), 1).otherwise(0))
+            .cast("bigint").alias("n_solo"),
+            F.count_distinct("user_id").alias("n_conversions"),
+        )
+    )
+
+
+def survival_table(
+    events: DataFrame, censor_horizon_days: int = 7
+) -> DataFrame:
+    """Kaplan-Meier sufficient table for user churn: one row per
+    observed lifetime t (days between a user's first and last event)
+    with n_at_risk (users whose lifetime ≥ t), n_churned (uncensored
+    users with lifetime exactly t), n_censored (censored users with
+    lifetime exactly t). A user is CENSORED when their last event
+    falls within `censor_horizon_days` of the observation window's
+    end — still-active users must not count as churned (the classic
+    right-censoring correction naive retention curves get wrong).
+    The survival estimate Ŝ(t) = Π_{u≤t} (1 − d_u/r_u) is CONSUMER
+    arithmetic over these integers.
+
+    Plan: one per-user min/max aggregate; the window end is a
+    single-row driver scalar (bounded-driver policy); at-risk counts
+    are a reverse running sum over the lifetime-grouped frame —
+    lifetimes are bounded by the observation span, so the window
+    frame is tiny."""
+    from pyspark.sql import Window
+
+    day = F.expr(
+        "unix_seconds(cast(ts as timestamp)) DIV 86400")
+    per_user = events.select("user_id", day.alias("day")) \
+        .groupBy("user_id").agg(
+            F.min("day").alias("d0"), F.max("day").alias("d1"))
+    w_end = per_user.agg(F.max("d1")).collect()[0][0]
+    lab = per_user.select(
+        (F.col("d1") - F.col("d0")).alias("lifetime"),
+        (F.col("d1") >= F.lit(int(w_end)) - censor_horizon_days)
+        .alias("censored"),
+    )
+    grouped = lab.groupBy("lifetime").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("bigint").alias("n_churned"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("bigint").alias("n_censored"),
+    )
+    wrev = (
+        Window.orderBy(F.desc("lifetime"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grouped.select(
+        F.col("lifetime").cast("bigint").alias("lifetime"),
+        F.sum(F.col("n_churned") + F.col("n_censored")).over(wrev)
+        .cast("bigint").alias("n_at_risk"),
+        "n_churned", "n_censored",
+    )

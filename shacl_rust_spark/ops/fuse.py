@@ -96,3 +96,46 @@ def disambiguate_by_context(
         .select("mention_id", "surface", "entity_id", "score",
                 "n_candidates")
     )
+
+
+def fuse_numeric(
+    claims: DataFrame,
+    group_cols: tuple = ("s", "p"),
+    value_col: str = "v",
+) -> DataFrame:
+    """Numeric truth fusion (the KBT/median rule for conflicting
+    NUMERIC claims — majority_vote's sibling for values where exact
+    string equality is the wrong consensus notion): per group the
+    LOWER MEDIAN of the claimed values plus the conflict envelope
+    (n_claims, v_min, v_med, v_max). The median is an order
+    statistic, not an average — robust to outlier claims and exactly
+    representable in integers, so the fused value is engine-exact
+    (an avg would be a float of data-dependent summation order).
+
+    Lower median = the value at row ⌈n/2⌉ of the ascending order —
+    deterministic for even n too. Plan: one window (row_number +
+    count over the group) and one aggregate, both partitioned on the
+    group key; claim rows are NOT deduplicated (three sources
+    asserting 7 is stronger evidence than one — multiplicity is the
+    vote)."""
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    w = Window.partitionBy(*g).orderBy(F.col("_v").asc())
+    ranked = claims.select(*g, F.col(value_col).alias("_v")) \
+        .withColumn("_rn", F.row_number().over(w))
+    med = (
+        ranked.join(
+            ranked.groupBy(*g).agg(F.count(F.lit(1)).alias("_n")), g
+        )
+        .where(F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+        .select(*g, F.col("_v").alias("v_med"))
+    )
+    stats = claims.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_claims"),
+        F.min(value_col).alias("v_min"),
+        F.max(value_col).alias("v_max"),
+    )
+    return stats.join(med, g).select(
+        *g, "n_claims", "v_min", "v_med", "v_max"
+    )

@@ -435,3 +435,32 @@ def align_predicates(
         .join(F.broadcast(nr), "p_right")
         .select("p_left", "p_right", "n_shared", "n_left", "n_right")
     )
+
+
+def key_discovery(triples: DataFrame) -> DataFrame:
+    """Quasi-key discovery over a (s, p, o) frame (SAKey/ROCKER-lite):
+    per predicate the integer evidence for 'o identifies s' —
+    n_statements (distinct (s,o) pairs), n_distinct_o, n_shared_o
+    (object values asserted for ≥ 2 distinct subjects = key
+    violations). A predicate with n_shared_o = 0 is a discovered
+    inverse-functional key; near-keys (small n_shared_o) are the
+    candidates a sameAs-inference pipeline promotes after review —
+    the DISCOVERY half of which ifp_sameas is the APPLICATION half.
+    keyness = 1 − n_shared_o/n_distinct_o is consumer arithmetic.
+
+    Plan: dropDuplicates on (s,p,o) (assertion multiplicity is not
+    evidence of keyness), one (p,o) aggregate for per-value subject
+    counts, one per-p fold — all narrow keys, vocabulary-of-
+    predicates-sized output."""
+    t = triples.select("s", "p", "o").dropDuplicates(["s", "p", "o"])
+    po = t.groupBy("p", "o").agg(
+        F.count_distinct("s").alias("n_subj"))
+    return (
+        po.groupBy("p")
+        .agg(
+            F.sum("n_subj").cast("bigint").alias("n_statements"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_o"),
+            F.sum(F.when(F.col("n_subj") >= 2, 1).otherwise(0))
+            .cast("bigint").alias("n_shared_o"),
+        )
+    )

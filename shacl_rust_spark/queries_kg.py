@@ -241,3 +241,42 @@ def kg_asof_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cts = cand.join(pg, "url").select("s", "p", "o", "asof_day")
     return assemble.asof_resolve(cts)
+
+
+def kg_numeric_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric claim extraction + median truth fusion
+    (ops/fuse.fuse_numeric): every order page asserts its customer's
+    order value ('Total value N USD' parsed straight from page text,
+    subject surface from the 'placed by' sentence); per canonical-
+    surface subject the lower-median claimed value with the conflict
+    envelope — the KBT-style numeric reconciliation majority_vote
+    cannot express (string-equality consensus is wrong for numbers).
+    The oracle restates claims in closed form from the order grammar
+    and the median as the same order statistic."""
+    from .ops import fuse
+
+    pg = pages.pages(spark, sf_dir).select("text")
+    claims = (
+        pg.select(
+            assemble.surface_to_iri(
+                F.regexp_extract("text", r"placed by ([^.]+)\.", 1)
+            ).alias("s"),
+            F.lit(assemble.EX + "totalValue").alias("p"),
+            F.regexp_extract("text", r"Total value (\d+) USD", 1)
+            .cast("bigint").alias("v"),
+        )
+        .where(F.col("s").isNotNull() & F.col("v").isNotNull())
+    )
+    return fuse.fuse_numeric(claims)
+
+
+def kg_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-key discovery (ops/ontology.key_discovery) over the
+    validated emission: per predicate the shared-object-value counts
+    that rank it as a sameAs-inference key candidate — the DISCOVERY
+    half of which kg_ifp_sameas is the APPLICATION. The oracle
+    recomputes the (p, o) subject-count profile over the two
+    validated branches."""
+    from .ops import ontology
+
+    return ontology.key_discovery(kg_validated_triples(spark, sf_dir))

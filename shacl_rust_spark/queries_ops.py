@@ -3068,3 +3068,27 @@ def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         seeds, max_hops=4,
     )
+
+
+def events_attribution_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution sufficient statistics
+    (ops/events.attribution_touch_stats): per channel the exact
+    first/last/middle/solo touch counts over each user's pre-
+    first-purchase path — U-shaped/linear credit is consumer
+    arithmetic (per-touch fractions have data-dependent denominators
+    and cannot cross engines). The oracle ranks the same paths from
+    both ends with windows."""
+    return events.attribution_touch_stats(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn sufficient table (ops/events.survival_table):
+    per observed lifetime the at-risk/churned/censored integer counts
+    with right-censoring at a 7-day horizon before the window end —
+    Ŝ(t) is consumer arithmetic. The oracle restates the per-user
+    envelope and the reverse running at-risk sum."""
+    return events.survival_table(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )

@@ -4392,3 +4392,89 @@ def test_asof_resolve_latest_and_ties(spark):
     assert (out["s1"].n_values, out["s1"].n_assertions) == (2, 2)
     assert out["s2"].o == "nationB"
     assert (out["s2"].n_values, out["s2"].n_assertions) == (2, 2)
+
+
+def test_fuse_numeric_median_and_envelope(spark):
+    from shacl_rust_spark.ops.fuse import fuse_numeric
+
+    claims = spark.createDataFrame(
+        [("a", "p", 5), ("a", "p", 7), ("a", "p", 1000),  # outlier
+         ("b", "p", 3), ("b", "p", 9)],                   # even n
+        "s string, p string, v long",
+    )
+    out = {r.s: r for r in fuse_numeric(claims).collect()}
+    # median robust to the outlier claim
+    assert (out["a"].v_med, out["a"].v_min, out["a"].v_max) == (7, 5, 1000)
+    # even n -> LOWER median
+    assert out["b"].v_med == 3
+    assert out["a"].n_claims == 3
+
+
+def test_attribution_touch_stats_positions(spark):
+    import datetime as dt
+
+    from shacl_rust_spark.ops.events import attribution_touch_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda x: t0 + dt.timedelta(seconds=x)  # noqa: E731
+    rows = [
+        # user 1: view -> click -> view -> purchase
+        (1, 1, s(1), "view"), (2, 1, s(2), "click"),
+        (3, 1, s(3), "view"), (4, 1, s(4), "purchase"),
+        # user 2: click -> purchase (solo touch)
+        (5, 2, s(1), "click"), (6, 2, s(2), "purchase"),
+        # user 3: no purchase -> no conversion path
+        (7, 3, s(1), "view"),
+        # user 1 events AFTER conversion don't count
+        (8, 1, s(9), "click"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = {r.event_type: r for r in
+           attribution_touch_stats(events).collect()}
+    assert (out["view"].n_first, out["view"].n_last,
+            out["view"].n_middle, out["view"].n_solo) == (1, 1, 0, 0)
+    assert (out["click"].n_middle, out["click"].n_solo) == (1, 1)
+    assert out["view"].n_conversions == 1
+    assert out["click"].n_conversions == 2
+
+
+def test_survival_table_censoring(spark):
+    import datetime as dt
+
+    from shacl_rust_spark.ops.events import survival_table
+
+    t0 = dt.datetime(2024, 1, 1)
+    d = lambda x: t0 + dt.timedelta(days=x)  # noqa: E731
+    rows = [
+        (1, d(0)), (1, d(2)),     # lifetime 2, last day 2 -> churned
+        (2, d(0)), (2, d(28)),    # lifetime 28, near end -> censored
+        (3, d(5)), (3, d(5)),     # lifetime 0, early -> churned
+        (4, d(25)), (4, d(30)),   # lifetime 5, last day 30 -> censored
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.lifetime: r for r in survival_table(events).collect()}
+    assert (out[2].n_churned, out[2].n_censored) == (1, 0)
+    assert (out[28].n_churned, out[28].n_censored) == (0, 1)
+    assert (out[5].n_churned, out[5].n_censored) == (0, 1)
+    # at-risk is the reverse cumulative count
+    assert out[0].n_at_risk == 4
+    assert out[2].n_at_risk == 3
+    assert out[28].n_at_risk == 1
+
+
+def test_key_discovery_counts(spark):
+    from shacl_rust_spark.ops.ontology import key_discovery
+
+    triples = spark.createDataFrame(
+        [("s1", "email", "a@x"), ("s2", "email", "b@x"),   # key
+         ("s1", "nation", "fr"), ("s2", "nation", "fr"),   # shared
+         ("s3", "nation", "de"),
+         ("s1", "email", "a@x")],                          # dup dropped
+        "s string, p string, o string",
+    )
+    out = {r.p: r for r in key_discovery(triples).collect()}
+    assert (out["email"].n_statements, out["email"].n_distinct_o,
+            out["email"].n_shared_o) == (2, 2, 0)
+    assert (out["nation"].n_statements, out["nation"].n_distinct_o,
+            out["nation"].n_shared_o) == (3, 2, 1)
