@@ -307,6 +307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_key_discovery": K.kg_key_discovery,
         "events_attribution_multi": O.events_attribution_multi,
         "events_survival": O.events_survival,
+        "graph_cc_incremental": O.graph_cc_incremental,
+        "graph_mst": O.graph_mst,
+        "text_oov": O.text_oov,
     }
 
 
@@ -6510,6 +6513,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_churned AS BIGINT) AS n_churned,
                    CAST(n_censored AS BIGINT) AS n_censored
             FROM g
+        """,
+        # the DIRECT closure over the full pair graph — the gate
+        # passes iff incremental merge == from-scratch CC
+        "graph_cc_incremental": _WORDS_CTE.replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        ) + _PAIR_GRAPH_CTE + """
+            , und AS (
+              SELECT a AS x, b AS y FROM p
+              UNION SELECT b, a FROM p),
+            walk AS (
+              SELECT x AS node, x AS reach FROM und
+              UNION
+              SELECT wk.node, u.y FROM walk wk
+              JOIN und u ON u.x = wk.reach)
+            SELECT node AS doc_id, MIN(reach) AS component
+            FROM walk GROUP BY 1
+        """,
+        # the ring MST is closed-form: all edges except the heaviest,
+        # plus every pendant bridge; canonical a < b endpoints
+        "graph_mst": """
+            WITH base AS (
+              SELECT p_partkey - 1 AS i FROM part
+              WHERE p_partkey <= 24),
+            ring AS (
+              SELECT 'n' || i AS s2, 'n' || ((i + 1) % 24) AS d2,
+                     CAST((37 * i) % 101 AS BIGINT) AS w
+              FROM base),
+            pend AS (
+              SELECT 'n' || i AS s2, 'p' || i AS d2,
+                     CAST(200 + i AS BIGINT) AS w
+              FROM base),
+            mx AS (SELECT max(w) AS mw FROM ring)
+            SELECT LEAST(s2, d2) AS a, GREATEST(s2, d2) AS b, w
+            FROM ring CROSS JOIN mx WHERE w <> mw
+            UNION ALL
+            SELECT LEAST(s2, d2), GREATEST(s2, d2), w FROM pend
+        """,
+        # top-V cut (ties word-asc) + left-join OOV flag
+        "text_oov": """
+            WITH tok AS (
+              SELECT source, word FROM (
+                SELECT source,
+                       unnest(string_split_regex(trim(text), ' +'))
+                         AS word
+                FROM documents) u
+              WHERE word <> ''),
+            vc AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+            vocab AS (SELECT word FROM vc
+                      ORDER BY n DESC, word ASC LIMIT 100)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov
+            FROM tok LEFT JOIN vocab v USING (word) GROUP BY 1
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

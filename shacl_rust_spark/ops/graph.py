@@ -1501,3 +1501,94 @@ def harmonic_centrality(
         ).cast("bigint").alias("harm_scaled"),
         F.lit(scale).cast("bigint").alias("scale"),
     )
+
+
+def boruvka_mst(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """Minimum spanning forest via Borůvka rounds — THE MST algorithm
+    for bulk-parallel engines (Kruskal/Prim are inherently
+    sequential; Borůvka at least halves the component count per
+    round, so ≤ ⌈log₂ n⌉ rounds of pure DataFrame algebra).
+    Single-linkage clustering over a similarity graph IS this
+    operator's output.
+
+    edges(src, dst, w bigint) undirected; parallel edges collapse to
+    their min weight and ties are broken by the total order (w, a, b)
+    over canonical a < b endpoints, which makes the chosen forest
+    UNIQUE and engine-deterministic even with duplicate weights (the
+    classic lexicographic perturbation). Returns the forest edges
+    (a, b, w).
+
+    Per round: rewrite endpoints to current component labels (one
+    narrow join per side against the node→component frame), drop
+    intra-component edges, pick each component's minimum outgoing
+    (w, a, b) via one struct-min aggregate (map-side combinable),
+    union the picks into the forest, and contract via the quotient
+    closure — connected_components over the picked edges' COMPONENT
+    endpoints, a component-count-sized input, never the full edge
+    list. Every label/edge frame is checkpointed per round (the
+    iterative-fixpoint lineage policy shared with pagerank/cc)."""
+    from ..pipeline.cc import connected_components
+
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col("w").cast("bigint").alias("w"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+               & (F.col("a") != F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .dropDuplicates(["node"])
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    forest = None
+    for _ in range(max_rounds):
+        la = labels.select(F.col("node").alias("a"),
+                           F.col("component").alias("ca"))
+        lb = labels.select(F.col("node").alias("b"),
+                           F.col("component").alias("cb"))
+        cross = (
+            e.join(la, "a").join(lb, "b")
+            .where(F.col("ca") != F.col("cb"))
+            .localCheckpoint(eager=True)
+        )
+        if cross.isEmpty():
+            break
+        pick = F.struct("w", "a", "b", "ca", "cb")
+        picked = (
+            cross.select(F.col("ca").alias("comp"), pick.alias("e"))
+            .unionByName(
+                cross.select(F.col("cb").alias("comp"), pick.alias("e")))
+            .groupBy("comp")
+            .agg(F.min("e").alias("e"))
+            .select("e.a", "e.b", "e.w", "e.ca", "e.cb")
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint(eager=True)
+        )
+        sel = picked.select("a", "b", "w")
+        forest = sel if forest is None else (
+            forest.unionByName(sel).dropDuplicates(["a", "b"])
+        )
+        merge = connected_components(
+            picked.select(F.col("ca").alias("src"),
+                          F.col("cb").alias("dst"))
+        ).select(F.col("node").alias("component"),
+                 F.col("component").alias("_newc"))
+        labels = (
+            labels.join(merge, "component", "left")
+            .select("node",
+                    F.coalesce("_newc", "component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+    if forest is None:
+        schema_a = dict(e.dtypes)["a"]
+        return e.sparkSession.createDataFrame(
+            [], f"a {schema_a}, b {schema_a}, w bigint")
+    return forest

@@ -1119,3 +1119,37 @@ def rake_keywords(docs: DataFrame, top_n: int = 10,
     return top.withColumn(
         "rk", F.row_number().over(wr).cast("bigint")
     ).select("rk", "word", "freq", "deg", "score_scaled")
+
+
+def oov_rate(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
+    """Per-source out-of-vocabulary profile against the corpus top-V
+    vocabulary: (source, n_tokens, n_oov) with the vocabulary = the
+    `vocab_size` most frequent corpus tokens (ties → word asc) — the
+    tokenizer-coverage audit run before committing a vocab budget
+    (OOV mass per source predicts UNK rates per domain). n_oov/
+    n_tokens is consumer arithmetic.
+
+    Plan: one explode scan feeds BOTH the corpus term counts and the
+    per-source token counts; the vocabulary is a TakeOrderedAndProject
+    top-V of the vocabulary-sized count frame, broadcast back as the
+    join's build side (V rows); the OOV test is a broadcast LEFT
+    anti-ish flag, not a shuffle of the corpus."""
+    toks = (
+        docs.select("source", F.explode(word_array()).alias("word"))
+        .where(F.col("word") != "")
+    )
+    vocab = (
+        toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(vocab_size)
+        .select("word", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_oov"),
+        )
+    )

@@ -3092,3 +3092,62 @@ def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.survival_table(
         spark.read.parquet(f"{sf_dir}/events.parquet")
     )
+
+
+def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components equivalence gate
+    (pipeline/cc.incremental_components): yesterday's labeling (pair
+    edges with (a+b)%3 ≠ 0) + today's delta (the rest) must equal
+    direct CC over the full Jaccard pair graph — the oracle computes
+    the DIRECT closure, so the gate passes iff the quotient-graph
+    merge is exact (new-node entry, label rewrite, min-id
+    preservation). Same zero-padded string keys as dedup_components."""
+    from .pipeline import cc as cc_mod
+
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    e = pairs.select(pad(F.col("a")).alias("src"),
+                     pad(F.col("b")).alias("dst"),
+                     ((F.col("a") + F.col("b")) % 3 == 0).alias("_new"))
+    base = e.where(~F.col("_new")).select("src", "dst")
+    delta = e.where(F.col("_new")).select("src", "dst")
+    labels = cc_mod.connected_components(base)
+    merged = cc_mod.incremental_components(labels, delta)
+    return merged.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest (ops/graph.boruvka_mst) over a
+    ring-plus-pendants fixture (24-node weighted ring from the part
+    keys, distinct weights (37·i) mod 101, one pendant per ring
+    node): the MST of a ring is CLOSED-FORM — every edge except the
+    heaviest, plus every pendant bridge — so the oracle states it
+    directly while the operator runs the full multi-round
+    pick-min/contract loop. Determinism beyond the fixture is pinned
+    by the Kruskal property test in tests/test_ops.py."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    i = (F.col("p_partkey") - 1).cast("bigint")
+    base = p.where(F.col("p_partkey") <= 24).select(i.alias("i"))
+    n = lambda e: F.concat(F.lit("n"), F.expr(e).cast("string"))  # noqa: E731
+    ring = base.select(
+        n("i").alias("src"), n("(i + 1) % 24").alias("dst"),
+        ((F.lit(37) * F.col("i")) % 101).alias("w"),
+    )
+    pend = base.select(
+        n("i").alias("src"),
+        F.concat(F.lit("p"), F.col("i").cast("string")).alias("dst"),
+        (F.lit(200) + F.col("i")).alias("w"),
+    )
+    return graph.boruvka_mst(ring.unionByName(pend))
+
+
+def text_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage (ops/text.oov_rate): per source
+    the token count and out-of-vocabulary mass against the corpus
+    top-100 vocabulary (ties word-asc) — the UNK-rate audit before
+    committing a vocab budget. The oracle restates the top-V cut and
+    the left-join OOV flag."""
+    return text.oov_rate(_docs(spark, sf_dir), vocab_size=100)

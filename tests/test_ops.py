@@ -4478,3 +4478,82 @@ def test_key_discovery_counts(spark):
             out["email"].n_shared_o) == (2, 2, 0)
     assert (out["nation"].n_statements, out["nation"].n_distinct_o,
             out["nation"].n_shared_o) == (3, 2, 1)
+
+
+def _kruskal_ref(edges):
+    """Pure-Python reference MST with the same (w, a, b) total order."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    best = {}
+    for s, d, w in edges:
+        a, b = min(s, d), max(s, d)
+        if a == b:
+            continue
+        if (a, b) not in best or w < best[(a, b)]:
+            best[(a, b)] = w
+    out = []
+    for (a, b), w in sorted(best.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, w))
+    return sorted(out)
+
+
+def test_boruvka_mst_matches_kruskal(spark):
+    import random
+
+    from shacl_rust_spark.ops.graph import boruvka_mst
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 14
+        edges = []
+        for _ in range(30):
+            s, d = rng.randrange(n), rng.randrange(n)
+            edges.append((f"v{s:02d}", f"v{d:02d}", rng.randrange(50)))
+        df = spark.createDataFrame(
+            edges, "src string, dst string, w long")
+        got = sorted((r.a, r.b, r.w)
+                     for r in boruvka_mst(df).collect())
+        assert got == _kruskal_ref(edges), f"trial {trial}"
+
+
+def test_incremental_components_equals_direct(spark):
+    from shacl_rust_spark.pipeline.cc import (
+        connected_components, incremental_components,
+    )
+
+    all_edges = [("a", "b"), ("b", "c"), ("d", "e"),
+                 ("c", "d"),            # merges two old components
+                 ("x", "y"), ("e", "x"),  # chain through new nodes
+                 ("q", "q2")]           # brand-new isolated pair
+    base = spark.createDataFrame(all_edges[:3], "src string, dst string")
+    delta = spark.createDataFrame(all_edges[3:], "src string, dst string")
+    full = spark.createDataFrame(all_edges, "src string, dst string")
+    direct = {(r.node, r.component)
+              for r in connected_components(full).collect()}
+    merged = {(r.node, r.component)
+              for r in incremental_components(
+                  connected_components(base), delta).collect()}
+    assert merged == direct
+
+
+def test_oov_rate_top_vocab_cut(spark):
+    from shacl_rust_spark.ops.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc", "s1"),
+         (2, "aa bb zz", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in oov_rate(docs, vocab_size=2).collect()}
+    # vocab = {aa (4), bb (3)}; cc and zz are OOV
+    assert (out["s1"].n_tokens, out["s1"].n_oov) == (6, 1)
+    assert (out["s2"].n_tokens, out["s2"].n_oov) == (3, 1)
