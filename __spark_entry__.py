@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cc_incremental": O.graph_cc_incremental,
         "graph_mst": O.graph_mst,
         "text_oov": O.text_oov,
+        "multimodal_audio_landmarks": O.multimodal_audio_landmarks,
+        "pack_curriculum": O.pack_curriculum,
     }
 
 
@@ -6566,6 +6568,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_oov
             FROM tok LEFT JOIN vocab v USING (word) GROUP BY 1
+        """,
+        # frame energies from the sample formula; strict local max
+        # via lag/lead; consecutive landmark pairs via lead
+        "multimodal_audio_landmarks": """
+            WITH b AS (SELECT doc_id, 160 + doc_id % 64 AS n
+                       FROM documents),
+            fr AS (
+              SELECT b.doc_id, g.j // 16 AS f,
+                     SUM((((b.doc_id * 31 + 7 * g.j * g.j) % 65536)
+                          - 32768)
+                         * (((b.doc_id * 31 + 7 * g.j * g.j) % 65536)
+                            - 32768)) AS e
+              FROM b CROSS JOIN generate_series(0, 223) g(j)
+              WHERE g.j < (b.n // 16) * 16
+              GROUP BY 1, 2),
+            lm AS (
+              SELECT doc_id, f, e,
+                     lag(e) OVER w AS ep, lead(e) OVER w AS en
+              FROM fr
+              WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+            l2 AS (
+              SELECT doc_id, f, e FROM lm
+              WHERE ep IS NOT NULL AND en IS NOT NULL
+                AND e > ep AND e > en),
+            pr AS (
+              SELECT doc_id, f AS f1,
+                     lead(f) OVER w2 AS f2,
+                     e AS e1, lead(e) OVER w2 AS e2
+              FROM l2
+              WINDOW w2 AS (PARTITION BY doc_id ORDER BY f))
+            SELECT doc_id, CAST(f1 AS BIGINT) AS f1,
+                   CAST(f2 AS BIGINT) AS f2,
+                   CAST(CASE WHEN e1 = 0 THEN 0
+                             ELSE length(bin(e1)) END AS BIGINT) AS b1,
+                   CAST(CASE WHEN e2 = 0 THEN 0
+                             ELSE length(bin(e2)) END AS BIGINT) AS b2
+            FROM pr WHERE f2 IS NOT NULL
+        """,
+        # k-th smallest boundary values via ORDER/LIMIT subqueries;
+        # ties share the lower stage
+        "pack_curriculum": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            b1 AS (SELECT max(n_chars) AS b FROM (
+                     SELECT n_chars FROM documents
+                     ORDER BY n_chars ASC
+                     LIMIT (SELECT (n + 2) // 3 FROM nn)) q),
+            b2 AS (SELECT max(n_chars) AS b FROM (
+                     SELECT n_chars FROM documents
+                     ORDER BY n_chars ASC
+                     LIMIT (SELECT (2 * n + 2) // 3 FROM nn)) q)
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN n_chars <= b1.b THEN 0
+                             WHEN n_chars <= b2.b THEN 1
+                             ELSE 2 END AS BIGINT) AS stage,
+                   md5('cur:' || doc_id) AS shuffle_key
+            FROM documents CROSS JOIN b1 CROSS JOIN b2
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

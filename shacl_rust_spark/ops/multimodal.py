@@ -1685,3 +1685,95 @@ def image_dhash(
     return assets.select(id_col, payload_col).mapInPandas(
         run, DHASH_SCHEMA
     )
+
+
+LANDMARK_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("f1", LongType(), False),
+    StructField("f2", LongType(), False),
+    StructField("b1", LongType(), False),
+    StructField("b2", LongType(), False),
+])
+
+
+def audio_landmarks(
+    assets: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Shazam-style landmark fingerprint pairs over the decoded WAV
+    stream, integer-exact: frames of 16 samples carry Σs² energies; a
+    LANDMARK is a strict local max over both neighbors (boundary
+    frames excluded); fingerprints are CONSECUTIVE landmark pairs
+    (doc_id, f1, f2, b1, b2) with b = bit_length(energy) — the
+    coarse energy bucket that makes the pair robust to small
+    amplitude drift. Matching audio against a corpus is then an
+    exact equi-join on (b1, b2, f2−f1) — the constellation-hash
+    join, no similarity search needed. The production twin computes
+    the same constellation over STFT peaks (time × frequency); the
+    time-domain energy curve is the codec-free stand-in that keeps
+    every value integer and the oracle closed-form. Non-WAV payloads
+    pass over; docs with < 3 full frames emit nothing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in LANDMARK_SCHEMA.fields}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if raw[:4] != b"RIFF":
+                    continue
+                _, samples = decode_audio(raw)
+                s = np.asarray(samples, dtype=np.int64)
+                n_full = len(s) // AUDIO_WINDOW
+                if n_full < 3:
+                    continue
+                win = (
+                    (s[: n_full * AUDIO_WINDOW] ** 2)
+                    .reshape(n_full, AUDIO_WINDOW).sum(axis=1)
+                )
+                lm = [
+                    f for f in range(1, n_full - 1)
+                    if win[f] > win[f - 1] and win[f] > win[f + 1]
+                ]
+                for a, b in zip(lm, lm[1:]):
+                    out["doc_id"].append(int(rid))
+                    out["f1"].append(a)
+                    out["f2"].append(b)
+                    out["b1"].append(int(win[a]).bit_length())
+                    out["b2"].append(int(win[b]).bit_length())
+            yield pd.DataFrame(out)
+
+    return assets.select(id_col, payload_col).mapInPandas(
+        run, LANDMARK_SCHEMA
+    )
+
+
+def synth_audio_tones(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Oscillating WAV fixtures for the landmark gate: the plain
+    synth_assets ramp ((d·7+i) mod 2¹⁶) is frame-monotonic — its
+    energy curve has no interior local maxima, so a landmark gate
+    over it would pass vacuously on zero rows. These payloads use a
+    quadratic phase (s_j = ((d·31 + 7·j²) mod 2¹⁶) − 2¹⁵, n = 160 +
+    d mod 64 samples → 10-14 frames) whose wrap-around makes the
+    energy curve genuinely bumpy; the closed form stays one
+    SQL-restatable expression."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for rid in pdf[id_col]:
+                d = int(rid)
+                n = 160 + d % 64
+                samples = [((d * 31 + 7 * j * j) % 65536) - 32768
+                           for j in range(n)]
+                ids.append(d)
+                payloads.append(encode_wav_pcm16(8000, samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+    return docs.select(id_col).mapInPandas(run, schema)

@@ -162,3 +162,51 @@ def pack_sequences(
         (begin - seq_lo).cast("int").alias("offset_in_seq"),
         (end - begin).cast("int").alias("n_tokens_in_seq"),
     )
+
+
+def curriculum_stages(
+    docs: DataFrame, n_stages: int = 3, length_col: str = "n_chars"
+) -> DataFrame:
+    """Curriculum staging for training-order construction: documents
+    bucketed into ``n_stages`` difficulty stages by exact length
+    quantile boundaries (easy-to-hard curriculum à la Bengio et al.
+    2009, with doc length as the standard difficulty proxy), plus a
+    deterministic md5 shuffle_key — the write-time twin is
+    repartitionByRange(stage, shuffle_key) so each stage's shards
+    are internally shuffled but stage order is preserved.
+
+    Boundaries are VALUES (the k-th and 2k-th smallest lengths),
+    computed via orderBy().limit(k) + max — TakeOrderedAndProject,
+    distributed, no global rank window; the doc count is a single
+    driver scalar (bounded-driver policy). Ties at a boundary share
+    the lower stage (value-deterministic; exact tercile balance is
+    deliberately sacrificed — a tie must not be split by engine-
+    dependent row order)."""
+    n = docs.count()
+    if n == 0:
+        return docs.select(
+            "doc_id", F.lit(0).cast("bigint").alias("stage"),
+            F.lit("").alias("shuffle_key"))
+    bounds = []
+    for s in range(1, n_stages):
+        k = (n * s + n_stages - 1) // n_stages
+        b = (
+            docs.select(length_col).orderBy(F.asc(length_col))
+            .limit(k)
+            .agg(F.max(length_col))
+            .collect()[0][0]
+        )
+        bounds.append(b)
+    stage = None
+    for i, b in enumerate(bounds):
+        cond = F.col(length_col) <= F.lit(b)
+        stage = F.when(cond, i) if stage is None else stage.when(cond, i)
+    stage = stage.otherwise(n_stages - 1)
+    return docs.select(
+        "doc_id",
+        F.col(length_col).cast("bigint").alias(length_col),
+        stage.cast("bigint").alias("stage"),
+        F.md5(F.concat(F.lit("cur:"),
+                       F.col("doc_id").cast("string")))
+        .alias("shuffle_key"),
+    )

@@ -3151,3 +3151,26 @@ def text_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     committing a vocab budget. The oracle restates the top-V cut and
     the left-join OOV flag."""
     return text.oov_rate(_docs(spark, sf_dir), vocab_size=100)
+
+
+def multimodal_audio_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shazam-style constellation fingerprints
+    (ops/multimodal.audio_landmarks) over oscillating WAV fixtures
+    (synth_audio_tones — the plain ramp fixture has a monotonic
+    energy curve and would make this gate vacuous): consecutive
+    energy-local-max frame pairs with bit_length energy buckets —
+    audio near-dup matching becomes an exact equi-join on
+    (b1, b2, f2−f1). The oracle recomputes frame energies from the
+    quadratic-phase sample formula and the landmark/pair windows in
+    closed form."""
+    assets = multimodal.synth_audio_tones(_docs(spark, sf_dir))
+    return multimodal.audio_landmarks(assets)
+
+
+def pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging (ops/pack.curriculum_stages): exact length-
+    quantile stages via TakeOrderedAndProject boundary values (ties
+    share the lower stage — value-deterministic) + md5 shuffle keys
+    for write-time repartitionByRange. The oracle restates the k-th
+    smallest boundary cut with ORDER/LIMIT subqueries."""
+    return pack.curriculum_stages(_docs(spark, sf_dir))

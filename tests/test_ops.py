@@ -4557,3 +4557,52 @@ def test_oov_rate_top_vocab_cut(spark):
     # vocab = {aa (4), bb (3)}; cc and zz are OOV
     assert (out["s1"].n_tokens, out["s1"].n_oov) == (6, 1)
     assert (out["s2"].n_tokens, out["s2"].n_oov) == (3, 1)
+
+
+def test_audio_landmarks_known_constellation(spark):
+    from shacl_rust_spark.ops.multimodal import (
+        audio_landmarks, encode_wav_pcm16,
+    )
+
+    # 5 frames of 16 samples with energies 1,4,1,9,1 (one nonzero
+    # sample per frame) -> landmarks at frames 1 and 3 -> one pair
+    samples = []
+    for amp in (1, 2, 1, 3, 1):
+        samples.extend([amp] + [0] * 15)
+    assets = spark.createDataFrame(
+        [(7, bytearray(encode_wav_pcm16(8000, samples)))],
+        "doc_id long, payload binary",
+    )
+    rows = audio_landmarks(assets).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # energies 4 and 9 -> bit_lengths 3 and 4
+    assert (r.f1, r.f2, r.b1, r.b2) == (1, 3, 3, 4)
+
+
+def test_audio_landmarks_monotonic_is_empty(spark):
+    from shacl_rust_spark.ops.multimodal import (
+        audio_landmarks, encode_wav_pcm16,
+    )
+
+    samples = list(range(0, 80))  # strictly rising energy curve
+    assets = spark.createDataFrame(
+        [(1, bytearray(encode_wav_pcm16(8000, samples)))],
+        "doc_id long, payload binary",
+    )
+    assert audio_landmarks(assets).count() == 0
+
+
+def test_curriculum_stages_boundaries_and_ties(spark):
+    from shacl_rust_spark.ops.pack import curriculum_stages
+
+    docs = spark.createDataFrame(
+        [(i, c) for i, c in enumerate([10, 10, 10, 20, 20, 30])],
+        "doc_id long, n_chars long",
+    )
+    out = {r.doc_id: r for r in curriculum_stages(docs).collect()}
+    # n=6 -> k1=2, b1 = 2nd smallest = 10; ALL 10s tie into stage 0
+    assert [out[i].stage for i in range(6)] == [0, 0, 0, 1, 1, 2]
+    # shuffle_key is the deterministic md5
+    import hashlib
+    assert out[0].shuffle_key == hashlib.md5(b"cur:0").hexdigest()
