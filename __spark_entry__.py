@@ -312,6 +312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_oov": O.text_oov,
         "multimodal_audio_landmarks": O.multimodal_audio_landmarks,
         "pack_curriculum": O.pack_curriculum,
+        "events_rate_burst": O.events_rate_burst,
+        "graph_reciprocity": O.graph_reciprocity,
+        "ann_eval_recall": O.ann_eval_recall,
     }
 
 
@@ -6625,6 +6628,46 @@ def oracle_sql() -> dict[str, str]:
                    md5('cur:' || doc_id) AS shuffle_key
             FROM documents CROSS JOIN b1 CROSS JOIN b2
         """,
+        # identical RANGE frame over floored event seconds
+        "events_rate_burst": """
+            WITH ev AS (
+              SELECT user_id, floor(epoch(ts))::BIGINT AS sec
+              FROM events),
+            pe AS (
+              SELECT user_id,
+                     count(*) OVER (PARTITION BY user_id ORDER BY sec
+                       RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+                       AS burst
+              FROM ev)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(burst) AS BIGINT) AS max_burst,
+                   max(burst) >= 5 AS is_burst
+            FROM pe GROUP BY 1
+        """,
+        # the fixture edge set restated + reverse-membership join
+        "graph_reciprocity": """
+            WITH base AS (
+              SELECT p_partkey - 1 AS i FROM part
+              WHERE p_partkey BETWEEN 1 AND 20),
+            e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT 'h' || i AS src, 'h' || ((i + 1) % 20) AS dst
+                FROM base
+                UNION ALL
+                SELECT 'h' || ((i + 1) % 20), 'h' || i
+                FROM base WHERE i % 3 = 0
+                UNION ALL
+                SELECT 'h' || i, 'h' || ((i + 5) % 20) FROM base) q
+              WHERE src <> dst),
+            n AS (SELECT count(*) AS n_nodes FROM (
+                    SELECT src AS x FROM e UNION SELECT dst FROM e) q)
+            SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST((SELECT count(*) FROM e a JOIN e b
+                         ON a.src = b.dst AND a.dst = b.src)
+                        AS BIGINT) AS n_reciprocated,
+                   CAST(n.n_nodes AS BIGINT) AS n_nodes
+            FROM n
+        """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps
     # the dedup_components SQL verbatim as a derived table
@@ -6650,6 +6693,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, component, canonical_id, "
         "CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END AS demoted "
         "FROM r"
+    )
+    # ANN recall meta-eval: nest both verified ANN twins and join
+    o["ann_eval_recall"] = (
+        "WITH ex AS (" + o["ann_cosine_topk"] + "), "
+        "ap AS (" + o["ann_ivf_topk"] + ") "
+        "SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact, "
+        "CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS n_hit "
+        "FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id "
+        "AND ex.neighbor_id = ap.neighbor_id "
+        "GROUP BY 1"
     )
     o["dedup_eval_recall"] = (
         "WITH ex AS (" + o["dedup_jaccard"] + "), "

@@ -201,3 +201,26 @@ def pq_topk(
         .select("qid", F.col("rank").cast("bigint").alias("rank"),
                 F.col("vec_id").alias("nid"))
     )
+
+
+def topk_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """ANN quality evaluation: per query the exact-top-k hit count of
+    an approximate index — (query_id, n_exact, n_hit), recall@k =
+    n_hit/n_exact as consumer arithmetic. The ANN twin of
+    dedup_eval_recall: every approximate path in this module (IVF,
+    PQ, LSH banding) states recall as its sacrifice, and this is the
+    measurement that prices it. Inputs are two (query_id, rank,
+    neighbor_id) frames; one (query_id, neighbor_id) equi-join +
+    one per-query aggregate."""
+    ap = approx.select("query_id", "neighbor_id",
+                       F.lit(1).alias("_hit"))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(ap, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_hit"),
+        )
+    )

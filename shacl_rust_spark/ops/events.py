@@ -854,3 +854,40 @@ def survival_table(
         .cast("bigint").alias("n_at_risk"),
         "n_churned", "n_censored",
     )
+
+
+def rate_bursts(
+    events: DataFrame, window_sec: int = 60, threshold: int = 5
+) -> DataFrame:
+    """Sliding-window rate/burst profile per user — the bot/abuse
+    screen a crawl or clickstream pipeline runs before counting
+    anything else: (user_id, n_events, max_burst, is_burst) where
+    max_burst = the largest number of events inside ANY trailing
+    `window_sec`-second window (computed exactly with a RANGE frame
+    over event seconds — every event's trailing window is evaluated,
+    which dominates any fixed-bucket approximation that splits a
+    burst across bucket edges) and is_burst flags users whose
+    max_burst ≥ threshold. All integers.
+
+    Plan: one user-partitioned range-frame window over the event
+    stream + one per-user aggregate — both shuffles on the narrow
+    user key; no self-join (the naive pairwise formulation is
+    O(events²) per user)."""
+    from pyspark.sql import Window
+
+    sec = F.expr("unix_seconds(cast(ts as timestamp))")
+    w = (
+        Window.partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-(window_sec - 1), 0)
+    )
+    per_event = events.select("user_id", sec.alias("sec")) \
+        .withColumn("burst", F.count(F.lit(1)).over(w))
+    return (
+        per_event.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("burst").cast("bigint").alias("max_burst"),
+        )
+        .withColumn("is_burst",
+                    (F.col("max_burst") >= threshold).cast("boolean"))
+    )

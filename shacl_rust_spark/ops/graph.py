@@ -1592,3 +1592,35 @@ def boruvka_mst(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
         return e.sparkSession.createDataFrame(
             [], f"a {schema_a}, b {schema_a}, w bigint")
     return forest
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity: one row (n_edges, n_reciprocated,
+    n_nodes) over the deduplicated directed edge set (self-loops
+    dropped) — n_reciprocated counts edges whose reverse also exists.
+    The classic web/social-graph shape statistic (link exchanges and
+    mutual-citation rings reciprocate; organic hyperlinks mostly do
+    not — a high-reciprocity host neighborhood is a spam signal that
+    feeds the same triage as kg_host_pagerank). r = n_reciprocated /
+    n_edges is the consumer's division.
+
+    Plan: one self-join of the edge set against its own swap on the
+    full (src, dst) key — co-partitioned equi-join, no cartesian —
+    plus one aggregate."""
+    e = _clean_edges(edges).where(F.col("src") != F.col("dst"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                   F.lit(1).alias("_has_rev"))
+    marked = e.join(rev, ["src", "dst"], "left")
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .unionByName(e.select(F.col("dst").alias("n")))
+        .dropDuplicates(["n"])
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.when(F.col("_has_rev").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_reciprocated"),
+    )
+    return agg.crossJoin(
+        nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )

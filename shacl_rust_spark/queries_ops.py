@@ -3174,3 +3174,52 @@ def pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     for write-time repartitionByRange. The oracle restates the k-th
     smallest boundary cut with ORDER/LIMIT subqueries."""
     return pack.curriculum_stages(_docs(spark, sf_dir))
+
+
+def events_rate_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window burst screen (ops/events.rate_bursts): per user
+    the exact max events in any trailing 60 s window via a RANGE
+    frame (no fixed-bucket edge-splitting, no O(n²) self-join) and
+    the ≥5 bot flag. The oracle states the identical RANGE frame."""
+    return events.rate_bursts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed reciprocity (ops/graph.reciprocity) — the mutual-link
+    spam signal beside kg_host_pagerank — over a designed directed
+    fixture (the _link_pages crawl graph's +1/+7 ring edges are
+    never mutual, which would make the gate vacuously zero): a
+    20-node ring with every third ring edge reciprocated plus +5
+    chords (SF-invariant via bounded part keys). n_edges = 47,
+    n_reciprocated = 14. The oracle restates the edge set and the
+    reverse-membership join."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    i = (F.col("p_partkey") - 1).cast("bigint")
+    base = p.where(F.col("p_partkey").between(1, 20)) \
+        .select(i.alias("i"))
+    h = lambda e: F.concat(F.lit("h"), F.expr(e).cast("string"))  # noqa: E731
+    ring = base.select(h("i").alias("src"), h("(i + 1) % 20").alias("dst"))
+    back = base.where(F.col("i") % 3 == 0).select(
+        h("(i + 1) % 20").alias("src"), h("i").alias("dst"))
+    chord = base.select(h("i").alias("src"), h("(i + 5) % 20").alias("dst"))
+    return graph.reciprocity(
+        ring.unionByName(back).unionByName(chord)
+    )
+
+
+def ann_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall meta-eval (ops/ann.topk_recall): IVF's top-5 hit
+    count against the exact cosine top-5 per query — the measurement
+    that prices IVF's stated recall sacrifice (the ANN twin of
+    dedup_eval_recall). The oracle nests both verified twins and
+    joins."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    return ann.topk_recall(
+        ann.cosine_topk(e, q, k=5), ann.ivf_topk(e, q, k=5)
+    )

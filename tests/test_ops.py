@@ -4606,3 +4606,51 @@ def test_curriculum_stages_boundaries_and_ties(spark):
     # shuffle_key is the deterministic md5
     import hashlib
     assert out[0].shuffle_key == hashlib.md5(b"cur:0").hexdigest()
+
+
+def test_rate_bursts_sliding_window(spark):
+    import datetime as dt
+
+    from shacl_rust_spark.ops.events import rate_bursts
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda x: t0 + dt.timedelta(seconds=x)  # noqa: E731
+    rows = (
+        # user 1: 5 events inside 60s straddling a minute BOUNDARY
+        # (a fixed 0-59 bucket would split them 3/2)
+        [(1, s(x)) for x in (30, 40, 50, 70, 80)]
+        # user 2: spread out, max burst 2
+        + [(2, s(x)) for x in (0, 59, 120)]
+    )
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.user_id: r for r in rate_bursts(events).collect()}
+    assert (out[1].max_burst, bool(out[1].is_burst)) == (5, True)
+    assert (out[2].max_burst, bool(out[2].is_burst)) == (2, False)
+
+
+def test_reciprocity_counts(spark):
+    from shacl_rust_spark.ops.graph import reciprocity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"),      # mutual pair -> 2 reciprocated
+         ("a", "c"),                  # one-way
+         ("c", "c"),                  # self-loop dropped
+         ("a", "b")],                 # duplicate dropped
+        "src string, dst string",
+    )
+    r = reciprocity(edges).collect()[0]
+    assert (r.n_edges, r.n_reciprocated, r.n_nodes) == (3, 2, 3)
+
+
+def test_topk_recall_join(spark):
+    from shacl_rust_spark.ops.ann import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11), (2, 1, 20)],
+        "query_id long, rank long, neighbor_id long")
+    approx = spark.createDataFrame(
+        [(1, 1, 11), (1, 2, 99), (2, 1, 21)],
+        "query_id long, rank long, neighbor_id long")
+    out = {r.query_id: r for r in topk_recall(exact, approx).collect()}
+    assert (out[1].n_exact, out[1].n_hit) == (2, 1)
+    assert (out[2].n_exact, out[2].n_hit) == (1, 0)
