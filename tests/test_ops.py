@@ -4654,3 +4654,27 @@ def test_topk_recall_join(spark):
     out = {r.query_id: r for r in topk_recall(exact, approx).collect()}
     assert (out[1].n_exact, out[1].n_hit) == (2, 1)
     assert (out[2].n_exact, out[2].n_hit) == (1, 0)
+
+
+def test_incremental_components_empty_delta(spark):
+    from shacl_rust_spark.pipeline.cc import (
+        connected_components, incremental_components,
+    )
+
+    base = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "src string, dst string")
+    empty = spark.createDataFrame([], "src string, dst string")
+    labels = connected_components(base)
+    out = {(r.node, r.component)
+           for r in incremental_components(labels, empty).collect()}
+    assert out == {(r.node, r.component) for r in labels.collect()}
+
+
+def test_kmv_estimate_empty_sketch(spark):
+    from pyspark.sql import functions as F
+
+    from shacl_rust_spark.ops.sketch import kmv_estimate, kmv_table
+
+    df = spark.createDataFrame([], "word string")
+    row = kmv_estimate(kmv_table(df, F.col("word"), k=8), k=8).collect()[0]
+    assert (row.k_used, row.kth_hash, row.est_distinct) == (0, 0, 0)
