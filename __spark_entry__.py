@@ -315,6 +315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_burst": O.events_rate_burst,
         "graph_reciprocity": O.graph_reciprocity,
         "ann_eval_recall": O.ann_eval_recall,
+        "rank_ap": O.rank_ap,
+        "dedup_chunk_store": O.dedup_chunk_store,
+        "graph_tree_betweenness": O.graph_tree_betweenness,
     }
 
 
@@ -1180,6 +1183,57 @@ def _hll_oracle() -> str:
                ex.exact_distinct
         FROM est JOIN ex USING (lang)
     """
+
+
+def _cdc_chunks_sql(pred: str, pfx: str) -> str:
+    """CTE chain (no WITH) computing content-defined chunks for the
+    documents matching ``pred`` — tables prefixed ``pfx`` so two
+    snapshots can ride in one query; final table {pfx}ch holds
+    (doc_id, chunk_md5, chunk_len). Textually the same boundary rule
+    as the dedup_cdc_chunks oracle (window 8, base 31, mod 2^30,
+    mask 2^6)."""
+    return f"""
+            {pfx}d AS (
+              SELECT doc_id, COALESCE(text, '') AS text,
+                     length(COALESCE(text, '')) AS n
+              FROM documents WHERE {pred}),
+            {pfx}pos AS (
+              SELECT d.doc_id, d.text, d.n, r.i
+              FROM {pfx}d d CROSS JOIN generate_series(8, 2048) r(i)
+              WHERE r.i <= d.n),
+            {pfx}b AS (
+              SELECT doc_id, i FROM {pfx}pos
+              WHERE ((unicode(substr(text, i - 7, 1))::BIGINT
+                      * 27512614111
+                    + unicode(substr(text, i - 6, 1))::BIGINT
+                      * 887503681
+                    + unicode(substr(text, i - 5, 1))::BIGINT
+                      * 28629151
+                    + unicode(substr(text, i - 4, 1))::BIGINT * 923521
+                    + unicode(substr(text, i - 3, 1))::BIGINT * 29791
+                    + unicode(substr(text, i - 2, 1))::BIGINT * 961
+                    + unicode(substr(text, i - 1, 1))::BIGINT * 31
+                    + unicode(substr(text, i, 1))::BIGINT)
+                    % 1073741824) % 64 = 0),
+            {pfx}seg AS (
+              SELECT doc_id, i AS e,
+                     COALESCE(lag(i) OVER (PARTITION BY doc_id
+                                           ORDER BY i), 0) AS sp
+              FROM {pfx}b),
+            {pfx}chunks AS (
+              SELECT s.doc_id,
+                     substr(d.text, s.sp + 1, s.e - s.sp) AS chunk
+              FROM {pfx}seg s JOIN {pfx}d d USING (doc_id)
+              UNION ALL
+              SELECT d.doc_id,
+                     substr(d.text, COALESCE(mx.m, 0) + 1) AS chunk
+              FROM {pfx}d d
+              LEFT JOIN (SELECT doc_id, max(i) AS m
+                         FROM {pfx}b GROUP BY 1) mx USING (doc_id)
+              WHERE COALESCE(mx.m, 0) < d.n OR d.n = 0),
+            {pfx}ch AS (SELECT doc_id, md5(chunk) AS chunk_md5,
+                               length(chunk) AS chunk_len
+                        FROM {pfx}chunks)"""
 
 
 def _ndcg_case(col: str, k: int = 10, weight_bits: int = 20) -> str:
@@ -6667,6 +6721,84 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_reciprocated,
                    CAST(n.n_nodes AS BIGINT) AS n_nodes
             FROM n
+        """,
+        # running hit count + lcm-scaled precision contributions
+        "rank_ap": """
+            WITH tf AS (
+              SELECT doc_id, word, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +'))
+                         AS word
+                FROM documents) u
+              WHERE word <> '' GROUP BY 1, 2),
+            h AS (
+              SELECT t.word AS term, t.doc_id, t.tf,
+                     (t.doc_id % 7 = 0) AS rel
+              FROM tf t
+              WHERE t.word IN ('join', 'data', 'spark')),
+            r AS (
+              SELECT term, rel,
+                     row_number() OVER (PARTITION BY term
+                       ORDER BY tf DESC, doc_id ASC) AS rank
+              FROM h),
+            g AS (
+              SELECT term, rel, rank,
+                     SUM(CASE WHEN rel THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY term ORDER BY rank
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS hits_at
+              FROM r)
+            SELECT term, CAST(count(*) AS BIGINT) AS n_ranked,
+                   CAST(SUM(CASE WHEN rel AND rank <= 10
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_rel_at_k,
+                   CAST(SUM(CASE WHEN rel AND rank <= 10
+                                 THEN hits_at * (2520 // rank)
+                                 ELSE 0 END) AS BIGINT) AS ap_scaled,
+                   CAST(2520 AS BIGINT) AS scale
+            FROM g GROUP BY term
+        """,
+        # the verified chunk CTE composed for both snapshots
+        "dedup_chunk_store": f"""
+            WITH {_cdc_chunks_sql('doc_id % 2 = 0', 'o')},
+            {_cdc_chunks_sql('doc_id % 2 = 1', 'w')},
+            os AS (SELECT DISTINCT chunk_md5 FROM och),
+            ns AS (
+              SELECT chunk_md5, max(chunk_len) AS chunk_len
+              FROM wch GROUP BY 1)
+            SELECT
+              CAST(SUM(CASE WHEN os.chunk_md5 IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_new_chunks,
+              CAST(SUM(CASE WHEN os.chunk_md5 IS NULL
+                            THEN ns.chunk_len ELSE 0 END) AS BIGINT)
+                AS new_chars,
+              CAST(SUM(CASE WHEN os.chunk_md5 IS NOT NULL THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_reused_chunks,
+              CAST(SUM(CASE WHEN os.chunk_md5 IS NOT NULL
+                            THEN ns.chunk_len ELSE 0 END) AS BIGINT)
+                AS reused_chars
+            FROM ns LEFT JOIN os USING (chunk_md5)
+        """,
+        # closed form: pendants carry 1·47; ring edge j positions
+        # past the max-weight break carries 2j·(48−2j)
+        "graph_tree_betweenness": """
+            WITH base AS (
+              SELECT p_partkey - 1 AS i FROM part
+              WHERE p_partkey BETWEEN 1 AND 24),
+            wr AS (SELECT i, (37 * i) % 101 AS w FROM base),
+            m AS (SELECT i AS m FROM wr ORDER BY w DESC LIMIT 1),
+            ring AS (
+              SELECT 'n' || i AS s2, 'n' || ((i + 1) % 24) AS d2,
+                     2 * (((i - m.m + 24) % 24))
+                       * (48 - 2 * (((i - m.m + 24) % 24)))
+                       AS n_through
+              FROM base CROSS JOIN m WHERE i <> m.m),
+            pend AS (
+              SELECT 'n' || i AS s2, 'p' || i AS d2, 47 AS n_through
+              FROM base)
+            SELECT LEAST(s2, d2) AS a, GREATEST(s2, d2) AS b,
+                   CAST(n_through AS BIGINT) AS n_through
+            FROM (SELECT * FROM ring UNION ALL SELECT * FROM pend) q
         """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps

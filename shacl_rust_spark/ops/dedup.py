@@ -836,3 +836,39 @@ def cdc_shared_stats(chunks: DataFrame) -> DataFrame:
             .cast("bigint").alias("n_shared_chunks"),
         )
     )
+
+
+def chunk_store_delta(
+    chunks_old: DataFrame, chunks_new: DataFrame
+) -> DataFrame:
+    """Content-defined chunk STORE delta between two corpus snapshots
+    (the storage question CDC chunking exists to answer): one row
+    (n_new_chunks, new_chars, n_reused_chunks, reused_chars) over the
+    new snapshot's DISTINCT chunks — a chunk already in yesterday's
+    store costs nothing to ingest; only content-novel chunks add
+    payload (reported in characters — the fixture corpus is ASCII). Because boundaries are content-defined, an insertion early
+    in a document re-uses every chunk after the next boundary —
+    byte-offset chunking would re-store the whole tail. Inputs are
+    cdc_chunks frames; digests are md5 (collision-free at corpus
+    scale), so (digest → length) is a function and DISTINCT pairs are
+    well-defined.
+
+    Plan: two digest-level distincts + one left join keyed on the
+    digest + one aggregate — all narrow keys, store-sized not
+    corpus-sized."""
+    old = chunks_old.select("chunk_md5").dropDuplicates(["chunk_md5"]) \
+        .withColumn("_in_old", F.lit(1))
+    newd = chunks_new.select("chunk_md5", "chunk_len") \
+        .dropDuplicates(["chunk_md5"])
+    j = newd.join(old, "chunk_md5", "left")
+    reused = F.col("_in_old").isNotNull()
+    return j.agg(
+        F.sum(F.when(~reused, 1).otherwise(0)).cast("bigint")
+        .alias("n_new_chunks"),
+        F.sum(F.when(~reused, F.col("chunk_len")).otherwise(0))
+        .cast("bigint").alias("new_chars"),
+        F.sum(F.when(reused, 1).otherwise(0)).cast("bigint")
+        .alias("n_reused_chunks"),
+        F.sum(F.when(reused, F.col("chunk_len")).otherwise(0))
+        .cast("bigint").alias("reused_chars"),
+    )

@@ -649,3 +649,39 @@ def ndcg_at_k(ranked: DataFrame, k: int = 10,
         .alias("idcg_scaled"),
         F.lit(1 << weight_bits).cast("bigint").alias("wscale"),
     )
+
+
+def ap_at_k(ranked: DataFrame, k: int = 10) -> DataFrame:
+    """Exact-integer average precision @k over a (term, rank, rel)
+    frame: AP = (1/R) Σ_{i hit, i≤k} precision@i with precision@i =
+    hits_at_i / i — scaled by L = lcm(1..k) so each term
+    hits_at_i · (L DIV i) is an INTEGER. One row per term (term,
+    n_ranked, n_rel_at_k, ap_scaled, scale); AP = ap_scaled /
+    (scale · min(R, k)) is the CONSUMER's division. Completes the
+    eval family (precision@k, MRR, NDCG, recall) with the
+    order-sensitive mean — same lcm charter as mrr_at_k.
+
+    Plan: one per-term window (running hit count) + one aggregate."""
+    import math
+
+    from pyspark.sql import Window
+
+    scale = math.lcm(*range(1, k + 1))
+    w = (
+        Window.partitionBy("term").orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = ranked.withColumn(
+        "hits_at", F.sum(F.when(F.col("rel"), 1).otherwise(0)).over(w)
+    )
+    contrib = F.when(
+        F.col("rel") & (F.col("rank") <= k),
+        F.col("hits_at") * F.expr(f"{scale} DIV rank"),
+    ).otherwise(F.lit(0))
+    return g.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+        F.sum(F.when(F.col("rel") & (F.col("rank") <= k), 1)
+              .otherwise(0)).cast("bigint").alias("n_rel_at_k"),
+        F.sum(contrib).cast("bigint").alias("ap_scaled"),
+        F.lit(scale).cast("bigint").alias("scale"),
+    )

@@ -3223,3 +3223,56 @@ def ann_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.topk_recall(
         ann.cosine_topk(e, q, k=5), ann.ivf_topk(e, q, k=5)
     )
+
+
+def rank_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer average precision @10 (ops/rank.ap_at_k) over
+    the per-term tf ranking with doc_id%7 relevance — the order-
+    sensitive mean completing the eval family; lcm(1..10) scaling,
+    consumer division (the mrr charter). The oracle restates the
+    running hit count and the scaled precision contributions."""
+    d = _docs(spark, sf_dir)
+    ranked = rank.graded_ranking(
+        d, _RRF_TERMS,
+        F.when(F.col("doc_id") % 7 == 0, F.lit(1)).otherwise(F.lit(0)),
+    ).select("term", "rank", (F.col("gain") == 1).alias("rel"))
+    return rank.ap_at_k(ranked, k=10)
+
+
+def dedup_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-store snapshot delta (ops/dedup.chunk_store_delta): even
+    doc_ids are yesterday's ingested store, odd doc_ids today's
+    batch; one row of new/reused distinct-chunk counts and character
+    mass — the storage question content-defined chunking exists to
+    answer. The oracle composes the verified chunk CTE twice."""
+    d = _docs(spark, sf_dir)
+    old = dedup.cdc_chunks(d.where(F.col("doc_id") % 2 == 0))
+    new = dedup.cdc_chunks(d.where(F.col("doc_id") % 2 == 1))
+    return dedup.chunk_store_delta(old, new)
+
+
+def graph_tree_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tree edge betweenness (ops/graph.tree_edge_betweenness,
+    Brandes-on-trees via parallel leaf pruning) over the Borůvka
+    forest of the 24-ring+pendants fixture (partkeys 1..24 exactly,
+    so the MST is closed-form: the ring minus its heaviest edge plus
+    every pendant): each pendant edge carries 1·47 paths; the ring
+    edge j positions from the break carries 2j·(48−2j). The oracle
+    states exactly that."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    i = (F.col("p_partkey") - 1).cast("bigint")
+    base = p.where(F.col("p_partkey").between(1, 24)).select(i.alias("i"))
+    n = lambda e: F.concat(F.lit("n"), F.expr(e).cast("string"))  # noqa: E731
+    ring = base.select(
+        n("i").alias("src"), n("(i + 1) % 24").alias("dst"),
+        ((F.lit(37) * F.col("i")) % 101).alias("w"),
+    )
+    pend = base.select(
+        n("i").alias("src"),
+        F.concat(F.lit("p"), F.col("i").cast("string")).alias("dst"),
+        (F.lit(200) + F.col("i")).alias("w"),
+    )
+    mst = graph.boruvka_mst(ring.unionByName(pend))
+    return graph.tree_edge_betweenness(
+        mst.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )

@@ -4678,3 +4678,100 @@ def test_kmv_estimate_empty_sketch(spark):
     df = spark.createDataFrame([], "word string")
     row = kmv_estimate(kmv_table(df, F.col("word"), k=8), k=8).collect()[0]
     assert (row.k_used, row.kth_hash, row.est_distinct) == (0, 0, 0)
+
+
+def test_ap_at_k_hand_example(spark):
+    from shacl_rust_spark.ops.rank import ap_at_k
+
+    ranked = spark.createDataFrame(
+        # hits at ranks 1 and 3; miss at 2; hit at 12 is past k
+        [("q", 1, True), ("q", 2, False), ("q", 3, True),
+         ("q", 12, True)],
+        "term string, rank int, rel boolean",
+    )
+    r = ap_at_k(ranked, k=10).collect()[0]
+    # contributions: 1*(2520/1) + 2*(2520/3) = 2520 + 1680 = 4200
+    assert (r.n_ranked, r.n_rel_at_k, r.ap_scaled, r.scale) == \
+        (4, 2, 4200, 2520)
+
+
+def test_chunk_store_delta_counts(spark):
+    from shacl_rust_spark.ops.dedup import cdc_chunks, chunk_store_delta
+
+    base = ("lorem ipsum dolor sit amet consectetur adipiscing " * 8)
+    old = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, base), (3, "entirely different tiny text")],
+        "doc_id long, text string",
+    )
+    r = chunk_store_delta(cdc_chunks(old), cdc_chunks(new)).collect()[0]
+    # doc 2 is identical to the store; only doc 3's chunk(s) are new
+    assert r.n_reused_chunks > 0
+    assert r.new_chars == len("entirely different tiny text")
+    assert r.n_new_chunks >= 1
+
+
+def _brute_tree_betweenness(edges):
+    import collections
+    adj = collections.defaultdict(set)
+    nodes = set()
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a); nodes |= {a, b}
+    # component sizes via BFS
+    comp = {}
+    for start in nodes:
+        if start in comp:
+            continue
+        q = [start]; comp[start] = start
+        seen = {start}
+        while q:
+            x = q.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y); comp[y] = start; q.append(y)
+    out = {}
+    for a, b in edges:
+        # size of b-side after removing (a,b)
+        seen = {a, b}
+        q = [b]
+        while q:
+            x = q.pop()
+            for y in adj[x]:
+                if (min(x, y), max(x, y)) == (min(a, b), max(a, b)):
+                    continue
+                if y not in seen:
+                    seen.add(y); q.append(y)
+        s = len(seen) - 1  # b-side nodes (excl a)
+        n = sum(1 for v in comp if comp[v] == comp[a])
+        out[(min(a, b), max(a, b))] = s * (n - s)
+    return out
+
+
+def test_tree_edge_betweenness_random_forest(spark):
+    import random
+
+    from shacl_rust_spark.ops.graph import tree_edge_betweenness
+
+    rng = random.Random(11)
+    # random forest: two trees built by attaching each node to a
+    # random earlier node
+    edges = []
+    for root, size in (("t", 9), ("u", 5)):
+        names = [f"{root}{i:02d}" for i in range(size)]
+        for i in range(1, size):
+            edges.append((names[rng.randrange(i)], names[i]))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.a, r.b): r.n_through
+           for r in tree_edge_betweenness(df).collect()}
+    assert got == _brute_tree_betweenness(edges)
+
+
+def test_tree_edge_betweenness_rejects_cycle(spark):
+    import pytest as _pytest
+
+    from shacl_rust_spark.ops.graph import tree_edge_betweenness
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    with _pytest.raises(ValueError):
+        tree_edge_betweenness(cyc, max_rounds=6)
