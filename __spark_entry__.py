@@ -318,6 +318,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_ap": O.rank_ap,
         "dedup_chunk_store": O.dedup_chunk_store,
         "graph_tree_betweenness": O.graph_tree_betweenness,
+        "text_boilerplate": O.text_boilerplate,
+        "rank_kendall": O.rank_kendall,
+        "pii_luhn": O.pii_luhn,
     }
 
 
@@ -1185,17 +1188,19 @@ def _hll_oracle() -> str:
     """
 
 
-def _cdc_chunks_sql(pred: str, pfx: str) -> str:
+def _cdc_chunks_sql(pred: str, pfx: str,
+                    text_sql: str = "COALESCE(text, '')") -> str:
     """CTE chain (no WITH) computing content-defined chunks for the
     documents matching ``pred`` — tables prefixed ``pfx`` so two
     snapshots can ride in one query; final table {pfx}ch holds
-    (doc_id, chunk_md5, chunk_len). Textually the same boundary rule
-    as the dedup_cdc_chunks oracle (window 8, base 31, mod 2^30,
-    mask 2^6)."""
+    (doc_id, chunk_md5, chunk_len). ``text_sql`` lets a caller chunk
+    a DERIVED text (e.g. the boilerplate gate's appended footer).
+    Textually the same boundary rule as the dedup_cdc_chunks oracle
+    (window 8, base 31, mod 2^30, mask 2^6)."""
     return f"""
             {pfx}d AS (
-              SELECT doc_id, COALESCE(text, '') AS text,
-                     length(COALESCE(text, '')) AS n
+              SELECT doc_id, {text_sql} AS text,
+                     length({text_sql}) AS n
               FROM documents WHERE {pred}),
             {pfx}pos AS (
               SELECT d.doc_id, d.text, d.n, r.i
@@ -6800,6 +6805,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_through AS BIGINT) AS n_through
             FROM (SELECT * FROM ring UNION ALL SELECT * FROM pend) q
         """,
+        # both windows + the k²-bounded pair join
+        "rank_kendall": """
+            WITH tf AS (
+              SELECT doc_id, word, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), ' +'))
+                         AS word
+                FROM documents) u
+              WHERE word <> '' GROUP BY 1, 2),
+            h AS (
+              SELECT word AS term, doc_id, tf FROM tf
+              WHERE word IN ('join', 'data', 'spark')),
+            pool AS (
+              SELECT term, doc_id, tf,
+                     row_number() OVER (PARTITION BY term
+                       ORDER BY tf DESC, doc_id ASC) AS ra
+              FROM h QUALIFY ra <= 20),
+            ab AS (
+              SELECT term, doc_id, ra,
+                     row_number() OVER (PARTITION BY term
+                       ORDER BY (doc_id % 17) ASC, doc_id ASC) AS rb
+              FROM pool),
+            pr AS (
+              SELECT x.term,
+                     (x.ra - y.ra) * (x.rb - y.rb) AS prod
+              FROM ab x JOIN ab y
+                ON x.term = y.term AND x.doc_id < y.doc_id)
+            SELECT term, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_concordant,
+                   CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_discordant
+            FROM pr GROUP BY 1
+        """,
+        # the +5 corruption makes validity closed-form: exactly the
+        # o%3<>0 orders carry a correct check digit (the Spark side
+        # must rediscover this through regexp + the 16-term Luhn
+        # circuit over the constructed digit string)
+        "pii_luhn": """
+            SELECT o_orderkey AS doc_id,
+                   CAST(1 AS BIGINT) AS n_card_candidates,
+                   CAST(CASE WHEN o_orderkey % 3 = 0 THEN 0
+                             ELSE 1 END AS BIGINT) AS n_valid_cards
+            FROM orders
+        """,
     }
     # count-of-counts over the verified CC labeling — the oracle wraps
     # the dedup_components SQL verbatim as a derived table
@@ -6826,6 +6876,36 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END AS demoted "
         "FROM r"
     )
+    # boilerplate: the parameterized chunk CTE over the footer-derived
+    # text + the integer share threshold
+    from shacl_rust_spark.queries_ops import _FOOTER as _FTR
+
+    o["text_boilerplate"] = f"""
+        WITH {_cdc_chunks_sql('TRUE', 'a',
+                              text_sql="COALESCE(text, '') || '" + _FTR
+                                       + "' || source || '.'")},
+        am AS (
+          SELECT ach.doc_id, ach.chunk_md5, ach.chunk_len, d.source
+          FROM ach JOIN documents d USING (doc_id)),
+        gs AS (SELECT source, count(*) AS ng
+               FROM documents GROUP BY 1),
+        pres AS (
+          SELECT source, chunk_md5, count(DISTINCT doc_id) AS nd
+          FROM am GROUP BY 1, 2),
+        boiler AS (
+          SELECT p.source, p.chunk_md5
+          FROM pres p JOIN gs USING (source)
+          WHERE p.nd >= 2 AND p.nd * 100 >= 50 * gs.ng)
+        SELECT am.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN b.chunk_md5 IS NOT NULL THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_boiler_chunks,
+               CAST(SUM(CASE WHEN b.chunk_md5 IS NOT NULL
+                             THEN am.chunk_len ELSE 0 END) AS BIGINT)
+                 AS boiler_chars
+        FROM am LEFT JOIN boiler b
+          ON b.source = am.source AND b.chunk_md5 = am.chunk_md5
+        GROUP BY 1
+    """
     # ANN recall meta-eval: nest both verified ANN twins and join
     o["ann_eval_recall"] = (
         "WITH ex AS (" + o["ann_cosine_topk"] + "), "

@@ -872,3 +872,57 @@ def chunk_store_delta(
         F.sum(F.when(reused, F.col("chunk_len")).otherwise(0))
         .cast("bigint").alias("reused_chars"),
     )
+
+
+def boilerplate_chunks(
+    chunks: DataFrame,
+    docs_meta: DataFrame,
+    group_col: str = "source",
+    min_share_pct: int = 50,
+) -> DataFrame:
+    """Boilerplate detection at chunk granularity (the trafilatura-
+    style template-removal question, answered with the CDC chunk
+    algebra instead of DOM heuristics): a chunk is BOILERPLATE within
+    a group (site/host/source) iff it occurs in ≥ ``min_share_pct`` %
+    of the group's documents AND in at least two documents (a
+    single-page site must not mark its entire content as template —
+    the standard minimum-support guard) — navigation, footers, and
+    legal text chunk identically across a site's pages because
+    boundaries are content-defined. Output per document: (doc_id, n_chunks,
+    n_boiler_chunks, boiler_chars) — the content-to-template ratio a
+    curation pass thresholds on. The threshold is integer
+    cross-multiplied (nd·100 ≥ pct·ng), never a float share.
+
+    Plan: one distinct (group, chunk, doc) projection → per-(group,
+    chunk) doc counts joined against broadcast group sizes → flag
+    joined back to the chunk stream on the digest key; aggregates are
+    chunk-vocabulary-sized."""
+    meta = docs_meta.select("doc_id", F.col(group_col).alias("_grp"))
+    ch = chunks.join(meta, "doc_id")
+    grp_sizes = meta.groupBy("_grp").agg(
+        F.count(F.lit(1)).alias("_ng"))
+    presence = (
+        ch.select("_grp", "chunk_md5", "doc_id")
+        .dropDuplicates(["_grp", "chunk_md5", "doc_id"])
+        .groupBy("_grp", "chunk_md5")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+    )
+    boiler = (
+        presence.join(F.broadcast(grp_sizes), "_grp")
+        .where((F.col("_nd") >= 2)
+               & (F.col("_nd") * 100
+                  >= F.lit(min_share_pct) * F.col("_ng")))
+        .select("_grp", "chunk_md5", F.lit(1).alias("_boiler"))
+    )
+    return (
+        ch.join(boiler, ["_grp", "chunk_md5"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("_boiler").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_boiler_chunks"),
+            F.sum(F.when(F.col("_boiler").isNotNull(),
+                         F.col("chunk_len")).otherwise(0))
+            .cast("bigint").alias("boiler_chars"),
+        )
+    )

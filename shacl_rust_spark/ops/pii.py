@@ -83,3 +83,47 @@ def k_anonymity(
             .otherwise(F.lit(0)).cast("bigint"),
         )
     )
+
+
+CARD_RE = r"\b[0-9]{16}\b"
+
+
+def _luhn_sum_expr(var: str, n: int = 16) -> str:
+    """SQL text of the Luhn digit sum over the first ``n`` chars of a
+    digit-string expression ``var`` (16-digit card layout: odd
+    1-based positions — even from the right — double with the −9
+    adjust). Shared between the validator, the gate's check-digit
+    construction (n=15), and the DuckDB oracle's closed forms."""
+    terms = []
+    for i in range(1, n + 1):
+        d = f"CAST(substring({var}, {i}, 1) AS INT)"
+        if i % 2 == 1:
+            terms.append(f"(CASE WHEN 2*{d} > 9 THEN 2*{d} - 9 "
+                         f"ELSE 2*{d} END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+def luhn_card_scan(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Payment-card detection with Luhn validation: 16-digit
+    candidates from one regexp pass, then the ISO/IEC 7812 check —
+    the false-positive filter that separates card numbers from
+    order ids and timestamps (a random 16-digit string passes Luhn
+    1 time in 10). Output (id, n_card_candidates, n_valid_cards);
+    curation drops or redacts on n_valid_cards > 0. Pure Column
+    expressions: regexp_extract_all + a filter lambda whose body is
+    the unrolled 16-term Luhn sum — JVM-side, no Python."""
+    re_sql = "'\\\\b[0-9]{16}\\\\b'"
+    cands = F.expr(
+        f"regexp_extract_all({text_col}, {re_sql}, 0)")
+    valid = F.expr(
+        f"size(filter(regexp_extract_all({text_col}, {re_sql}, 0), "
+        f"c -> ({_luhn_sum_expr('c')}) % 10 = 0))")
+    return docs.select(
+        F.col(id_col),
+        F.size(cands).cast("bigint").alias("n_card_candidates"),
+        valid.cast("bigint").alias("n_valid_cards"),
+    )

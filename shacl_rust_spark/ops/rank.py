@@ -685,3 +685,36 @@ def ap_at_k(ranked: DataFrame, k: int = 10) -> DataFrame:
         F.sum(contrib).cast("bigint").alias("ap_scaled"),
         F.lit(scale).cast("bigint").alias("scale"),
     )
+
+
+def kendall_topk(ra: DataFrame, rb: DataFrame) -> DataFrame:
+    """Kendall rank correlation between two rankings of the same
+    items, exact integers: inputs are (term, rank, doc_id) frames;
+    over the docs BOTH rankings contain, count concordant and
+    discordant pairs — τ = (C − D)/(C + D + T) is consumer
+    arithmetic (ties on either side counted separately). The ranker-
+    agreement audit run when swapping a scorer (tf → BM25 → learned):
+    a low τ on held-out queries means the swap reorders results, not
+    just rescores them.
+
+    Plan: one (term, doc) equi-join aligns the rankings, one
+    per-term self-join on doc_id < doc_id2 enumerates pairs — the
+    inputs are top-k lists, so the pair frame is k²-bounded per term,
+    never corpus-sized."""
+    a = ra.select("term", F.col("doc_id"), F.col("rank").alias("ra"))
+    b = rb.select("term", F.col("doc_id"), F.col("rank").alias("rb"))
+    both = a.join(b, ["term", "doc_id"])
+    lhs = both.select("term", F.col("doc_id").alias("d1"),
+                      F.col("ra").alias("ra1"), F.col("rb").alias("rb1"))
+    rhs = both.select("term", F.col("doc_id").alias("d2"),
+                      F.col("ra").alias("ra2"), F.col("rb").alias("rb2"))
+    pairs = lhs.join(rhs, "term").where(F.col("d1") < F.col("d2"))
+    sgn_a = F.signum(F.col("ra2") - F.col("ra1"))
+    sgn_b = F.signum(F.col("rb2") - F.col("rb1"))
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(sgn_a * sgn_b > 0, 1).otherwise(0))
+        .cast("bigint").alias("n_concordant"),
+        F.sum(F.when(sgn_a * sgn_b < 0, 1).otherwise(0))
+        .cast("bigint").alias("n_discordant"),
+    )

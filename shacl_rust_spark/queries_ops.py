@@ -3276,3 +3276,84 @@ def graph_tree_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.tree_edge_betweenness(
         mst.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
+
+
+# long enough to contain several content-defined boundaries of its
+# own (verified offline: 7 internal boundary positions), so the
+# chunks BETWEEN them are byte-identical across every doc that
+# carries the footer — the mechanism the gate exists to exercise
+_FOOTER = (" Copyright Example Corp. All rights reserved."
+           " Contact admin at example dot test for help."
+           " Terms of service apply. Privacy policy available."
+           " Follow our newsletter for updates and offers."
+           " This site uses deterministic cookies only."
+           " Navigation home products about contact legal. Site ")
+
+
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity boilerplate detection
+    (ops/dedup.boilerplate_chunks): every doc carries its source's
+    shared footer (appended in the gate — the raw synthetic texts
+    share no 64-char runs, which would make the gate vacuous); a
+    chunk present in ≥ 50% of a source's docs is template mass. The
+    oracle chunks the identical derived text via the parameterized
+    chunk CTE and restates the share threshold."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.concat(F.col("text"), F.lit(_FOOTER), F.col("source"),
+                 F.lit(".")).alias("text"),
+    )
+    ch = dedup.cdc_chunks(d)
+    return dedup.boilerplate_chunks(ch, d.select("doc_id", "source"))
+
+
+def rank_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank agreement (ops/rank.kendall_topk) between two
+    scorers over the SAME top-20 candidate pool per term (the
+    rerank-audit setup: candidates from the tf retriever, second
+    order from a recency proxy, doc_id mod 17 — disjoint top-k lists
+    would make the pair count vacuous, so the pool is fixed first):
+    exact concordant/discordant pair counts, τ is consumer
+    arithmetic. The oracle restates the pool cut, both windows, and
+    the k²-bounded pair join."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tf = rank._term_freqs(d.select("doc_id", "text")).where(
+        F.col("word").isin(*_RRF_TERMS))
+    wa = Window.partitionBy("word").orderBy(
+        F.desc("tf"), F.asc("doc_id"))
+    pool = tf.withColumn("rank", F.row_number().over(wa)) \
+        .where(F.col("rank") <= 20)
+    ra = pool.select(F.col("word").alias("term"), "doc_id", "rank")
+    wb = Window.partitionBy("word").orderBy(
+        F.asc(F.col("doc_id") % 17), F.asc("doc_id"))
+    rb = pool.withColumn("rank2", F.row_number().over(wb)) \
+        .select(F.col("word").alias("term"), "doc_id",
+                F.col("rank2").alias("rank"))
+    return rank.kendall_topk(ra, rb)
+
+
+def pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated card detection (ops/pii.luhn_card_scan) over a
+    synthesized payment-text fixture: each order page embeds a
+    16-digit number whose check digit is CORRECT for 2/3 of orders
+    and corrupted (+5 mod 10) for the rest — so the gate pins both
+    the candidate regexp and the checksum filter, not just one. The
+    oracle recomputes the unrolled Luhn sum of the same closed-form
+    digit string."""
+    from .ops.pii import _luhn_sum_expr, luhn_card_scan
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = ("lpad(CAST((o_orderkey * 987654321 + 12345) % "
+            "1000000000000000 AS STRING), 15, '0')")
+    s15 = _luhn_sum_expr(f"({base})", 15)
+    chk = f"(10 - (({s15}) % 10)) % 10"
+    digit = (f"CASE WHEN o_orderkey % 3 = 0 "
+             f"THEN (({chk}) + 5) % 10 ELSE {chk} END")
+    docs = o.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.expr(f"concat('order pays card ', {base}, "
+               f"CAST({digit} AS STRING), ' thanks')").alias("text"),
+    )
+    return luhn_card_scan(docs)

@@ -4775,3 +4775,62 @@ def test_tree_edge_betweenness_rejects_cycle(spark):
         [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
     with _pytest.raises(ValueError):
         tree_edge_betweenness(cyc, max_rounds=6)
+
+
+def test_boilerplate_chunks_group_share(spark):
+    from shacl_rust_spark.ops.dedup import boilerplate_chunks, cdc_chunks
+
+    # template verified offline to contain TWO internal content-
+    # defined boundaries (positions 113 and 167) -> the chunk between
+    # them is byte-identical wherever the template appears
+    tpl = ("Copyright Example Corp. All rights reserved."
+           " Contact admin at example dot test for help."
+           " Terms of service apply. Privacy policy available."
+           " Follow our newsletter for updates and offers.")
+    docs = spark.createDataFrame(
+        [(1, "alpha " + tpl, "s1"), (2, "beta " + tpl, "s1"),
+         (3, "totally unrelated text here", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in boilerplate_chunks(
+        cdc_chunks(docs), docs.select("doc_id", "source")).collect()}
+    # the shared template yields at least one chunk present in both
+    # s1 docs (>= 50% of the group AND >= 2 docs) — flagged; s2's
+    # single-doc group must NOT self-flag (minimum-support guard)
+    assert out[1].n_boiler_chunks > 0
+    assert out[2].n_boiler_chunks > 0
+    assert out[3].n_boiler_chunks == 0
+    assert out[1].boiler_chars > 0
+
+
+def test_kendall_topk_reversed_and_agreeing(spark):
+    from shacl_rust_spark.ops.rank import kendall_topk
+
+    a = spark.createDataFrame(
+        [("q", r, d) for r, d in ((1, 10), (2, 11), (3, 12))],
+        "term string, rank int, doc_id long")
+    rev = spark.createDataFrame(
+        [("q", r, d) for r, d in ((3, 10), (2, 11), (1, 12))],
+        "term string, rank int, doc_id long")
+    r1 = kendall_topk(a, rev).collect()[0]
+    assert (r1.n_pairs, r1.n_concordant, r1.n_discordant) == (3, 0, 3)
+    r2 = kendall_topk(a, a).collect()[0]
+    assert (r2.n_concordant, r2.n_discordant) == (3, 0)
+
+
+def test_luhn_card_scan_validation(spark):
+    from shacl_rust_spark.ops.pii import luhn_card_scan
+
+    docs = spark.createDataFrame(
+        [(1, "card 4532015112830366 ok"),      # Luhn-valid
+         (2, "card 4532015112830367 bad"),     # check digit off by 1
+         (3, "id 1234567890123456 and card 4111111111111111"),
+         (4, "short 123456789012345 run")],    # 15 digits: no match
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in luhn_card_scan(docs).collect()}
+    assert (out[1].n_card_candidates, out[1].n_valid_cards) == (1, 1)
+    assert (out[2].n_card_candidates, out[2].n_valid_cards) == (1, 0)
+    # 4111111111111111 is valid; 1234567890123456 is not
+    assert (out[3].n_card_candidates, out[3].n_valid_cards) == (2, 1)
+    assert (out[4].n_card_candidates, out[4].n_valid_cards) == (0, 0)
