@@ -156,14 +156,21 @@ class Dataset:
     _MAX_KLEENE_EDGES = 100_000
     _MAX_KLEENE_PAIRS = 2_000_000
 
-    def kleene_pairs(self, predicate: str, inverse: bool) -> DataFrame | None:
+    def kleene_pairs(
+        self, predicate: str, inverse: bool, spec: bool = False
+    ) -> DataFrame | None:
         """(start TERM, reached TERM) pairs for p+ semantics, or None if the
         edge set is too large for driver-side closure.
 
-        Semantics mirror the reference BFS (path.rs:141-171): `reached`
-        excludes the start node itself even when it is reachable through a
-        cycle (the visited set is seeded with the start)."""
-        key = ("kleene", predicate, inverse)
+        With ``spec=False`` semantics mirror the reference BFS
+        (path.rs:141-171): `reached` excludes the start node itself even
+        when it is reachable through a cycle (the visited set is seeded
+        with the start). With ``spec=True`` the pairs follow SPARQL 1.1
+        §18.4 ALP semantics instead — a cycle back to the start DOES
+        re-emit it — which is what sh:sparql property paths need
+        (sparql.rs evaluates them with oxigraph's full SPARQL engine,
+        not the SHACL path walker)."""
+        key = ("kleene", predicate, inverse, spec)
         if key in self._closure_edges:
             return self._closure_edges[key]  # type: ignore[return-value]
         rows = (
@@ -190,8 +197,10 @@ class Dataset:
             total = 0
             overflow = False
             for start in list(succ):
-                visited = {start}
-                frontier = [n for n in succ[start] if n not in visited]
+                frontier = (
+                    list(succ[start]) if spec
+                    else [n for n in succ[start] if n != start]
+                )
                 reached: set[Term] = set()
                 while frontier:
                     nxt: list[Term] = []
@@ -202,7 +211,8 @@ class Dataset:
                         if n.kind != "lit":
                             nxt.extend(
                                 m for m in succ.get(n, ())
-                                if m not in reached and m != start
+                                if m not in reached
+                                and (spec or m != start)
                             )
                     frontier = nxt
                 total += len(reached)

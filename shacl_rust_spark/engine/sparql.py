@@ -1524,30 +1524,65 @@ class _Compiler:
         """Spec-compliant transitive closure seeded per k: every node
         reachable in ≥ 1 step — INCLUDING the start node when a cycle
         returns to it (paths.py's SHACL walker deliberately excludes
-        it; sh:sparql follows the SPARQL spec). Iterative frontier
-        fixpoint with localCheckpoint to cut lineage per round."""
+        it; sh:sparql follows the SPARQL spec).
+
+        Fast path: a single-predicate hop over the DATA graph with a
+        small edge set serves the Dataset's memoized spec-mode closure
+        pairs (dataset.py::kleene_pairs(spec=True)) as ONE broadcast
+        join — the same ontology-sized-relation device the SHACL path
+        walker uses, reused across every sh:sparql constraint that
+        walks the same predicate. Large edge sets (the 100 TB case)
+        use the iterative checkpointed frontier fixpoint; only the
+        per-round `fresh` frontier is checkpointed — the accumulator
+        and visited set are unions of already-materialized rounds, so
+        each round costs one checkpoint job instead of three."""
         from .paths import _MAX_KLEENE_ITERS
+
+        if isinstance(inner, (PHop, PInvH)) and all_triples is self.data_source:
+            pairs = self.vd.ds.kleene_pairs(
+                inner.iri, isinstance(inner, PInvH), spec=True
+            )
+            if pairs is not None:
+                return (
+                    start.join(F.broadcast(pairs), start["v"] == pairs["start"])
+                    .select("k", F.col("reached").alias("v"))
+                    .dropDuplicates(["k", "v"])
+                )
 
         expanded = (
             start.select("k", "v").dropDuplicates(["k", "v"])
             .localCheckpoint(eager=True)
         )
         frontier = expanded
-        acc: DataFrame | None = None
-        for _ in range(_MAX_KLEENE_ITERS):
+        # acc unions the RAW step frames — not `fresh` — because a step
+        # that cycles back to a seed pair (k, k) is absent from `fresh`
+        # (the seed is in `expanded`) yet must be emitted: that is
+        # exactly the spec-vs-SHACL difference this closure implements.
+        # The terminal step (fresh empty) is appended for the same
+        # reason. Each step hangs one join off a checkpointed frontier,
+        # so the final union's lineage stays shallow without per-round
+        # accumulator checkpoints.
+        rounds: list[DataFrame] = []
+        for i in range(_MAX_KLEENE_ITERS):
             step = self._apply_path(inner, frontier, pred, all_triples)
-            acc = (
-                step if acc is None
-                else acc.unionByName(step).dropDuplicates(["k", "v"])
-            ).localCheckpoint(eager=True)
+            rounds.append(step)
             fresh = step.join(expanded, ["k", "v"], "left_anti").localCheckpoint(
                 eager=True
             )
             if fresh.isEmpty():
-                return acc
-            expanded = expanded.unionByName(fresh).localCheckpoint(eager=True)
+                break
+            expanded = expanded.unionByName(fresh)
+            # compact the visited set periodically so the union width
+            # (and the left_anti probe plan) stays bounded on deep graphs
+            if (i + 1) % 8 == 0:
+                expanded = expanded.localCheckpoint(eager=True)
             frontier = fresh
-        raise RuntimeError("property-path closure did not terminate")
+        else:
+            raise RuntimeError("property-path closure did not terminate")
+        acc = rounds[0]
+        for r in rounds[1:]:
+            acc = acc.unionByName(r)
+        return acc.dropDuplicates(["k", "v"])
 
     # --- aggregates / solution modifiers ---------------------------------
     def agg_column(self, agg: EAgg, sol_cols: set[str]) -> Column:

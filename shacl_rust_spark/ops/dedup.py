@@ -589,60 +589,107 @@ def simhash_band_pairs(
     bit_count(xor) rescore makes precision 1.0. 64 must divide evenly
     (max_hamming ∈ {1, 3, 7, 15}).
 
-    Plan: one explode to (band, band_value) keys — band extraction is
-    `(sig >> 16·i) & 0xFFFF`, arithmetic-vs-logical-shift-proof
-    because the mask discards sign-extension — then a bucketed
-    self-join per (band, value), pair dedup across bands, and the
-    exact rescore. `max_bucket` (None = off, exact semantics — what
-    the oracle states) drops hotter buckets before the join: at
-    corpus scale a mega-cluster of identical signatures would emit
-    C(n,2) candidates from every band, and dropping its buckets is
-    the same stated recall sacrifice as LSH stop-bucket removal."""
-    n_bands = max_hamming + 1
-    if 64 % n_bands:
-        raise ValueError("max_hamming must be one of 1, 3, 7, 15")
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    sig = simhash64(docs)
-    bands = sig.select(
-        "doc_id", "simhash",
-        F.explode(F.array(*[
+    Plan — signature-cluster compressed, multi-table banded:
+
+    1. Signatures materialize ONCE (lazy localCheckpoint — at corpus
+       scale this is the standard "write the signature table" step)
+       and compress to DISTINCT signatures with cluster counts: a
+       mega-cluster of n identical signatures rides the band shuffle
+       as ONE row instead of n, so its C(n,2) output pairs are
+       produced by a single expansion join at the end — never
+       shuffled 8× through a pair-dedup exchange.
+    2. Band keys per distinct signature. For max_hamming ≤ 3 the
+       classic k+1 equal bands (32/16-bit keys). For max_hamming = 7
+       the k+1 construction would pin bands at 8 bits (256 values —
+       bucket size grows LINEARLY with corpus, candidates
+       quadratically), so it uses Manku-style multi-table banding
+       instead: 9 blocks (one 8-bit + eight 7-bit), one table per
+       block PAIR — C(9,2) = 36 compound keys of 14–15 bits. Two
+       signatures within Hamming 7 differ in at most 7 blocks, hence
+       agree exactly on ≥ 2 of the 9, hence share at least one
+       compound key: recall stays deterministically 1.0 while bucket
+       cardinality grows from 2⁸ to ≥ 2¹⁴ per table.
+    3. Bucketed self-join on (table, key) at the SIGNATURE level
+       (s1 ≤ s2 keeps same-signature clusters), pair dedup across
+       tables on the small sig-pair set, exact bit_count rescore,
+       then expansion joins back to doc ids.
+
+    `max_bucket` (None = off, exact semantics — what the oracle
+    states) drops hot buckets before the join, counted in DOCS
+    (cluster-weighted), exactly the pre-compression semantics: at
+    corpus scale dropping a mega-cluster's buckets is the same stated
+    recall sacrifice as LSH stop-bucket removal."""
+    if max_hamming == 7:
+        widths = [8] + [7] * 8
+        offs, acc = [], 0
+        for w in widths:
+            offs.append(acc)
+            acc += w
+
+        def _block(i: int):
+            return F.shiftright("simhash", offs[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+
+        from itertools import combinations
+
+        band_keys = [
+            F.struct(
+                F.lit(t).alias("band"),
+                (_block(i) * F.lit(1 << widths[j]) + _block(j)).alias("v"),
+            )
+            for t, (i, j) in enumerate(combinations(range(9), 2))
+        ]
+    else:
+        n_bands = max_hamming + 1
+        if 64 % n_bands:
+            raise ValueError("max_hamming must be one of 1, 3, 7, 15")
+        width = 64 // n_bands
+        mask = (1 << width) - 1
+        band_keys = [
             F.struct(
                 F.lit(i).alias("band"),
                 F.shiftright("simhash", width * i)
                 .bitwiseAND(F.lit(mask)).alias("v"),
             )
             for i in range(n_bands)
-        ])).alias("bv"),
-    ).select("doc_id", "simhash", "bv.band", "bv.v")
+        ]
+    sig = simhash64(docs).localCheckpoint(eager=False)
+    usig = sig.groupBy("simhash").agg(F.count(F.lit(1)).alias("_n"))
+    bands = usig.select(
+        "simhash", "_n",
+        F.explode(F.array(*band_keys)).alias("bv"),
+    ).select("simhash", "_n", "bv.band", "bv.v")
     if max_bucket is not None:
-        sizes = bands.groupBy("band", "v").agg(
-            F.count(F.lit(1)).alias("_sz")
-        )
+        sizes = bands.groupBy("band", "v").agg(F.sum("_n").alias("_sz"))
         bands = bands.join(
             sizes.where(F.col("_sz") <= max_bucket)
             .select("band", "v"),
             ["band", "v"], "left_semi",
         )
-    left = bands.select(
-        "band", "v", F.col("doc_id").alias("a"),
-        F.col("simhash").alias("_sa"),
-    )
-    right = bands.select(
-        "band", "v", F.col("doc_id").alias("b"),
-        F.col("simhash").alias("_sb"),
-    )
-    return (
+    left = bands.select("band", "v", F.col("simhash").alias("_sa"))
+    right = bands.select("band", "v", F.col("simhash").alias("_sb"))
+    sig_pairs = (
         left.join(right, ["band", "v"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "_sa", "_sb")
-        .dropDuplicates(["a", "b"])
+        .where(F.col("_sa") <= F.col("_sb"))
+        .select("_sa", "_sb")
+        .dropDuplicates(["_sa", "_sb"])
         .withColumn(
             "hamming",
             F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+    )
+    da = sig.select(F.col("simhash").alias("_sa"), F.col("doc_id").alias("_da"))
+    db = sig.select(F.col("simhash").alias("_sb"), F.col("doc_id").alias("_db"))
+    return (
+        sig_pairs.join(da, "_sa").join(db, "_sb")
+        .where((F.col("_sa") != F.col("_sb")) | (F.col("_da") < F.col("_db")))
+        .select(
+            F.least("_da", "_db").alias("a"),
+            F.greatest("_da", "_db").alias("b"),
+            "hamming",
+        )
     )
 
 
@@ -671,6 +718,17 @@ def edit_distance_pairs(
     the band shuffle. `max_bucket` forwards to the banding with the
     same mega-cluster recall trade."""
     cand = simhash_band_pairs(docs, max_hamming, max_bucket)
+    # Spread the candidates across the cluster BEFORE the rescore: AQE
+    # coalesces post-shuffle partitions by BYTE size, and a few million
+    # narrow (a, b) rows compress under the advisory target — without
+    # this the O(prefix²)-per-row Levenshtein stage runs on ONE task
+    # (measured at sf0.1: 1.42M pairs → 1 partition → 179 s single-
+    # threaded; repartitioned → ~6 s). Byte-based coalescing can never
+    # see per-row CPU cost, so the explicit exchange is the correct
+    # plan at every scale, not a local-mode workaround.
+    cand = cand.repartition(
+        max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    )
     pa = docs.select(
         F.col("doc_id").alias("a"),
         F.substring("text", 1, prefix).alias("_ta"),

@@ -498,6 +498,38 @@ def test_simhash_pigeonhole_band_agreement(sig, flips):
                 == ((u >> (16 * i)) & 0xFFFF)
 
 
+@settings(max_examples=300, deadline=None)
+@given(st.integers(-(2 ** 63), 2 ** 63 - 1),
+       st.sets(st.integers(0, 63), max_size=7))
+def test_simhash_multitable_block_pair_agreement(sig, flips):
+    """The hamming<=7 construction's recall theorem: with 9 blocks
+    (one 8-bit + eight 7-bit), flipping <= 7 bits touches at most 7
+    blocks, so at least TWO blocks are untouched — the pair shares the
+    compound key of that block pair in one of the C(9,2)=36 tables
+    (Manku-style multi-table banding, ops/dedup.simhash_band_pairs)."""
+    other = sig
+    for b in flips:
+        other ^= 1 << b
+        if other >= 2 ** 63:
+            other -= 2 ** 64
+        elif other < -(2 ** 63):
+            other += 2 ** 64
+    widths = [8] + [7] * 8
+    offs, acc = [], 0
+    for w in widths:
+        offs.append(acc)
+        acc += w
+
+    def blocks(s):
+        return [(s >> offs[i]) & ((1 << widths[i]) - 1) for i in range(9)]
+
+    same = [x == y for x, y in zip(blocks(sig), blocks(other))]
+    assert sum(same) >= 9 - len(flips) >= 2
+    # and therefore at least one block PAIR agrees on its compound key
+    from itertools import combinations
+    assert any(same[i] and same[j] for i, j in combinations(range(9), 2))
+
+
 # --- bounded-round graph ops vs pure models ------------------------------
 
 def _model_bfs(edges, seeds, max_hops):

@@ -988,3 +988,64 @@ def test_group_by_anonymous_expr_key(spark):
       GROUP BY $this ((?s > 6))
       HAVING (COUNT(?s) >= 2)""")
     assert got == ["a", "b"]
+
+
+def test_kleene_cycle_semantics_fast_and_distributed_paths_agree(
+    spark, monkeypatch
+):
+    """The p+ closure has two executions: the memoized driver BFS served
+    as one broadcast join (dataset.py::kleene_pairs(spec=True)) and the
+    checkpointed distributed frontier fixpoint for edge sets past the
+    driver cap. Both must re-emit the start node through a cycle (the
+    spec-vs-SHACL divergence), and both must agree on a graph mixing a
+    2-cycle, a self-loop, and an open chain."""
+    from shacl_rust_spark.engine import dataset as ds_mod
+
+    shapes = PRE + """
+    ex:S a sh:NodeShape ; sh:targetClass ex:N ;
+      sh:sparql [ sh:select '''
+        SELECT $this WHERE {
+          $this <http://example.org/next>+ $this .
+        }''' ] .
+    """
+    fast = _run(spark, shapes)
+    # force the distributed fixpoint: a zero edge cap makes
+    # kleene_pairs return None for every predicate
+    monkeypatch.setattr(ds_mod.Dataset, "_MAX_KLEENE_EDGES", 0)
+    slow = _run(spark, shapes)
+    assert fast == slow == ["http://example.org/n1"]
+
+
+def test_kleene_pairs_spec_mode_reemits_start(spark):
+    """dataset.kleene_pairs: spec=True (SPARQL ALP) emits (a, a) for a
+    cycle a->b->a and (s, s) for a self-loop; spec=False (the reference
+    SHACL walker, path.rs:141-171) emits neither. The two modes memoize
+    under distinct keys."""
+    from shacl_rust_spark.engine.dataset import Dataset
+    from shacl_rust_spark.rdf.turtle import parse_turtle
+
+    data = """
+    @prefix ex: <http://example.org/> .
+    ex:a ex:next ex:b . ex:b ex:next ex:a .
+    ex:s ex:next ex:s .
+    ex:x ex:next ex:y .
+    """
+    ds = Dataset.from_graphs(spark, parse_turtle(data), parse_turtle(""))
+    p = "http://example.org/next"
+
+    def pairs(spec):
+        df = ds.kleene_pairs(p, False, spec=spec)
+        assert df is not None
+        return sorted(
+            (r.start.value, r.reached.value) for r in df.collect()
+        )
+
+    spec = pairs(True)
+    shacl = pairs(False)
+    ex = "http://example.org/"
+    assert (f"{ex}a", f"{ex}a") in spec
+    assert (f"{ex}s", f"{ex}s") in spec
+    assert (f"{ex}a", f"{ex}a") not in shacl
+    assert (f"{ex}s", f"{ex}s") not in shacl
+    # shared non-cycle rows agree
+    assert (f"{ex}x", f"{ex}y") in spec and (f"{ex}x", f"{ex}y") in shacl
