@@ -1202,9 +1202,12 @@ def _cdc_chunks_sql(pred: str, pfx: str,
               SELECT doc_id, {text_sql} AS text,
                      length({text_sql}) AS n
               FROM documents WHERE {pred}),
+            {pfx}lim AS (
+              SELECT unnest(range(8, 1 + GREATEST(
+                (SELECT COALESCE(max(n), 0) FROM {pfx}d), 8))) AS i),
             {pfx}pos AS (
               SELECT d.doc_id, d.text, d.n, r.i
-              FROM {pfx}d d CROSS JOIN generate_series(8, 2048) r(i)
+              FROM {pfx}d d CROSS JOIN {pfx}lim r
               WHERE r.i <= d.n),
             {pfx}b AS (
               SELECT doc_id, i FROM {pfx}pos
@@ -6161,9 +6164,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, COALESCE(text, '') AS text,
                      length(COALESCE(text, '')) AS n
               FROM documents),
+            lim AS (
+              SELECT unnest(range(8, 1 + GREATEST(
+                (SELECT COALESCE(max(n), 0) FROM d), 8))) AS i),
             pos AS (
               SELECT d.doc_id, d.text, d.n, r.i
-              FROM d CROSS JOIN generate_series(8, 2048) r(i)
+              FROM d CROSS JOIN lim r
               WHERE r.i <= d.n),
             b AS (
               SELECT doc_id, i FROM pos
@@ -6323,9 +6329,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      string_split_regex(trim(text), ' +') AS arr
               FROM documents),
+            lim AS (
+              SELECT unnest(range(1, 1 + GREATEST(
+                (SELECT COALESCE(max(len(arr)), 0) FROM t), 1))) AS i),
             tok AS (
               SELECT doc_id, g.i AS pos, arr[g.i] AS word
-              FROM t CROSS JOIN generate_series(1, 512) g(i)
+              FROM t CROSS JOIN lim g
               WHERE g.i <= len(arr) AND arr[g.i] <> ''
                 AND lower(arr[g.i]) NOT IN
                     ('the','a','an','of','to','and','in','is','on',
@@ -6754,6 +6763,8 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW) AS hits_at
               FROM r)
             SELECT term, CAST(count(*) AS BIGINT) AS n_ranked,
+                   CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rel,
                    CAST(SUM(CASE WHEN rel AND rank <= 10
                                  THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_rel_at_k,

@@ -712,6 +712,14 @@ def cuped_stats(
     lo, hi = events.agg(
         F.min(sec).alias("lo"), F.max(sec).alias("hi")
     ).collect()[0]
+    if lo is None:
+        # empty stream: the min/max aggregate collects NULL — emit the
+        # empty frame with the full output schema instead of TypeError
+        return events.sparkSession.createDataFrame(
+            [],
+            "variant bigint, n_users bigint, sum_x bigint, "
+            "sum_y bigint, sum_xx bigint, sum_xy bigint",
+        )
     mid = (int(lo) + int(hi)) // 2
     cents = F.round(
         F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0
@@ -833,6 +841,14 @@ def survival_table(
         .groupBy("user_id").agg(
             F.min("day").alias("d0"), F.max("day").alias("d1"))
     w_end = per_user.agg(F.max("d1")).collect()[0][0]
+    if w_end is None:
+        # empty stream: max aggregate collects NULL — return the empty
+        # frame with the output schema instead of TypeError on int()
+        return events.sparkSession.createDataFrame(
+            [],
+            "lifetime bigint, n_at_risk bigint, n_churned bigint, "
+            "n_censored bigint",
+        )
     lab = per_user.select(
         (F.col("d1") - F.col("d0")).alias("lifetime"),
         (F.col("d1") >= F.lit(int(w_end)) - censor_horizon_days)

@@ -359,17 +359,14 @@ def scc(edges: DataFrame, max_pairs: int = 2_000_000) -> DataFrame:
     #rounds = ⌈log₂ diameter⌉, each round one join + dedup with a
     localCheckpoint to keep the plan flat).
 
-    Charter: this is the bounded-verify formulation (the same cap
-    policy as engine/dataset.py's closure caps and the quadratic
-    jaccard/containment verify paths) — the closure is pair-quadratic
-    in the worst case, so it raises past ``max_pairs`` instead of
-    silently running a 100 TB cross product. At corpus scale the
-    production algorithm is forward-backward pivot partitioning
-    (Fleischer et al.'s FW-BW: pick a pivot, SCC = fwd-reach ∩
-    bwd-reach, recurse on the three remainders — each piece built with
-    the SAME frontier-BFS machinery as shacl_path_kleene_dist), which
-    never materializes all-pairs reachability; the gate states the
-    exact semantics that algorithm must reproduce."""
+    Charter: this closure is the bounded-VERIFY formulation (the same
+    cap policy as engine/dataset.py's closure caps and the quadratic
+    jaccard/containment verify paths) — pair-quadratic in the worst
+    case, so past ``max_pairs`` the call AUTO-DISPATCHES to
+    :func:`scc_fwbw`, the production forward-backward pivot algorithm
+    that never materializes all-pairs reachability. Both produce the
+    identical (node, scc_id) contract (equivalence is
+    hypothesis-tested on random digraphs)."""
     edges = _clean_edges(edges).localCheckpoint(eager=True)
     reach = edges
     n_reach = reach.count()
@@ -386,10 +383,7 @@ def scc(edges: DataFrame, max_pairs: int = 2_000_000) -> DataFrame:
         )
         n_grown = grown.count()
         if n_grown > max_pairs:
-            raise ValueError(
-                f"transitive closure exceeded max_pairs={max_pairs}; "
-                "use the FW-BW decomposition for graphs this dense"
-            )
+            return scc_fwbw(edges)
         if n_grown == n_reach:
             break
         reach, n_reach = grown, n_grown
@@ -418,6 +412,181 @@ def scc(edges: DataFrame, max_pairs: int = 2_000_000) -> DataFrame:
             F.col("node"), F.coalesce("min_other", F.col("node"))
         ).alias("scc_id"),
     )
+
+
+def scc_fwbw(
+    edges: DataFrame, max_levels: int = 64, max_rounds: int = 4096
+) -> DataFrame:
+    """Production strongly-connected components: multi-pivot
+    forward-backward decomposition (Fleischer et al.'s FW-BW with
+    min-label pivot selection — the "coloring" batch variant of
+    Orzan / the Multistep method), identical (node, scc_id) contract
+    to :func:`scc` with scc_id = lexicographically smallest member.
+
+    Per level, over the ACTIVE subgraph:
+
+    1. **Trim fixpoint** — nodes with in- or out-degree 0 within the
+       active graph lie on no cycle: emitted as singleton SCCs and
+       removed until none remain. This deletes entire DAG regions in
+       diameter rounds (the web's IN/OUT tendrils), which is what
+       keeps the level count small on real graphs.
+    2. **Forward min-label propagation** — lab(v) = min node id that
+       reaches v, by iterated ``lab(v) ← min(lab(v), min over
+       in-edges lab(u))`` to fixpoint. Every label class is a pivot
+       partition and its root r (lab(r) = r) is the pivot — ALL
+       pivots proceed in the same batch; no driver-side recursion
+       over sub-partitions.
+    3. **Backward BFS from all roots at once**, restricted to
+       same-label edges: the nodes of class r that reach r are
+       exactly SCC(r) (r reaches them by construction of lab;
+       label-respecting paths suffice because any vertex on a
+       path m→r inside class r provably has label r). Emitted with
+       scc_id = r — r is the class minimum, hence the SCC minimum,
+       so the contract matches :func:`scc` exactly.
+    4. Remove emitted nodes; the next level re-trims and re-labels
+       the remainder (the FW/BW/REST recursion, batched).
+
+    Every step is frontier-shaped (the shacl_path_kleene_dist loop
+    shape: join + anti-join + localCheckpoint on strictly-shrinking
+    frames); nothing is ever pair-quadratic. ``max_levels`` guards
+    adversarial nestings (each level removes at least every class
+    root's SCC, so real graphs converge in a handful of levels);
+    ``max_rounds`` bounds each inner fixpoint. Both raise rather
+    than silently truncate."""
+    edges0 = _clean_edges(edges).localCheckpoint(eager=True)
+    spark = edges0.sparkSession
+    empty = spark.createDataFrame([], "node string, scc_id string")
+    active_nodes = (
+        edges0.select(F.col("src").alias("node"))
+        .unionByName(edges0.select(F.col("dst").alias("node")))
+        .dropDuplicates(["node"])
+        .localCheckpoint(eager=True)
+    )
+    active_edges = edges0
+    done: list[DataFrame] = [empty]
+
+    def _bounded(it):
+        for i in range(max_rounds):
+            yield i
+        raise ValueError(
+            f"scc_fwbw {it} fixpoint exceeded max_rounds={max_rounds}"
+        )
+
+    for _level in range(max_levels):
+        # 1. trim fixpoint: in-degree or out-degree 0 ⇒ singleton SCC
+        for _ in _bounded("trim"):
+            srcs = active_edges.select(F.col("src").alias("node")).distinct()
+            dsts = active_edges.select(F.col("dst").alias("node")).distinct()
+            keep = (
+                active_nodes.join(srcs, "node", "left_semi")
+                .join(dsts, "node", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            trimmed = active_nodes.join(keep, "node", "left_anti")
+            if trimmed.isEmpty():
+                break
+            done.append(
+                trimmed.select("node", F.col("node").alias("scc_id"))
+                .localCheckpoint(eager=True)
+            )
+            active_nodes = keep
+            active_edges = (
+                active_edges.join(
+                    keep.withColumnRenamed("node", "src"), "src", "left_semi"
+                )
+                .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        if active_nodes.isEmpty():
+            break
+        # 2. forward min-label propagation to fixpoint
+        lab = active_nodes.withColumn("lab", F.col("node")).localCheckpoint(
+            eager=True
+        )
+        for _ in _bounded("label"):
+            prop = (
+                active_edges
+                .join(
+                    lab.select(F.col("node").alias("src"),
+                               F.col("lab").alias("_in")),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("_in").alias("_min_in"))
+            )
+            new_lab = (
+                lab.join(prop, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lab"), F.coalesce("_min_in", F.col("lab"))
+                    ).alias("lab"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new_lab.join(
+                lab, ["node", "lab"], "left_anti"
+            )
+            lab = new_lab
+            if changed.isEmpty():
+                break
+        # 3. backward BFS from every root, within same-label edges
+        elab = (
+            active_edges
+            .join(lab.select(F.col("node").alias("src"),
+                             F.col("lab").alias("_ls")), "src")
+            .join(lab.select(F.col("node").alias("dst"),
+                             F.col("lab").alias("_ld")), "dst")
+            .where(F.col("_ls") == F.col("_ld"))
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        rev = elab.select(F.col("dst").alias("node"),
+                          F.col("src").alias("pred"))
+        reached = (
+            lab.where(F.col("lab") == F.col("node"))
+            .select("node", F.col("lab").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = reached
+        for _ in _bounded("backward"):
+            step = (
+                frontier.join(rev, "node")
+                .select(F.col("pred").alias("node"), "scc_id")
+                .dropDuplicates(["node"])
+            )
+            frontier = step.join(
+                reached.select("node"), "node", "left_anti"
+            ).localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                break
+            reached = reached.unionByName(frontier).localCheckpoint(
+                eager=True
+            )
+        done.append(reached)
+        # 4. remove the emitted SCCs and iterate on the remainder
+        active_nodes = active_nodes.join(
+            reached.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        if active_nodes.isEmpty():
+            break
+        active_edges = (
+            active_edges.join(
+                active_nodes.withColumnRenamed("node", "src"),
+                "src", "left_semi",
+            )
+            .join(
+                active_nodes.withColumnRenamed("node", "dst"),
+                "dst", "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise ValueError(f"scc_fwbw did not converge in {max_levels} levels")
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -1316,8 +1485,8 @@ def bowtie(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     cut; splitting OTHER further needs reachability from IN/OUT,
     which the consumer can run with the same frontier machinery).
 
-    Built from :func:`scc` (bounded-verify closure charter — see its
-    docstring for the FW-BW production algorithm) plus two
+    Built from :func:`scc` (closure verifier below the pair cap,
+    auto-dispatching to :func:`scc_fwbw` above it) plus two
     frontier-BFS reachability passes from the core, one on each edge
     direction — the shacl_path_kleene_dist loop shape: per round one
     join + anti-join dedup + localCheckpoint, terminating when the

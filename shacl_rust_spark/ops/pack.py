@@ -184,8 +184,12 @@ def curriculum_stages(
     dependent row order)."""
     n = docs.count()
     if n == 0:
+        # same columns as the non-empty branch so downstream
+        # union/schema comparison holds on an empty corpus
         return docs.select(
-            "doc_id", F.lit(0).cast("bigint").alias("stage"),
+            "doc_id",
+            F.col(length_col).cast("bigint").alias(length_col),
+            F.lit(0).cast("bigint").alias("stage"),
             F.lit("").alias("shuffle_key"))
     bounds = []
     for s in range(1, n_stages):

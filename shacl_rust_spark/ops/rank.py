@@ -656,10 +656,12 @@ def ap_at_k(ranked: DataFrame, k: int = 10) -> DataFrame:
     frame: AP = (1/R) Σ_{i hit, i≤k} precision@i with precision@i =
     hits_at_i / i — scaled by L = lcm(1..k) so each term
     hits_at_i · (L DIV i) is an INTEGER. One row per term (term,
-    n_ranked, n_rel_at_k, ap_scaled, scale); AP = ap_scaled /
-    (scale · min(R, k)) is the CONSUMER's division. Completes the
-    eval family (precision@k, MRR, NDCG, recall) with the
-    order-sensitive mean — same lcm charter as mrr_at_k.
+    n_ranked, n_rel, n_rel_at_k, ap_scaled, scale); AP = ap_scaled /
+    (scale · min(n_rel, k)) is the CONSUMER's division — n_rel is
+    R, the TOTAL relevant count in the ranked frame, emitted so the
+    denominator is computable even when relevant items rank below k.
+    Completes the eval family (precision@k, MRR, NDCG, recall) with
+    the order-sensitive mean — same lcm charter as mrr_at_k.
 
     Plan: one per-term window (running hit count) + one aggregate."""
     import math
@@ -680,6 +682,8 @@ def ap_at_k(ranked: DataFrame, k: int = 10) -> DataFrame:
     ).otherwise(F.lit(0))
     return g.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+        F.sum(F.when(F.col("rel"), 1).otherwise(0))
+        .cast("bigint").alias("n_rel"),
         F.sum(F.when(F.col("rel") & (F.col("rank") <= k), 1)
               .otherwise(0)).cast("bigint").alias("n_rel_at_k"),
         F.sum(contrib).cast("bigint").alias("ap_scaled"),

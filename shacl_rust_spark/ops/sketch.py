@@ -368,7 +368,7 @@ def kmv_hash(key: Column) -> Column:
 
 def kmv_table(df: DataFrame, key: Column, k: int = 64) -> DataFrame:
     """K-minimum-values sketch of ``key``'s distinct count: the k
-    SMALLEST distinct 60-bit hash values, as rows (hv bigint). The
+    SMALLEST distinct 52-bit hash values, as rows (hv bigint). The
     third sketch algebra beside HLL (max-merge) and CMS (sum-merge):
     KMV merges by 'union then re-take the k smallest', and unlike HLL
     it also supports set INTERSECTION estimates (shared hashes of two
@@ -392,7 +392,11 @@ def kmv_merge(tables: list, k: int = 64) -> DataFrame:
     k smallest of the union — associative, commutative, idempotent
     (a hash seen by two partials collapses via dropDuplicates), so
     per-source/per-partition sketches built independently merge into
-    exactly the sketch of the whole corpus."""
+    exactly the sketch of the whole corpus. Requires a non-empty
+    ``tables`` list (there is no session to build an empty sketch
+    from)."""
+    if not tables:
+        raise ValueError("kmv_merge requires at least one sketch table")
     allrows = tables[0]
     for t in tables[1:]:
         allrows = allrows.unionByName(t)

@@ -3,6 +3,8 @@ oracle-checked via scripts/check_oracle.py / the driver gate)."""
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from shacl_rust_spark.ops import ann, dedup, multimodal, pii, sample, text, web
@@ -2291,15 +2293,117 @@ def test_scc_rings_and_tails(spark):
     }
 
 
-def test_scc_cap_raises(spark):
+def test_scc_cap_dispatches_to_fwbw(spark):
+    """Past the closure cap scc() no longer raises — it auto-dispatches
+    to the FW-BW production algorithm and returns the same contract.
+    A 6-cycle with max_pairs=10 forces the dispatch immediately."""
     from shacl_rust_spark.ops.graph import scc
-    import pytest
 
     edges = spark.createDataFrame(
         [(str(i), str((i + 1) % 6)) for i in range(6)], ["src", "dst"]
     )
-    with pytest.raises(ValueError, match="max_pairs"):
-        scc(edges, max_pairs=10)
+    got = {(r.node, r.scc_id) for r in scc(edges, max_pairs=10).collect()}
+    assert got == {(str(i), "0") for i in range(6)}
+
+
+def _model_tarjan(edge_list):
+    """Iterative Tarjan: {(node, min-member-of-its-SCC)} over the
+    distinct edge endpoints."""
+    adj = {}
+    nodes = set()
+    for a, b in edge_list:
+        adj.setdefault(a, []).append(b)
+        nodes.add(a)
+        nodes.add(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            succs = adj.get(v, [])
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                mn = min(members)
+                for m in members:
+                    comp[m] = mn
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for n in sorted(nodes):
+        if n not in index:
+            strongconnect(n)
+    return {(n, comp[n]) for n in nodes}
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=1, max_size=40))
+def test_scc_fwbw_matches_doubling_and_tarjan(spark, raw):
+    """Equivalence on random digraphs: the doubling-closure verifier,
+    the FW-BW production path, and an iterative Tarjan model all
+    produce the identical (node, min-member scc_id) set."""
+    from shacl_rust_spark.ops.graph import scc, scc_fwbw
+
+    edge_list = [(f"n{a:02d}", f"n{b:02d}") for a, b in raw]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    want = _model_tarjan(set(edge_list))
+    via_doubling = {(r.node, r.scc_id) for r in scc(edges).collect()}
+    via_fwbw = {(r.node, r.scc_id) for r in scc_fwbw(edges).collect()}
+    assert via_doubling == want
+    assert via_fwbw == want
+
+
+def test_scc_fwbw_past_cap_completes(spark):
+    """A seeded random digraph whose transitive closure (~n² ≈ 2.6M
+    pairs) exceeds the old 2M-pair cap that used to raise: the FW-BW
+    path completes and matches the Tarjan model exactly. Out-degree 3
+    keeps the diameter logarithmic, so every inner fixpoint is a
+    handful of rounds."""
+    import random
+
+    from shacl_rust_spark.ops.graph import scc_fwbw
+
+    rng = random.Random(7)
+    n = 1600
+    edge_list = {
+        (f"v{i:04d}", f"v{rng.randrange(n):04d}")
+        for i in range(n) for _ in range(3)
+    }
+    edges = spark.createDataFrame(sorted(edge_list), ["src", "dst"])
+    got = {(r.node, r.scc_id) for r in scc_fwbw(edges).collect()}
+    assert got == _model_tarjan(edge_list)
 
 
 def test_active_users_trailing_window(spark):
@@ -4834,3 +4938,34 @@ def test_luhn_card_scan_validation(spark):
     # 4111111111111111 is valid; 1234567890123456 is not
     assert (out[3].n_card_candidates, out[3].n_valid_cards) == (2, 1)
     assert (out[4].n_card_candidates, out[4].n_valid_cards) == (0, 0)
+
+
+def test_empty_input_guards_round4(spark):
+    """Round-3 advice items: empty inputs must return empty frames
+    with the full output schema (not TypeError/IndexError), and the
+    empty-branch schema of curriculum_stages must match the non-empty
+    branch column-for-column."""
+    import pytest
+
+    from shacl_rust_spark.ops.events import cuped_stats, survival_table
+    from shacl_rust_spark.ops.pack import curriculum_stages
+    from shacl_rust_spark.ops.sketch import kmv_merge
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double")
+    cs = cuped_stats(empty_ev)
+    assert cs.count() == 0 and cs.columns == [
+        "variant", "n_users", "sum_x", "sum_y", "sum_xx", "sum_xy"]
+    sv = survival_table(empty_ev)
+    assert sv.count() == 0 and sv.columns == [
+        "lifetime", "n_at_risk", "n_churned", "n_censored"]
+
+    docs = spark.createDataFrame(
+        [("d1", 5), ("d2", 9), ("d3", 2)], "doc_id string, n_chars bigint")
+    full_cols = curriculum_stages(docs).columns
+    empty_cols = curriculum_stages(docs.limit(0)).columns
+    assert empty_cols == full_cols
+
+    with pytest.raises(ValueError, match="at least one"):
+        kmv_merge([])
