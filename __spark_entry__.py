@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": O.events_pivot,
         "graph_copurchase": O.graph_copurchase,
         "curation_profile": O.curation_profile,
+        "curation_profile_approx": O.curation_profile_approx,
         "olap_revenue_by_region": O.olap_revenue_by_region,
         "dedup_snapshot_diff": O.dedup_snapshot_diff,
         "sketch_bloom_prefilter": O.sketch_bloom_prefilter,
@@ -399,6 +400,39 @@ WITH w AS (
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1)
 """
+
+# the minhash-LSH pair graph (a < b) — identical to
+# dedup_minhash_lsh's pair set: banded candidates with stop-bucket
+# removal, exact cross-source Jaccard>=0.8 rescore. Feeds the k-core
+# gate so one graph family runs end-to-end on the production (LSH)
+# candidate topology rather than the quadratic verify twin.
+_LSH_PAIR_GRAPH_CTE = """
+, h AS (
+  SELECT doc_id, gs.s AS s,
+         min(md5('s' || gs.s || ':' || word)) AS m
+  FROM w CROSS JOIN generate_series(0, 7) gs(s) GROUP BY 1, 2),
+bk0 AS (
+  SELECT doc_id,
+         (s // 2) || '|' || string_agg(m, '|' ORDER BY s) AS band_key
+  FROM h GROUP BY doc_id, s // 2),
+keep AS (SELECT band_key FROM bk0 GROUP BY 1 HAVING count(*) <= 50),
+bk AS (SELECT bk0.* FROM bk0 JOIN keep USING (band_key)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bk x JOIN bk y
+    ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+i AS (
+  SELECT c.a, c.b, count(*) AS ni
+  FROM cand c
+  JOIN w wa ON wa.doc_id = c.a
+  JOIN w wb ON wb.doc_id = c.b AND wa.word = wb.word
+  GROUP BY 1, 2),
+p AS MATERIALIZED (
+  SELECT a, b FROM i
+  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+  WHERE ni * 10000 >= (sa.n + sb.n - ni) * 8000)
+"""
+
 
 # the Jaccard>=0.8 canonical pair graph (a < b), shared by the
 # triangle / k-core oracles — identical to dedup_jaccard's pair set
@@ -1292,7 +1326,7 @@ def oracle_sql() -> dict[str, str]:
             x AS (SELECT unnest([a, b, c]) AS node FROM t)
             SELECT node, count(*) AS n_triangles FROM x GROUP BY 1
         """,
-        "graph_kcore": _WORDS_CTE + _PAIR_GRAPH_CTE + _kcore_ctes(3, 6),
+        "graph_kcore": _WORDS_CTE + _LSH_PAIR_GRAPH_CTE + _kcore_ctes(3, 6),
         "graph_lpa": _WORDS_CTE + _PAIR_GRAPH_CTE + _lpa_ctes(4),
         # integer-exact Newman modularity of the LPA-4 partition:
         # q_num = 4*m*e_in - deg_sum^2, Q = sum(q_num)/(4m^2)
@@ -3700,6 +3734,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "curation_profile": _profile_sql("lineitem"),
+        # the approx twin's oracle states the EXPECTATION (every
+        # column's HLL++ estimate within the 5-sigma rsd bound), not
+        # the estimate itself — approx sketches differ across engines
+        "curation_profile_approx": " UNION ALL ".join(
+            f"SELECT '{c}' AS col_name, 1 AS within_bound"
+            for c in (*_PROFILE_NUM, *_PROFILE_STR)
+        ),
         # integer centi-cents: ROUND(x*100) of the identical input
         # double is the identical integer on both engines; revenue
         # then sums as BIGINT (order-independent)

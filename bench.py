@@ -68,6 +68,21 @@ def main() -> None:
     shutil.rmtree(wdir, ignore_errors=True)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    def _calibrate() -> float:
+        """Fixed-work host probe: a constant 10⁸-row codegen'd
+        aggregate whose cost depends ONLY on the host's momentary
+        CPU/scheduling state — never on sf, the engine, or any code
+        in this repo. Recorded before and after the measured window
+        so same-HEAD headline swings can be load-normalized against
+        the probe ratio instead of band-argued."""
+        t0 = time.time()
+        spark.range(0, 100_000_000, 1, cpus).select(
+            (F.col("id") * 2654435761 % 1000003).alias("k")
+        ).agg(F.sum("k"), F.count(F.lit(1))).collect()
+        return round(time.time() - t0, 3)
+
+    calib_before = _calibrate()
+
     # headline FIRST: the full KG pipeline (pages → extract → link → CC →
     # SHACL-validate → partitioned emit), triples emitted per second —
     # the BASELINE.json metric.
@@ -93,6 +108,7 @@ def main() -> None:
         _ = n
     timings["kg_pipeline"] = round(emit_secs, 3)
 
+    calib_after = _calibrate()
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "validated_triples_per_sec",
@@ -102,6 +118,7 @@ def main() -> None:
         "emitted_triples": n_emitted,
         "pipeline_metrics": commit["metrics"],
         "queries": timings,
+        "calibration_sec": {"before": calib_before, "after": calib_after},
         "sf": sf,
         "cpus": cpus,
     }
@@ -126,6 +143,7 @@ def main() -> None:
         "total_sec": total,
         "emitted_triples": n_emitted,
         "n_queries": len(timings),
+        "calibration_sec": {"before": calib_before, "after": calib_after},
         "queries": slowest,
         "queries_note": "12 slowest of %d; full set in "
                         "BENCH_DETAIL_last.json and the previous "

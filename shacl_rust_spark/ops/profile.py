@@ -80,3 +80,41 @@ def profile_table(df: DataFrame, columns: tuple = ()) -> DataFrame:
     return row.select(
         F.explode(F.array(*structs)).alias("_s")
     ).select("_s.*")
+
+
+def profile_table_approx(
+    df: DataFrame, columns: tuple = (), rsd: float = 0.05
+) -> DataFrame:
+    """(col_name, n, n_null, n_distinct_approx) — the 100 TB swap-in
+    for :func:`profile_table`'s exact count(DISTINCT): one scan, one
+    fused HashAggregate, with every per-column cardinality served by
+    ``approx_count_distinct`` (HyperLogLog++, target relative standard
+    deviation ``rsd``). The exact variant keeps the oracle-hash
+    contract for the expectations gate; THIS is the plan you run on a
+    corpus where 11 exact count-distincts would each carry a full
+    dedup shuffle — HLL sketches fold map-side into fixed-size
+    buffers, so the scan stays one pass and the shuffle is one
+    sketch row per column regardless of table size. Min/max/null
+    counts are already single-pass in the exact variant and are not
+    duplicated here; the approx frame is meant to be joined back to
+    it (or consumed alone for cardinality monitoring)."""
+    cols = list(columns) or [f.name for f in df.schema.fields]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        aggs.append(
+            F.approx_count_distinct(c, rsd).alias(f"_nd_{c}")
+        )
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_n").alias("n"),
+            (F.col("_n") - F.col(f"_nn_{c}")).alias("n_null"),
+            F.col(f"_nd_{c}").alias("n_distinct_approx"),
+        )
+        for c in cols
+    ]
+    return row.select(
+        F.explode(F.array(*structs)).alias("_s")
+    ).select("_s.*")

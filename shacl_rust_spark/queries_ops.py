@@ -693,14 +693,17 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded 6-round k-core peel at k=3 (ops/graph.k_core) over the
-    Jaccard ≥ 0.8 near-dup pair graph — the dense-core extractor that
-    separates tight template families from stray chain links; the
-    oracle unrolls the identical six integer peel rounds. On both
-    gate corpora the peel CONVERGES within 6 rounds (round 7 is a
-    no-op, verified in DuckDB), so this equals the exact k-core here;
-    hypothesis shows long chains can need more rounds — the
+    MINHASH-LSH near-dup pair graph (ops/dedup.minhash_lsh_pairs,
+    Jaccard ≥ 0.8 exact rescore) — the dense-core extractor running
+    end-to-end on the production candidate topology: banded buckets
+    with stop-bucket removal feed the graph operator, not the
+    quadratic all-pairs verify twin. The oracle restates the same LSH
+    pair set then unrolls the identical six integer peel rounds. On
+    both gate corpora the peel CONVERGES within 6 rounds (round 7 is
+    a no-op, verified in DuckDB), so this equals the exact k-core
+    here; hypothesis shows long chains can need more rounds — the
     bounded-round contract (tests/test_property.py)."""
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8)
     return graph.k_core(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         k=3, rounds=6,
@@ -766,6 +769,31 @@ def curation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.profile import profile_table
 
     return profile_table(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def curation_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stated 100 TB swap-in for curation_profile, gated with an
+    rsd-bounded error check (ops/profile.profile_table_approx):
+    per-column HLL++ approximate distinct counts at rsd=0.05 joined
+    against the exact profile, emitting (col_name, within_bound) with
+    within_bound = 1 iff |approx - exact| <= 25% of exact (5 sigma at
+    the target rsd; HLL++ is deterministic for fixed data, and small
+    cardinalities sit in the sketch's exact sparse mode). The oracle
+    states the expectation — every column within bound — so the gate
+    fails if the approx path's error budget is ever exceeded, while
+    the exact variant's gate keeps the hash-exact contract."""
+    from .ops.profile import profile_table, profile_table_approx
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = profile_table(li).select("col_name", "n_distinct")
+    approx = profile_table_approx(li, rsd=0.05).select(
+        "col_name", "n_distinct_approx")
+    d = F.abs(F.col("n_distinct_approx") - F.col("n_distinct"))
+    return exact.join(approx, "col_name").select(
+        "col_name",
+        (d * 100 <= F.col("n_distinct") * 25)
+        .cast("int").alias("within_bound"),
+    )
 
 
 def olap_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4969,3 +4969,46 @@ def test_empty_input_guards_round4(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         kmv_merge([])
+
+
+def test_zorder_write_plan_and_file_pruning(spark, tmp_path):
+    """The production write path (ops/olap.zorder_write): plan must
+    show RangePartitioning on zkey with NO SinglePartition window
+    (the ntile twin's shape), and the written files must carry
+    selective per-file min/max on BOTH scan dimensions — a 1/8-range
+    predicate on either column may overlap at most half the files."""
+    import glob
+
+    from shacl_rust_spark.ops.olap import zorder_write
+
+    n, files = 4096, 8
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("bigint").alias("y"),
+        F.col("id").alias("rid"),
+    )
+    out = zorder_write(df, "x", "y", "rid", n_files=files, bits=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+    assert "ntile" not in plan.lower()
+
+    path = str(tmp_path / "zw")
+    out.write.mode("overwrite").parquet(path)
+    parts = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(parts) == files
+
+    def overlap_count(col, lo, hi):
+        cnt = 0
+        for p in parts:
+            mn, mx = (
+                spark.read.parquet(p)
+                .agg(F.min(col), F.max(col)).collect()[0]
+            )
+            if mx >= lo and mn <= hi:
+                cnt += 1
+        return cnt
+
+    # 1/8 of each dimension's domain (64 values -> 8-wide band)
+    assert overlap_count("x", 0, 7) <= files // 2
+    assert overlap_count("y", 0, 7) <= files // 2
