@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_running_revenue": O.olap_running_revenue,
         "graph_component_sizes": O.graph_component_sizes,
         "dedup_eval_recall": O.dedup_eval_recall,
+        "dedup_banding_recall": O.dedup_banding_recall,
         "events_reciprocal_transitions": O.events_reciprocal_transitions,
         "olap_market_share": O.olap_market_share,
         "olap_shipmode": O.olap_shipmode,
@@ -1785,6 +1786,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM fresh f
             WHERE doc_id = (SELECT min(doc_id) FROM fresh f2
                             WHERE f2.kk = f.kk)
+        """,
+        # pigeonhole recall gate: the banded pair set equals the
+        # all-pairs hamming<=7 truth — DuckDB recomputes the truth
+        # side independently; missing/extra are 0 by the theorem
+        "dedup_banding_recall": _SIMHASH_CTES + """
+            , ap AS (
+              SELECT sa.doc_id AS a, sb.doc_id AS b
+              FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id
+              WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 7)
+            SELECT (SELECT count(*) FROM ap)::BIGINT AS n_banded,
+                   (SELECT count(*) FROM ap)::BIGINT AS n_allpairs,
+                   0::BIGINT AS n_missing, 0::BIGINT AS n_extra
         """,
         "dedup_minhash_lsh": _WORDS_CTE + """
             , h AS (

@@ -136,13 +136,27 @@ def semantic_dedup(
 
     assigned = kmeans(emb, k, iters, vec_col, id_col) \
         .select(id_col, "cluster")
-    e = emb.select(id_col, vec_col).join(assigned, id_col)
-    a = e.select(F.col(id_col).alias("a"), "cluster",
-                 F.col(vec_col).alias("_ea"))
-    b = e.select(F.col(id_col).alias("b"), "cluster",
-                 F.col(vec_col).alias("_eb"))
+    # Candidate pairs form on the NARROW id frame, then spread across
+    # the cluster before the embeddings join back: the pair join keys
+    # on `cluster`, whose cardinality is k — hash-partitioning the
+    # O(d)-per-row cosine stage on a k-value key would run it on ≤ k
+    # tasks no matter how many executors exist (and cluster-size skew
+    # would pile the biggest cluster's quadratic pair set on one).
+    # The explicit exchange is the production plan, same pattern as
+    # edit_distance_pairs' pre-rescore repartition.
+    a_ids = assigned.select(F.col(id_col).alias("a"), "cluster")
+    b_ids = assigned.select(F.col(id_col).alias("b"), "cluster")
+    cand = (
+        a_ids.join(b_ids, "cluster")
+        .where(F.col("a") < F.col("b"))
+        .repartition(
+            max(emb.sparkSession.sparkContext.defaultParallelism, 8)
+        )
+    )
+    ea = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_ea"))
+    eb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_eb"))
     pairs = ann.with_cosine(
-        a.join(b, "cluster").where(F.col("a") < F.col("b")),
+        cand.join(ea, "a").join(eb, "b"),
         "_ea", "_eb", "_cos",
     ).where(F.round("_cos", 6) >= threshold)
     return (

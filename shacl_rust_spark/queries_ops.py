@@ -2225,6 +2225,41 @@ def dedup_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table simhash banding recall, measured per corpus: one
+    row (n_banded, n_allpairs, n_missing, n_extra) comparing
+    simhash_band_pairs at hamming <= 7 (9-block / C(9,2)-table Manku
+    banding) against the brute-force all-pairs bit_count(xor) truth
+    over the same signatures. The pigeonhole theorem says recall is
+    deterministically 1.0 — so n_missing = n_extra = 0 and
+    n_banded = n_allpairs on EVERY corpus, which this gate asserts
+    against DuckDB's independently-computed all-pairs count (the
+    dedup_eval_recall device, applied to the deterministic banding
+    family)."""
+    banded = dedup.simhash_band_pairs(_docs(spark, sf_dir), 7) \
+        .select("a", "b")
+    sig = dedup.simhash64(_docs(spark, sf_dir))
+    l = sig.select(F.col("doc_id").alias("a"),
+                   F.col("simhash").alias("_sa"))
+    r = sig.select(F.col("doc_id").alias("b"),
+                   F.col("simhash").alias("_sb"))
+    allp = (
+        l.crossJoin(r).where(F.col("a") < F.col("b"))
+        .where(F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= 7)
+        .select("a", "b")
+    )
+    return (
+        banded.agg(F.count(F.lit(1)).alias("n_banded"))
+        .crossJoin(allp.agg(F.count(F.lit(1)).alias("n_allpairs")))
+        .crossJoin(
+            allp.join(banded, ["a", "b"], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_missing")))
+        .crossJoin(
+            banded.join(allp, ["a", "b"], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_extra")))
+    )
+
+
 def events_reciprocal_transitions(
     spark: SparkSession, sf_dir: str,
 ) -> DataFrame:
