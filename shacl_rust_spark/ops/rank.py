@@ -132,7 +132,7 @@ def bm25_scores(
     totals = lens.agg(
         F.sum("dl").alias("total_len"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
-    n_docs, total_len = totals["n"], totals["total_len"]
+    n_docs, total_len = totals["n"], totals["total_len"] or 0
 
     tf_all = _term_freqs(docs)
     tf_q = tf_all.where(F.col("word").isin(terms))
@@ -347,7 +347,7 @@ def unigram_logprob(docs: DataFrame, alpha: float = 1.0) -> DataFrame:
     totals = lm.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
-    total, v = totals["total"], totals["v"]
+    total, v = totals["total"] or 0, totals["v"]
     denom = F.lit(float(total)) + F.lit(alpha) * F.lit(float(v + 1))
     logp = F.log((F.col("cnt") + F.lit(alpha)) / denom)
     scored = tf.join(F.broadcast(lm), "word").select(

@@ -696,7 +696,9 @@ def collocations(
     tot = uni.agg(
         F.sum("_uc").alias("W"), F.lit(1).alias("_one")
     ).collect()[0]
-    big_w = int(tot["W"])
+    # empty corpus: SUM collects NULL — the b_tot guard below returns
+    # the schema-complete empty frame, so any placeholder works here
+    big_w = int(tot["W"] or 0)
     b_tot = pair.agg(F.sum("n_ab")).collect()[0][0]
     if not b_tot:
         return docs.sparkSession.createDataFrame(

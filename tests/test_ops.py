@@ -4970,6 +4970,14 @@ def test_empty_input_guards_round4(spark):
     with pytest.raises(ValueError, match="at least one"):
         kmv_merge([])
 
+    from shacl_rust_spark.ops.rank import bm25_scores
+    from shacl_rust_spark.ops.text import collocations
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id bigint, text string, source string")
+    assert bm25_scores(empty_docs, ["x"]).count() == 0
+    assert collocations(empty_docs).count() == 0
+
 
 def test_zorder_write_plan_and_file_pruning(spark, tmp_path):
     """The production write path (ops/olap.zorder_write): plan must
