@@ -5679,7 +5679,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # typed-literal gates restated with regexp_matches, same
         # most-specific-first order, xsd:string fallthrough
-        "kg_datatype_inference": """
+        "kg_datatype_inference": r"""
             WITH lex AS (
               SELECT CAST(p_partkey AS VARCHAR) AS key,
                      CASE

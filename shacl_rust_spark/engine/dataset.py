@@ -57,6 +57,7 @@ class Dataset:
         # semantics at the cost of one extra exchange per fused shape.
         self.distinct_triples = distinct_triples
         self._closure_edges: dict[str, dict[Term, list[Term]]] = {}
+        self._kleene_pair_counts: dict[tuple, int] = {}
         self._shapes_df: DataFrame | None = None
         self._all_terms_df: DataFrame | None = None
 
@@ -155,6 +156,13 @@ class Dataset:
     # the distributed fixpoint in paths.py.
     _MAX_KLEENE_EDGES = 100_000
     _MAX_KLEENE_PAIRS = 2_000_000
+    # Broadcast-hint gate: the pair cap (2M rows of two multi-field Term
+    # structs) can be a several-hundred-MB driver-built relation — far
+    # past a sane broadcast. Closures at or under this row count get the
+    # F.broadcast hint; larger ones join plain (AQE may still pick a
+    # broadcast from the runtime size, bounded by
+    # spark.sql.autoBroadcastJoinThreshold).
+    _BROADCAST_KLEENE_PAIRS = 250_000
 
     def kleene_pairs(
         self, predicate: str, inverse: bool, spec: bool = False
@@ -231,5 +239,21 @@ class Dataset:
                     StructField("reached", TERM_TYPE),
                 ])
                 result = self.spark.createDataFrame(pairs, schema)
+                self._kleene_pair_counts[key] = len(pairs)
         self._closure_edges[key] = result  # type: ignore[assignment]
         return result
+
+    def kleene_pairs_hinted(
+        self, predicate: str, inverse: bool, spec: bool = False
+    ) -> DataFrame | None:
+        """:meth:`kleene_pairs` with a SIZE-GATED broadcast hint: small
+        closures broadcast (the common rdf:rest / skos:broader case);
+        near-cap closures join plain so the hint can never force a
+        hundreds-of-MB driver broadcast (see ``_BROADCAST_KLEENE_PAIRS``)."""
+        pairs = self.kleene_pairs(predicate, inverse, spec)
+        if pairs is None:
+            return None
+        n = self._kleene_pair_counts.get(
+            ("kleene", predicate, inverse, spec), self._MAX_KLEENE_PAIRS
+        )
+        return F.broadcast(pairs) if n <= self._BROADCAST_KLEENE_PAIRS else pairs

@@ -100,11 +100,11 @@ def _kleene_closure(ds: Dataset, inner: PathElem, start: DataFrame) -> DataFrame
     that traverses the same predicate. Large edge sets (the 100 TB case)
     use the iterative checkpointed frontier loop below."""
     if isinstance(inner, (Hop, Inverse)):
-        pairs = ds.kleene_pairs(inner.iri, isinstance(inner, Inverse))
+        pairs = ds.kleene_pairs_hinted(inner.iri, isinstance(inner, Inverse))
         if pairs is not None:
             return _dedup(
                 start.join(
-                    F.broadcast(pairs), start["v"] == pairs["start"]
+                    pairs, start["v"] == pairs["start"]
                 ).select("focus", F.col("reached").alias("v"))
             )
     visited = _dedup(start.select("focus", "v")).localCheckpoint(eager=True)

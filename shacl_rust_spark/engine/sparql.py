@@ -1539,12 +1539,12 @@ class _Compiler:
         from .paths import _MAX_KLEENE_ITERS
 
         if isinstance(inner, (PHop, PInvH)) and all_triples is self.data_source:
-            pairs = self.vd.ds.kleene_pairs(
+            pairs = self.vd.ds.kleene_pairs_hinted(
                 inner.iri, isinstance(inner, PInvH), spec=True
             )
             if pairs is not None:
                 return (
-                    start.join(F.broadcast(pairs), start["v"] == pairs["start"])
+                    start.join(pairs, start["v"] == pairs["start"])
                     .select("k", F.col("reached").alias("v"))
                     .dropDuplicates(["k", "v"])
                 )

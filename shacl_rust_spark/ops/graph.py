@@ -414,8 +414,75 @@ def scc(edges: DataFrame, max_pairs: int = 2_000_000) -> DataFrame:
     )
 
 
+def _tarjan_scc_driver(edge_list: list[tuple]) -> dict:
+    """Iterative (explicit-stack) Tarjan over a driver-resident edge
+    list: node → lexicographically-smallest member of its SCC. The
+    endgame pass of :func:`scc_fwbw` — only ever called on an
+    active subgraph at or under ``tarjan_cutoff`` edges, where every
+    node appears as some edge endpoint (post-trim invariant)."""
+    adj: dict = {}
+    nodes = set()
+    for a, b in edge_list:
+        adj.setdefault(a, []).append(b)
+        nodes.add(a)
+        nodes.add(b)
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    comp: dict = {}
+    counter = [0]
+
+    def _connect(root) -> None:
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            descend = False
+            succs = adj.get(v, ())
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    descend = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if descend:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                root_id = min(members)
+                for m in members:
+                    comp[m] = root_id
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for n in nodes:
+        if n not in index:
+            _connect(n)
+    return comp
+
+
 def scc_fwbw(
-    edges: DataFrame, max_levels: int = 64, max_rounds: int = 4096
+    edges: DataFrame,
+    max_levels: int = 256,
+    max_rounds: int = 4096,
+    tarjan_cutoff: int = 100_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Production strongly-connected components: multi-pivot
     forward-backward decomposition (Fleischer et al.'s FW-BW with
@@ -446,16 +513,43 @@ def scc_fwbw(
     4. Remove emitted nodes; the next level re-trims and re-labels
        the remainder (the FW/BW/REST recursion, batched).
 
-    Every step is frontier-shaped (the shacl_path_kleene_dist loop
-    shape: join + anti-join + localCheckpoint on strictly-shrinking
-    frames); nothing is ever pair-quadratic. ``max_levels`` guards
-    adversarial nestings (each level removes at least every class
-    root's SCC, so real graphs converge in a handful of levels);
-    ``max_rounds`` bounds each inner fixpoint. Both raise rather
-    than silently truncate."""
+    5. **Driver-Tarjan endgame** (the Multistep method's final step,
+       Slota et al. 2014): once the active subgraph after trimming
+       fits under ``tarjan_cutoff`` edges, it is collected and
+       finished with one iterative Tarjan pass on the driver. This is
+       what resolves SCC-condensation CHAINS (cyclic SCC → cyclic
+       SCC → …), where min-label coloring inherently peels one
+       condensation level per outer iteration: a chain-shaped
+       remainder is tiny long before it is deep, so it finishes in
+       one driver pass instead of one level per SCC. Pass
+       ``tarjan_cutoff=0`` to pin the fully-distributed path (the
+       equivalence tests do).
+
+    Every distributed step is frontier-shaped (the
+    shacl_path_kleene_dist loop shape: join + anti-join +
+    localCheckpoint on strictly-shrinking frames); nothing is ever
+    pair-quadratic. ``max_levels`` guards adversarial nestings —
+    with the Tarjan endgame only a condensation chain that is BOTH
+    deep (> max_levels SCC levels) AND wide (> tarjan_cutoff edges at
+    every level) can exhaust it, and then it raises rather than
+    silently truncating; ``max_rounds`` bounds each inner fixpoint
+    the same way. ``stats``, if a dict is passed, is filled with
+    level/round counters so tests can pin the good-case shape.
+
+    Output schema (node, scc_id) is DERIVED from the input edge
+    frame's src column, so non-string node ids keep their dtype
+    through the union accumulator and the driver endgame."""
     edges0 = _clean_edges(edges).localCheckpoint(eager=True)
     spark = edges0.sparkSession
-    empty = spark.createDataFrame([], "node string, scc_id string")
+    empty = edges0.select(
+        F.col("src").alias("node"), F.col("src").alias("scc_id")
+    ).limit(0)
+    if stats is None:
+        stats = {}
+    stats.update(
+        levels=0, trim_rounds=0, label_rounds=0, backward_rounds=0,
+        tarjan_fallback=False, tarjan_edges=0,
+    )
     active_nodes = (
         edges0.select(F.col("src").alias("node"))
         .unionByName(edges0.select(F.col("dst").alias("node")))
@@ -473,8 +567,10 @@ def scc_fwbw(
         )
 
     for _level in range(max_levels):
+        stats["levels"] = _level + 1
         # 1. trim fixpoint: in-degree or out-degree 0 ⇒ singleton SCC
         for _ in _bounded("trim"):
+            stats["trim_rounds"] += 1
             srcs = active_edges.select(F.col("src").alias("node")).distinct()
             dsts = active_edges.select(F.col("dst").alias("node")).distinct()
             keep = (
@@ -499,11 +595,26 @@ def scc_fwbw(
             )
         if active_nodes.isEmpty():
             break
+        # 5. driver-Tarjan endgame: after trimming, every active node
+        # has in- AND out-degree ≥ 1, so the edge set covers the node
+        # set; a small remainder finishes in one driver pass (this is
+        # what keeps SCC-condensation chains from costing one level
+        # per SCC — see docstring)
+        if tarjan_cutoff and active_edges.count() <= tarjan_cutoff:
+            pair_list = [(r[0], r[1]) for r in active_edges.collect()]
+            stats["tarjan_fallback"] = True
+            stats["tarjan_edges"] = len(pair_list)
+            comp = _tarjan_scc_driver(pair_list)
+            done.append(
+                spark.createDataFrame(list(comp.items()), empty.schema)
+            )
+            break
         # 2. forward min-label propagation to fixpoint
         lab = active_nodes.withColumn("lab", F.col("node")).localCheckpoint(
             eager=True
         )
         for _ in _bounded("label"):
+            stats["label_rounds"] += 1
             prop = (
                 active_edges
                 .join(
@@ -550,6 +661,7 @@ def scc_fwbw(
         )
         frontier = reached
         for _ in _bounded("backward"):
+            stats["backward_rounds"] += 1
             step = (
                 frontier.join(rev, "node")
                 .select(F.col("pred").alias("node"), "scc_id")

@@ -2380,7 +2380,13 @@ def test_scc_fwbw_matches_doubling_and_tarjan(spark, raw):
     edges = spark.createDataFrame(edge_list, ["src", "dst"])
     want = _model_tarjan(set(edge_list))
     via_doubling = {(r.node, r.scc_id) for r in scc(edges).collect()}
-    via_fwbw = {(r.node, r.scc_id) for r in scc_fwbw(edges).collect()}
+    # tarjan_cutoff=0 pins the fully-distributed trim/label/BFS path —
+    # at these sizes the default cutoff would route straight to the
+    # driver endgame and the equivalence would be vacuous
+    via_fwbw = {
+        (r.node, r.scc_id)
+        for r in scc_fwbw(edges, tarjan_cutoff=0).collect()
+    }
     assert via_doubling == want
     assert via_fwbw == want
 
@@ -2402,8 +2408,120 @@ def test_scc_fwbw_past_cap_completes(spark):
         for i in range(n) for _ in range(3)
     }
     edges = spark.createDataFrame(sorted(edge_list), ["src", "dst"])
-    got = {(r.node, r.scc_id) for r in scc_fwbw(edges).collect()}
+    got = {
+        (r.node, r.scc_id)
+        for r in scc_fwbw(edges, tarjan_cutoff=0).collect()
+    }
     assert got == _model_tarjan(edge_list)
+
+
+def _scc_chain_edges(n_sccs: int, size: int = 3):
+    """A condensation CHAIN of ``n_sccs`` cyclic SCCs (each a
+    ``size``-cycle), SCC i → SCC i+1, ids increasing downstream — the
+    min-label worst case where coloring peels ONE SCC per level."""
+    edges = set()
+    for i in range(n_sccs):
+        base = [f"c{i:03d}x{j}" for j in range(size)]
+        for j in range(size):
+            edges.add((base[j], base[(j + 1) % size]))
+        if i + 1 < n_sccs:
+            edges.add((base[0], f"c{i + 1:03d}x0"))
+    return sorted(edges)
+
+
+def test_scc_fwbw_tarjan_endgame_resolves_condensation_chain(spark):
+    """A chain of 100 cyclic SCCs — deeper than any sane level budget
+    for one-SCC-per-level peeling — completes in ONE level via the
+    driver-Tarjan endgame (the Multistep final step), exactly matching
+    the model."""
+    from shacl_rust_spark.ops.graph import scc_fwbw
+
+    edge_list = _scc_chain_edges(100)
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    stats: dict = {}
+    got = {(r.node, r.scc_id) for r in scc_fwbw(edges, stats=stats).collect()}
+    assert got == _model_tarjan(edge_list)
+    assert stats["tarjan_fallback"] is True
+    assert stats["levels"] == 1
+    assert stats["label_rounds"] == 0  # endgame fired before coloring
+
+
+def test_scc_fwbw_chain_guard_raises_without_endgame(spark):
+    """With the endgame disabled, the same condensation chain exhausts
+    a small level budget and raises loudly (the documented deep-AND-wide
+    worst case) instead of silently truncating."""
+    import pytest
+
+    from shacl_rust_spark.ops.graph import scc_fwbw
+
+    edges = spark.createDataFrame(_scc_chain_edges(4), ["src", "dst"])
+    with pytest.raises(ValueError, match="did not converge"):
+        scc_fwbw(edges, max_levels=1, tarjan_cutoff=0)
+
+
+def test_scc_fwbw_web_bowtie_at_scale(spark):
+    """The good case at web shape and size (verdict r4 item 6): a
+    ~10⁵-node bow-tie — 50k-node strongly-connected core (cycle +
+    3 seeded random chords per node, so the diameter is small) with
+    2,500 IN-tendril and 2,500 OUT-tendril chains of length 10 —
+    resolves on the FULLY-DISTRIBUTED path (endgame disabled) in ONE
+    level with bounded trim/label/BFS round counts: the trim fixpoint
+    deletes the tendrils in chain-length rounds and the single
+    min-label class captures the whole core. Output equals the
+    driver-Tarjan model exactly."""
+    import random
+    import time
+
+    from shacl_rust_spark.ops.graph import scc_fwbw
+
+    rng = random.Random(41)
+    n_core, n_chains, chain_len = 50_000, 2_500, 10
+    edge_list = [(f"C{i:05d}", f"C{(i + 1) % n_core:05d}")
+                 for i in range(n_core)]
+    edge_list += [
+        (f"C{i:05d}", f"C{rng.randrange(n_core):05d}")
+        for i in range(n_core) for _ in range(3)
+    ]
+    for c in range(n_chains):
+        edge_list += [(f"I{c:04d}_{j}", f"I{c:04d}_{j + 1}")
+                      for j in range(chain_len - 1)]
+        edge_list.append(
+            (f"I{c:04d}_{chain_len - 1}", f"C{rng.randrange(n_core):05d}"))
+        edge_list.append((f"C{rng.randrange(n_core):05d}", f"O{c:04d}_0"))
+        edge_list += [(f"O{c:04d}_{j}", f"O{c:04d}_{j + 1}")
+                      for j in range(chain_len - 1)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"]).repartition(32)
+    stats: dict = {}
+    t0 = time.time()
+    got = {
+        (r.node, r.scc_id)
+        for r in scc_fwbw(edges, tarjan_cutoff=0, stats=stats).collect()
+    }
+    wall = time.time() - t0
+    assert got == _model_tarjan(set(edge_list))
+    assert stats["levels"] == 1
+    assert stats["trim_rounds"] <= chain_len + 3
+    assert stats["label_rounds"] <= 40
+    assert stats["backward_rounds"] <= 40
+    assert wall < 600, f"bow-tie SCC took {wall:.0f}s"
+
+
+def test_scc_auto_dispatch_preserves_node_dtype(spark):
+    """scc()'s past-cap auto-dispatch to scc_fwbw keeps non-string node
+    ids typed: the accumulator schema is derived from the input edges,
+    not a hardcoded string DDL."""
+    from shacl_rust_spark.ops.graph import scc, scc_fwbw
+
+    edge_list = [(i, (i + 1) % 8) for i in range(8)] + [(8, 9), (9, 8)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    for out in (
+        scc(edges, max_pairs=5),  # forces the scc_fwbw dispatch
+        scc_fwbw(edges, tarjan_cutoff=0),  # distributed path
+        scc_fwbw(edges),  # driver-Tarjan endgame path
+    ):
+        assert dict(out.dtypes) == {"node": "bigint", "scc_id": "bigint"}
+        got = {(r.node, r.scc_id) for r in out.collect()}
+        assert got == {(i, 0) for i in range(8)} | {(8, 8), (9, 8)}
 
 
 def test_active_users_trailing_window(spark):
