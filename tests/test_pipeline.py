@@ -66,6 +66,49 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
     assert run_pipeline(spark, SF, out)["resumed"]
 
 
+def test_seed_stage_cache_matches_fresh_build(spark, tmp_path):
+    """Seeding the kg_* gate memo from a completed run_pipeline output
+    (the bench fast path) yields row-identical frames to the gates'
+    own in-session builds — including the validated frame, whose
+    predicate column round-trips through partitioned-parquet directory
+    names."""
+    from shacl_rust_spark import queries_kg as K
+    from shacl_rust_spark.pipeline.run import run_pipeline
+
+    def _snap():
+        return {
+            key: {tuple(r) for r in K._memo(spark, SF, key, None).collect()}
+            for key in ("mentions", "linked", "validated")
+        }
+
+    def _clear():
+        for key in ("mentions", "linked", "validated"):
+            K._STAGE_CACHE.pop((id(spark), SF, key), None)
+
+    _clear()
+    fresh_frames = (
+        K.kg_mentions(spark, SF),
+        K._linked(spark, SF),
+        K.kg_validated_triples(spark, SF),
+    )
+    # dtypes (names + types, in order) — parquet round-trips widen
+    # nullability, which neither the gates nor the oracle compare
+    fresh_schemas = [f.dtypes for f in fresh_frames]
+    fresh = _snap()
+    _clear()
+    out = str(tmp_path / "kg_seed")
+    run_pipeline(spark, SF, out)
+    K.seed_stage_cache(spark, SF, out)
+    seeded_frames = (
+        K.kg_mentions(spark, SF),
+        K._linked(spark, SF),
+        K.kg_validated_triples(spark, SF),
+    )
+    assert [f.dtypes for f in seeded_frames] == fresh_schemas
+    assert _snap() == fresh
+    _clear()
+
+
 def test_fuzzy_link_typos(spark):
     m = spark.createDataFrame(
         [("u1", "lives_in", "Customer#1", "NATION_3X"),
