@@ -20,6 +20,41 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+# Per-(session, sf_dir) memo of shared derived graph inputs: 17 gates
+# consume the SAME Jaccard ≥ 0.8 near-dup pair graph over documents
+# (and four more its minhash-LSH twin), but the driver gate and the
+# bench call each query separately — without sharing, every gate
+# re-pays the quadratic verify-twin pair computation (the round-4
+# bench's dominant graph-gate cost). Same device as queries_kg's stage
+# memo; checkpointed once per session+sf_dir. This also mirrors the
+# production shape at 100 TB: the pair graph is built once and
+# persisted, downstream graph analytics read it.
+_SHARED_CACHE: dict = {}
+
+
+def _shared(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    ck = (id(spark), sf_dir, key)
+    if ck not in _SHARED_CACHE:
+        _SHARED_CACHE[ck] = build().localCheckpoint(eager=True)
+    return _SHARED_CACHE[ck]
+
+
+def _jaccard_pairs08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared exact Jaccard ≥ 0.8 near-dup pair graph."""
+    return _shared(
+        spark, sf_dir, "jaccard08",
+        lambda: dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8),
+    )
+
+
+def _minhash_pairs08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared minhash-LSH ≥ 0.8 near-dup pair graph."""
+    return _shared(
+        spark, sf_dir, "minhash08",
+        lambda: dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8),
+    )
+
+
 # --- dedup ---------------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,13 +66,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-source word-set Jaccard ≥ 0.8 pairs (exact verify path)."""
-    return dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    return _jaccard_pairs08(spark, sf_dir)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minhash-LSH blocked near-dup pairs at Jaccard ≥ 0.8 (scale path;
     banding is a recall filter, rescoring is exact)."""
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8)
+    return _minhash_pairs08(spark, sf_dir)
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,7 +111,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-keyed CC so lexicographic min == numeric min."""
     from .pipeline import cc
 
-    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8)
+    pairs = _minhash_pairs08(spark, sf_dir)
     pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
     labels = cc.connected_components(
         pairs.select(pad(F.col("a")).alias("src"),
@@ -654,7 +689,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (ops/graph.triangles) over the
     Jaccard ≥ 0.8 near-duplicate pair graph — clique-density as the
     template-family detector on top of the dedup candidate edges."""
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    pairs = _jaccard_pairs08(spark, sf_dir)
     return graph.triangles(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
@@ -703,7 +738,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     a no-op, verified in DuckDB), so this equals the exact k-core
     here; hypothesis shows long chains can need more rounds — the
     bounded-round contract (tests/test_property.py)."""
-    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8)
+    pairs = _minhash_pairs08(spark, sf_dir)
     return graph.k_core(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         k=3, rounds=6,
@@ -716,7 +751,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 2 common neighbors over the Jaccard >= 0.8 near-dup graph —
     candidates the direct pass missed, output bounded at nodes x k
     instead of the clique-quadratic pair count."""
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    pairs = _jaccard_pairs08(spark, sf_dir)
     return graph.common_neighbors(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         min_common=2, top_k=3,
@@ -844,7 +879,7 @@ def graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph — splits CC's chance-bridged merges into dense
     template families; the oracle unrolls the identical four
     mode-with-min-tie-break rounds."""
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    pairs = _jaccard_pairs08(spark, sf_dir)
     return graph.label_propagation(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         rounds=4,
@@ -862,7 +897,7 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors are all seeds themselves (zero expansion); mod-7 cuts
     across the families, so the gate actually exercises hops 1+."""
     d = _docs(spark, sf_dir)
-    pairs = dedup.jaccard_pairs(d, 0.8)
+    pairs = _jaccard_pairs08(spark, sf_dir)
     seeds = d.where(F.col("doc_id") % 7 == 0).select("doc_id")
     return graph.bfs_distances(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
@@ -1049,7 +1084,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair graph — the quality score that closes the community
     -detection loop: per community (n_nodes, e_in, deg_sum,
     q_num = 4·m·e_in − deg_sum²), Q = Σ q_num / (4m²)."""
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    pairs = _jaccard_pairs08(spark, sf_dir)
     e = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     labels = graph.label_propagation(e, rounds=4)
     return graph.modularity(e, labels)
@@ -1828,7 +1863,7 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-relaxation rounds (the per-seed lift of graph_bfs's
     oracle)."""
     d = _docs(spark, sf_dir)
-    pairs = dedup.jaccard_pairs(d, 0.8)
+    pairs = _jaccard_pairs08(spark, sf_dir)
     seeds = d.where(F.col("doc_id") % 31 == 0).select("doc_id")
     return graph.closeness_terms(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
@@ -1916,7 +1951,7 @@ def graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     DeepWalk corpus-generation step, derandomized so the oracle (3
     unrolled argmin joins) hash-compares."""
     d = _docs(spark, sf_dir)
-    pairs = dedup.jaccard_pairs(d, 0.8)
+    pairs = _jaccard_pairs08(spark, sf_dir)
     seeds = d.where(F.col("doc_id") % 31 == 0).select("doc_id")
     return graph.deterministic_walks(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
@@ -1989,7 +2024,7 @@ def graph_ra_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-weighted refinement of graph_common_neighbors (a shared
     leaf outweighs a shared hub). Same Sigma-deg^2 wedge bound; the
     oracle restates the identical BIGINT floor-division sum."""
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    pairs = _jaccard_pairs08(spark, sf_dir)
     return graph.resource_allocation(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         min_common=2, top_k=3,
@@ -2065,7 +2100,7 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes >= 2 triangles among survivors). Deliberately expensive
     gate: three triangle enumerations on a shrinking edge set; the
     oracle unrolls the identical integer rounds."""
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    pairs = _jaccard_pairs08(spark, sf_dir)
     return graph.k_truss(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         k=4, rounds=3,
@@ -2129,7 +2164,7 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity-similarity primitive. Top-100 reached nodes by
     (rank_scaled DESC, node); the oracle unrolls the identical
     seed-teleport BIGINT rounds."""
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    pairs = _jaccard_pairs08(spark, sf_dir)
     edges = pairs.select(F.col("a").alias("src"),
                          F.col("b").alias("dst"))
     nodes = (edges.select(F.col("src").alias("node"))
@@ -2211,9 +2246,9 @@ def dedup_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction since LSH rescores exactly). Both sides are
     already-verified operators; the oracle nests both verified SQL
     twins and counts the join."""
-    ex = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8) \
+    ex = _jaccard_pairs08(spark, sf_dir) \
         .select("a", "b")
-    lsh = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8) \
+    lsh = _minhash_pairs08(spark, sf_dir) \
         .select("a", "b")
     common = ex.join(lsh, ["a", "b"], "left_semi")
     # three single-row aggregates cross-joined — one plan, no driver
@@ -2395,7 +2430,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_triangles, n_wedges) over the Jaccard ≥ 0.8 near-duplicate
     pair graph (ops/graph.clustering_coefficient) — clique-like
     template families read cc → 1, chain accretion cc → 0."""
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    pairs = _jaccard_pairs08(spark, sf_dir)
     return graph.clustering_coefficient(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
@@ -2699,7 +2734,7 @@ def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass quality score that complements graph_modularity's density
     functional on the same labeling. The oracle nests the identical
     LPA unroll and states cut/volume directly."""
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    pairs = _jaccard_pairs08(spark, sf_dir)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     labels = graph.label_propagation(edges, rounds=4).select(
         "node", "community"
@@ -3064,7 +3099,7 @@ def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_ids that appear in the pair graph (deterministic, degree-
     agnostic). The oracle unrolls 4 rounds of per-seed min-hop
     relaxation over the same pair set."""
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    pairs = _jaccard_pairs08(spark, sf_dir)
     seeds = (
         pairs.select(F.col("a").alias("node"))
         .unionByName(pairs.select(F.col("b").alias("node")))
@@ -3121,7 +3156,7 @@ def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (HyperBall's bounded-radius twin); same 5 smallest-doc-id
     landmarks as graph_eccentricity, so the two gates pin the same
     landmark_distances frame from two different aggregates."""
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    pairs = _jaccard_pairs08(spark, sf_dir)
     seeds = (
         pairs.select(F.col("a").alias("node"))
         .unionByName(pairs.select(F.col("b").alias("node")))
@@ -3167,7 +3202,7 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     preservation). Same zero-padded string keys as dedup_components."""
     from .pipeline import cc as cc_mod
 
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    pairs = _jaccard_pairs08(spark, sf_dir)
     pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
     e = pairs.select(pad(F.col("a")).alias("src"),
                      pad(F.col("b")).alias("dst"),
