@@ -17,10 +17,34 @@ results at every scale factor.
 
 from __future__ import annotations
 
+from functools import wraps
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import vocab as V
+
+# Logical-plan memo: the driver gate and the bench invoke ~45 SHACL
+# queries in one session, and every one of them rebuilt these unpivot
+# plans Column-by-Column — ~0.5–1.2 s of py4j round-trips per gate,
+# the dominant plan-BUILD cost in the round-4 profile (PLANS.md §12:
+# ~3,000 round-trips / 0.9 s socket recv per gate, most of it here,
+# not in the SPARQL rewriter). The builders are pure functions of
+# (session, sf_dir) and DataFrames are immutable plan handles, so the
+# logical plan is cached per session: nothing is materialized, the
+# executed plans are byte-identical, and parquet predicate/column
+# pushdown is untouched.
+_PLAN_CACHE: dict = {}
+
+
+def _plan_memo(fn):
+    @wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ck = (id(spark), sf_dir, fn.__name__)
+        if ck not in _PLAN_CACHE:
+            _PLAN_CACHE[ck] = fn(spark, sf_dir)
+        return _PLAN_CACHE[ck]
+    return wrapper
 
 EX = "http://example.org/"
 XSD_STRING = V.XSD_STRING
@@ -77,6 +101,7 @@ def order_iri(key_col) -> F.Column:
     return _iri(F.concat(F.lit(EX + "order/"), key_col.cast("string")))
 
 
+@_plan_memo
 def customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer facts as triples.
 
@@ -110,6 +135,7 @@ def customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_plan_memo
 def nation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nation/region facts.
 
@@ -145,6 +171,7 @@ def nation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_plan_memo
 def order_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order facts.
 
@@ -171,6 +198,7 @@ def order_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_plan_memo
 def lineitem_pair_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lineitem discount/tax pairs for sh:lessThan."""
     li = load(spark, sf_dir, "lineitem")
@@ -188,6 +216,7 @@ def lineitem_pair_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).unionByName(c)
 
 
+@_plan_memo
 def document_lang_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source language-tagged text literals for sh:uniqueLang
     (25 docs/source share few langs ⇒ duplicates are guaranteed)."""
@@ -198,6 +227,7 @@ def document_lang_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+@_plan_memo
 def chain_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ex:next chain edges big enough to overflow the driver-side Kleene
     memo (Dataset._MAX_KLEENE_EDGES = 100k) at sf ≥ 0.01, forcing the
@@ -235,6 +265,7 @@ def chain_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_edges.unionByName(o_edges).unionByName(heads)
 
 
+@_plan_memo
 def full_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole star schema as one triples DataFrame."""
     out = customer_triples(spark, sf_dir)
